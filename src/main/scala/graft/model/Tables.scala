@@ -1,0 +1,87 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Parquet readers for the driver-generated test tables (FIXTURES.md §4)
+  * and declared schemas for the five reference config/fact tables
+  * (reference: db_model.py:9-62).
+  *
+  * All reads go through `spark.read.parquet` so Catalyst's column pruning
+  * and predicate pushdown reach the scan — at 100 TB the scan is the
+  * dominant cost and a pruned vectorized parquet read is the single
+  * biggest lever.
+  */
+object Tables {
+
+  /** Driver test tables available under /root/testdata/sf*. */
+  val driverTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+      // reader rejects; read the raw int64 nanos and floor-divide to
+      // micros — exactly DuckDB's ns→us conversion — as TIMESTAMP_NTZ
+      // (all driver tables are naive/UTC wall-clock).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
+            .cast("timestamp_ntz"))
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+  }
+
+  // ---- Reference data model (SURVEY.md §1), as Spark schemas ----------
+  // PKs/FKs widened to LongType: at 100 TB the fact table passes 2^31 rows.
+
+  /** reference db_model.py:31-39 */
+  val busesSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("protocol", IntegerType, nullable = false),
+    StructField("address", StringType),
+    StructField("port", IntegerType),
+    StructField("timeout", IntegerType, nullable = false),
+    StructField("enabled", BooleanType, nullable = false)))
+
+  /** reference db_model.py:9-28 */
+  val channelsSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("bus_id", LongType, nullable = false),
+    StructField("device_id", IntegerType, nullable = false),
+    StructField("address", IntegerType, nullable = false),
+    StructField("timing", IntegerType, nullable = false),
+    StructField("conversion_id", LongType),
+    StructField("func_code", IntegerType, nullable = false),
+    StructField("format_code", IntegerType, nullable = false),
+    StructField("enabled", BooleanType, nullable = false),
+    StructField("eng_unit", StringType),
+    StructField("history_len", IntegerType, nullable = false),
+    StructField("long_name", StringType)))
+
+  /** reference db_model.py:42-46 */
+  val conversionsSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("expr", StringType)))
+
+  /** reference db_model.py:49-54 — the append-only time-series fact table.
+    * `value` keeps the reference's exact NUMERIC(25,6). */
+  val channelDataSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("channel_id", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("value", DecimalType(25, 6))))
+
+  /** reference db_model.py:57-62 — keyed last-writer-wins status table. */
+  val daqStatusSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("parameter", StringType, nullable = false),
+    StructField("status", IntegerType),
+    StructField("ts", TimestampType)))
+}
