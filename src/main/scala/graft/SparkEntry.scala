@@ -13,7 +13,7 @@ object SparkEntry {
   /** Full registry: reference-surface relational ops + engine-added
     * analytics + LLM-pipeline ops + batch-equivalent streaming forms. */
   val all: Seq[QueryDef] =
-    ops.Relational.queries
+    ops.Relational.queries ++ ops.ReferenceOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Latest-sample-per-channel — the engine idiom that replaces the
