@@ -13,7 +13,9 @@ object SparkEntry {
   /** Full registry: reference-surface relational ops + engine-added
     * analytics + LLM-pipeline ops + batch-equivalent streaming forms. */
   val all: Seq[QueryDef] =
-    ops.Relational.queries ++ ops.ReferenceOps.queries
+    ops.Relational.queries ++ ops.ReferenceOps.queries ++
+      ops.TextAnalysis.queries ++ ops.Dedup.queries ++
+      ops.Similarity.queries ++ ops.Multimodal.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Latest-sample-per-channel — the engine idiom that replaces the

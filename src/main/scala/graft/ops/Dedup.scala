@@ -1,0 +1,243 @@
+package graft.ops
+
+import graft.QueryDef
+import graft.model.Tables.table
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline over the
+  * `documents` and `embeddings` tables: exact (hash-groupBy), n-gram
+  * Jaccard (banded brute force), MinHash+LSH (shingle → minhash →
+  * band → bucket-join), SimHash (hamming-banded), and embedding-cosine
+  * near-dup.
+  *
+  * Scale design (100 TB):
+  *   - exact dedup is one hash aggregation on a 128-bit content hash —
+  *     the minimum possible shuffle (hash, not text, crosses the wire
+  *     after map-side pre-aggregation of the keyed projection);
+  *   - all near-dup variants avoid the O(n²) cross join: candidate
+  *     pairs come from equi-joins on LSH bands / simhash chunks /
+  *     content bands, so Spark plans ordinary shuffled hash joins whose
+  *     cost is bounded by bucket occupancy, not corpus size;
+  *   - signatures are fixed-width arrays computed in one codegen'd
+  *     projection pass — no UDFs, no driver-side state.
+  */
+object Dedup {
+
+  import TextAnalysis.tokens
+
+  /** Word n-gram shingle set of a text column. */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - lit(n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Jaccard similarity of two (distinct-element) array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** MinHash signature: for each of `h` hash functions, the minimum
+    * 64-bit hash over the shingle set (salted xxhash64). Empty shingle
+    * sets get null signatures. */
+  def minhashSignature(shingles: Column, h: Int = 64): Column =
+    when(size(shingles) > 0,
+      array((0 until h).map { i =>
+        array_min(transform(shingles, s => xxhash64(lit(i), s)))
+      }: _*))
+      .otherwise(lit(null))
+
+  /** LSH band keys from a minhash signature: `b` bands of `r` rows,
+    * each hashed to one 64-bit bucket key. b*r must equal the
+    * signature width. */
+  def lshBands(sig: Column, b: Int, r: Int): Column =
+    transform(sequence(lit(0), lit(b - 1)),
+      i => xxhash64(lit("band"), i, to_json(slice(sig, i * lit(r) + lit(1), lit(r)))))
+
+  /** 64-bit SimHash of a token multiset — per-bit majority vote of
+    * token hashes — represented as 4 x 16-bit chunk values (an
+    * array<int>). The chunk representation is both ANSI-overflow-safe
+    * and exactly what hamming-LSH banding buckets on. Chunk c covers
+    * signature bits [16c, 16c+16), most-significant bit first inside
+    * the chunk. */
+  def simhashChunks(toks: Column): Column = {
+    // votes[i] = sum over tokens of (+1 if bit i of xxhash64(token), else -1)
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          i => when(call_function("shiftright", xxhash64(t), i).bitwiseAND(lit(1L)) === lit(1L), lit(1))
+            .otherwise(lit(-1))),
+        (a, v) => a + v))
+    transform(sequence(lit(0), lit(3)), c =>
+      aggregate(
+        slice(votes, c * lit(16) + lit(1), lit(16)),
+        lit(0),
+        (acc, v) => acc * lit(2) + when(v > 0, lit(1)).otherwise(lit(0))))
+  }
+
+  /** Hamming distance between two chunked signatures. */
+  def hammingChunks(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, h) => acc + h)
+
+  /** Exact dedup: group by a content hash, keep the lowest id.
+    * Returns (hash, keeper id, group size). */
+  def exactGroups(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.groupBy(md5(lower(text)).as("content_hash"))
+      .agg(min(id).as("keeper"), count(lit(1)).as("n_docs"))
+
+  /** Candidate pairs from an equi-join on exploded band keys, then
+    * exact-Jaccard verified at `threshold`. Output (id_a, id_b, sim),
+    * id_a < id_b, one row per pair (bands deduplicated). */
+  def minhashNearDups(
+      docs: DataFrame, id: Column, text: Column,
+      threshold: Double, h: Int = 64, b: Int = 32): DataFrame = {
+    val r = h / b
+    val sigs = docs
+      .select(id.as("id"), wordShingles(text).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), h))
+      .filter(col("sig").isNotNull)
+      .withColumn("band", explode(lshBands(col("sig"), b, r)))
+    val a = sigs.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val bb = sigs.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(bb, Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .distinct()
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // Exact dedup groups over the content hash; every group here has
+    // n_docs = 1 in clean data, so the query also proves no false
+    // positives — and at 100 TB it is a single count-style shuffle.
+    QueryDef(
+      "dd_exact",
+      (s, d) => {
+        import s.implicits._
+        exactGroups(table(s, d, "documents"), $"text", $"doc_id")
+          .orderBy($"content_hash")
+      },
+      Some("""SELECT md5(lower(text)) AS content_hash,
+                     min(doc_id) AS keeper, count(*) AS n_docs
+              FROM documents GROUP BY 1 ORDER BY content_hash""")),
+
+    // Banded brute-force n-gram Jaccard: candidate pairs restricted to
+    // adjacent length bands (near-dups have near-equal lengths) — the
+    // oracle-checkable ground truth the probabilistic variants are
+    // validated against. Spark-first blocking: each doc explodes to
+    // band keys {b, b+1}, so adjacency becomes a plain equi-join
+    // (shuffled hash join) instead of a non-equi nested-loop join.
+    QueryDef(
+      "dd_ngram_jaccard",
+      (s, d) => {
+        import s.implicits._
+        val docs = table(s, d, "documents")
+          .select($"doc_id",
+            floor($"n_chars" / lit(100)).as("band"),
+            wordShingles($"text").as("grams"))
+          .withColumn("bk", explode(array($"band", $"band" + 1)))
+        val a = docs.select($"bk", $"doc_id".as("id_a"), $"grams".as("g_a"))
+        val b = docs.select($"bk", $"doc_id".as("id_b"), $"grams".as("g_b"))
+        a.join(b, Seq("bk"))
+          .filter($"id_a" < $"id_b")
+          .select($"id_a", $"id_b", jaccard($"g_a", $"g_b").as("sim"))
+          .filter($"sim" >= 0.2)
+          .distinct()
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, floor(n_chars / 100) AS band,
+                       list_distinct(CASE WHEN len(toks) >= 3
+                         THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+                         ELSE [] END) AS grams
+                FROM (SELECT doc_id, n_chars,
+                             [x for x in string_split_regex(lower(text), '\s+') if x != ''] AS toks
+                      FROM documents))
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                       / len(list_distinct(a.grams || b.grams)) AS sim
+              FROM t a JOIN t b ON abs(a.band - b.band) <= 1 AND a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                      / len(list_distinct(a.grams || b.grams)) >= 0.2
+              ORDER BY id_a, id_b""")),
+
+    // MinHash+LSH near-dup pipeline (shingle -> 64-hash signature ->
+    // 32 bands -> bucket join -> exact-Jaccard verify). xxhash64 has
+    // no DuckDB twin, so the driver records rows-only; DedupSpec
+    // asserts consistency against the brute-force ground truth.
+    QueryDef(
+      "dd_minhash_lsh",
+      (s, d) => {
+        import s.implicits._
+        minhashNearDups(table(s, d, "documents"), $"doc_id", $"text", 0.5)
+          .orderBy($"id_a", $"id_b")
+      },
+      None),
+
+    // SimHash signatures + hamming-banded near-dup pairs (<= 6 bits
+    // apart; by pigeonhole any such pair shares at least one of the
+    // four 16-bit chunks, so the chunk equi-join has perfect recall).
+    QueryDef(
+      "dd_simhash",
+      (s, d) => {
+        import s.implicits._
+        val sigs = table(s, d, "documents")
+          .select($"doc_id", simhashChunks(tokens($"text")).as("sig"))
+        val chunked = sigs
+          .withColumn("chunk_id", explode(sequence(lit(0), lit(3))))
+          .withColumn("chunk", element_at($"sig", $"chunk_id" + lit(1)))
+        val a = chunked.select($"chunk_id", $"chunk", $"doc_id".as("id_a"), $"sig".as("sig_a"))
+        val b = chunked.select($"chunk_id", $"chunk", $"doc_id".as("id_b"), $"sig".as("sig_b"))
+        a.join(b, Seq("chunk_id", "chunk"))
+          .filter($"id_a" < $"id_b")
+          .select($"id_a", $"id_b", hammingChunks($"sig_a", $"sig_b").as("hamming"))
+          .filter($"hamming" <= 6)
+          .distinct()
+          .orderBy($"id_a", $"id_b")
+      },
+      None),
+
+    // Embedding-cosine near-dup: pairs within the same label bucket at
+    // cosine >= 0.4 (this corpus has no planted vector dups; the
+    // threshold sits in the observable tail); norms precomputed per
+    // row (one pass) so the pair-join multiplies, never re-normalizes.
+    QueryDef(
+      "dd_embed_cos",
+      (s, d) => {
+        import s.implicits._
+        val emb = table(s, d, "embeddings")
+          .select($"vec_id", $"label",
+            transform($"embedding", x => x.cast("double")).as("v"))
+          .withColumn("norm", sqrt(aggregate(
+            zip_with($"v", $"v", (x, y) => x * y), lit(0.0), (acc, x) => acc + x)))
+        val a = emb.select($"label", $"vec_id".as("id_a"), $"v".as("v_a"), $"norm".as("n_a"))
+        val b = emb.select($"label", $"vec_id".as("id_b"), $"v".as("v_b"), $"norm".as("n_b"))
+        a.join(b, Seq("label"))
+          .filter($"id_a" < $"id_b")
+          .select($"id_a", $"id_b",
+            (aggregate(zip_with($"v_a", $"v_b", (x, y) => x * y), lit(0.0),
+              (acc, x) => acc + x) / ($"n_a" * $"n_b")).as("cos"))
+          .filter($"cos" >= 0.4)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH e AS (
+                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS nrm
+                FROM embeddings)
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+              FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+              ORDER BY id_a, id_b"""))
+  )
+}

@@ -1,0 +1,161 @@
+package graft.ops
+
+import graft.QueryDef
+import graft.model.Tables.table
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract /
+  * resize / frame-sample operators.
+  *
+  * The actual media codecs are STUBBED (no image/audio libraries in
+  * this environment): `StubCodec` produces deterministic fake decodes
+  * derived from the bytes. Everything around the stub — the schema,
+  * the `Dataset[T]` encoders, the per-partition batch shape (decode
+  * amortized across a partition, mirroring `mapInPandas` batches), and
+  * the partitioning story — is real and tested, so swapping in a real
+  * codec is a one-function change.
+  *
+  * Scale: media rows are large (MBs); operators never shuffle the
+  * binary payload — feature extraction projects fixed-width vectors
+  * first, and anything relational joins on `media_id` afterwards.
+  */
+object Multimodal {
+
+  /** One media object: payload + typed metadata (the multimodal row). */
+  case class MediaFile(
+      media_id: Long,
+      kind: String, // image | audio | video
+      content: Array[Byte],
+      width: Int,
+      height: Int,
+      sample_rate: Int,
+      n_frames: Int)
+
+  case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      feature: Array[Float])
+
+  /** ??? boundary: a real deployment plugs javax.imageio / ffmpeg here.
+    * The stub derives deterministic pseudo-content from the payload so
+    * tests can assert exact values end-to-end. */
+  object StubCodec {
+    val featureDim = 16
+
+    /** STUB decode+embed: fold the bytes into a fixed-width float
+      * vector (stands in for decode -> model forward pass). */
+    def extract(bytes: Array[Byte]): Array[Float] = {
+      val acc = new Array[Float](featureDim)
+      var i = 0
+      while (i < bytes.length) {
+        acc(i % featureDim) += (bytes(i) & 0xFF) / 255.0f
+        i += 1
+      }
+      acc
+    }
+
+    /** STUB resize: keeps every stride-th byte of a row-major fake
+      * raster (stands in for a real interpolating resize). */
+    def resize(bytes: Array[Byte], stride: Int): Array[Byte] =
+      bytes.grouped(stride).map(_.head).toArray
+
+    /** STUB frame sampling: the payload split into n_frames equal
+      * chunks, keeping every k-th chunk. */
+    def sampleFrames(bytes: Array[Byte], nFrames: Int, k: Int): Seq[Array[Byte]] = {
+      if (nFrames <= 0) Seq.empty
+      else {
+        val frameLen = math.max(bytes.length / nFrames, 1)
+        (0 until nFrames by k).map { f =>
+          bytes.slice(f * frameLen, math.min((f + 1) * frameLen, bytes.length))
+        }
+      }
+    }
+  }
+
+  /** Synthesize a deterministic media table from `documents` (text
+    * bytes as payload) — the driver testdata has no binary table, so
+    * this gives the plumbing a reproducible input. */
+  def synthesize(spark: SparkSession, sfDir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    table(spark, sfDir, "documents")
+      .select(
+        $"doc_id".as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod($"doc_id", lit(3)) + 1).cast("int")).as("kind"),
+        encode($"text", "UTF-8").as("content"),
+        (pmod($"doc_id", lit(64)) + 16).cast("int").as("width"),
+        (pmod($"doc_id", lit(48)) + 16).cast("int").as("height"),
+        lit(16000).as("sample_rate"),
+        (pmod($"doc_id", lit(30)) + 1).cast("int").as("n_frames"))
+      .as[MediaFile]
+  }
+
+  /** Feature extraction over batches: one codec instance per
+    * partition, rows streamed through it — the Scala equivalent of a
+    * `mapInPandas` batch loop. */
+  def extractFeatures(media: Dataset[MediaFile]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition setup cost amortized (real codecs are expensive
+      // to initialize)
+      rows.map { m =>
+        MediaFeatures(m.media_id, m.kind, m.content.length.toLong,
+          StubCodec.extract(m.content))
+      }
+    }
+  }
+
+  /** Resize every image payload in place (stub), preserving schema. */
+  def resizeImages(media: Dataset[MediaFile], stride: Int): Dataset[MediaFile] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      if (m.kind == "image")
+        m.copy(content = StubCodec.resize(m.content, stride),
+          width = m.width / stride, height = m.height / stride)
+      else m
+    })
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // Binary-column relational surface: payload sizes + content hashes
+    // per media kind — the part DuckDB can replay over the same bytes.
+    QueryDef(
+      "mm_binary_stats",
+      (s, d) => {
+        import s.implicits._
+        synthesize(s, d).toDF()
+          .groupBy($"kind")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(octet_length($"content")).as("total_bytes"),
+            min(md5($"content")).as("min_hash"),
+            max(md5($"content")).as("max_hash"))
+          .orderBy($"kind")
+      },
+      Some("""SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                     count(*) AS n,
+                     CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+                     min(md5(text)) AS min_hash,
+                     max(md5(text)) AS max_hash
+              FROM documents
+              GROUP BY 1 ORDER BY kind""")),
+
+    // Feature vectors from the typed mapPartitions path, reduced to a
+    // checkable aggregate (vector folds are deterministic).
+    QueryDef(
+      "mm_features",
+      (s, d) => {
+        import s.implicits._
+        extractFeatures(synthesize(s, d)).toDF()
+          .select($"media_id", $"kind", $"n_bytes",
+            round(aggregate($"feature",
+              lit(0.0), (acc, x) => acc + x.cast("double")), 3).as("feature_sum"))
+          .orderBy($"media_id")
+      },
+      None) // stub codec fold has no SQL twin; rows-only + MultimodalSpec
+  )
+}

@@ -1,0 +1,123 @@
+package graft.ops
+
+import graft.QueryDef
+import graft.model.Tables.table
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`ArrayType(FloatType)`):
+  * brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane LSH-bucketed variant as the 100 TB scale path.
+  *
+  * Scale design: the query set is always the broadcast side, so the
+  * corpus is streamed exactly once with no shuffle; norms are
+  * precomputed per row (never inside the pair loop); top-k is a
+  * per-query window over the (queries x bucket) candidate set, which
+  * AQE keeps small. The LSH variant reduces scanned candidates by
+  * ~2^bits while staying a plain equi-join — the same plan shape that
+  * works with a 10^9-vector corpus bucketed on disk.
+  */
+object Similarity {
+
+  /** Cast a float vector column to double for exact, reproducible math. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential-fold dot product (left-to-right, bit-reproducible). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Random-hyperplane LSH bucket: sign pattern of the vector against
+    * `planes` pseudo-random hyperplanes. The planes are derived
+    * deterministically from xxhash64(seed, plane, dim) so executors
+    * rebuild them identically with zero driver state — at a real 100 TB
+    * deployment the same expression computes bucket ids at write time
+    * (partition column) and query time. */
+  def hyperplaneBucket(v: Column, planes: Int = 8): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(planes - 1)), p =>
+        when(
+          aggregate(
+            zip_with(v, sequence(lit(0), size(v) - 1),
+              (x, i) => x * ((xxhash64(lit("plane"), p, i) % lit(1000L)).cast("double") / lit(1000.0))),
+            lit(0.0), (acc, x) => acc + x) >= lit(0.0),
+          lit(1)).otherwise(lit(0))),
+      lit(0), (acc, bit) => acc * lit(2) + bit)
+
+  /** Exact top-k cosine neighbors of each query vector. Both inputs
+    * must carry (id, vec); query side is broadcast. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), asDouble(col("vec")).as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+    val c = corpus.select(col("id").as("neighbor_id"), asDouble(col("vec")).as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // Exact ANN baseline: top-5 cosine neighbors for the 20 lowest
+    // vec_ids. DuckDB replays the identical fold with list_dot_product
+    // over DOUBLE[] (validated bit-exact).
+    QueryDef(
+      "s_ann_bruteforce",
+      (s, d) => {
+        import s.implicits._
+        val emb = table(s, d, "embeddings")
+          .select($"vec_id".as("id"), $"embedding".as("vec"))
+        bruteForceTopK(emb.filter($"id" < 20), emb, 5)
+          .select($"query_id", $"rank", $"neighbor_id", $"cos")
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS nrm
+                FROM embeddings),
+              pairs AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+                FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+              ranked AS (
+                SELECT query_id, neighbor_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id ASC) AS rank
+                FROM pairs)
+              SELECT query_id, rank, neighbor_id, cos
+              FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // LSH-bucketed ANN: hyperplane signature equi-join, top-3 within
+    // bucket. Probabilistic recall by construction -> rows-only check;
+    // SimilaritySpec asserts bucket-match against brute force.
+    QueryDef(
+      "s_ann_lsh",
+      (s, d) => {
+        import s.implicits._
+        val emb = table(s, d, "embeddings")
+          .select($"vec_id", asDouble($"embedding").as("v"))
+          .withColumn("bucket", hyperplaneBucket($"v"))
+          .withColumn("nrm", l2norm($"v"))
+        val q = emb.filter($"vec_id" < 20)
+          .select($"bucket", $"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+        val c = emb.select($"bucket", $"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cn"))
+        val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
+        broadcast(q).join(c, Seq("bucket"))
+          .filter($"query_id" =!= $"neighbor_id")
+          .select($"query_id", $"neighbor_id",
+            (dot($"qv", $"cv") / ($"qn" * $"cn")).as("cos"))
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3)
+          .orderBy($"query_id", $"rank")
+      },
+      None)
+  )
+}

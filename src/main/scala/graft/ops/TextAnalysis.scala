@@ -1,0 +1,183 @@
+package graft.ops
+
+import graft.QueryDef
+import graft.model.Tables.table
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: tokenization, token counting (whitespace and a
+  * BPE-ish regex), punctuation/stopword quality signals, a composite
+  * quality score, n-gram-heuristic language ID, and document
+  * fingerprinting (content hash + min-hash-of-shingles).
+  *
+  * Everything is pure `functions._` column algebra — no UDFs — so the
+  * whole module rides whole-stage codegen and scales linearly with
+  * partition count; per-document work is independent (no shuffle at
+  * all until an aggregation is requested).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, lowercased, empties dropped (split of trailing
+    * whitespace yields empty strings in both Spark and DuckDB). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= lit(""))
+
+  /** BPE-ish token count: letter runs, single digits, or single
+    * non-alphanumeric glyphs — a cheap stand-in for subword counts. */
+  def bpeishCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+
+  /** Fraction of characters that are sentence punctuation. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,!?;:]", "")))
+      .cast("double") / length(text)
+
+  private[ops] val stopwords: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "den", "mit", "auf", "ein"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se", "del", "las"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "il"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "这", "他"))
+
+  /** Occurrence count of tokens from `words` (not distinct-presence). */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Stopword ratio for one language's list. */
+  def stopwordRatio(toks: Column, lang: String): Column =
+    stopwordHits(toks, stopwords(lang)).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+
+  /** Composite quality score in [0,1]: length saturation, low
+    * punctuation, English stopword density. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    least(size(toks).cast("double") / lit(100.0), lit(1.0)) * lit(0.4) +
+      (lit(1.0) - punctRatio(text)) * lit(0.3) +
+      least(stopwordRatio(toks, "en") * lit(4.0), lit(1.0)) * lit(0.3)
+  }
+
+  /** Stopword-overlap language ID over the five reference languages;
+    * ties break alphabetically, zero evidence => "und". */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val score: Map[String, Column] =
+      stopwords.map { case (l, ws) => l -> stopwordHits(toks, ws) }
+    val langs = stopwords.keys.toSeq.sorted // alphabetical tie-break
+    val all = langs.map(score)
+    val best = greatest(all: _*)
+    langs.foldRight(lit("und")) { (l, acc) =>
+      when(score(l) === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Content-hash fingerprint of the lowercased text. */
+  def docHash(text: Column): Column = md5(lower(text))
+
+  /** Rolling-hash document fingerprint: the minimum md5 over all 8-char
+    * shingles of the lowercased text (a 1-hash winnowing sketch);
+    * null for texts shorter than the shingle. */
+  def shingleFingerprint(text: Column, k: Int = 8): Column = {
+    val t = lower(text)
+    when(char_length(t) >= k,
+      array_min(transform(
+        sequence(lit(1), char_length(t) - lit(k - 1)),
+        i => md5(substring(t, i, lit(k))))))
+      .otherwise(lit(null).cast("string"))
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "t_text_stats",
+      (s, d) => {
+        import s.implicits._
+        val toks = tokens($"text")
+        table(s, d, "documents")
+          .select(
+            $"doc_id",
+            char_length($"text").cast("long").as("n_chars_c"),
+            size(toks).cast("long").as("n_tokens"),
+            bpeishCount($"text").cast("long").as("n_tokens_bpe"),
+            punctRatio($"text").as("punct_ratio"),
+            stopwordRatio(toks, "en").as("stopword_ratio"),
+            qualityScore($"text").as("quality"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, text,
+                       [x for x in string_split_regex(lower(text), '\s+') if x != ''] AS toks
+                FROM documents)
+              SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS n_chars_c,
+                     CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens_bpe,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+                     CAST(len([x for x in toks if list_contains(['the','and','of','to','in','is','that','it','was','for'], x)]) AS DOUBLE)
+                       / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio,
+                     least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+                       + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+                       + least(CAST(len([x for x in toks if list_contains(['the','and','of','to','in','is','that','it','was','for'], x)]) AS DOUBLE)
+                               / CAST(greatest(len(toks), 1) AS DOUBLE) * 4.0, 1.0) * 0.3 AS quality
+              FROM t ORDER BY doc_id""")),
+
+    QueryDef(
+      "t_lang_id",
+      (s, d) => {
+        import s.implicits._
+        table(s, d, "documents")
+          .select($"doc_id", $"lang", langId($"text").as("lang_guess"))
+          .withColumn("is_match", ($"lang" === $"lang_guess").cast("int"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, lang,
+                       [x for x in string_split_regex(lower(text), '\s+') if x != ''] AS toks
+                FROM documents),
+              sc AS (
+                SELECT doc_id, lang,
+                       len([x for x in toks if list_contains(['der','die','und','das','ist','von','den','mit','auf','ein'], x)]) AS s_de,
+                       len([x for x in toks if list_contains(['the','and','of','to','in','is','that','it','was','for'], x)]) AS s_en,
+                       len([x for x in toks if list_contains(['el','la','de','que','y','en','los','se','del','las'], x)]) AS s_es,
+                       len([x for x in toks if list_contains(['le','la','de','et','les','des','en','un','du','il'], x)]) AS s_fr,
+                       len([x for x in toks if list_contains(['的','是','了','在','和','有','我','不','这','他'], x)]) AS s_zh
+                FROM t)
+              SELECT doc_id, lang,
+                     CASE
+                       WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                       WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                       ELSE 'zh'
+                     END AS lang_guess,
+                     CASE WHEN lang = CASE
+                       WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                       WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                       ELSE 'zh'
+                     END THEN 1 ELSE 0 END AS is_match
+              FROM sc ORDER BY doc_id""")),
+
+    QueryDef(
+      "t_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        table(s, d, "documents")
+          .select(
+            $"doc_id",
+            docHash($"text").as("doc_md5"),
+            shingleFingerprint($"text").as("shingle_fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, md5(lower(text)) AS doc_md5,
+                     CASE WHEN length(lower(text)) >= 8
+                          THEN list_min([md5(substr(lower(text), i, 8))
+                                         for i in range(1, length(lower(text)) - 6)])
+                          ELSE NULL END AS shingle_fp
+              FROM documents ORDER BY doc_id"""))
+  )
+}

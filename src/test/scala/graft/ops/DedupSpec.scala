@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite with SparkSpec {
+  import Dedup._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("wordShingles: short texts yield empty sets, no errors") {
+    import spark.implicits._
+    val df = Seq("one two", "", "a b c d").toDF("text")
+      .select(wordShingles($"text").as("g"))
+    val sizes = df.select(size($"g")).collect().map(_.getInt(0)).toSeq
+    assert(sizes == Seq(0, 0, 2))
+  }
+
+  test("jaccard: identical sets = 1, disjoint = 0") {
+    import spark.implicits._
+    val df = Seq((Seq("a", "b"), Seq("a", "b"), Seq("c", "d"))).toDF("x", "y", "z")
+    val row = df.select(jaccard($"x", $"y"), jaccard($"x", $"z")).head()
+    assert(row.getDouble(0) == 1.0 && row.getDouble(1) == 0.0)
+  }
+
+  test("exactGroups finds planted exact duplicates, keeper = min id") {
+    import spark.implicits._
+    val df = Seq((1L, "Hello World"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val groups = exactGroups(df, $"text", $"doc_id")
+      .orderBy($"keeper").collect()
+    // 1 and 2 collide after lowercasing
+    assert(groups.length == 2)
+    assert(groups(0).getLong(1) == 1L && groups(0).getLong(2) == 2L)
+    assert(groups(1).getLong(1) == 3L && groups(1).getLong(2) == 1L)
+  }
+
+  test("minhash candidates are a subset of brute-force ground truth, full recall on strong pairs") {
+    import spark.implicits._
+    val docs = graft.model.Tables.table(spark, sf, "documents")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = pairs(minhashNearDups(docs, $"doc_id", $"text", 0.5))
+    // ground truth: unbanded brute force at the same threshold
+    val sh = docs.select($"doc_id", wordShingles($"text").as("g"))
+    val bf = pairs(sh.as("a").crossJoin(sh.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        jaccard($"a.g", $"b.g").as("sim"))
+      .filter($"sim" >= 0.5))
+    assert(mh.subsetOf(bf), s"false positives: ${mh -- bf}")
+    // strong pairs (jaccard >= 0.7) must all be recalled at b=32,r=2
+    val strong = pairs(sh.as("a").crossJoin(sh.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        jaccard($"a.g", $"b.g").as("sim"))
+      .filter($"sim" >= 0.7))
+    assert(strong.subsetOf(mh), s"missed strong pairs: ${strong -- mh}")
+  }
+
+  test("simhash: identical token sets -> identical signature, hamming 0; planted near-dups are close") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox", "the quick brown fox", "entirely different words here")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .select($"id", simhashChunks(graft.ops.TextAnalysis.tokens($"text")).as("sig"))
+    val sigs = df.orderBy($"id").collect().map(_.getSeq[Int](1))
+    assert(sigs(0) == sigs(1))
+    val dfh = Seq((sigs(0), sigs(1)), (sigs(0), sigs(2))).toDF("a", "b")
+      .select(hammingChunks($"a", $"b")).collect().map(_.getInt(0))
+    assert(dfh(0) == 0 && dfh(1) > 0)
+    // the corpus' strongest planted near-dup pair should be simhash-close
+    val docs = graft.model.Tables.table(spark, sf, "documents")
+    val top = minhashNearDups(docs, $"doc_id", $"text", 0.9)
+      .orderBy($"sim".desc).limit(1).collect()
+    if (top.nonEmpty) {
+      val (ia, ib) = (top(0).getLong(0), top(0).getLong(1))
+      val sd = docs.filter($"doc_id".isin(ia, ib))
+        .select(simhashChunks(graft.ops.TextAnalysis.tokens($"text")).as("sig"))
+        .collect().map(_.getSeq[Int](0))
+      val h = Seq((sd(0), sd(1))).toDF("a", "b")
+        .select(hammingChunks($"a", $"b")).head().getInt(0)
+      assert(h <= 10, s"near-dup pair hamming $h")
+    }
+  }
+}

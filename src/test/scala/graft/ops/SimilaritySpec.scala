@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite with SparkSpec {
+  import Similarity._
+
+  test("bruteForceTopK: known geometry, self excluded, ranks ordered") {
+    import spark.implicits._
+    // v1 along x, v2 = near-copy of v1, v3 orthogonal, v4 opposite
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, Seq(-1.0f, 0.0f, 0.0f))).toDF("id", "vec")
+    val got = bruteForceTopK(vecs.filter($"id" === 1), vecs, 3)
+      .orderBy($"rank").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(2L, 3L, 4L)) // by cosine desc
+    assert(got.map(_.getInt(3)).toSeq == Seq(1, 2, 3))
+    assert(got(0).getDouble(2) > 0.99 && got(2).getDouble(2) == -1.0)
+    assert(!got.map(_.getLong(1)).contains(1L)) // self excluded
+  }
+
+  test("dot/l2norm are exact on representable values") {
+    import spark.implicits._
+    val df = Seq((Seq(3.0f, 4.0f), Seq(1.0f, 1.0f))).toDF("a", "b")
+    val row = df.select(
+      dot(asDouble($"a"), asDouble($"b")),
+      l2norm(asDouble($"a"))).head()
+    assert(row.getDouble(0) == 7.0 && row.getDouble(1) == 5.0)
+  }
+
+  test("hyperplaneBucket: deterministic and stable for identical vectors") {
+    import spark.implicits._
+    val emb = graft.model.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(50).select($"vec_id", asDouble($"embedding").as("v"))
+    val b1 = emb.select($"vec_id", hyperplaneBucket($"v").as("b")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b2 = emb.select($"vec_id", hyperplaneBucket($"v").as("b")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(b1 == b2)
+    assert(b1.values.forall(b => b >= 0 && b < 256)) // 8 planes -> 2^8 buckets
+  }
+
+  test("LSH buckets: identical vectors always collide") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(0.5f, -0.25f, 0.125f)), (2L, Seq(0.5f, -0.25f, 0.125f)))
+      .toDF("id", "vec")
+      .select($"id", hyperplaneBucket(asDouble($"vec")).as("b"))
+    val bs = df.collect().map(_.getInt(1))
+    assert(bs(0) == bs(1))
+  }
+}
