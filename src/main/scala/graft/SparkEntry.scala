@@ -15,7 +15,8 @@ object SparkEntry {
   val all: Seq[QueryDef] =
     ops.Relational.queries ++ ops.ReferenceOps.queries ++
       ops.TextAnalysis.queries ++ ops.Dedup.queries ++
-      ops.Similarity.queries ++ ops.Multimodal.queries
+      ops.Similarity.queries ++ ops.Multimodal.queries ++
+      streaming.Windows.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Latest-sample-per-channel — the engine idiom that replaces the

