@@ -13,7 +13,8 @@ object SparkEntry {
   /** Full registry: reference-surface relational ops + engine-added
     * analytics + LLM-pipeline ops + batch-equivalent streaming forms. */
   val all: Seq[QueryDef] =
-    ops.Relational.queries ++ ops.ReferenceOps.queries ++
+    ops.Relational.queries ++ ops.AdvancedRelational.queries ++
+      ops.ReferenceOps.queries ++
       ops.TextAnalysis.queries ++ ops.Dedup.queries ++
       ops.Similarity.queries ++ ops.Multimodal.queries ++
       streaming.Windows.queries
