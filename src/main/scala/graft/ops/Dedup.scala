@@ -42,6 +42,15 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
+  /** 64-bit-hashed shingle set: set operations on fixed-width longs
+    * are ~an order of magnitude cheaper than on strings, and Jaccard
+    * over the hashed sets equals Jaccard over the strings up to
+    * 64-bit collisions (≈ n²/2⁶⁵ — negligible at any corpus size that
+    * fits a cluster). The 100 TB trick: never carry text into a
+    * pairwise stage. */
+  def hashedShingles(text: Column, n: Int = 3): Column =
+    transform(wordShingles(text, n), s => xxhash64(s))
+
   /** MinHash signature: for each of `h` hash functions, the minimum
     * 64-bit hash over the shingle set (salted xxhash64). Empty shingle
     * sets get null signatures. */
@@ -87,31 +96,62 @@ object Dedup {
     aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
       lit(0), (acc, h) => acc + h)
 
+  /** Columnar SimHash: same signature as [[simhashChunks]] (asserted
+    * equivalent in DedupSpec) computed from exploded (id, token) rows
+    * via 64 plain sum aggregates — no per-token array allocation, so
+    * the hot loop is a hash-aggregate update of 64 int buffer slots.
+    * This is the form to use on a corpus; note docs with zero tokens
+    * produce no row (vs an all-zero signature from the scalar form). */
+  def simhashChunksAgg(tokRows: DataFrame, id: Column, tok: Column): DataFrame = {
+    val h = xxhash64(tok)
+    val aggs = (0 until 64).map { i =>
+      sum(when(shiftright(h, i).bitwiseAND(lit(1L)) === lit(1L), lit(1))
+        .otherwise(lit(-1))).as(s"__v$i")
+    }
+    val votes = tokRows.groupBy(id.as("id")).agg(aggs.head, aggs.tail: _*)
+    val chunks = (0 until 4).map { c =>
+      (0 until 16).foldLeft(lit(0)) { (acc, j) =>
+        acc * lit(2) + when(col(s"__v${16 * c + j}") > 0, lit(1)).otherwise(lit(0))
+      }.as(s"__c$c")
+    }
+    votes.select(col("id"),
+      array(chunks: _*).as("sig"))
+  }
+
   /** Exact dedup: group by a content hash, keep the lowest id.
     * Returns (hash, keeper id, group size). */
   def exactGroups(df: DataFrame, text: Column, id: Column): DataFrame =
     df.groupBy(md5(lower(text)).as("content_hash"))
       .agg(min(id).as("keeper"), count(lit(1)).as("n_docs"))
 
-  /** Candidate pairs from an equi-join on exploded band keys, then
-    * exact-Jaccard verified at `threshold`. Output (id_a, id_b, sim),
-    * id_a < id_b, one row per pair (bands deduplicated). */
+  /** MinHash+LSH near-dup pairs, columnar form: shingles exploded to
+    * (id, gram) postings; the h-wide signature is h `min` aggregates
+    * over salted hashes (one hash-aggregate pass, no array churn);
+    * bands of r signature slots hash to bucket keys; the bucket
+    * equi-join yields candidates, exact-Jaccard verifies. Output
+    * (id_a, id_b, sim), id_a < id_b, one row per pair. */
   def minhashNearDups(
       docs: DataFrame, id: Column, text: Column,
-      threshold: Double, h: Int = 64, b: Int = 32): DataFrame = {
+      threshold: Double, h: Int = 32, b: Int = 16): DataFrame = {
     val r = h / b
-    val sigs = docs
-      .select(id.as("id"), wordShingles(text).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), h))
-      .filter(col("sig").isNotNull)
-      .withColumn("band", explode(lshBands(col("sig"), b, r)))
-    val a = sigs.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val bb = sigs.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(bb, Seq("band"))
-      .filter(col("id_a") < col("id_b"))
+    val base = docs.select(id.as("id"), hashedShingles(text).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val posts = base.select(col("id"), explode(col("sh")).as("g"))
+    val minAggs = (0 until h).map(i => min(xxhash64(lit(i), col("g"))).as(s"__m$i"))
+    val sigs = posts.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
+    val bandKeys = (0 until b).map { i =>
+      xxhash64(lit("band") +: lit(i) +: (0 until r).map(j => col(s"__m${r * i + j}")): _*)
+    }
+    val bands = sigs.select(col("id"), explode(array(bandKeys: _*)).as("band"))
+    val cand = bands.as("a")
+      .join(bands.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("sim"))
       .filter(col("sim") >= threshold)
-      .distinct()
   }
 
   val queries: Seq[QueryDef] = Seq(
@@ -136,26 +176,45 @@ object Dedup {
     // validated against. Spark-first blocking: each doc explodes to
     // band keys {b, b+1}, so adjacency becomes a plain equi-join
     // (shuffled hash join) instead of a non-equi nested-loop join.
+    // Pairwise cost controls: grams are 64-bit hashes (not strings),
+    // and a size-ratio prefilter kills pairs that cannot reach the
+    // threshold (J >= t implies |A|/|B| in [t, 1/t]) before any set op.
     QueryDef(
       "dd_ngram_jaccard",
       (s, d) => {
         import s.implicits._
+        // Inverted-index set-similarity join: explode (gram -> doc)
+        // postings, self-join on the gram, count shared grams per doc
+        // pair, then |A∪B| = n_a + n_b - |A∩B|. Work is proportional
+        // to Σ df(gram)² — bounded by vocabulary statistics, never by
+        // corpus², and every stage is an equi-join/aggregation that
+        // scales out. The adjacency + threshold predicates applied at
+        // the end give the identical result set to blocking-first.
         val docs = table(s, d, "documents")
           .select($"doc_id",
-            floor($"n_chars" / lit(100)).as("band"),
-            wordShingles($"text").as("grams"))
-          .withColumn("bk", explode(array($"band", $"band" + 1)))
-        val a = docs.select($"bk", $"doc_id".as("id_a"), $"grams".as("g_a"))
-        val b = docs.select($"bk", $"doc_id".as("id_b"), $"grams".as("g_b"))
-        a.join(b, Seq("bk"))
-          .filter($"id_a" < $"id_b")
-          .select($"id_a", $"id_b", jaccard($"g_a", $"g_b").as("sim"))
+            floor($"n_chars" / lit(50)).as("band"),
+            hashedShingles($"text").as("grams"))
+          .withColumn("ng", size($"grams"))
+        val meta = docs.select($"doc_id", $"band", $"ng")
+        val postings = docs.select($"doc_id", explode($"grams").as("gram"))
+        val pairs = postings.as("a")
+          .join(postings.as("b"),
+            $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(broadcast(meta.select($"doc_id".as("id_a"),
+            $"band".as("band_a"), $"ng".as("n_a"))), Seq("id_a"))
+          .join(broadcast(meta.select($"doc_id".as("id_b"),
+            $"band".as("band_b"), $"ng".as("n_b"))), Seq("id_b"))
+          .filter(abs($"band_a" - $"band_b") <= 1)
+          .select($"id_a", $"id_b",
+            ($"inter".cast("double") / ($"n_a" + $"n_b" - $"inter")).as("sim"))
           .filter($"sim" >= 0.2)
-          .distinct()
           .orderBy($"id_a", $"id_b")
       },
       Some("""WITH t AS (
-                SELECT doc_id, floor(n_chars / 100) AS band,
+                SELECT doc_id, floor(n_chars / 50) AS band,
                        list_distinct(CASE WHEN len(toks) >= 3
                          THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
                          ELSE [] END) AS grams
@@ -190,8 +249,11 @@ object Dedup {
       "dd_simhash",
       (s, d) => {
         import s.implicits._
-        val sigs = table(s, d, "documents")
-          .select($"doc_id", simhashChunks(tokens($"text")).as("sig"))
+        val docs = table(s, d, "documents")
+        val sigs = simhashChunksAgg(
+            docs.select($"doc_id", explode(tokens($"text")).as("tok")),
+            $"doc_id", $"tok")
+          .withColumnRenamed("id", "doc_id")
         val chunked = sigs
           .withColumn("chunk_id", explode(sequence(lit(0), lit(3))))
           .withColumn("chunk", element_at($"sig", $"chunk_id" + lit(1)))

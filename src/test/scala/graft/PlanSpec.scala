@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the "would this survive 100×" gate.
+  * Each check pins a plan property that matters at cluster scale:
+  * filters/projections reaching the parquet scan, dimension joins
+  * broadcasting (no fact-side shuffle), ranked queries planning a
+  * single key shuffle, and pairwise operators never degenerating into
+  * cartesian products. */
+class PlanSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    needle.r.findAllIn(hay).length
+
+  test("r1_filter_scan: predicate and projection pushed to parquet") {
+    val p = plan("r1_filter_scan")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("o_totalprice"), p)
+    // pruned read schema: no o_orderdate in the scan
+    assert(!p.contains("ReadSchema") || !p.split("ReadSchema")(1).take(300).contains("o_orderdate"), p)
+  }
+
+  test("q1_agg: shipdate filter pushed down, partial aggregation present") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("partial_"), p) // map-side combine before the shuffle
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side)") {
+    for (q <- Seq("r3_fk_join", "q_brand_agg", "q3_topk_revenue")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("q3_topk_revenue: top-K plans TakeOrderedAndProject, not a global sort") {
+    assert(plan("q3_topk_revenue").contains("TakeOrderedAndProject"))
+  }
+
+  test("latest-per-key ranks inside one key shuffle") {
+    val p = plan("d5_latest_per_key")
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"), p)
+    // exactly one exchange for the window partitioning (plus none after)
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("pairwise dedup operators never plan a cartesian product") {
+    for (q <- Seq("dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash", "dd_embed_cos")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("ANN brute force: corpus scanned once, queries broadcast") {
+    val p = plan("s_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("whole-stage codegen covers the scan->project hot path (no UDFs)") {
+    for (q <- Seq("q1_agg", "d3_decode", "d4_conversion", "t_text_stats")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val codegen = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      assert(codegen.contains("WholeStageCodegen"), s"$q:\n${codegen.take(500)}")
+      val p = plan(q)
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), s"$q:\n$p")
+    }
+  }
+}

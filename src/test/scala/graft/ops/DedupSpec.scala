@@ -59,6 +59,20 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(strong.subsetOf(mh), s"missed strong pairs: ${strong -- mh}")
   }
 
+  test("columnar simhashChunksAgg == scalar simhashChunks on real docs") {
+    import spark.implicits._
+    val docs = graft.model.Tables.table(spark, sf, "documents").limit(100)
+    val scalar = docs
+      .select($"doc_id", simhashChunks(graft.ops.TextAnalysis.tokens($"text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val columnar = simhashChunksAgg(
+        docs.select($"doc_id", explode(graft.ops.TextAnalysis.tokens($"text")).as("tok")),
+        $"doc_id", $"tok")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(columnar.keySet == scalar.keySet)
+    columnar.foreach { case (id, sig) => assert(sig == scalar(id), s"doc $id") }
+  }
+
   test("simhash: identical token sets -> identical signature, hamming 0; planted near-dups are close") {
     import spark.implicits._
     val df = Seq("the quick brown fox", "the quick brown fox", "entirely different words here")
