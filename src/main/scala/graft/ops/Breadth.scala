@@ -1,0 +1,129 @@
+package graft.ops
+
+import graft.QueryDef
+import graft.model.Tables.table
+import org.apache.spark.sql.functions._
+
+/** Remaining scalar/array/aggregation surface breadth (SURVEY.md §2.3):
+  * array functions over the embedding column, pivot, exact
+  * percentiles, conditional aggregation, and null-semantics functions.
+  */
+object Breadth {
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // Array functions over ArrayType(FloatType) (order-free reductions
+    // only, so Spark and DuckDB agree bit-for-bit on floats).
+    QueryDef(
+      "q_array_funcs",
+      (s, d) => {
+        import s.implicits._
+        table(s, d, "embeddings")
+          .select(
+            $"vec_id",
+            size($"embedding").as("dim"),
+            element_at($"embedding", 1).cast("double").as("first_e"),
+            element_at($"embedding", -1).cast("double").as("last_e"),
+            array_min($"embedding").cast("double").as("min_e"),
+            array_max($"embedding").cast("double").as("max_e"),
+            array_contains($"embedding", 0.0f).cast("int").as("has_zero"),
+            size(array_distinct($"embedding")).as("n_distinct"))
+          .orderBy($"vec_id")
+      },
+      Some("""SELECT vec_id,
+                     len(embedding) AS dim,
+                     CAST(embedding[1] AS DOUBLE) AS first_e,
+                     CAST(embedding[-1] AS DOUBLE) AS last_e,
+                     CAST(list_min(embedding) AS DOUBLE) AS min_e,
+                     CAST(list_max(embedding) AS DOUBLE) AS max_e,
+                     CAST(list_contains(embedding, 0.0) AS INT) AS has_zero,
+                     len(list_distinct(embedding)) AS n_distinct
+              FROM embeddings ORDER BY vec_id""")),
+
+    // Pivot: event counts per user by type (wide conditional agg).
+    QueryDef(
+      "q_pivot",
+      (s, d) => {
+        import s.implicits._
+        table(s, d, "events")
+          .groupBy($"user_id")
+          .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+          .count()
+          .na.fill(0L)
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id,
+                     count(*) FILTER (event_type = 'click') AS click,
+                     count(*) FILTER (event_type = 'view') AS view,
+                     count(*) FILTER (event_type = 'purchase') AS purchase,
+                     count(*) FILTER (event_type = 'signup') AS signup,
+                     count(*) FILTER (event_type = 'error') AS error
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // Exact percentiles over integral doubles (interpolation lands on
+    // .0/.25/.5/.75 — exactly representable, so engines agree).
+    QueryDef(
+      "q_percentile",
+      (s, d) => {
+        import s.implicits._
+        table(s, d, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            expr("percentile(l_quantity, 0.5)").as("median_qty"),
+            expr("percentile(l_quantity, 0.25)").as("p25_qty"),
+            expr("percentile(l_quantity, 0.75)").as("p75_qty"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+                     quantile_cont(l_quantity, 0.5) AS median_qty,
+                     quantile_cont(l_quantity, 0.25) AS p25_qty,
+                     quantile_cont(l_quantity, 0.75) AS p75_qty
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Conditional aggregation (count_if / filtered sums).
+    QueryDef(
+      "q_conditional_agg",
+      (s, d) => {
+        import s.implicits._
+        table(s, d, "orders")
+          .groupBy($"o_orderstatus")
+          .agg(
+            count_if($"o_totalprice" > 200000.0).as("n_big"),
+            count_if($"o_orderpriority" === "1-URGENT").as("n_urgent"),
+            max(when($"o_orderpriority" === "1-URGENT", $"o_totalprice")).as("max_urgent_price"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+                     count(*) FILTER (o_totalprice > 200000.0) AS n_big,
+                     count(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent,
+                     max(o_totalprice) FILTER (o_orderpriority = '1-URGENT') AS max_urgent_price
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Null semantics: nullif/coalesce/null-safe equality — the
+    // reference's nullable value column behaviors (SURVEY.md §1.3).
+    QueryDef(
+      "q_null_handling",
+      (s, d) => {
+        import s.implicits._
+        table(s, d, "lineitem")
+          .select($"l_orderkey", $"l_linenumber",
+            nullif($"l_discount", lit(0.0)).as("disc_or_null"))
+          .groupBy($"l_orderkey")
+          .agg(
+            count(lit(1)).as("n"),
+            count($"disc_or_null").as("n_discounted"),
+            sum(coalesce($"disc_or_null", lit(0.0)).cast("decimal(18,2)")).cast("double").as("disc_sum"))
+          .filter($"n" =!= $"n_discounted")
+          .orderBy($"l_orderkey")
+      },
+      Some("""WITH t AS (
+                SELECT l_orderkey, nullif(l_discount, 0.0) AS disc_or_null
+                FROM lineitem)
+              SELECT l_orderkey, count(*) AS n,
+                     count(disc_or_null) AS n_discounted,
+                     CAST(SUM(CAST(coalesce(disc_or_null, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS disc_sum
+              FROM t GROUP BY l_orderkey
+              HAVING count(*) <> count(disc_or_null)
+              ORDER BY l_orderkey"""))
+  )
+}

@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Engine-added file source/sink surface beyond parquet (SURVEY.md
+  * §2.3 scans row): CSV and JSON with explicit schemas — schema-on-read
+  * is pinned, never inferred twice, so a 100 TB directory listing
+  * doesn't trigger an inference scan. */
+object FileSources {
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** JDBC reader/writer configuration (reference: MySQL via SQLAlchemy,
+    * db_model.py:65-67). No database is reachable in the test
+    * environment, so this is the config surface only: partitioned
+    * reads on a numeric column so a big table splits across
+    * executors, batched writes. */
+  def jdbcReader(
+      spark: SparkSession, url: String, table: String,
+      partitionColumn: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int): org.apache.spark.sql.DataFrameReader =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+      .option("fetchsize", 10000)
+}
