@@ -99,6 +99,33 @@ object Breadth {
                      max(o_totalprice) FILTER (o_orderpriority = '1-URGENT') AS max_urgent_price
               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // Deterministic hash split (train/val/test) — the reproducible
+    // alternative to rng sampling for corpus partitioning: the split
+    // is a pure function of the id, identical on any engine, cluster
+    // size, or re-run. 80/10/10 via md5 bucket.
+    QueryDef(
+      "q_hash_split",
+      (s, d) => {
+        import s.implicits._
+        val bucket = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+          .cast("int") % 100
+        table(s, d, "documents")
+          .withColumn("split",
+            when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+          .groupBy($"split", $"lang")
+          .agg(count(lit(1)).as("n"), min($"doc_id").as("min_id"))
+          .orderBy($"split", $"lang")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, lang,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 AS bucket
+                FROM documents)
+              SELECT CASE WHEN bucket < 80 THEN 'train'
+                          WHEN bucket < 90 THEN 'val'
+                          ELSE 'test' END AS split,
+                     lang, count(*) AS n, min(doc_id) AS min_id
+              FROM t GROUP BY 1, 2 ORDER BY split, lang""")),
+
     // Null semantics: nullif/coalesce/null-safe equality — the
     // reference's nullable value column behaviors (SURVEY.md §1.3).
     QueryDef(

@@ -190,13 +190,17 @@ object Dedup {
         // corpus², and every stage is an equi-join/aggregation that
         // scales out. The adjacency + threshold predicates applied at
         // the end give the identical result set to blocking-first.
-        val docs = table(s, d, "documents")
-          .select($"doc_id",
-            floor($"n_chars" / lit(50)).as("band"),
-            hashedShingles($"text").as("grams"))
-          .withColumn("ng", size($"grams"))
-        val meta = docs.select($"doc_id", $"band", $"ng")
-        val postings = docs.select($"doc_id", explode($"grams").as("gram"))
+        // Text is tokenized exactly once: the postings branch. Bands
+        // come from the n_chars column (no tokenization), and shingle
+        // counts are aggregated from the postings themselves, so the
+        // self-join's two sides canonicalize to the same plan and the
+        // shuffle is computed once (ReusedExchange).
+        val postings = table(s, d, "documents")
+          .select($"doc_id", explode(hashedShingles($"text")).as("gram"))
+        val ng = postings.groupBy($"doc_id").agg(count(lit(1)).as("ng"))
+        val meta = table(s, d, "documents")
+          .select($"doc_id", floor($"n_chars" / lit(50)).as("band"))
+          .join(ng, Seq("doc_id"))
         val pairs = postings.as("a")
           .join(postings.as("b"),
             $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
@@ -267,6 +271,51 @@ object Dedup {
           .orderBy($"id_a", $"id_b")
       },
       None),
+
+    // Applied dedup: the corpus with near-duplicates REMOVED — any doc
+    // dominated by a lower-id near-dup partner is dropped (one
+    // left-anti join against the pair set). This is the operator a
+    // training-data pipeline actually runs; the pair queries above are
+    // its evidence.
+    QueryDef(
+      "dd_apply",
+      (s, d) => {
+        import s.implicits._
+        val docs = table(s, d, "documents")
+        val postings = docs
+          .select($"doc_id", explode(hashedShingles($"text")).as("gram"))
+        val pairs = postings.as("a")
+          .join(postings.as("b"),
+            $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+          .agg(count(lit(1)).as("inter"))
+        val ng = postings.groupBy($"doc_id").agg(count(lit(1)).as("ng"))
+        val dominated = pairs
+          .join(broadcast(ng.select($"doc_id".as("id_a"), $"ng".as("n_a"))), Seq("id_a"))
+          .join(broadcast(ng.select($"doc_id".as("id_b"), $"ng".as("n_b"))), Seq("id_b"))
+          .filter($"inter".cast("double") / ($"n_a" + $"n_b" - $"inter") >= 0.5)
+          .select($"id_b".as("doc_id"))
+        docs.join(dominated, Seq("doc_id"), "left_anti")
+          .select($"doc_id", $"source", $"n_chars")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id,
+                       list_distinct(CASE WHEN len(toks) >= 3
+                         THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+                         ELSE [] END) AS grams
+                FROM (SELECT doc_id,
+                             [x for x in string_split_regex(lower(text), '\s+') if x != ''] AS toks
+                      FROM documents)),
+              dominated AS (
+                SELECT DISTINCT b.doc_id
+                FROM t a JOIN t b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.grams, b.grams)) > 0
+                  AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                      / len(list_distinct(a.grams || b.grams)) >= 0.5)
+              SELECT doc_id, source, n_chars FROM documents
+              WHERE doc_id NOT IN (SELECT doc_id FROM dominated)
+              ORDER BY doc_id""")),
 
     // Embedding-cosine near-dup: pairs within the same label bucket at
     // cosine >= 0.4 (this corpus has no planted vector dups; the

@@ -162,6 +162,36 @@ object TextAnalysis {
                      END THEN 1 ELSE 0 END AS is_match
               FROM sc ORDER BY doc_id""")),
 
+    // The quality-gate pipeline a training corpus actually runs:
+    // keep documents passing a composite quality threshold with
+    // enough tokens, sorted survivors out.
+    QueryDef(
+      "t_quality_filter",
+      (s, d) => {
+        import s.implicits._
+        val toks = tokens($"text")
+        table(s, d, "documents")
+          .withColumn("quality", qualityScore($"text"))
+          .withColumn("n_tokens", size(toks).cast("long"))
+          .filter($"quality" >= 0.7 && $"n_tokens" >= 30)
+          .select($"doc_id", $"lang", $"n_tokens", $"quality")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, lang, text,
+                       [x for x in string_split_regex(lower(text), '\s+') if x != ''] AS toks
+                FROM documents),
+              q AS (
+                SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+                       least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+                         + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+                         + least(CAST(len([x for x in toks if list_contains(['the','and','of','to','in','is','that','it','was','for'], x)]) AS DOUBLE)
+                                 / CAST(greatest(len(toks), 1) AS DOUBLE) * 4.0, 1.0) * 0.3 AS quality
+                FROM t)
+              SELECT doc_id, lang, n_tokens, quality FROM q
+              WHERE quality >= 0.7 AND n_tokens >= 30
+              ORDER BY doc_id""")),
+
     QueryDef(
       "t_fingerprint",
       (s, d) => {
