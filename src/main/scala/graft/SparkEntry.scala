@@ -14,7 +14,8 @@ object SparkEntry {
     * analytics + LLM-pipeline ops + batch-equivalent streaming forms. */
   val all: Seq[QueryDef] =
     ops.Relational.queries ++ ops.AdvancedRelational.queries ++
-      ops.Breadth.queries ++ ops.ReferenceOps.queries ++
+      ops.Breadth.queries ++ ops.Scale.queries ++
+      ops.ReferenceOps.queries ++
       ops.TextAnalysis.queries ++ ops.Dedup.queries ++
       ops.Similarity.queries ++ ops.Multimodal.queries ++
       streaming.Windows.queries
