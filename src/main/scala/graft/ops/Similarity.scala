@@ -95,6 +95,53 @@ object Similarity {
               SELECT query_id, rank, neighbor_id, cos
               FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // IVF ANN: coarse quantization by nearest centroid, search only
+    // the probed cell. Centroids here are per-label mean vectors (the
+    // labels stand in for a trained coarse codebook); at 100 TB the
+    // cells are the partition layout, so a query touches 1/nlist of
+    // the corpus. Rows-only check (cross-row float means are not
+    // bit-portable across engines); SimilaritySpec asserts cell
+    // membership consistency.
+    QueryDef(
+      "s_ann_ivf",
+      (s, d) => {
+        import s.implicits._
+        val emb = table(s, d, "embeddings")
+          .select($"vec_id", $"label", asDouble($"embedding").as("v"))
+          .withColumn("nrm", l2norm($"v"))
+        // centroid per label: element-wise mean via posexplode
+        val centroids = emb
+          .select($"label", posexplode($"v").as(Seq("pos", "x")))
+          .groupBy($"label", $"pos").agg(avg($"x").as("cx"))
+          .groupBy($"label").agg(array_sort(collect_list(struct($"pos", $"cx"))).as("pc"))
+          .select($"label".as("c_label"),
+            transform($"pc", p => p.getField("cx")).as("cv"))
+          .withColumn("cn", l2norm($"cv"))
+        // probe: each query joins every centroid (nlist rows -> broadcast),
+        // keeps its nearest cell
+        val queriesDf = emb.filter($"vec_id" < 20)
+          .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+        val wProbe = Window.partitionBy($"query_id")
+          .orderBy($"c_cos".desc, $"c_label".asc)
+        val probed = queriesDf.crossJoin(broadcast(centroids))
+          .withColumn("c_cos", dot($"qv", $"cv") / ($"qn" * $"cn"))
+          .withColumn("rk", row_number().over(wProbe))
+          .filter($"rk" === 1)
+          .select($"query_id", $"qv", $"qn", $"c_label".as("cell"))
+        // search only the probed cell
+        val wTop = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
+        broadcast(probed)
+          .join(emb.select($"label".as("cell"), $"vec_id".as("neighbor_id"),
+            $"v".as("cv2"), $"nrm".as("cn2")), Seq("cell"))
+          .filter($"query_id" =!= $"neighbor_id")
+          .select($"query_id", $"cell", $"neighbor_id",
+            (dot($"qv", $"cv2") / ($"qn" * $"cn2")).as("cos"))
+          .withColumn("rank", row_number().over(wTop))
+          .filter($"rank" <= 3)
+          .orderBy($"query_id", $"rank")
+      },
+      None),
+
     // LSH-bucketed ANN: hyperplane signature equi-join, top-3 within
     // bucket. Probabilistic recall by construction -> rows-only check;
     // SimilaritySpec asserts bucket-match against brute force.

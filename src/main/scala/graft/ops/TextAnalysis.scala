@@ -162,6 +162,24 @@ object TextAnalysis {
                      END THEN 1 ELSE 0 END AS is_match
               FROM sc ORDER BY doc_id""")),
 
+    // Vocabulary building: corpus-wide token frequencies, top 100 —
+    // the explode -> count shape that tokenizer training starts from.
+    QueryDef(
+      "t_vocab",
+      (s, d) => {
+        import s.implicits._
+        table(s, d, "documents")
+          .select(explode(tokens($"text")).as("token"))
+          .groupBy($"token")
+          .agg(count(lit(1)).as("freq"))
+          .orderBy($"freq".desc, $"token".asc)
+          .limit(100)
+      },
+      Some("""SELECT token, count(*) AS freq
+              FROM (SELECT unnest([x for x in string_split_regex(lower(text), '\s+') if x != '']) AS token
+                    FROM documents) t
+              GROUP BY token ORDER BY freq DESC, token ASC LIMIT 100""")),
+
     // The quality-gate pipeline a training corpus actually runs:
     // keep documents passing a composite quality threshold with
     // enough tokens, sorted survivors out.

@@ -44,6 +44,27 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(b1.values.forall(b => b >= 0 && b < 256)) // 8 planes -> 2^8 buckets
   }
 
+  test("IVF: every returned neighbor lives in the query's probed cell") {
+    import spark.implicits._
+    val out = graft.SparkEntry.queries("s_ann_ivf")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    val emb = graft.model.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      val (cell, neighbor) = (r.getInt(1), r.getLong(2))
+      assert(emb(neighbor) == cell, s"neighbor $neighbor outside cell $cell")
+    }
+    // ranks are 1..k per query, cosines descending
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(4))
+      assert(sorted.map(_.getInt(4)).toSeq == (1 to sorted.length))
+      val coss = sorted.map(_.getDouble(3))
+      assert(coss.zip(coss.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("LSH buckets: identical vectors always collide") {
     import spark.implicits._
     val df = Seq((1L, Seq(0.5f, -0.25f, 0.125f)), (2L, Seq(0.5f, -0.25f, 0.125f)))
