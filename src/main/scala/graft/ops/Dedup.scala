@@ -326,17 +326,14 @@ object Dedup {
       (s, d) => {
         import s.implicits._
         val emb = table(s, d, "embeddings")
-          .select($"vec_id", $"label",
-            transform($"embedding", x => x.cast("double")).as("v"))
-          .withColumn("norm", sqrt(aggregate(
-            zip_with($"v", $"v", (x, y) => x * y), lit(0.0), (acc, x) => acc + x)))
+          .select($"vec_id", $"label", Similarity.asDouble($"embedding").as("v"))
+          .withColumn("norm", Similarity.l2norm($"v"))
         val a = emb.select($"label", $"vec_id".as("id_a"), $"v".as("v_a"), $"norm".as("n_a"))
         val b = emb.select($"label", $"vec_id".as("id_b"), $"v".as("v_b"), $"norm".as("n_b"))
         a.join(b, Seq("label"))
           .filter($"id_a" < $"id_b")
           .select($"id_a", $"id_b",
-            (aggregate(zip_with($"v_a", $"v_b", (x, y) => x * y), lit(0.0),
-              (acc, x) => acc + x) / ($"n_a" * $"n_b")).as("cos"))
+            (Similarity.dot($"v_a", $"v_b") / ($"n_a" * $"n_b")).as("cos"))
           .filter($"cos" >= 0.4)
           .orderBy($"id_a", $"id_b")
       },

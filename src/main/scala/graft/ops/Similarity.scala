@@ -23,9 +23,12 @@ object Similarity {
   /** Cast a float vector column to double for exact, reproducible math. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential-fold dot product (left-to-right, bit-reproducible). */
+  /** Dot product: fused native expression (graft.functions.DotProduct,
+    * codegen'd single loop), bit-identical to the left-to-right
+    * `aggregate(zip_with(...))` fold it replaced — SimilaritySpec
+    * asserts the equivalence. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dotProduct(a, b)
 
   def l2norm(v: Column): Column = sqrt(dot(v, v))
 

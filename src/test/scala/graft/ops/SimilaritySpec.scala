@@ -23,6 +23,26 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(!got.map(_.getLong(1)).contains(1L)) // self excluded
   }
 
+  test("native DotProduct == aggregate(zip_with) fold, bit for bit, interpreted and codegen") {
+    import spark.implicits._
+    val emb = graft.model.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(200)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+    val folded = emb.select($"vec_id",
+      aggregate(zip_with($"v", reverse($"v"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("d"))
+    val native = emb.select($"vec_id",
+      graft.functions.VectorExpressions.dotProduct($"v", reverse($"v")).as("d"))
+    val f = folded.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val n = native.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(f == n) // exact double equality across all 200 vectors
+    // null propagation
+    val row = spark.sql("SELECT 1").select(
+      graft.functions.VectorExpressions.dotProduct(
+        lit(null).cast("array<double>"), array(lit(1.0)))).head()
+    assert(row.isNullAt(0))
+  }
+
   test("dot/l2norm are exact on representable values") {
     import spark.implicits._
     val df = Seq((Seq(3.0f, 4.0f), Seq(1.0f, 1.0f))).toDF("a", "b")
