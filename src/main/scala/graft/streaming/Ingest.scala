@@ -110,6 +110,38 @@ object Ingest {
       .start()
   }
 
+  /** D10 as an independent stream: the reference pulses
+    * `("daq-3i", 1)` every PULSE_SECONDS regardless of data flow
+    * (daq-3i.py:20,163-171) — so liveness is observable even when all
+    * channels are quiet. A rate source drives one upsert per trigger. */
+  def startHeartbeat(
+      spark: SparkSession,
+      statusDir: String,
+      periodSec: Int): StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+      .writeStream
+      .trigger(Trigger.ProcessingTime(periodSec * 1000L))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val sp = batch.sparkSession
+          val ts = batch.agg(max(col("timestamp"))).head().getTimestamp(0)
+          val upd = sp.createDataFrame(
+            java.util.Arrays.asList(org.apache.spark.sql.Row("daq-3i", 1, ts)),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("parameter",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("status",
+                org.apache.spark.sql.types.IntegerType),
+              org.apache.spark.sql.types.StructField("ts",
+                org.apache.spark.sql.types.TimestampType))))
+          mergeStatus(sp, statusDir, upd)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** D9 as a scheduled compaction over the fact sink: keep the newest
     * `history_len` samples per channel (from the channel dim), writing
     * to a swap directory then renaming — idempotent and atomic at the

@@ -46,6 +46,11 @@ object IngestDemo {
     spark.read.parquet(s"$out/fact").orderBy("channel_id", "ts").show(false)
     println("=== daq_status (keyed upsert) ===")
     spark.read.parquet(s"$out/status").orderBy("parameter").show(false)
+    // independent heartbeat stream (D10): pulse once, show the upsert
+    val hb = Ingest.startHeartbeat(spark, s"$out/hb_status", periodSec = 1)
+    Thread.sleep(3000); hb.stop()
+    println("=== heartbeat status (independent of data) ===")
+    spark.read.parquet(s"$out/hb_status").show(false)
     Ingest.compactFact(spark, s"$out/fact", channels)
     println("=== fact after retention compaction (ch1 keeps 2) ===")
     spark.read.parquet(s"$out/fact").orderBy("channel_id", "ts").show(false)

@@ -68,6 +68,24 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     assert(!new java.io.File(statusDir).exists())
   }
 
+  test("heartbeat pulses independently of data flow (daq-3i.py:163-171)") {
+    val dir = Files.createTempDirectory("graft_hb").toString + "/status"
+    val q = Ingest.startHeartbeat(spark, dir, periodSec = 1)
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      var rows = Array.empty[org.apache.spark.sql.Row]
+      while (rows.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        rows =
+          try spark.read.parquet(dir).collect()
+          catch { case _: Throwable => Array.empty }
+      }
+      assert(rows.nonEmpty, "no heartbeat within 30s")
+      assert(rows.map(_.getString(0)).toSet == Set("daq-3i"))
+      assert(rows.head.getInt(1) == 1)
+    } finally q.stop()
+  }
+
   test("status upsert is last-writer-wins and idempotent across replays") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_status").toString + "/status"
