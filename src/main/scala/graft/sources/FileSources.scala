@@ -21,11 +21,24 @@ object FileSources {
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
-  /** JDBC reader/writer configuration (reference: MySQL via SQLAlchemy,
-    * db_model.py:65-67). No database is reachable in the test
-    * environment, so this is the config surface only: partitioned
-    * reads on a numeric column so a big table splits across
-    * executors, batched writes. */
+  /** JDBC batch append (reference sink D6/D11: row-at-a-time ORM
+    * inserts, daq-3i.py:272-281 — here one batched executor-side write
+    * per partition). Exercised against embedded Derby in
+    * FileSourcesSpec; the URL swaps for MySQL in a deployment
+    * (db_model.py:65-67). */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      mode: String = "append", batchSize: Int = 10000): Unit =
+    df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", batchSize)
+      .mode(mode)
+      .save()
+
+  /** JDBC reader (reference source: config dims, daq-3i.py:112-114).
+    * Partitioned on a numeric column so a big table splits across
+    * executors — every executor opens its own connection for its
+    * stride, the driver never funnels rows. */
   def jdbcReader(
       spark: SparkSession, url: String, table: String,
       partitionColumn: String, lowerBound: Long, upperBound: Long,

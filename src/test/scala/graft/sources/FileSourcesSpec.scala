@@ -22,9 +22,25 @@ class FileSourcesSpec extends AnyFunSuite with SparkSpec {
     assert(fromJson.exceptAll(orders).count() == 0 && orders.exceptAll(fromJson).count() == 0)
   }
 
-  test("jdbc reader config carries partitioned-read options") {
-    val reader = FileSources.jdbcReader(spark, "jdbc:mysql://db:3306/iotdata",
-      "channel_data", "id", 0L, 1000000L, 16)
-    assert(reader != null) // config-surface only: no DB in this environment
+  test("jdbc round-trip against embedded Derby: fact rows with exact decimals") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    // channel_data-shaped rows (db_model.py:49-54) incl. NUMERIC(25,6)
+    val fact = (1 to 500).map { i =>
+      (i.toLong, (i % 7).toLong, new java.sql.Timestamp(i * 1000L),
+        BigDecimal(i * 10).setScale(6) / 3)
+    }.toDF("id", "channel_id", "ts", "value")
+      .select($"id", $"channel_id", $"ts", $"value".cast("decimal(25,6)"))
+    FileSources.writeJdbc(fact, url, "channel_data", mode = "overwrite")
+    // additional append (the D6 sink mode)
+    FileSources.writeJdbc(fact.filter($"id" <= 10)
+      .withColumn("id", $"id" + 1000L), url, "channel_data")
+    val back = FileSources.jdbcReader(spark, url, "channel_data",
+      "id", 1L, 1100L, 8).load()
+    assert(back.count() == 510)
+    val cmp = back.filter($"id" <= 500)
+    assert(cmp.exceptAll(fact).count() == 0 && fact.exceptAll(cmp).count() == 0)
+    // partitioned read really split the scan
+    assert(back.rdd.getNumPartitions == 8)
   }
 }
