@@ -99,6 +99,63 @@ object Breadth {
                      max(o_totalprice) FILTER (o_orderpriority = '1-URGENT') AS max_urgent_price
               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // Arbitrary GROUPING SETS through the engine's SQL surface
+    // (spark.sql over a registered view — the other half of the query
+    // API next to the DataFrame DSL).
+    QueryDef(
+      "q_grouping_sets",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+                        CAST(grouping(o_orderstatus) AS INT) AS g_st,
+                        CAST(grouping(o_orderpriority) AS INT) AS g_pr,
+                        count(*) AS n
+                 FROM orders_v
+                 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                         (o_orderpriority), ())
+                 ORDER BY g_st, g_pr,
+                          o_orderstatus ASC NULLS FIRST,
+                          o_orderpriority ASC NULLS FIRST""")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+                     CAST(grouping(o_orderstatus) AS INT) AS g_st,
+                     CAST(grouping(o_orderpriority) AS INT) AS g_pr,
+                     count(*) AS n
+              FROM orders
+              GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                      (o_orderpriority), ())
+              ORDER BY g_st, g_pr,
+                       o_orderstatus ASC NULLS FIRST,
+                       o_orderpriority ASC NULLS FIRST""")),
+
+    // Map functions: per-user map<event_type, count> built from sorted
+    // entries, then keyed back out. The oracle recomputes the same
+    // facts relationally (map columns themselves don't round-trip
+    // portably through parquet comparison).
+    QueryDef(
+      "q_map_funcs",
+      (s, d) => {
+        import s.implicits._
+        val sub = table(s, d, "events")
+          .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n"))
+        sub.groupBy($"user_id")
+          .agg(map_from_entries(array_sort(collect_list(struct($"event_type", $"n"))))
+            .as("m"))
+          .select(
+            $"user_id",
+            size($"m").as("n_types"),
+            array_join(map_keys($"m"), ",").as("keys"),
+            coalesce(element_at($"m", "click"), lit(0L)).as("clicks"),
+            coalesce(element_at($"m", "refund"), lit(0L)).as("refunds"))
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id,
+                     count(DISTINCT event_type) AS n_types,
+                     string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS keys,
+                     count(*) FILTER (event_type = 'click') AS clicks,
+                     CAST(0 AS BIGINT) AS refunds
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // Deterministic hash split (train/val/test) — the reproducible
     // alternative to rng sampling for corpus partitioning: the split
     // is a pure function of the id, identical on any engine, cluster

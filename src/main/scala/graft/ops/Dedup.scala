@@ -51,23 +51,6 @@ object Dedup {
   def hashedShingles(text: Column, n: Int = 3): Column =
     transform(wordShingles(text, n), s => xxhash64(s))
 
-  /** MinHash signature: for each of `h` hash functions, the minimum
-    * 64-bit hash over the shingle set (salted xxhash64). Empty shingle
-    * sets get null signatures. */
-  def minhashSignature(shingles: Column, h: Int = 64): Column =
-    when(size(shingles) > 0,
-      array((0 until h).map { i =>
-        array_min(transform(shingles, s => xxhash64(lit(i), s)))
-      }: _*))
-      .otherwise(lit(null))
-
-  /** LSH band keys from a minhash signature: `b` bands of `r` rows,
-    * each hashed to one 64-bit bucket key. b*r must equal the
-    * signature width. */
-  def lshBands(sig: Column, b: Int, r: Int): Column =
-    transform(sequence(lit(0), lit(b - 1)),
-      i => xxhash64(lit("band"), i, to_json(slice(sig, i * lit(r) + lit(1), lit(r)))))
-
   /** 64-bit SimHash of a token multiset — per-bit majority vote of
     * token hashes — represented as 4 x 16-bit chunk values (an
     * array<int>). The chunk representation is both ANSI-overflow-safe

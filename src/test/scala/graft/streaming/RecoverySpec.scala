@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Exactly-once under restart: the ingest pipeline's checkpoint must
+  * resume a killed query without duplicating or dropping samples —
+  * the property the reference's dirty-flag handoff cannot give
+  * (SURVEY.md §3.2: at-least-once + last-value-wins loss). */
+class RecoverySpec extends AnyFunSuite with SparkSpec {
+
+  test("ingest resumes from checkpoint: no duplicates, no loss") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_rec").toString
+    val (in, factDir, statusDir, ckpt) = (s"$dir/in", s"$dir/fact", s"$dir/status", s"$dir/ckpt")
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val channels = Seq((1L, 4, 0L)).toDF("id", "format_code", "conversion_id")
+
+    // batch 1 of input files
+    Seq((1L, ts(10), Seq(5, 0, 0, 0), 0))
+      .toDF("channel_id", "ts", "registers", "status")
+      .write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+
+    def startQuery() = Ingest.start(
+      spark.readStream.schema(schema).parquet(in),
+      channels, Seq.empty, factDir, statusDir, ckpt)
+
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // "crash"
+
+    // more input lands while the query is down
+    Seq((1L, ts(20), Seq(7, 0, 0, 0), 0), (1L, ts(30), Seq(9, 0, 0, 0), 0))
+      .toDF("channel_id", "ts", "registers", "status")
+      .write.mode("append").parquet(in)
+
+    // restart from the same checkpoint
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(factDir)
+      .select($"ts", $"value".cast("double"))
+      .orderBy($"ts").collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getDouble(1)))
+    // exactly the three samples, once each — batch 1 not re-emitted
+    assert(got.toSeq == Seq((10L, 5.0), (20L, 7.0), (30L, 9.0)))
+  }
+}
