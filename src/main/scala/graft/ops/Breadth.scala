@@ -99,23 +99,23 @@ object Breadth {
                      max(o_totalprice) FILTER (o_orderpriority = '1-URGENT') AS max_urgent_price
               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
-    // Arbitrary GROUPING SETS through the engine's SQL surface
-    // (spark.sql over a registered view — the other half of the query
-    // API next to the DataFrame DSL).
+    // Arbitrary GROUPING SETS through the engine's SQL surface —
+    // inline parquet relation (`FROM parquet.`path``), so the query
+    // stays a pure function of (session, sfDir) with no shared
+    // temp-view state to race on.
     QueryDef(
       "q_grouping_sets",
       (s, d) => {
-        table(s, d, "orders").createOrReplaceTempView("orders_v")
-        s.sql("""SELECT o_orderstatus, o_orderpriority,
-                        CAST(grouping(o_orderstatus) AS INT) AS g_st,
-                        CAST(grouping(o_orderpriority) AS INT) AS g_pr,
-                        count(*) AS n
-                 FROM orders_v
-                 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-                                         (o_orderpriority), ())
-                 ORDER BY g_st, g_pr,
-                          o_orderstatus ASC NULLS FIRST,
-                          o_orderpriority ASC NULLS FIRST""")
+        s.sql(s"""SELECT o_orderstatus, o_orderpriority,
+                         CAST(grouping(o_orderstatus) AS INT) AS g_st,
+                         CAST(grouping(o_orderpriority) AS INT) AS g_pr,
+                         count(*) AS n
+                  FROM parquet.`$d/orders.parquet`
+                  GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                          (o_orderpriority), ())
+                  ORDER BY g_st, g_pr,
+                           o_orderstatus ASC NULLS FIRST,
+                           o_orderpriority ASC NULLS FIRST""")
       },
       Some("""SELECT o_orderstatus, o_orderpriority,
                      CAST(grouping(o_orderstatus) AS INT) AS g_st,
@@ -153,7 +153,7 @@ object Breadth {
                      count(DISTINCT event_type) AS n_types,
                      string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS keys,
                      count(*) FILTER (event_type = 'click') AS clicks,
-                     CAST(0 AS BIGINT) AS refunds
+                     count(*) FILTER (event_type = 'refund') AS refunds
               FROM events GROUP BY user_id ORDER BY user_id""")),
 
     // Deterministic hash split (train/val/test) — the reproducible

@@ -85,9 +85,32 @@ object Ingest {
       .repartition(1).write.mode("overwrite").parquet(statusDir)
   }
 
-  /** Start the full ingestion stream. Each micro-batch appends decoded
-    * samples to `factDir` and upserts `statusDir`; exactly-once via the
-    * checkpoint. */
+  /** Land one micro-batch: fact append + status upsert. The fact write
+    * goes to a batchId-keyed partition directory with overwrite, so a
+    * replay of the same batch (crash after write, before the
+    * checkpoint commit) lands in the same directory and overwrites
+    * deterministically instead of duplicating — idempotent, which is
+    * what turns the checkpoint's at-least-once replay into effective
+    * exactly-once. The status merge is last-writer-wins and therefore
+    * idempotent by construction. */
+  def persistBatch(
+      batch: DataFrame, batchId: Long,
+      factDir: String, statusDir: String): Unit = {
+    val spark = batch.sparkSession
+    batch.persist()
+    try {
+      batch.write.mode("overwrite").parquet(s"$factDir/batch=b$batchId") // D6
+      mergeStatus(spark, statusDir, statusUpdates(batch, heartbeat = true)) // D7+D10
+    } finally { batch.unpersist(); () }
+  }
+
+  /** Read the fact sink without its physical batch partition column. */
+  def readFact(spark: SparkSession, factDir: String): DataFrame =
+    spark.read.parquet(factDir).drop("batch")
+
+  /** Start the full ingestion stream. Each micro-batch lands decoded
+    * samples in `factDir` and upserts `statusDir`; exactly-once =
+    * checkpointed offsets + idempotent [[persistBatch]] replays. */
   def start(
       readings: DataFrame,
       channels: DataFrame,
@@ -98,14 +121,8 @@ object Ingest {
     val decoded = decodeAndConvert(readings, channels, conversions)
     decoded.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        batch.persist()
-        try {
-          batch.write.mode("append").parquet(factDir) // D6 append sink
-          mergeStatus(spark, statusDir, statusUpdates(batch, heartbeat = true)) // D7+D10
-        } finally batch.unpersist()
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        persistBatch(batch, batchId, factDir, statusDir)
       }
       .start()
   }
@@ -151,12 +168,14 @@ object Ingest {
       spark: SparkSession,
       factDir: String,
       channels: DataFrame): Unit = {
-    val fact = spark.read.parquet(factDir)
+    val fact = readFact(spark, factDir)
     val kept = Maintenance.retainNewestPerKey(
       fact, col("channel_id"), Seq(col("ts")),
       channels, col("id"), col("history_len"))
     val tmp = factDir + ".compact"
-    kept.write.mode("overwrite").parquet(tmp)
+    // keep the batch-partitioned layout so post-compaction micro-batches
+    // (batch=bN) coexist with the compacted base
+    kept.write.mode("overwrite").parquet(s"$tmp/batch=compacted")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(conf)
     val dst = new org.apache.hadoop.fs.Path(factDir)

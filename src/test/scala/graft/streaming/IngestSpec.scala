@@ -43,7 +43,7 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
 
-    val fact = spark.read.parquet(factDir)
+    val fact = Ingest.readFact(spark, factDir)
     val rows = fact.orderBy($"channel_id", $"ts").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000, r.getDecimal(2).toPlainString))
     assert(rows.toSeq == Seq(
@@ -59,7 +59,7 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
 
     // D9: compaction honors per-channel history_len (ch1 keeps 1 newest)
     Ingest.compactFact(spark, factDir, channelDim)
-    val compacted = spark.read.parquet(factDir).orderBy($"channel_id").collect()
+    val compacted = Ingest.readFact(spark, factDir).orderBy($"channel_id").collect()
       .map(r => (r.getLong(0), r.getDecimal(2).toPlainString))
     assert(compacted.toSeq == Seq((1L, "90.000000"), (2L, "1.500000")))
 

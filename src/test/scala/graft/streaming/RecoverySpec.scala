@@ -43,11 +43,23 @@ class RecoverySpec extends AnyFunSuite with SparkSpec {
     q2.processAllAvailable()
     q2.stop()
 
-    val got = spark.read.parquet(factDir)
+    val got = Ingest.readFact(spark, factDir)
       .select($"ts", $"value".cast("double"))
       .orderBy($"ts").collect()
       .map(r => (r.getTimestamp(0).getTime / 1000, r.getDouble(1)))
     // exactly the three samples, once each — batch 1 not re-emitted
     assert(got.toSeq == Seq((10L, 5.0), (20L, 7.0), (30L, 9.0)))
+  }
+
+  test("persistBatch replay with the same batchId is idempotent (hard-crash path)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_idem").toString
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val batch = Seq((1L, ts(10), BigDecimal(50).setScale(6))).toDF("channel_id", "ts", "value")
+    // a crash between the fact write and the checkpoint commit replays
+    // the SAME batchId; the batch-keyed overwrite must not duplicate
+    Ingest.persistBatch(batch, 7L, s"$dir/fact", s"$dir/status")
+    Ingest.persistBatch(batch, 7L, s"$dir/fact", s"$dir/status")
+    assert(Ingest.readFact(spark, s"$dir/fact").count() == 1)
   }
 }
