@@ -50,13 +50,29 @@ object Conversions {
       val unknown = idents.filterNot(i => allowedFns(i.toLowerCase) || i == "x")
       if (unknown.nonEmpty) None
       else Try {
-        // Parse with Spark's SQL parser, then bind the free attribute
-        // `x` in the tree to the caller's column expression.
+        // Parse with Spark's SQL parser, then bind the free symbols:
+        // `x` to the caller's column, and the asteval constants pi/e
+        // to their literal values (asteval exposes math.pi / math.e;
+        // left unbound they would be unresolved column references and
+        // crash the WHOLE plan at analysis time, not just this
+        // program's channel).
         val parsed =
           org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(b)
         val bound = parsed.transformUp {
           case a: UnresolvedAttribute if a.nameParts == Seq("x") =>
             ColumnBridge.expression(x)
+          case a: UnresolvedAttribute if a.nameParts == Seq("pi") =>
+            ColumnBridge.expression(lit(math.Pi))
+          case a: UnresolvedAttribute if a.nameParts == Seq("e") =>
+            ColumnBridge.expression(lit(math.E))
+        }
+        // Defense in depth: anything still unresolved must reject THIS
+        // program (-> null channel, conversion.py:13-15) rather than
+        // fail analysis for every channel in the query.
+        bound.foreach {
+          case a: UnresolvedAttribute =>
+            throw new IllegalArgumentException(s"unbound symbol ${a.name}")
+          case _ => ()
         }
         ColumnBridge.column(bound)
       }.toOption

@@ -189,11 +189,13 @@ object Dedup {
             $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
           .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
           .agg(count(lit(1)).as("inter"))
+        // meta is per-doc (corpus-sized) -> no broadcast hint; AQE
+        // picks broadcast only while it actually fits
         pairs
-          .join(broadcast(meta.select($"doc_id".as("id_a"),
-            $"band".as("band_a"), $"ng".as("n_a"))), Seq("id_a"))
-          .join(broadcast(meta.select($"doc_id".as("id_b"),
-            $"band".as("band_b"), $"ng".as("n_b"))), Seq("id_b"))
+          .join(meta.select($"doc_id".as("id_a"),
+            $"band".as("band_a"), $"ng".as("n_a")), Seq("id_a"))
+          .join(meta.select($"doc_id".as("id_b"),
+            $"band".as("band_b"), $"ng".as("n_b")), Seq("id_b"))
           .filter(abs($"band_a" - $"band_b") <= 1)
           .select($"id_a", $"id_b",
             ($"inter".cast("double") / ($"n_a" + $"n_b" - $"inter")).as("sim"))
@@ -216,8 +218,8 @@ object Dedup {
                       / len(list_distinct(a.grams || b.grams)) >= 0.2
               ORDER BY id_a, id_b""")),
 
-    // MinHash+LSH near-dup pipeline (shingle -> 64-hash signature ->
-    // 32 bands -> bucket join -> exact-Jaccard verify). xxhash64 has
+    // MinHash+LSH near-dup pipeline (shingle -> 32-hash signature ->
+    // 16 bands of 2 -> bucket join -> exact-Jaccard verify). xxhash64 has
     // no DuckDB twin, so the driver records rows-only; DedupSpec
     // asserts consistency against the brute-force ground truth.
     QueryDef(
@@ -229,9 +231,11 @@ object Dedup {
       },
       None),
 
-    // SimHash signatures + hamming-banded near-dup pairs (<= 6 bits
-    // apart; by pigeonhole any such pair shares at least one of the
-    // four 16-bit chunks, so the chunk equi-join has perfect recall).
+    // SimHash signatures + hamming-banded near-dup pairs (<= 3 bits
+    // apart; with four 16-bit chunks the pigeonhole guarantee of a
+    // shared chunk holds exactly for hamming < 4, so the chunk
+    // equi-join has perfect recall at this threshold — a looser
+    // threshold would need more/smaller chunks).
     QueryDef(
       "dd_simhash",
       (s, d) => {
@@ -249,7 +253,7 @@ object Dedup {
         a.join(b, Seq("chunk_id", "chunk"))
           .filter($"id_a" < $"id_b")
           .select($"id_a", $"id_b", hammingChunks($"sig_a", $"sig_b").as("hamming"))
-          .filter($"hamming" <= 6)
+          .filter($"hamming" <= 3)
           .distinct()
           .orderBy($"id_a", $"id_b")
       },
@@ -274,8 +278,8 @@ object Dedup {
           .agg(count(lit(1)).as("inter"))
         val ng = postings.groupBy($"doc_id").agg(count(lit(1)).as("ng"))
         val dominated = pairs
-          .join(broadcast(ng.select($"doc_id".as("id_a"), $"ng".as("n_a"))), Seq("id_a"))
-          .join(broadcast(ng.select($"doc_id".as("id_b"), $"ng".as("n_b"))), Seq("id_b"))
+          .join(ng.select($"doc_id".as("id_a"), $"ng".as("n_a")), Seq("id_a"))
+          .join(ng.select($"doc_id".as("id_b"), $"ng".as("n_b")), Seq("id_b"))
           .filter($"inter".cast("double") / ($"n_a" + $"n_b" - $"inter") >= 0.5)
           .select($"id_b".as("doc_id"))
         docs.join(dominated, Seq("doc_id"), "left_anti")

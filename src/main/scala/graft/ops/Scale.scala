@@ -17,14 +17,21 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Per-row salt: derived from the row position, NOT the value — a
+    * hot key with a constant value (a stuck sensor) must still spread
+    * across all n sub-groups. The salt never affects the result (the
+    * merge is exact), only the stage-1 distribution. */
+  def saltColumn(n: Int): Column =
+    pmod(monotonically_increasing_id(), lit(n.toLong))
+
   /** Two-stage salted aggregation: count + decimal-exact sum per key.
-    * Stage 1 aggregates (key, salt) with salt = hash(row) % n; stage 2
-    * merges the n partials per key. Result identical to a direct
-    * groupBy — verified by the oracle — but the wide shuffle carries
-    * at most 1/n of any hot key per task. */
+    * Stage 1 aggregates (key, salt); stage 2 merges the n partials per
+    * key. Result identical to a direct groupBy — verified by the
+    * oracle — but the wide shuffle carries at most ~1/n of any hot key
+    * per task. */
   def saltedAgg(df: DataFrame, key: Column, value: Column, salt: Int): DataFrame = {
     val partial = df
-      .withColumn("__salt", pmod(xxhash64(value), lit(salt.toLong)))
+      .withColumn("__salt", saltColumn(salt))
       .groupBy(key.as("key"), col("__salt"))
       .agg(
         count(lit(1)).as("__n"),

@@ -106,19 +106,33 @@ private class ModbusSimMicroBatchStream(config: ModbusSimSource.Config)
   // micro-batch, the reference's acquisition cadence. A positive
   // maxTicks bounds the stream (lets processAllAvailable converge in
   // tests and replay jobs); live mode leaves it unbounded.
+  //
+  // `tick` must never regress below the checkpointed offset: on
+  // restart a fresh instance starts at 0, so the committed offset is
+  // re-learned in deserializeOffset/planInputPartitions (Spark hands
+  // the checkpointed JSON back through those) — otherwise latestOffset
+  // would re-plan already-committed ticks under NEW batch ids, which
+  // the batchId-keyed idempotent sink cannot dedupe.
   private var tick = 0L
+  private def observe(o: Long): Unit = { if (o > tick) tick = o }
 
   override def initialOffset(): Offset = TickOffset(0L)
   override def latestOffset(): Offset = {
     if (config.maxTicks <= 0L || tick < config.maxTicks) tick += 1
     TickOffset(tick)
   }
-  override def deserializeOffset(json: String): Offset = TickOffset(json.toLong)
-  override def commit(end: Offset): Unit = ()
+  override def deserializeOffset(json: String): Offset = {
+    val o = json.toLong
+    observe(o)
+    TickOffset(o)
+  }
+  override def commit(end: Offset): Unit =
+    observe(end.asInstanceOf[TickOffset].tick)
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[TickOffset].tick, end.asInstanceOf[TickOffset].tick)
+    observe(e)
     val parts = config.channels.zipWithIndex
       .groupBy(_._2 % config.numPartitions)
       .values.map(_.map(_._1))

@@ -65,7 +65,8 @@ object Ingest {
         lit(1).as("status"), col("ts"))
     if (heartbeat)
       chl.unionByName(batch.select(
-        lit("daq-3i").as("parameter"), lit(1).as("status"), max(col("ts")).as("ts")))
+          lit("daq-3i").as("parameter"), lit(1).as("status"), max(col("ts")).as("ts"))
+        .filter(col("ts").isNotNull)) // empty batch: no null-ts heartbeat
     else chl
   }
 
@@ -78,8 +79,13 @@ object Ingest {
     val current =
       try spark.read.schema(updates.schema).parquet(statusDir)
       catch { case _: Throwable => updates.limit(0) }
-    val merged = Maintenance.upsert(current, updates,
-      Seq("parameter"), Seq(col("ts")))
+    // tie-break equal timestamps in favor of the incoming update so a
+    // same-second replay/recompute resolves deterministically
+    val merged = Maintenance.upsert(
+        current.withColumn("__src", lit(0)),
+        updates.withColumn("__src", lit(1)),
+        Seq("parameter"), Seq(col("ts"), col("__src")))
+      .drop("__src")
     val rows: java.util.List[Row] = java.util.Arrays.asList(merged.collect(): _*)
     spark.createDataFrame(rows, merged.schema)
       .repartition(1).write.mode("overwrite").parquet(statusDir)
@@ -176,11 +182,18 @@ object Ingest {
     // keep the batch-partitioned layout so post-compaction micro-batches
     // (batch=bN) coexist with the compacted base
     kept.write.mode("overwrite").parquet(s"$tmp/batch=compacted")
+    // swap via a .bak hop: at no point is the data deleted before its
+    // replacement is in place, so a crash mid-swap leaves either the
+    // old directory (as .bak) or the new one recoverable — a brief
+    // reader-visible gap, but no data-loss window
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(conf)
     val dst = new org.apache.hadoop.fs.Path(factDir)
-    fs.delete(dst, true)
+    val bak = new org.apache.hadoop.fs.Path(factDir + ".bak")
+    fs.delete(bak, true)
+    fs.rename(dst, bak)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    fs.delete(bak, true)
     ()
   }
 

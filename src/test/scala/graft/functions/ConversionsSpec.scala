@@ -45,6 +45,13 @@ class ConversionsSpec extends AnyFunSuite with SparkSpec {
     assert(eval("Value = x + secret_fn(3)", 5.0).isEmpty)
   }
 
+  test("asteval constants pi/e bind as literals (regression: unbound pi crashed the whole plan)") {
+    assert(eval("Value = x * pi", 2.0).contains(Some(2.0 * math.Pi)))
+    assert(eval("Value = e + x", 1.0).contains(Some(math.E + 1.0)))
+    // and a symbol that is NOT a known constant still nulls only its program
+    assert(eval("Value = x * tau", 2.0).isEmpty)
+  }
+
   test("null input propagates to null output") {
     import spark.implicits._
     val c = Conversions.compile("Value = x * 10", lit(null).cast("double")).get

@@ -50,7 +50,7 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
         jaccard($"a.g", $"b.g").as("sim"))
       .filter($"sim" >= 0.5))
     assert(mh.subsetOf(bf), s"false positives: ${mh -- bf}")
-    // strong pairs (jaccard >= 0.7) must all be recalled at b=32,r=2
+    // strong pairs (jaccard >= 0.7) must all be recalled at b=16,r=2
     val strong = pairs(sh.as("a").crossJoin(sh.as("b"))
       .filter($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),

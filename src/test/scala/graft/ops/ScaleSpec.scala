@@ -11,11 +11,13 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
 
   test("saltedAgg == direct groupBy on a skewed distribution") {
     import spark.implicits._
-    // hot key: 90% of rows on one key
+    // hot key: 90% of rows on one key, all with the SAME value (the
+    // stuck-sensor case — a value-derived salt would not spread it)
     val rnd = new scala.util.Random(11)
     val df = (0 until 20000).map { i =>
       val k = if (rnd.nextDouble() < 0.9) "hot" else s"k${rnd.nextInt(50)}"
-      (k, (rnd.nextInt(10000) / 100.0))
+      val v = if (k == "hot") 42.42 else rnd.nextInt(10000) / 100.0
+      (k, v)
     }.toDF("key", "value")
     val direct = df.groupBy($"key").agg(
       count(lit(1)).as("n"),
@@ -24,7 +26,7 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
       .withColumnRenamed("key", "key")
     assert(salted.exceptAll(direct).count() == 0 && direct.exceptAll(salted).count() == 0)
     // the salted first stage has no single group bigger than ~1/16 of the hot key
-    val firstStage = df.withColumn("__salt", pmod(xxhash64($"value"), lit(16L)))
+    val firstStage = df.withColumn("__salt", Scale.saltColumn(16))
       .groupBy($"key", $"__salt").count()
     val maxGroup = firstStage.agg(max($"count")).head().getLong(0)
     assert(maxGroup < 20000 * 0.9 / 4, s"salting failed to spread: $maxGroup")
