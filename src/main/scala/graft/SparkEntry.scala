@@ -15,7 +15,7 @@ object SparkEntry {
   val all: Seq[QueryDef] =
     ops.Relational.queries ++ ops.AdvancedRelational.queries ++
       ops.Breadth.queries ++ ops.Scale.queries ++
-      ops.ReferenceOps.queries ++
+      ops.TimeSeries.queries ++ ops.ReferenceOps.queries ++
       ops.TextAnalysis.queries ++ ops.Dedup.queries ++
       ops.Similarity.queries ++ ops.Multimodal.queries ++
       streaming.Windows.queries
