@@ -74,6 +74,18 @@ object Conversions {
             throw new IllegalArgumentException(s"unbound symbol ${a.name}")
           case _ => ()
         }
+        // Full analysis validation of a PROBE variant (x bound to a
+        // literal so it resolves against a throwaway plan): catches
+        // wrong-arity / wrong-type uses of whitelisted functions
+        // ("Value = pow(x)") that no syntactic check can, so they
+        // null this program instead of crashing the whole query.
+        org.apache.spark.sql.SparkSession.getActiveSession.foreach { sp =>
+          val probe = parsed.transformUp {
+            case a: UnresolvedAttribute => ColumnBridge.expression(lit(0.0))
+          }
+          sp.range(1).select(ColumnBridge.column(probe))
+            .queryExecution.assertAnalyzed()
+        }
         ColumnBridge.column(bound)
       }.toOption
     }

@@ -20,7 +20,13 @@ object Scale {
   /** Per-row salt: derived from the row position, NOT the value — a
     * hot key with a constant value (a stuck sensor) must still spread
     * across all n sub-groups. The salt never affects the result (the
-    * merge is exact), only the stage-1 distribution. */
+    * merge is exact), only the stage-1 distribution.
+    *
+    * Determinism constraint: monotonically_increasing_id is stable for
+    * rows read directly from a deterministic source (a file scan, as
+    * here) but NOT for the output of a shuffle, where a task retry can
+    * reassign salts mid-aggregation. Apply saltedAgg straight off the
+    * scan, or persist/checkpoint a shuffled input first. */
   def saltColumn(n: Int): Column =
     pmod(monotonically_increasing_id(), lit(n.toLong))
 

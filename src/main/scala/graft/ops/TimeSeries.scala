@@ -24,28 +24,24 @@ object TimeSeries {
 
   val queries: Seq[QueryDef] = Seq(
 
-    // OHLC downsample: hourly buckets per user. Open/close picked by
-    // deterministic row_number at both ends of the (ts, event_id)
-    // order — the same formulation the oracle replays.
+    // OHLC downsample: hourly buckets per user. Open/close via
+    // min_by/max_by over the unique (ts, event_id) order — ONE
+    // partial-aggregable hash aggregate, no window sort at all (the
+    // oracle replays the equivalent row_number formulation; results
+    // are identical because the order key is unique).
     QueryDef(
       "ts_downsample",
       (s, d) => {
         import s.implicits._
-        val e = table(s, d, "events")
+        table(s, d, "events")
           .withColumn("bucket", date_trunc("hour", $"ts"))
-        val wAsc = Window.partitionBy($"user_id", $"bucket")
-          .orderBy($"ts".asc, $"event_id".asc)
-        val wDesc = Window.partitionBy($"user_id", $"bucket")
-          .orderBy($"ts".desc, $"event_id".desc)
-        e.withColumn("rn_a", row_number().over(wAsc))
-          .withColumn("rn_d", row_number().over(wDesc))
           .groupBy($"user_id", $"bucket")
           .agg(
             count(lit(1)).as("n"),
             min($"value").as("low"),
             max($"value").as("high"),
-            max(when($"rn_a" === 1, $"value")).as("open"),
-            max(when($"rn_d" === 1, $"value")).as("close"),
+            min_by($"value", struct($"ts", $"event_id")).as("open"),
+            max_by($"value", struct($"ts", $"event_id")).as("close"),
             sum($"value".cast(DecimalType(18, 2))).cast("double").as("total"))
           .orderBy($"user_id", $"bucket")
       },

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -101,26 +101,34 @@ private case class TickOffset(tick: Long) extends Offset {
 }
 
 private class ModbusSimMicroBatchStream(config: ModbusSimSource.Config)
-    extends MicroBatchStream {
-  // Each latestOffset() call advances one tick — one device sweep per
-  // micro-batch, the reference's acquisition cadence. A positive
-  // maxTicks bounds the stream (lets processAllAvailable converge in
-  // tests and replay jobs); live mode leaves it unbounded.
+    extends MicroBatchStream with SupportsAdmissionControl {
+  // One tick per trigger — one device sweep per micro-batch, the
+  // reference's acquisition cadence. A positive maxTicks bounds the
+  // stream (lets processAllAvailable converge in tests and replay
+  // jobs); live mode leaves it unbounded.
   //
-  // `tick` must never regress below the checkpointed offset: on
-  // restart a fresh instance starts at 0, so the committed offset is
-  // re-learned in deserializeOffset/planInputPartitions (Spark hands
-  // the checkpointed JSON back through those) — otherwise latestOffset
-  // would re-plan already-committed ticks under NEW batch ids, which
-  // the batchId-keyed idempotent sink cannot dedupe.
+  // Restart safety: `tick` must never regress below the checkpointed
+  // offset, or committed ticks would be re-planned under NEW batch ids
+  // (which the batchId-keyed idempotent sink cannot dedupe). Spark's
+  // plain MicroBatchStream path calls latestOffset() WITHOUT handing
+  // back the restored offset, so this source implements
+  // SupportsAdmissionControl — that path passes the checkpointed start
+  // offset into latestOffset(start, limit) — and additionally
+  // re-learns the offset in deserializeOffset/planInputPartitions.
   private var tick = 0L
-  private def observe(o: Long): Unit = { if (o > tick) tick = o }
+  private def observe(o: Long): Unit = synchronized { if (o > tick) tick = o }
 
   override def initialOffset(): Offset = TickOffset(0L)
-  override def latestOffset(): Offset = {
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    observe(start.asInstanceOf[TickOffset].tick)
     if (config.maxTicks <= 0L || tick < config.maxTicks) tick += 1
     TickOffset(tick)
   }
+  override def reportLatestOffset(): Offset = TickOffset(tick)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "SupportsAdmissionControl source: latestOffset(start, limit) is used")
   override def deserializeOffset(json: String): Offset = {
     val o = json.toLong
     observe(o)

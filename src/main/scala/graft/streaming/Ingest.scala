@@ -174,6 +174,16 @@ object Ingest {
       spark: SparkSession,
       factDir: String,
       channels: DataFrame): Unit = {
+    // crash recovery: a previous swap that died between its two
+    // renames leaves the data under .bak and no factDir — restore it
+    // before doing anything else
+    locally {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val dst = new org.apache.hadoop.fs.Path(factDir)
+      val bak = new org.apache.hadoop.fs.Path(factDir + ".bak")
+      if (!fs.exists(dst) && fs.exists(bak)) fs.rename(bak, dst)
+    }
     val fact = readFact(spark, factDir)
     val kept = Maintenance.retainNewestPerKey(
       fact, col("channel_id"), Seq(col("ts")),
@@ -182,17 +192,23 @@ object Ingest {
     // keep the batch-partitioned layout so post-compaction micro-batches
     // (batch=bN) coexist with the compacted base
     kept.write.mode("overwrite").parquet(s"$tmp/batch=compacted")
-    // swap via a .bak hop: at no point is the data deleted before its
-    // replacement is in place, so a crash mid-swap leaves either the
-    // old directory (as .bak) or the new one recoverable — a brief
-    // reader-visible gap, but no data-loss window
+    // swap via a .bak hop: data is never deleted before its
+    // replacement is in place; every rename result is checked so a
+    // concurrent writer recreating the destination aborts the swap
+    // loudly (leaving .bak) instead of silently nesting directories.
+    // Not concurrency-safe with an ACTIVE ingest stream — run
+    // compaction between micro-batches or with the stream stopped.
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(conf)
     val dst = new org.apache.hadoop.fs.Path(factDir)
     val bak = new org.apache.hadoop.fs.Path(factDir + ".bak")
     fs.delete(bak, true)
-    fs.rename(dst, bak)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    if (!fs.rename(dst, bak))
+      throw new java.io.IOException(s"compactFact: cannot move $dst aside")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
+      fs.rename(bak, dst) // roll back
+      throw new java.io.IOException(s"compactFact: cannot install $tmp")
+    }
     fs.delete(bak, true)
     ()
   }

@@ -52,6 +52,13 @@ class ConversionsSpec extends AnyFunSuite with SparkSpec {
     assert(eval("Value = x * tau", 2.0).isEmpty)
   }
 
+  test("wrong-arity whitelisted function nulls only its program (regression)") {
+    import spark.implicits._
+    spark.range(1).count() // ensure an active session for probe analysis
+    assert(eval("Value = pow(x)", 2.0).isEmpty)    // pow needs 2 args
+    assert(eval("Value = pow(x, 2)", 3.0).contains(Some(9.0)))
+  }
+
   test("null input propagates to null output") {
     import spark.implicits._
     val c = Conversions.compile("Value = x * 10", lit(null).cast("double")).get

@@ -37,6 +37,28 @@ class ModbusSimSourceSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpointed restart never replays committed ticks (SupportsAdmissionControl)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_src_rec").toString
+    def run(maxTicks: Int) = {
+      val q = spark.readStream.format("modbus-sim")
+        .option("channels", "1@5")
+        .option("maxTicks", maxTicks.toString)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    run(3) // commit ticks 1..3, stop
+    run(6) // fresh stream instance must resume at 4, not replay 1..3
+    val ts = spark.read.parquet(s"$dir/out")
+      .select($"ts").collect().map(_.getTimestamp(0).getTime / 1000).sorted
+    assert(ts.length == ts.distinct.length, s"duplicated ticks: ${ts.mkString(",")}")
+    assert(ts.toSeq == (1L to 6L).toSeq)
+  }
+
   test("ticks advance event time by periodSec; channels split across partitions") {
     import spark.implicits._
     val readings = spark.readStream
