@@ -43,7 +43,7 @@ object IngestDemo {
     q.stop()
 
     println("=== channel_data (fact) after 2 micro-batches ===")
-    spark.read.parquet(s"$out/fact").orderBy("channel_id", "ts").show(false)
+    Ingest.readFact(spark, s"$out/fact").orderBy("channel_id", "ts").show(false)
     println("=== daq_status (keyed upsert) ===")
     spark.read.parquet(s"$out/status").orderBy("parameter").show(false)
     // independent heartbeat stream (D10): pulse once, show the upsert
@@ -53,7 +53,7 @@ object IngestDemo {
     spark.read.parquet(s"$out/hb_status").show(false)
     Ingest.compactFact(spark, s"$out/fact", channels)
     println("=== fact after retention compaction (ch1 keeps 2) ===")
-    spark.read.parquet(s"$out/fact").orderBy("channel_id", "ts").show(false)
+    Ingest.readFact(spark, s"$out/fact").orderBy("channel_id", "ts").show(false)
     spark.stop()
   }
 }
