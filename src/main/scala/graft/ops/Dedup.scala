@@ -269,17 +269,16 @@ object Dedup {
       (s, d) => {
         import s.implicits._
         val docs = table(s, d, "documents")
+        val wDoc = Window.partitionBy($"doc_id")
         val postings = docs
           .select($"doc_id", explode(hashedShingles($"text")).as("gram"))
-        val pairs = postings.as("a")
+          .withColumn("ng", count(lit(1)).over(wDoc))
+        val dominated = postings.as("a")
           .join(postings.as("b"),
             $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
-          .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+          .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+            $"a.ng".as("n_a"), $"b.ng".as("n_b"))
           .agg(count(lit(1)).as("inter"))
-        val ng = postings.groupBy($"doc_id").agg(count(lit(1)).as("ng"))
-        val dominated = pairs
-          .join(ng.select($"doc_id".as("id_a"), $"ng".as("n_a")), Seq("id_a"))
-          .join(ng.select($"doc_id".as("id_b"), $"ng".as("n_b")), Seq("id_b"))
           .filter($"inter".cast("double") / ($"n_a" + $"n_b" - $"inter") >= 0.5)
           .select($"id_b".as("doc_id"))
         docs.join(dominated, Seq("doc_id"), "left_anti")
