@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expression for the embedding hot path.
   *
@@ -25,10 +26,28 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
-  // Inputs are engine-constructed array<double> columns (the
-  // ExpectsInputTypes mixin's type class is private[sql]); the Column
-  // wrapper below is the only construction path.
   override def dataType: DataType = DoubleType
+
+  /** Non-array / non-double inputs fail at ANALYSIS time (the
+    * ExpectsInputTypes mixin's type class is private[sql], so the
+    * check is hand-rolled). */
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"dotProduct requires (array<double>, array<double>), got (${l.sql}, ${r.sql})")
+    }
+
+  private def elemsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true // pre-analysis unknown: stay conservative
+  })
+
+  /** Null like the fold it replaces: a null ELEMENT nulls the whole
+    * sum (null * x + ... propagates in `aggregate(zip_with(...))`). */
+  override def nullable: Boolean = left.nullable || right.nullable || elemsNullable
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -37,6 +56,7 @@ case class DotProduct(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -48,10 +68,18 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      // the null-element guard only compiles when ev.isNull is a real
+      // variable, which `nullable` guarantees whenever elements CAN be
+      // null; containsNull=false inputs get the guard-free tight loop
+      val guard =
+        if (elemsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $guard
          |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $s;

@@ -19,13 +19,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session configs every graft session needs, applied ONCE at build
+    * time (never mutated mid-query): events.ts is parquet
+    * TIMESTAMP(NANOS), which Spark's vectorized reader rejects unless
+    * the legacy flag maps it to a raw int64 — a session-level schema
+    * decision, deliberately not flipped per-read (a mid-session flip
+    * would silently change how concurrent plans see NANOS columns). */
+  def withSessionDefaults(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read the raw int64 nanos and floor-divide to
-      // micros — exactly DuckDB's ns→us conversion — as TIMESTAMP_NTZ
-      // (all driver tables are naive/UTC wall-clock).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ts arrives as raw int64 nanos (nanosAsLong, set at session
+      // construction via withSessionDefaults); floor-divide to micros —
+      // exactly DuckDB's ns→us conversion — as TIMESTAMP_NTZ (all
+      // driver tables are naive/UTC wall-clock).
+      require(
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+        "build the session via Tables.withSessionDefaults (nanosAsLong unset)")
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts",
           org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")

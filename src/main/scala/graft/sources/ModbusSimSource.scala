@@ -121,11 +121,16 @@ private class ModbusSimMicroBatchStream(config: ModbusSimSource.Config)
   override def initialOffset(): Offset = TickOffset(0L)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    observe(start.asInstanceOf[TickOffset].tick)
-    if (config.maxTicks <= 0L || tick < config.maxTicks) tick += 1
-    TickOffset(tick)
+    val s = start.asInstanceOf[TickOffset].tick
+    // reportLatestOffset/commit can run from other driver threads, so
+    // the advance shares observe()'s lock — no unsynchronized RMW
+    synchronized {
+      if (s > tick) tick = s
+      if (config.maxTicks <= 0L || tick < config.maxTicks) tick += 1
+      TickOffset(tick)
+    }
   }
-  override def reportLatestOffset(): Offset = TickOffset(tick)
+  override def reportLatestOffset(): Offset = synchronized { TickOffset(tick) }
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "SupportsAdmissionControl source: latestOffset(start, limit) is used")

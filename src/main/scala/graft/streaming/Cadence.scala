@@ -9,8 +9,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *  - per-channel poll cadence (D2): a channel is read when
   *    `now - last_read_at > timing` seconds, first read always due
   *    (reference bus.py:38-49);
-  *  - stall detection with cooloff (D11): an acquisition tick that
-  *    overruns 1 s five times consecutively triggers a 3 s cooloff
+  *  - stall detection with cooloff (D11): once an acquisition tick has
+  *    overrun 1 s MORE than five consecutive times (i.e. on the 6th —
+  *    `stall_count > BUS_STALL_COUNT`), a 3 s cooloff fires
   *    (reference daq-3i.py:24-25, 233-260).
   *
   * State is per-key and O(1): one (lastEmit, counter) record per
@@ -34,7 +35,8 @@ object Cadence {
   /** One acquisition-loop iteration of a bus with its elapsed time. */
   case class BusTick(bus_id: Long, ts_ms: Long, elapsed_ms: Long)
 
-  /** A detected stall: 5 consecutive overruns (daq-3i.py:253-260). */
+  /** A detected stall: more than STALL_LIMIT consecutive overruns —
+    * the 6th is the trigger (daq-3i.py:253-260). */
   case class Stall(bus_id: Long, ts_ms: Long, consecutive: Int)
 
   case class StallState(count: Int)
@@ -66,9 +68,10 @@ object Cadence {
       }(Encoders.product[DueState], enc)
   }
 
-  /** D11: emit a Stall event whenever STALL_LIMIT consecutive ticks
-    * overrun the budget; the counter then resets (the cooloff —
-    * daq-3i.py:257-260 sleeps and zeroes the counter). */
+  /** D11: emit a Stall event when consecutive overruns EXCEED
+    * STALL_LIMIT (`stall_count > BUS_STALL_COUNT`, so the 6th
+    * consecutive overrun fires); the counter then resets (the cooloff
+    * — daq-3i.py:256-260 sleeps and zeroes the counter). */
   def stallMonitor(ticks: Dataset[BusTick]): Dataset[Stall] = {
     implicit val enc = Encoders.product[Stall]
     ticks
@@ -81,7 +84,7 @@ object Cadence {
           sorted.foreach { t =>
             if (t.elapsed_ms > TICK_BUDGET_MS) {
               count += 1
-              if (count >= STALL_LIMIT) {
+              if (count > STALL_LIMIT) {
                 out += Stall(t.bus_id, t.ts_ms, count)
                 count = 0 // cooloff resets the counter
               }

@@ -76,9 +76,16 @@ object Ingest {
     * driver-side materialization before the overwrite is safe and
     * avoids read-overwrite races; the fact path never does this. */
   def mergeStatus(spark: SparkSession, statusDir: String, updates: DataFrame): Unit = {
+    // First-run absence is the ONLY condition that substitutes an empty
+    // current table — probed explicitly, so a genuine read failure
+    // (corrupt file, FS error) propagates and the micro-batch retries
+    // instead of silently truncating persisted status rows.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
     val current =
-      try spark.read.schema(updates.schema).parquet(statusDir)
-      catch { case _: Throwable => updates.limit(0) }
+      if (fs.exists(new org.apache.hadoop.fs.Path(statusDir)))
+        spark.read.schema(updates.schema).parquet(statusDir)
+      else updates.limit(0)
     // tie-break equal timestamps in favor of the incoming update so a
     // same-second replay/recompute resolves deterministically
     val merged = Maintenance.upsert(

@@ -12,11 +12,11 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 object IngestDemo {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_demo")
-    val spark = SparkSession.builder()
+    val spark = graft.model.Tables.withSessionDefaults(SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

@@ -40,8 +40,10 @@ class Monitoring(budgetMs: Long = Cadence.TICK_BUDGET_MS)
     * signal, daq-3i.py:253-256, at query granularity). */
   def overruns: Seq[BatchStat] = batches.filter(_.durationMs > budgetMs)
 
-  /** Consecutive-overrun count per query — >= Cadence.STALL_LIMIT is
-    * the reference's cooloff trigger. */
+  /** Consecutive-overrun count per query — EXCEEDING
+    * Cadence.STALL_LIMIT (i.e. the 6th consecutive overrun,
+    * `stall_count > BUS_STALL_COUNT`, daq-3i.py:256) is the
+    * reference's cooloff trigger. */
   def maxConsecutiveOverruns: Map[String, Int] =
     batches.groupBy(_.queryId).map { case (q, bs) =>
       val runs = bs.sortBy(_.batchId)

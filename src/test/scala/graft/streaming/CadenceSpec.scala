@@ -42,16 +42,18 @@ class CadenceSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
-  test("stallMonitor: 5 consecutive overruns emit one stall, then reset (cooloff)") {
+  test("stallMonitor: the 6th consecutive overrun emits one stall, then reset (cooloff)") {
     import spark.implicits._
     val over = (1 to 12).map(i => BusTick(1, i * 1000L, 1500L)) // 12 overruns
     val mixed = Seq(BusTick(2, 1000L, 1200L), BusTick(2, 2000L, 800L), // reset
       BusTick(2, 3000L, 1200L), BusTick(2, 4000L, 1200L), BusTick(2, 5000L, 1200L),
-      BusTick(2, 6000L, 1200L)) // only 4 consecutive after reset
+      BusTick(2, 6000L, 1200L), BusTick(2, 7000L, 1200L)) // only 5 consecutive after reset
     val got = Cadence.stallMonitor((over ++ mixed).toDS()).collect()
       .sortBy(s => (s.bus_id, s.ts_ms))
-    // bus 1: stalls at ticks 5 and 10 (counter resets after each)
-    assert(got.map(s => (s.bus_id, s.ts_ms)).toSeq == Seq((1L, 5000L), (1L, 10000L)))
+    // bus 1: stalls at ticks 6 and 12 (stall_count > BUS_STALL_COUNT,
+    // daq-3i.py:256 — the 6th consecutive overrun; counter resets after each).
+    // bus 2: 5 consecutive never exceeds the limit -> no stall.
+    assert(got.map(s => (s.bus_id, s.ts_ms)).toSeq == Seq((1L, 6000L), (1L, 12000L)))
   }
 
   test("stallMonitor streaming: counter survives micro-batch boundaries") {
@@ -63,10 +65,10 @@ class CadenceSpec extends AnyFunSuite with SparkSpec {
     try {
       mem.addData((1 to 3).map(i => BusTick(1, i * 1000L, 2000L)): _*)
       q.processAllAvailable()
-      mem.addData((4 to 5).map(i => BusTick(1, i * 1000L, 2000L)): _*)
+      mem.addData((4 to 6).map(i => BusTick(1, i * 1000L, 2000L)): _*)
       q.processAllAvailable()
       val got = spark.table("stall").as[Stall].collect()
-      assert(got.map(_.ts_ms).toSeq == Seq(5000L)) // 3 + 2 consecutive
+      assert(got.map(_.ts_ms).toSeq == Seq(6000L)) // 3 + 3 consecutive -> 6th fires
     } finally q.stop()
   }
 }
