@@ -20,13 +20,25 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Session configs every graft session needs, applied ONCE at build
-    * time (never mutated mid-query): events.ts is parquet
-    * TIMESTAMP(NANOS), which Spark's vectorized reader rejects unless
-    * the legacy flag maps it to a raw int64 — a session-level schema
-    * decision, deliberately not flipped per-read (a mid-session flip
-    * would silently change how concurrent plans see NANOS columns). */
+    * time (never mutated mid-query):
+    *
+    *  - events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    *    reader rejects unless the legacy flag maps it to a raw int64 —
+    *    a session-level schema decision, deliberately not flipped
+    *    per-read (a mid-session flip would silently change how
+    *    concurrent plans see NANOS columns);
+    *  - InferFiltersFromGenerate is excluded: it plants a
+    *    `size(e) > 0` filter under every explode, and predicate
+    *    pushdown then substitutes the generator's WHOLE expression
+    *    tree into that filter — for this engine's expensive
+    *    array-building projections (shingling, signatures) that means
+    *    the pipeline is evaluated 3x per row (filter twice, project
+    *    once). The rule only prunes empty-array rows early, worthless
+    *    for corpus tables where arrays are almost never empty. */
   def withSessionDefaults(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {

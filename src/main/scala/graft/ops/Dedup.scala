@@ -27,14 +27,53 @@ object Dedup {
 
   import TextAnalysis.tokens
 
-  /** Word n-gram shingle set of a text column. */
-  def wordShingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
+  /** Word n-gram shingle set over an ALREADY-BOUND token-array column.
+    * `toks` must be a real column attribute, not an expression tree:
+    * lambda bodies re-evaluate captured outer EXPRESSIONS per element
+    * (no CSE across higher-order functions), so passing `tokens(text)`
+    * here would re-run the tokenizer once per shingle — the difference
+    * between O(tokens) and O(tokens²) per document. Use
+    * [[withWordShingles]] / [[withHashedShingles]] for the safe
+    * DataFrame-level form. */
+  def wordShinglesOf(toks: Column, n: Int = 3): Column =
     array_distinct(
       when(size(toks) >= n,
         transform(sequence(lit(1), size(toks) - lit(n - 1)),
           i => concat_ws(" ", slice(toks, i, lit(n)))))
         .otherwise(array().cast("array<string>")))
+
+  /** Word n-gram shingle set of a text column (scalar convenience for
+    * tiny inputs/specs — see [[wordShinglesOf]] for why the bulk path
+    * must bind the token array first). */
+  def wordShingles(text: Column, n: Int = 3): Column =
+    wordShinglesOf(tokens(text), n)
+
+  /** Adds `out` = distinct word n-gram shingles of `text`, with the
+    * token array materialized as its own projection step so the
+    * shingle lambda references a bound attribute (single tokenizer
+    * pass per document). The alias is referenced 3x, so Catalyst's
+    * CollapseProject keeps the projections separate rather than
+    * re-inlining the tokenizer into the lambda. */
+  def withWordShingles(df: DataFrame, text: Column, out: String, n: Int = 3): DataFrame = {
+    val tk = s"__toks_$out"
+    df.withColumn(tk, tokens(text))
+      .withColumn(out, wordShinglesOf(col(tk), n))
+      .drop(tk)
+  }
+
+  /** Adds `out` = distinct 64-bit-hashed word n-gram shingles (see
+    * [[hashedShingles]] for why hashes, [[withWordShingles]] for why
+    * DataFrame-level). */
+  def withHashedShingles(df: DataFrame, text: Column, out: String, n: Int = 3): DataFrame = {
+    val tk = s"__toks_$out"
+    df.withColumn(tk, tokens(text))
+      .withColumn(out,
+        array_distinct(
+          when(size(col(tk)) >= n,
+            transform(sequence(lit(1), size(col(tk)) - lit(n - 1)),
+              i => xxhash64(concat_ws(" ", slice(col(tk), i, lit(n))))))
+            .otherwise(array().cast("array<bigint>"))))
+      .drop(tk)
   }
 
   /** Jaccard similarity of two (distinct-element) array columns. */
@@ -47,7 +86,8 @@ object Dedup {
     * over the hashed sets equals Jaccard over the strings up to
     * 64-bit collisions (≈ n²/2⁶⁵ — negligible at any corpus size that
     * fits a cluster). The 100 TB trick: never carry text into a
-    * pairwise stage. */
+    * pairwise stage. Scalar convenience — the bulk path is
+    * [[withHashedShingles]] (bound token array, single tokenizer pass). */
   def hashedShingles(text: Column, n: Int = 3): Column =
     transform(wordShingles(text, n), s => xxhash64(s))
 
@@ -80,25 +120,39 @@ object Dedup {
       lit(0), (acc, h) => acc + h)
 
   /** Columnar SimHash: same signature as [[simhashChunks]] (asserted
-    * equivalent in DedupSpec) computed from exploded (id, token) rows
-    * via 64 plain sum aggregates — no per-token array allocation, so
-    * the hot loop is a hash-aggregate update of 64 int buffer slots.
-    * This is the form to use on a corpus; note docs with zero tokens
+    * equivalent in DedupSpec) computed from exploded (id, token) rows.
+    * The 64 per-bit vote counters are PACKED four to a long (16-bit
+    * fields), so the aggregate is 16 long sums + a row count instead
+    * of 64 conditional sums — a 4x narrower hash-agg buffer and a
+    * far smaller generated aggregate class (cold codegen time is a
+    * real cost when a query runs once). Per-field overflow needs
+    * 2^16 tokens in one document to occur; votes[i] = 2*ones[i] - n
+    * recovers the exact +1/-1 vote sum, so signatures are
+    * bit-identical to the unpacked form. Docs with zero tokens
     * produce no row (vs an all-zero signature from the scalar form). */
   def simhashChunksAgg(tokRows: DataFrame, id: Column, tok: Column): DataFrame = {
     val h = xxhash64(tok)
-    val aggs = (0 until 64).map { i =>
-      sum(when(shiftright(h, i).bitwiseAND(lit(1L)) === lit(1L), lit(1))
-        .otherwise(lit(-1))).as(s"__v$i")
+    // packed word w holds ones-counters for signature bits 4w..4w+3 in
+    // 16-bit slots: slot j counts bit (4w + j)
+    val packedCols = (0 until 16).map { w =>
+      (0 until 4).foldLeft(lit(0L)) { (acc, j) =>
+        acc + (shiftright(h, 4 * w + j).bitwiseAND(lit(1L)) * lit(1L << (16 * j)))
+      }.as(s"__p$w")
     }
-    val votes = tokRows.groupBy(id.as("id")).agg(aggs.head, aggs.tail: _*)
+    val packed = tokRows.select(id.as("id") +: packedCols: _*)
+    val aggs = (0 until 16).map(w => sum(col(s"__p$w")).as(s"__s$w")) :+
+      count(lit(1)).as("__n")
+    val sums = packed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    // ones-count for signature bit i lives in word i/4, slot i%4
+    def ones(i: Int): Column =
+      shiftright(col(s"__s${i / 4}"), 16 * (i % 4)).bitwiseAND(lit(0xFFFFL))
     val chunks = (0 until 4).map { c =>
       (0 until 16).foldLeft(lit(0)) { (acc, j) =>
-        acc * lit(2) + when(col(s"__v${16 * c + j}") > 0, lit(1)).otherwise(lit(0))
+        val i = 16 * c + j // vote > 0  <=>  2*ones > n
+        acc * lit(2) + when(ones(i) * lit(2L) > col("__n"), lit(1)).otherwise(lit(0))
       }.as(s"__c$c")
     }
-    votes.select(col("id"),
-      array(chunks: _*).as("sig"))
+    sums.select(col("id"), array(chunks: _*).as("sig"))
   }
 
   /** Exact dedup: group by a content hash, keep the lowest id.
@@ -117,8 +171,13 @@ object Dedup {
       docs: DataFrame, id: Column, text: Column,
       threshold: Double, h: Int = 32, b: Int = 16): DataFrame = {
     val r = h / b
-    val base = docs.select(id.as("id"), hashedShingles(text).as("sh"))
-      .filter(size(col("sh")) > 0)
+    // no size(sh) > 0 filter: empty-shingle docs emit no postings and
+    // no bands, so they can never become candidates — and an explicit
+    // filter here would be pushed below the projection with the whole
+    // shingle expression substituted in (evaluated once more per row)
+    val base = withHashedShingles(
+        docs.select(id.as("id"), text.as("__text")), col("__text"), "sh")
+      .select(col("id"), col("sh"))
     val posts = base.select(col("id"), explode(col("sh")).as("g"))
     val minAggs = (0 until h).map(i => min(xxhash64(lit(i), col("g"))).as(s"__m$i"))
     val sigs = posts.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
@@ -178,8 +237,9 @@ object Dedup {
         // counts are aggregated from the postings themselves, so the
         // self-join's two sides canonicalize to the same plan and the
         // shuffle is computed once (ReusedExchange).
-        val postings = table(s, d, "documents")
-          .select($"doc_id", explode(hashedShingles($"text")).as("gram"))
+        val postings = withHashedShingles(
+            table(s, d, "documents").select($"doc_id", $"text"), $"text", "sh")
+          .select($"doc_id", explode($"sh").as("gram"))
         val ng = postings.groupBy($"doc_id").agg(count(lit(1)).as("ng"))
         val meta = table(s, d, "documents")
           .select($"doc_id", floor($"n_chars" / lit(50)).as("band"))
@@ -270,8 +330,9 @@ object Dedup {
         import s.implicits._
         val docs = table(s, d, "documents")
         val wDoc = Window.partitionBy($"doc_id")
-        val postings = docs
-          .select($"doc_id", explode(hashedShingles($"text")).as("gram"))
+        val postings = withHashedShingles(
+            docs.select($"doc_id", $"text"), $"text", "sh")
+          .select($"doc_id", explode($"sh").as("gram"))
           .withColumn("ng", count(lit(1)).over(wDoc))
         val dominated = postings.as("a")
           .join(postings.as("b"),

@@ -75,17 +75,23 @@ object TextAnalysis {
   /** Content-hash fingerprint of the lowercased text. */
   def docHash(text: Column): Column = md5(lower(text))
 
-  /** Rolling-hash document fingerprint: the minimum md5 over all 8-char
-    * shingles of the lowercased text (a 1-hash winnowing sketch);
-    * null for texts shorter than the shingle. */
-  def shingleFingerprint(text: Column, k: Int = 8): Column = {
-    val t = lower(text)
+  /** Rolling-hash document fingerprint over an ALREADY-BOUND lowercased
+    * text column: the minimum md5 over all 8-char shingles (a 1-hash
+    * winnowing sketch); null for texts shorter than the shingle.
+    * `t` must be a bound attribute — the lambda re-evaluates captured
+    * outer expressions per element, so passing `lower(text)` directly
+    * would re-lowercase the document once per character position. */
+  def shingleFingerprintOf(t: Column, k: Int = 8): Column =
     when(char_length(t) >= k,
       array_min(transform(
         sequence(lit(1), char_length(t) - lit(k - 1)),
         i => md5(substring(t, i, lit(k))))))
       .otherwise(lit(null).cast("string"))
-  }
+
+  /** Scalar convenience for tiny inputs/specs — bulk callers bind
+    * lower(text) to a column first (see [[shingleFingerprintOf]]). */
+  def shingleFingerprint(text: Column, k: Int = 8): Column =
+    shingleFingerprintOf(lower(text), k)
 
   val queries: Seq[QueryDef] = Seq(
 
@@ -215,10 +221,11 @@ object TextAnalysis {
       (s, d) => {
         import s.implicits._
         table(s, d, "documents")
+          .withColumn("__lt", lower($"text"))
           .select(
             $"doc_id",
-            docHash($"text").as("doc_md5"),
-            shingleFingerprint($"text").as("shingle_fp"))
+            md5($"__lt").as("doc_md5"),
+            shingleFingerprintOf($"__lt").as("shingle_fp"))
           .orderBy($"doc_id")
       },
       Some("""SELECT doc_id, md5(lower(text)) AS doc_md5,
