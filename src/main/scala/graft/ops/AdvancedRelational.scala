@@ -123,9 +123,13 @@ object AdvancedRelational {
               FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
               ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
 
-    // Approximate distinct (HLL++). Sketches differ across engines by
-    // construction -> rows-only driver check; AdvancedRelationalSpec
-    // bounds the error against exact counts instead.
+    // Approximate distinct (HLL++). Sketch VALUES differ across engines
+    // by construction, so the oracle checks the estimator's CONTRACT
+    // instead: the exact count plus a within-10%-of-exact flag that
+    // DuckDB asserts as literal true. A Spark HLL regression beyond
+    // tolerance flips the flag and fails the hash compare (the default
+    // rsd is 0.05, so 10% is a 2-sigma bound); AdvancedRelationalSpec
+    // additionally bounds the raw estimate.
     QueryDef(
       "q_approx_distinct",
       (s, d) => {
@@ -135,9 +139,15 @@ object AdvancedRelational {
           .agg(
             approx_count_distinct($"l_partkey").as("approx_parts"),
             countDistinct($"l_partkey").as("exact_parts"))
+          .select($"l_returnflag", $"exact_parts",
+            (abs($"approx_parts" - $"exact_parts") <=
+              $"exact_parts" * lit(0.1)).as("within_tol"))
           .orderBy($"l_returnflag")
       },
-      None),
+      Some("""SELECT l_returnflag,
+                     CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+                     true AS within_tol
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // D2's poll-due predicate in batch form (bus.py:46): per user,
     // elapsed-since-previous > per-user timing.

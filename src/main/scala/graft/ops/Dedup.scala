@@ -130,25 +130,31 @@ object Dedup {
     * recovers the exact +1/-1 vote sum, so signatures are
     * bit-identical to the unpacked form. Docs with zero tokens
     * produce no row (vs an all-zero signature from the scalar form). */
-  def simhashChunksAgg(tokRows: DataFrame, id: Column, tok: Column): DataFrame = {
-    val h = xxhash64(tok)
+  def simhashChunksAgg(
+      tokRows: DataFrame, id: Column, tok: Column,
+      hash: Column => Column = c => xxhash64(c),
+      bits: Int = 64): DataFrame = {
+    require(bits % 4 == 0, "bits must split into 4 equal chunks")
+    val words = bits / 4      // packed longs, 4 counters each
+    val chunkWidth = bits / 4 // signature bits per output chunk
+    val h = hash(tok)
     // packed word w holds ones-counters for signature bits 4w..4w+3 in
     // 16-bit slots: slot j counts bit (4w + j)
-    val packedCols = (0 until 16).map { w =>
+    val packedCols = (0 until words).map { w =>
       (0 until 4).foldLeft(lit(0L)) { (acc, j) =>
         acc + (shiftright(h, 4 * w + j).bitwiseAND(lit(1L)) * lit(1L << (16 * j)))
       }.as(s"__p$w")
     }
     val packed = tokRows.select(id.as("id") +: packedCols: _*)
-    val aggs = (0 until 16).map(w => sum(col(s"__p$w")).as(s"__s$w")) :+
+    val aggs = (0 until words).map(w => sum(col(s"__p$w")).as(s"__s$w")) :+
       count(lit(1)).as("__n")
     val sums = packed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
     // ones-count for signature bit i lives in word i/4, slot i%4
     def ones(i: Int): Column =
       shiftright(col(s"__s${i / 4}"), 16 * (i % 4)).bitwiseAND(lit(0xFFFFL))
     val chunks = (0 until 4).map { c =>
-      (0 until 16).foldLeft(lit(0)) { (acc, j) =>
-        val i = 16 * c + j // vote > 0  <=>  2*ones > n
+      (0 until chunkWidth).foldLeft(lit(0)) { (acc, j) =>
+        val i = chunkWidth * c + j // vote > 0  <=>  2*ones > n
         acc * lit(2) + when(ones(i) * lit(2L) > col("__n"), lit(1)).otherwise(lit(0))
       }.as(s"__c$c")
     }
@@ -166,23 +172,33 @@ object Dedup {
     * over salted hashes (one hash-aggregate pass, no array churn);
     * bands of r signature slots hash to bucket keys; the bucket
     * equi-join yields candidates, exact-Jaccard verifies. Output
-    * (id_a, id_b, sim), id_a < id_b, one row per pair. */
+    * (id_a, id_b, sim), id_a < id_b, one row per pair.
+    *
+    * The hash family is [[graft.functions.PortableHash]]'s universal
+    * hashing over a 30-bit md5-prefix base (one md5 per posting, h
+    * integer permutations) so the ENTIRE pipeline — signatures,
+    * banding, candidates, verify — replays in the DuckDB oracle (see
+    * the dd_minhash_lsh oracle SQL); a deployment preferring xxhash64
+    * swaps the two hash call sites. */
   def minhashNearDups(
       docs: DataFrame, id: Column, text: Column,
       threshold: Double, h: Int = 32, b: Int = 16): DataFrame = {
+    import graft.functions.PortableHash.{uhApply, uhBase}
     val r = h / b
     // no size(sh) > 0 filter: empty-shingle docs emit no postings and
     // no bands, so they can never become candidates — and an explicit
     // filter here would be pushed below the projection with the whole
     // shingle expression substituted in (evaluated once more per row)
-    val base = withHashedShingles(
+    val base = withWordShingles(
         docs.select(id.as("id"), text.as("__text")), col("__text"), "sh")
       .select(col("id"), col("sh"))
+    // one md5 per posting, h cheap integer permutations on top
     val posts = base.select(col("id"), explode(col("sh")).as("g"))
-    val minAggs = (0 until h).map(i => min(xxhash64(lit(i), col("g"))).as(s"__m$i"))
+      .select(col("id"), uhBase(col("g")).as("x"))
+    val minAggs = (0 until h).map(i => min(uhApply(i, col("x"))).as(s"__m$i"))
     val sigs = posts.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
     val bandKeys = (0 until b).map { i =>
-      xxhash64(lit("band") +: lit(i) +: (0 until r).map(j => col(s"__m${r * i + j}")): _*)
+      md5(concat_ws(",", lit(i.toString) +: (0 until r).map(j => col(s"__m${r * i + j}")): _*))
     }
     val bands = sigs.select(col("id"), explode(array(bandKeys: _*)).as("band"))
     val cand = bands.as("a")
@@ -279,9 +295,10 @@ object Dedup {
               ORDER BY id_a, id_b""")),
 
     // MinHash+LSH near-dup pipeline (shingle -> 32-hash signature ->
-    // 16 bands of 2 -> bucket join -> exact-Jaccard verify). xxhash64 has
-    // no DuckDB twin, so the driver records rows-only; DedupSpec
-    // asserts consistency against the brute-force ground truth.
+    // 16 bands of 2 -> bucket join -> exact-Jaccard verify). The
+    // portable md5-prefix hash family lets DuckDB replay the ENTIRE
+    // pipeline — signatures, banding, candidate join, verify — so the
+    // probabilistic operator is hash-checked end to end, not rows-only.
     QueryDef(
       "dd_minhash_lsh",
       (s, d) => {
@@ -289,13 +306,51 @@ object Dedup {
         minhashNearDups(table(s, d, "documents"), $"doc_id", $"text", 0.5)
           .orderBy($"id_a", $"id_b")
       },
-      None),
+      Some {
+        import graft.functions.PortableHash.{duckdbUhApply, duckdbUhBase}
+        val slots = (0 until 32).map(i =>
+          s"list_min([${duckdbUhApply(i, "x")} for x in xs])")
+          .mkString(",\n                         ")
+        val bandKeys = (0 until 16).map(i =>
+          s"md5('$i' || ',' || CAST(m[${2 * i + 1}] AS VARCHAR) || ',' || CAST(m[${2 * i + 2}] AS VARCHAR))")
+          .mkString(",\n                         ")
+        s"""WITH t AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(toks) >= 3
+                       THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+                       ELSE [] END) AS grams
+              FROM (SELECT doc_id,
+                           [x for x in string_split_regex(lower(text), '\\s+') if x != ''] AS toks
+                    FROM documents)),
+            ne AS (SELECT doc_id, grams FROM t WHERE len(grams) > 0),
+            xb AS (SELECT doc_id, [${duckdbUhBase("g")} for g in grams] AS xs FROM ne),
+            sig AS (SELECT doc_id,
+                       [$slots] AS m
+                    FROM xb),
+            bands AS (SELECT doc_id,
+                       unnest([$bandKeys]) AS band
+                      FROM sig),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.doc_id < b.doc_id)
+            SELECT c.id_a, c.id_b,
+                   CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                     / len(list_distinct(ga.grams || gb.grams)) AS sim
+            FROM cand c
+            JOIN ne ga ON ga.doc_id = c.id_a
+            JOIN ne gb ON gb.doc_id = c.id_b
+            WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                    / len(list_distinct(ga.grams || gb.grams)) >= 0.5
+            ORDER BY id_a, id_b"""
+      }),
 
     // SimHash signatures + hamming-banded near-dup pairs (<= 3 bits
-    // apart; with four 16-bit chunks the pigeonhole guarantee of a
+    // apart; with four equal chunks the pigeonhole guarantee of a
     // shared chunk holds exactly for hamming < 4, so the chunk
     // equi-join has perfect recall at this threshold — a looser
-    // threshold would need more/smaller chunks).
+    // threshold would need more/smaller chunks). Uses the portable
+    // 60-bit md5-prefix token hash (4 chunks x 15 bits) so DuckDB
+    // replays signatures, banding and hamming verify exactly.
     QueryDef(
       "dd_simhash",
       (s, d) => {
@@ -303,7 +358,9 @@ object Dedup {
         val docs = table(s, d, "documents")
         val sigs = simhashChunksAgg(
             docs.select($"doc_id", explode(tokens($"text")).as("tok")),
-            $"doc_id", $"tok")
+            $"doc_id", $"tok",
+            hash = c => graft.functions.PortableHash.md5Hash60(c),
+            bits = 60)
           .withColumnRenamed("id", "doc_id")
         val chunked = sigs
           .withColumn("chunk_id", explode(sequence(lit(0), lit(3))))
@@ -317,7 +374,43 @@ object Dedup {
           .distinct()
           .orderBy($"id_a", $"id_b")
       },
-      None),
+      Some {
+        val chunkExprs = (0 until 4).map { c =>
+          "(" + (0 until 15).map { j =>
+            val bit = 15 * c + j
+            s"(CASE WHEN 2 * len([x for x in hs if (x >> $bit) & 1 = 1]) > n THEN ${1 << (14 - j)} ELSE 0 END)"
+          }.mkString(" + ") + ")"
+        }.mkString(",\n                       ")
+        s"""WITH t AS (
+              SELECT doc_id,
+                     [x for x in string_split_regex(lower(text), '\\s+') if x != ''] AS toks
+              FROM documents),
+            h AS (
+              SELECT doc_id,
+                     [('0x' || substring(md5(t), 1, 15))::BIGINT for t in toks] AS hs,
+                     len(toks) AS n
+              FROM t WHERE len(toks) > 0),
+            sg AS (
+              SELECT doc_id,
+                     [$chunkExprs] AS sig
+              FROM h),
+            ch AS (
+              SELECT doc_id, sig, unnest(sig) AS chunk, unnest([0, 1, 2, 3]) AS chunk_id
+              FROM sg),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                              a.sig AS sig_a, b.sig AS sig_b
+              FROM ch a JOIN ch b
+                ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
+               AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b,
+                   CAST(list_sum([bit_count(xor(x[1]::BIGINT, x[2]::BIGINT))
+                                  for x in list_zip(sig_a, sig_b)]) AS INT) AS hamming
+            FROM cand
+            WHERE CAST(list_sum([bit_count(xor(x[1]::BIGINT, x[2]::BIGINT))
+                                 for x in list_zip(sig_a, sig_b)]) AS INT) <= 3
+            ORDER BY id_a, id_b"""
+      }),
 
     // Applied dedup: the corpus with near-duplicates REMOVED — any doc
     // dominated by a lower-id near-dup partner is dropped (one

@@ -33,18 +33,22 @@ object Similarity {
   def l2norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Random-hyperplane LSH bucket: sign pattern of the vector against
-    * `planes` pseudo-random hyperplanes. The planes are derived
-    * deterministically from xxhash64(seed, plane, dim) so executors
-    * rebuild them identically with zero driver state — at a real 100 TB
-    * deployment the same expression computes bucket ids at write time
-    * (partition column) and query time. */
+    * `planes` pseudo-random hyperplanes. Plane weights come from one
+    * LCG step on the (plane, dim) index, centered to [-0.5, 0.5) —
+    * integer arithmetic both engines compute exactly, so the bucket
+    * ids replay in the DuckDB oracle (and, same property, executors
+    * rebuild planes identically with zero driver state: at a real
+    * 100 TB deployment the same expression computes bucket ids at
+    * write time as a partition column and at query time). */
   def hyperplaneBucket(v: Column, planes: Int = 8): Column =
     aggregate(
       transform(sequence(lit(0), lit(planes - 1)), p =>
         when(
           aggregate(
             zip_with(v, sequence(lit(0), size(v) - 1),
-              (x, i) => x * ((xxhash64(lit("plane"), p, i) % lit(1000L)).cast("double") / lit(1000.0))),
+              (x, i) => x *
+                (((lit(1103515245L) * (p.cast("long") * lit(4096L) + i.cast("long")) + lit(12345L))
+                  % lit(2147483648L)).cast("double") / lit(2.147483648E9) - lit(0.5))),
             lit(0.0), (acc, x) => acc + x) >= lit(0.0),
           lit(1)).otherwise(lit(0))),
       lit(0), (acc, bit) => acc * lit(2) + bit)
@@ -102,9 +106,13 @@ object Similarity {
     // the probed cell. Centroids here are per-label mean vectors (the
     // labels stand in for a trained coarse codebook); at 100 TB the
     // cells are the partition layout, so a query touches 1/nlist of
-    // the corpus. Rows-only check (cross-row float means are not
-    // bit-portable across engines); SimilaritySpec asserts cell
-    // membership consistency.
+    // the corpus. Centroid components are computed as
+    // sum(floor(x * 1e6)) / (n * 1e6): the cross-row sum runs on exact
+    // integers (order-insensitive, hence portable across engines and
+    // across partitionings), the single final division is
+    // deterministic double math — that converts the one
+    // non-bit-portable step of the plain float mean into an
+    // oracle-checkable quantized mean.
     QueryDef(
       "s_ann_ivf",
       (s, d) => {
@@ -112,10 +120,12 @@ object Similarity {
         val emb = table(s, d, "embeddings")
           .select($"vec_id", $"label", asDouble($"embedding").as("v"))
           .withColumn("nrm", l2norm($"v"))
-        // centroid per label: element-wise mean via posexplode
+        // centroid per label: element-wise quantized mean via posexplode
         val centroids = emb
           .select($"label", posexplode($"v").as(Seq("pos", "x")))
-          .groupBy($"label", $"pos").agg(avg($"x").as("cx"))
+          .groupBy($"label", $"pos").agg(
+            (sum(floor($"x" * lit(1e6)).cast("long")).cast("double") /
+              (count(lit(1)) * lit(1e6))).as("cx"))
           .groupBy($"label").agg(array_sort(collect_list(struct($"pos", $"cx"))).as("pc"))
           .select($"label".as("c_label"),
             transform($"pc", p => p.getField("cx")).as("cv"))
@@ -143,11 +153,47 @@ object Similarity {
           .filter($"rank" <= 3)
           .orderBy($"query_id", $"rank")
       },
-      None),
+      Some("""WITH e AS (
+                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS nrm
+                FROM embeddings),
+              px AS (
+                SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+              cagg AS (
+                SELECT label, pos,
+                       CAST(sum(CAST(floor(x * 1000000) AS BIGINT)) AS DOUBLE)
+                         / (count(*) * 1000000.0) AS cx
+                FROM px GROUP BY label, pos),
+              cent AS (
+                SELECT label AS c_label, list(cx ORDER BY pos) AS cv FROM cagg GROUP BY label),
+              centn AS (
+                SELECT c_label, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
+              q AS (
+                SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 20),
+              probe AS (
+                SELECT query_id, qv, qn, c_label AS cell,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY list_dot_product(qv, cv) / (qn * cn) DESC, c_label ASC) AS rk
+                FROM q CROSS JOIN centn),
+              p1 AS (SELECT query_id, qv, qn, cell FROM probe WHERE rk = 1),
+              sr AS (
+                SELECT p.query_id, p.cell, c.vec_id AS neighbor_id,
+                       list_dot_product(p.qv, c.v) / (p.qn * c.nrm) AS cos
+                FROM p1 p JOIN e c ON c.label = p.cell AND p.query_id <> c.vec_id),
+              rk AS (
+                SELECT query_id, cell, neighbor_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id ASC) AS rank
+                FROM sr)
+              SELECT query_id, cell, neighbor_id, cos, rank
+              FROM rk WHERE rank <= 3 ORDER BY query_id, rank""")),
 
     // LSH-bucketed ANN: hyperplane signature equi-join, top-3 within
-    // bucket. Probabilistic recall by construction -> rows-only check;
-    // SimilaritySpec asserts bucket-match against brute force.
+    // bucket. The LCG-derived planes are exact integer math in both
+    // engines, so bucket assignment — and with it the whole candidate
+    // set — replays in the oracle; SimilaritySpec additionally asserts
+    // bucket-match against brute force.
     QueryDef(
       "s_ann_lsh",
       (s, d) => {
@@ -168,6 +214,31 @@ object Similarity {
           .filter($"rank" <= 3)
           .orderBy($"query_id", $"rank")
       },
-      None)
+      Some("""WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS nrm
+                FROM embeddings),
+              b AS (
+                SELECT vec_id, v, nrm,
+                       list_sum([CASE WHEN list_dot_product(v,
+                           [CAST(((1103515245::BIGINT * (p * 4096 + i) + 12345) % 2147483648) AS DOUBLE)
+                              / 2147483648.0 - 0.5
+                            for i in range(len(v))]) >= 0.0
+                         THEN (1 << (7 - p)) ELSE 0 END
+                         for p in range(8)]) AS bucket
+                FROM e),
+              pairs AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+                FROM b q JOIN b c
+                  ON q.bucket = c.bucket AND q.vec_id < 20 AND q.vec_id <> c.vec_id),
+              ranked AS (
+                SELECT query_id, neighbor_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id ASC) AS rank
+                FROM pairs)
+              SELECT query_id, neighbor_id, cos, rank
+              FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""))
   )
 }
