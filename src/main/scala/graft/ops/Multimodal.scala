@@ -156,6 +156,40 @@ object Multimodal {
               lit(0.0), (acc, x) => acc + x.cast("double")), 3).as("feature_sum"))
           .orderBy($"media_id")
       },
-      None) // stub codec fold has no SQL twin; rows-only + MultimodalSpec
+      None), // stub codec fold has no SQL twin; rows-only + MultimodalSpec
+
+    // Frame sampling (every 3rd frame of each video) through the REAL
+    // per-partition codec path; the oracle re-derives the frame
+    // accounting arithmetically from byte lengths (DuckDB cannot slice
+    // blobs, but chunk sizes are pure integer math over octet_length),
+    // so the mapPartitions plumbing is end-to-end hash-checked even
+    // though the payload bytes never cross engines.
+    QueryDef(
+      "mm_frames",
+      (s, d) => {
+        import s.implicits._
+        synthesize(s, d)
+          .filter($"kind" === "video")
+          .mapPartitions(_.map { m =>
+            val frames = StubCodec.sampleFrames(m.content, m.n_frames, 3)
+            (m.media_id, m.n_frames, frames.length.toLong,
+              frames.map(_.length.toLong).sum)
+          })
+          .toDF("media_id", "n_frames", "n_sampled", "bytes_kept")
+          .orderBy($"media_id")
+      },
+      Some("""WITH m AS (
+                SELECT doc_id AS media_id,
+                       octet_length(encode(text)) AS len,
+                       (doc_id % 30 + 1) AS nf
+                FROM documents WHERE doc_id % 3 = 2),
+              f AS (
+                SELECT media_id, len, nf, greatest(len // nf, 1) AS fl FROM m)
+              SELECT media_id,
+                     CAST(nf AS INT) AS n_frames,
+                     CAST((nf + 2) // 3 AS BIGINT) AS n_sampled,
+                     CAST(list_sum([greatest(least((x + 1) * fl, len) - x * fl, 0)
+                                    for x in range(0, nf, 3)]) AS BIGINT) AS bytes_kept
+              FROM f ORDER BY media_id"""))
   )
 }

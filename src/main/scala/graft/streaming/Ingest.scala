@@ -140,6 +140,38 @@ object Ingest {
       .start()
   }
 
+  /** Backfill/replay: drain all currently-available raw readings from
+    * a parquet directory through the SAME decode/convert/persist
+    * pipeline as the live stream, then stop (Trigger.AvailableNow —
+    * checkpointed micro-batches, so a crashed backfill resumes where
+    * it left off and a re-run over an unchanged directory is a no-op).
+    * The reference daemon only tails live devices; a 100 TB engine
+    * additionally needs deterministic reprocessing of landed raw data
+    * with the exact same semantics as the live path — same plan, same
+    * sink idempotence, different trigger. */
+  def runBackfill(
+      spark: SparkSession,
+      rawDir: String,
+      channels: DataFrame,
+      conversions: Seq[(Long, String)],
+      factDir: String,
+      statusDir: String,
+      checkpointDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val readings = spark.readStream
+      .schema(graft.sources.ModbusSimSource.schema)
+      .parquet(rawDir)
+    val decoded = decodeAndConvert(readings, channels, conversions)
+    val q = decoded.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        persistBatch(batch, batchId, factDir, statusDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** D10 as an independent stream: the reference pulses
     * `("daq-3i", 1)` every PULSE_SECONDS regardless of data flow
     * (daq-3i.py:20,163-171) — so liveness is observable even when all

@@ -68,6 +68,38 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     assert(!new java.io.File(statusDir).exists())
   }
 
+  test("runBackfill drains landed raw data via AvailableNow; re-run is a no-op") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_backfill").toString
+    val (rawDir, factDir, statusDir, ckpt) =
+      (s"$dir/raw", s"$dir/fact", s"$dir/status", s"$dir/ckpt")
+
+    // land raw readings as parquet (schema = the modbus-sim source's)
+    Seq(
+      (1L, ts(10), Seq(5, 0, 0, 0), 0),     // uint16 5 -> x10 = 50
+      (2L, ts(10), Seq(0x0000, 0x3FC0), 0), // float 1.5
+      (1L, ts(11), Seq(7, 0, 0, 0), -1))    // failed read: dropped
+      .toDF("channel_id", "ts", "registers", "status")
+      .write.parquet(rawDir)
+
+    Ingest.runBackfill(spark, rawDir, channelDim, convs, factDir, statusDir, ckpt)
+    def factRows() = Ingest.readFact(spark, factDir)
+      .orderBy($"channel_id", $"ts").collect()
+      .map(r => (r.getLong(0), r.getDecimal(2).toPlainString)).toSeq
+    assert(factRows() == Seq((1L, "50.000000"), (2L, "1.500000")))
+
+    // same checkpoint, unchanged raw dir -> nothing new lands
+    Ingest.runBackfill(spark, rawDir, channelDim, convs, factDir, statusDir, ckpt)
+    assert(factRows() == Seq((1L, "50.000000"), (2L, "1.500000")))
+
+    // new raw file arrives -> only the delta is processed
+    Seq((1L, ts(20), Seq(9, 0, 0, 0), 0))
+      .toDF("channel_id", "ts", "registers", "status")
+      .write.mode("append").parquet(rawDir)
+    Ingest.runBackfill(spark, rawDir, channelDim, convs, factDir, statusDir, ckpt)
+    assert(factRows() == Seq((1L, "50.000000"), (1L, "90.000000"), (2L, "1.500000")))
+  }
+
   test("heartbeat pulses independently of data flow (daq-3i.py:163-171)") {
     val dir = Files.createTempDirectory("graft_hb").toString + "/status"
     val q = Ingest.startHeartbeat(spark, dir, periodSec = 1)
