@@ -58,7 +58,49 @@ object Windows {
   def tumblingCountsStream(events: DataFrame, width: String, lateness: String): DataFrame =
     tumblingCounts(events.withWatermark("ts", lateness), width)
 
+  /** Batch form of exact streaming dedup: the first event per key
+    * (earliest ts, unique id tie-break). The streaming twin is
+    * [[firstPerKeyStream]]; WindowsStreamSpec asserts they agree when
+    * arrival order matches event time. */
+  def firstPerKey(events: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    events
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("ts").asc, col("event_id").asc)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Streaming exact dedup: keep the first ARRIVAL per key, holding
+    * per-key state only within the watermark horizon
+    * (dropDuplicatesWithinWatermark) — the streaming-ingest form of
+    * dd_exact, with state bounded by lateness instead of growing with
+    * the corpus. */
+  def firstPerKeyStream(events: DataFrame, keys: Seq[String], lateness: String): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keys)
+
   val queries: Seq[QueryDef] = Seq(
+
+    // Batch form of the streaming first-per-key dedup (earliest event
+    // per (user_id, event_type)); the stream twin keeps first arrival
+    // under a watermark and is equivalence-tested in WindowsStreamSpec.
+    QueryDef(
+      "w_dedup_first",
+      (s, d) => {
+        import s.implicits._
+        firstPerKey(table(s, d, "events"), Seq("user_id", "event_type"))
+          .select($"user_id", $"event_type", $"event_id", $"ts")
+          .orderBy($"user_id", $"event_type")
+      },
+      Some("""WITH r AS (
+                SELECT user_id, event_type, event_id, ts,
+                       row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts ASC, event_id ASC) AS rn
+                FROM events)
+              SELECT user_id, event_type, event_id, ts
+              FROM r WHERE rn = 1 ORDER BY user_id, event_type""")),
 
     QueryDef(
       "w_tumbling",

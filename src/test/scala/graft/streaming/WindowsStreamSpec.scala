@@ -6,6 +6,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 case class Ev(ts: java.sql.Timestamp, event_type: String, value: Double, user_id: Long)
 
+case class EvId(event_id: Long, ts: java.sql.Timestamp, event_type: String, user_id: Long)
+
 /** Stream == batch equivalence for the window transforms: the same
   * function body produces identical results whether fed a batch
   * DataFrame or a MemoryStream across several micro-batches. */
@@ -54,6 +56,32 @@ class WindowsStreamSpec extends AnyFunSuite with SparkSpec {
       // events at minute 1,2,5 for user 1 merge into one session (gaps < 5m)
       val u1 = batched.filter(_.getLong(2) == 1L)
       assert(u1.head.getLong(3) == 2L) // minutes 1,2 merge; 61 is separate
+    } finally q.stop()
+  }
+
+  test("first-per-key dedup: streaming (watermarked state) == batch when arrival follows event time") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val evs1 = Seq(
+      EvId(1, t(1), "click", 1), EvId(2, t(2), "click", 1), // dup key, first wins
+      EvId(3, t(3), "view", 2))
+    val evs2 = Seq(
+      EvId(4, t(4), "click", 1), // still a dup within the watermark
+      EvId(5, t(6), "view", 3))
+    val mem = MemoryStream[EvId]
+    val q = Windows.firstPerKeyStream(mem.toDF(), Seq("user_id", "event_type"), "10 minutes")
+      .writeStream.format("memory").queryName("wdd").outputMode("append").start()
+    try {
+      mem.addData(evs1: _*); q.processAllAvailable()
+      mem.addData(evs2: _*); q.processAllAvailable()
+      val streamed = spark.table("wdd")
+        .select($"user_id", $"event_type", $"event_id")
+        .orderBy($"user_id", $"event_type").collect().toSeq
+      val batched = Windows.firstPerKey((evs1 ++ evs2).toDF(), Seq("user_id", "event_type"))
+        .select($"user_id", $"event_type", $"event_id")
+        .orderBy($"user_id", $"event_type").collect().toSeq
+      assert(streamed == batched)
+      assert(streamed.map(_.getLong(2)).toSet == Set(1L, 3L, 5L)) // firsts only
     } finally q.stop()
   }
 
