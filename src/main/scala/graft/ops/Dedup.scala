@@ -243,36 +243,36 @@ object Dedup {
         import s.implicits._
         // Inverted-index set-similarity join: explode (gram -> doc)
         // postings, self-join on the gram, count shared grams per doc
-        // pair, then |A∪B| = n_a + n_b - |A∩B|. Work is proportional
-        // to Σ df(gram)² — bounded by vocabulary statistics, never by
-        // corpus², and every stage is an equi-join/aggregation that
-        // scales out. The adjacency + threshold predicates applied at
-        // the end give the identical result set to blocking-first.
-        // Text is tokenized exactly once: the postings branch. Bands
-        // come from the n_chars column (no tokenization), and shingle
-        // counts are aggregated from the postings themselves, so the
-        // self-join's two sides canonicalize to the same plan and the
-        // shuffle is computed once (ReusedExchange).
+        // pair, then |A∪B| = n_a + n_b - |A∩B|. The band-adjacency
+        // block is pushed INTO the pair join: side a replicates each
+        // posting under band keys {band-1, band, band+1}, so b.band
+        // equals exactly ONE of a's keys iff |band_a - band_b| <= 1 —
+        // the non-equi adjacency predicate becomes part of the
+        // equi-join key, per-pair gram counts are preserved, and
+        // distant-band pairs never reach the aggregation. Work is
+        // Σ adjacent-band df(gram)² — bounded by PER-BAND vocabulary
+        // statistics, which is what keeps the intermediate bounded
+        // when the corpus scales 1000x. Text is tokenized exactly
+        // once; shingle counts aggregate from the postings themselves.
         val postings = withHashedShingles(
-            table(s, d, "documents").select($"doc_id", $"text"), $"text", "sh")
-          .select($"doc_id", explode($"sh").as("gram"))
+            table(s, d, "documents")
+              .select($"doc_id", $"text", floor($"n_chars" / lit(50)).as("band")),
+            $"text", "sh")
+          .select($"doc_id", $"band", explode($"sh").as("gram"))
         val ng = postings.groupBy($"doc_id").agg(count(lit(1)).as("ng"))
-        val meta = table(s, d, "documents")
-          .select($"doc_id", floor($"n_chars" / lit(50)).as("band"))
-          .join(ng, Seq("doc_id"))
-        val pairs = postings.as("a")
+        val pairs = postings
+          .withColumn("bkey", explode(array($"band" - 1, $"band", $"band" + 1)))
+          .as("a")
           .join(postings.as("b"),
-            $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
+            $"a.gram" === $"b.gram" && $"a.bkey" === $"b.band" &&
+              $"a.doc_id" < $"b.doc_id")
           .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
           .agg(count(lit(1)).as("inter"))
-        // meta is per-doc (corpus-sized) -> no broadcast hint; AQE
-        // picks broadcast only while it actually fits
+        // ng is per-doc (corpus-sized) -> no broadcast hint; AQE picks
+        // broadcast only while it actually fits
         pairs
-          .join(meta.select($"doc_id".as("id_a"),
-            $"band".as("band_a"), $"ng".as("n_a")), Seq("id_a"))
-          .join(meta.select($"doc_id".as("id_b"),
-            $"band".as("band_b"), $"ng".as("n_b")), Seq("id_b"))
-          .filter(abs($"band_a" - $"band_b") <= 1)
+          .join(ng.select($"doc_id".as("id_a"), $"ng".as("n_a")), Seq("id_a"))
+          .join(ng.select($"doc_id".as("id_b"), $"ng".as("n_b")), Seq("id_b"))
           .select($"id_a", $"id_b",
             ($"inter".cast("double") / ($"n_a" + $"n_b" - $"inter")).as("sim"))
           .filter($"sim" >= 0.2)

@@ -50,6 +50,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(count(p, "Exchange hashpartitioning") == 1, p)
   }
 
+  test("w_dedup_first: first-per-key ranks inside one key shuffle") {
+    val p = plan("w_dedup_first")
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"), p)
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+  }
+
   test("pairwise dedup operators never plan a cartesian product") {
     for (q <- Seq("dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash", "dd_embed_cos")) {
       val p = plan(q)
