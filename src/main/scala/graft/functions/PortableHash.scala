@@ -25,17 +25,9 @@ object PortableHash {
   def md5Hash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
-  /** Salted variant for hash families: H_i(s) = md5Hash60(i || '|' || s). */
-  def md5Hash60Salted(salt: Int, s: Column): Column =
-    md5Hash60(concat(lit(salt.toString), lit("|"), s))
-
   /** The DuckDB SQL twin of [[md5Hash60]], for oracle builders. */
   def duckdbHash60(expr: String): String =
     s"('0x' || substring(md5($expr), 1, 15))::BIGINT"
-
-  /** The DuckDB SQL twin of [[md5Hash60Salted]]. */
-  def duckdbHash60Salted(salt: Int, expr: String): String =
-    duckdbHash60(s"'$salt|' || $expr")
 
   // ---- universal-hash family over a 30-bit base hash ----------------
   // One md5 per value, then h_i(x) = (a_i * x + b_i) mod (2^31 - 1):

@@ -63,16 +63,14 @@ object Dedup {
 
   /** Adds `out` = distinct 64-bit-hashed word n-gram shingles (see
     * [[hashedShingles]] for why hashes, [[withWordShingles]] for why
-    * DataFrame-level). */
+    * DataFrame-level). Composes [[wordShinglesOf]] — one shingle
+    * definition in the codebase — with an element-hash transform; the
+    * outer lambda only references its own variable, so the shingle
+    * array is built once per row. */
   def withHashedShingles(df: DataFrame, text: Column, out: String, n: Int = 3): DataFrame = {
     val tk = s"__toks_$out"
     df.withColumn(tk, tokens(text))
-      .withColumn(out,
-        array_distinct(
-          when(size(col(tk)) >= n,
-            transform(sequence(lit(1), size(col(tk)) - lit(n - 1)),
-              i => xxhash64(concat_ws(" ", slice(col(tk), i, lit(n))))))
-            .otherwise(array().cast("array<bigint>"))))
+      .withColumn(out, transform(wordShinglesOf(col(tk), n), s => xxhash64(s)))
       .drop(tk)
   }
 

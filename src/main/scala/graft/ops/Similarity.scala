@@ -34,12 +34,15 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket: sign pattern of the vector against
     * `planes` pseudo-random hyperplanes. Plane weights come from one
-    * LCG step on the (plane, dim) index, centered to [-0.5, 0.5) —
-    * integer arithmetic both engines compute exactly, so the bucket
-    * ids replay in the DuckDB oracle (and, same property, executors
-    * rebuild planes identically with zero driver state: at a real
-    * 100 TB deployment the same expression computes bucket ids at
-    * write time as a partition column and at query time). */
+    * LCG step on the flat index plane * 2^20 + dim, centered to
+    * [-0.5, 0.5) — integer arithmetic both engines compute exactly, so
+    * the bucket ids replay in the DuckDB oracle (and, same property,
+    * executors rebuild planes identically with zero driver state: at a
+    * real 100 TB deployment the same expression computes bucket ids at
+    * write time as a partition column and at query time). The 2^20
+    * stride keeps plane weight streams disjoint up to 2^20 dims while
+    * the LCG product (<= 1103515245 * 9 * 2^20) stays well inside a
+    * signed 64-bit long. */
   def hyperplaneBucket(v: Column, planes: Int = 8): Column =
     aggregate(
       transform(sequence(lit(0), lit(planes - 1)), p =>
@@ -47,7 +50,7 @@ object Similarity {
           aggregate(
             zip_with(v, sequence(lit(0), size(v) - 1),
               (x, i) => x *
-                (((lit(1103515245L) * (p.cast("long") * lit(4096L) + i.cast("long")) + lit(12345L))
+                (((lit(1103515245L) * (p.cast("long") * lit(1048576L) + i.cast("long")) + lit(12345L))
                   % lit(2147483648L)).cast("double") / lit(2.147483648E9) - lit(0.5))),
             lit(0.0), (acc, x) => acc + x) >= lit(0.0),
           lit(1)).otherwise(lit(0))),
@@ -222,7 +225,7 @@ object Similarity {
               b AS (
                 SELECT vec_id, v, nrm,
                        list_sum([CASE WHEN list_dot_product(v,
-                           [CAST(((1103515245::BIGINT * (p * 4096 + i) + 12345) % 2147483648) AS DOUBLE)
+                           [CAST(((1103515245::BIGINT * (p * 1048576 + i) + 12345) % 2147483648) AS DOUBLE)
                               / 2147483648.0 - 0.5
                             for i in range(len(v))]) >= 0.0
                          THEN (1 << (7 - p)) ELSE 0 END

@@ -79,11 +79,13 @@ object Ingest {
     // First-run absence is the ONLY condition that substitutes an empty
     // current table — probed explicitly, so a genuine read failure
     // (corrupt file, FS error) propagates and the micro-batch retries
-    // instead of silently truncating persisted status rows.
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // instead of silently truncating persisted status rows. The probe
+    // resolves the PATH'S filesystem (statusDir may live on a scheme
+    // other than fs.defaultFS).
+    val statusPath = new org.apache.hadoop.fs.Path(statusDir)
+    val fs = statusPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val current =
-      if (fs.exists(new org.apache.hadoop.fs.Path(statusDir)))
+      if (fs.exists(statusPath))
         spark.read.schema(updates.schema).parquet(statusDir)
       else updates.limit(0)
     // tie-break equal timestamps in favor of the incoming update so a
@@ -108,11 +110,12 @@ object Ingest {
     * idempotent by construction. */
   def persistBatch(
       batch: DataFrame, batchId: Long,
-      factDir: String, statusDir: String): Unit = {
+      factDir: String, statusDir: String,
+      batchPrefix: String = "b"): Unit = {
     val spark = batch.sparkSession
     batch.persist()
     try {
-      batch.write.mode("overwrite").parquet(s"$factDir/batch=b$batchId") // D6
+      batch.write.mode("overwrite").parquet(s"$factDir/batch=$batchPrefix$batchId") // D6
       mergeStatus(spark, statusDir, statusUpdates(batch, heartbeat = true)) // D7+D10
     } finally { batch.unpersist(); () }
   }
@@ -148,7 +151,14 @@ object Ingest {
     * The reference daemon only tails live devices; a 100 TB engine
     * additionally needs deterministic reprocessing of landed raw data
     * with the exact same semantics as the live path — same plan, same
-    * sink idempotence, different trigger. */
+    * sink idempotence, different trigger.
+    *
+    * Backfill batches land under `batch=bf<id>` partitions: the
+    * checkpoint restarts batch ids at 0, so without the distinct
+    * prefix a backfill into a factDir already fed by the LIVE stream
+    * (whose checkpoint owns `batch=b<id>`) would overwrite committed
+    * live partitions. Idempotence holds per checkpoint lineage; the
+    * prefix keeps the two lineages disjoint. */
   def runBackfill(
       spark: SparkSession,
       rawDir: String,
@@ -166,7 +176,7 @@ object Ingest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        persistBatch(batch, batchId, factDir, statusDir)
+        persistBatch(batch, batchId, factDir, statusDir, batchPrefix = "bf")
       }
       .start()
     q.awaitTermination()
@@ -217,10 +227,9 @@ object Ingest {
     // renames leaves the data under .bak and no factDir — restore it
     // before doing anything else
     locally {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
       val dst = new org.apache.hadoop.fs.Path(factDir)
       val bak = new org.apache.hadoop.fs.Path(factDir + ".bak")
+      val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(dst) && fs.exists(bak)) fs.rename(bak, dst)
     }
     val fact = readFact(spark, factDir)
@@ -238,9 +247,9 @@ object Ingest {
     // Not concurrency-safe with an ACTIVE ingest stream — run
     // compaction between micro-batches or with the stream stopped.
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
     val dst = new org.apache.hadoop.fs.Path(factDir)
     val bak = new org.apache.hadoop.fs.Path(factDir + ".bak")
+    val fs = dst.getFileSystem(conf)
     fs.delete(bak, true)
     if (!fs.rename(dst, bak))
       throw new java.io.IOException(s"compactFact: cannot move $dst aside")
@@ -254,8 +263,8 @@ object Ingest {
 
   /** D8: flush the status table at startup (daq_status.py:19-33). */
   def flushStatus(spark: SparkSession, statusDir: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(statusDir), true)
+    val p = new org.apache.hadoop.fs.Path(statusDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     ()
   }
 }
