@@ -135,7 +135,13 @@ object Dedup {
     require(bits % 4 == 0, "bits must split into 4 equal chunks")
     val words = bits / 4      // packed longs, 4 counters each
     val chunkWidth = bits / 4 // signature bits per output chunk
-    val h = hash(tok)
+    // bind the token hash to a real column before fanning out into the
+    // packed-counter terms: each of the `bits` terms references the
+    // attribute, not a copy of the (md5-based) hash expression tree —
+    // the difference between a small generated class and several
+    // seconds of Janino compiling 60 inlined hash pipelines
+    val hashed = tokRows.select(id.as("id"), hash(tok).as("__h"))
+    val h = col("__h")
     // packed word w holds ones-counters for signature bits 4w..4w+3 in
     // 16-bit slots: slot j counts bit (4w + j)
     val packedCols = (0 until words).map { w =>
@@ -143,7 +149,7 @@ object Dedup {
         acc + (shiftright(h, 4 * w + j).bitwiseAND(lit(1L)) * lit(1L << (16 * j)))
       }.as(s"__p$w")
     }
-    val packed = tokRows.select(id.as("id") +: packedCols: _*)
+    val packed = hashed.select(col("id") +: packedCols: _*)
     val aggs = (0 until words).map(w => sum(col(s"__p$w")).as(s"__s$w")) :+
       count(lit(1)).as("__n")
     val sums = packed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The whole reference daemon as ONE Spark-native object — the
+  * "switch from daq-3i" entry point. Reference topology
+  * (daq-3i.py:218-231 load, :311-348 thread spawn, :350-374 drain):
+  *
+  *   - startup status flush (D8, daq_status.py:25);
+  *   - one acquisition+persist pipeline per daemon (D1-D7): the
+  *     modbus-sim DataSource V2 source polls every configured channel
+  *     once per micro-batch tick, a declarative plan decodes (D3) and
+  *     converts (D4), foreachBatch lands the fact append + status
+  *     upsert (D6/D7) with the per-batch heartbeat row (D10);
+  *   - retention (D9) runs INSIDE the micro-batch loop every
+  *     `truncIntervalSec` seconds of processing time — the reference
+  *     used a separate sweep thread racing the persist thread over the
+  *     DB; here compaction is serialized with writes by construction,
+  *     so there is no window where a swap can lose a concurrent batch;
+  *   - an independent heartbeat stream (D10, daq-3i.py:163-171) keeps
+  *     liveness observable when all channels are quiet (status merges
+  *     from the two streams are serialized by Ingest's status lock);
+  *   - a [[Monitoring]] listener records per-batch durations — the
+  *     query-level stall surface (D11).
+  *
+  * `stop()` is the SIGTERM drain: streams stop at a micro-batch
+  * boundary, checkpoints make the restart resume exactly where the
+  * drain left off.
+  */
+class Daemon(
+    spark: SparkSession,
+    channels: DataFrame,
+    conversions: Seq[(Long, String)],
+    sourceOptions: Map[String, String],
+    dataDir: String,
+    pulseSec: Int = 15,
+    truncIntervalSec: Int = 15) {
+
+  val factDir = s"$dataDir/fact"
+  val statusDir = s"$dataDir/status"
+  private val ckptDir = s"$dataDir/ckpt"
+
+  @volatile private var ingestQuery: StreamingQuery = _
+  @volatile private var heartbeatQuery: StreamingQuery = _
+  @volatile private var monitor: Monitoring = _
+  @volatile private var lastCompactMs = 0L
+
+  def start(): Daemon = {
+    Ingest.flushStatus(spark, statusDir) // D8 startup flush
+    monitor = Monitoring.attach(spark)
+    val readings = spark.readStream
+      .format("modbus-sim")
+      .options(sourceOptions)
+      .load()
+    val decoded = Ingest.decodeAndConvert(readings, channels, conversions)
+    lastCompactMs = System.currentTimeMillis()
+    ingestQuery = decoded.writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Ingest.persistBatch(batch, batchId, factDir, statusDir)
+        // D9 inside the loop: serialized with the fact write above, so
+        // the directory swap can never race a concurrent batch
+        val now = System.currentTimeMillis()
+        if (now - lastCompactMs >= truncIntervalSec * 1000L) {
+          Ingest.compactFact(spark, factDir, channels)
+          lastCompactMs = now
+        }
+      }
+      .start()
+    heartbeatQuery = Ingest.startHeartbeat(spark, statusDir, pulseSec)
+    this
+  }
+
+  /** Deterministic drain for tests/replays: process everything the
+    * (maxTicks-bounded) source will emit, then compact once. */
+  def drainAndCompact(): Unit = {
+    ingestQuery.processAllAvailable()
+    Ingest.compactFact(spark, factDir, channels)
+  }
+
+  def monitoring: Monitoring = monitor
+  def ingest: StreamingQuery = ingestQuery
+
+  /** SIGTERM-equivalent graceful drain (daq-3i.py:350-374). */
+  def stop(): Unit = {
+    if (ingestQuery != null) ingestQuery.stop()
+    if (heartbeatQuery != null) heartbeatQuery.stop()
+    if (monitor != null) Monitoring.detach(spark, monitor)
+  }
+}

@@ -70,12 +70,21 @@ object Ingest {
     else chl
   }
 
+  /** Serializes read-merge-overwrite cycles on a status table: two
+    * streams (ingest + heartbeat) may upsert the SAME statusDir from
+    * different driver threads, and an unserialized overwrite would
+    * drop one side's rows. Driver-local lock is sufficient — the
+    * status table has exactly one writing driver (like the reference's
+    * single daemon process; multi-driver deployments put daq_status in
+    * a transactional store via the same foreachBatch MERGE). */
+  private val statusLock = new Object
+
   /** Merge status updates into the keyed status table on disk.
     * The status table is a CONTROL table bounded by channel count
     * (db_model.py:57-62 — one row per unique `parameter`), so a
     * driver-side materialization before the overwrite is safe and
     * avoids read-overwrite races; the fact path never does this. */
-  def mergeStatus(spark: SparkSession, statusDir: String, updates: DataFrame): Unit = {
+  def mergeStatus(spark: SparkSession, statusDir: String, updates: DataFrame): Unit = statusLock.synchronized {
     // First-run absence is the ONLY condition that substitutes an empty
     // current table — probed explicitly, so a genuine read failure
     // (corrupt file, FS error) propagates and the micro-batch retries
