@@ -49,24 +49,47 @@ object TextAnalysis {
     stopwordHits(toks, stopwords(lang)).cast("double") /
       greatest(size(toks), lit(1)).cast("double")
 
-  /** Composite quality score in [0,1]: length saturation, low
-    * punctuation, English stopword density. */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
+  /** Composite quality score in [0,1] over an ALREADY-BOUND token
+    * array (bind via withColumn — a raw `tokens(text)` argument would
+    * be re-evaluated at each of its references in this tree): length
+    * saturation, low punctuation, English stopword density. */
+  def qualityScoreOf(text: Column, toks: Column): Column =
     least(size(toks).cast("double") / lit(100.0), lit(1.0)) * lit(0.4) +
       (lit(1.0) - punctRatio(text)) * lit(0.3) +
       least(stopwordRatio(toks, "en") * lit(4.0), lit(1.0)) * lit(0.3)
-  }
+
+  /** Scalar convenience for tiny inputs/specs. */
+  def qualityScore(text: Column): Column = qualityScoreOf(text, tokens(text))
 
   /** Stopword-overlap language ID over the five reference languages;
-    * ties break alphabetically, zero evidence => "und". */
+    * ties break alphabetically, zero evidence => "und". Adds `out` to
+    * `df` with the tokenizer and each language score bound to real
+    * columns first: the winner-selection tree references every score
+    * ~7 times (greatest + the when-chain), so unbound score
+    * expressions would re-run the tokenizer dozens of times per row. */
+  def withLangId(df: org.apache.spark.sql.DataFrame, text: Column, out: String): org.apache.spark.sql.DataFrame = {
+    val tk = s"__toks_$out"
+    val langs = stopwords.keys.toSeq.sorted // alphabetical tie-break
+    val scored = langs.foldLeft(df.withColumn(tk, tokens(text))) { (d, l) =>
+      d.withColumn(s"__s_$l", stopwordHits(col(tk), stopwords(l)))
+    }
+    val best = greatest(langs.map(l => col(s"__s_$l")): _*)
+    scored
+      .withColumn(out,
+        langs.foldRight(lit("und")) { (l, acc) =>
+          when(col(s"__s_$l") === best && best > 0, lit(l)).otherwise(acc)
+        })
+      .drop(tk +: langs.map(l => s"__s_$l"): _*)
+  }
+
+  /** Scalar convenience for tiny inputs/specs — bulk callers use
+    * [[withLangId]]. */
   def langId(text: Column): Column = {
     val toks = tokens(text)
     val score: Map[String, Column] =
       stopwords.map { case (l, ws) => l -> stopwordHits(toks, ws) }
-    val langs = stopwords.keys.toSeq.sorted // alphabetical tie-break
-    val all = langs.map(score)
-    val best = greatest(all: _*)
+    val langs = stopwords.keys.toSeq.sorted
+    val best = greatest(langs.map(score): _*)
     langs.foldRight(lit("und")) { (l, acc) =>
       when(score(l) === best && best > 0, lit(l)).otherwise(acc)
     }
@@ -99,16 +122,16 @@ object TextAnalysis {
       "t_text_stats",
       (s, d) => {
         import s.implicits._
-        val toks = tokens($"text")
         table(s, d, "documents")
+          .withColumn("__toks", tokens($"text"))
           .select(
             $"doc_id",
             char_length($"text").cast("long").as("n_chars_c"),
-            size(toks).cast("long").as("n_tokens"),
+            size($"__toks").cast("long").as("n_tokens"),
             bpeishCount($"text").cast("long").as("n_tokens_bpe"),
             punctRatio($"text").as("punct_ratio"),
-            stopwordRatio(toks, "en").as("stopword_ratio"),
-            qualityScore($"text").as("quality"))
+            stopwordRatio($"__toks", "en").as("stopword_ratio"),
+            qualityScoreOf($"text", $"__toks").as("quality"))
           .orderBy($"doc_id")
       },
       Some("""WITH t AS (
@@ -132,8 +155,8 @@ object TextAnalysis {
       "t_lang_id",
       (s, d) => {
         import s.implicits._
-        table(s, d, "documents")
-          .select($"doc_id", $"lang", langId($"text").as("lang_guess"))
+        withLangId(table(s, d, "documents"), $"text", "lang_guess")
+          .select($"doc_id", $"lang", $"lang_guess")
           .withColumn("is_match", ($"lang" === $"lang_guess").cast("int"))
           .orderBy($"doc_id")
       },
@@ -193,10 +216,10 @@ object TextAnalysis {
       "t_quality_filter",
       (s, d) => {
         import s.implicits._
-        val toks = tokens($"text")
         table(s, d, "documents")
-          .withColumn("quality", qualityScore($"text"))
-          .withColumn("n_tokens", size(toks).cast("long"))
+          .withColumn("__toks", tokens($"text"))
+          .withColumn("quality", qualityScoreOf($"text", $"__toks"))
+          .withColumn("n_tokens", size($"__toks").cast("long"))
           .filter($"quality" >= 0.7 && $"n_tokens" >= 30)
           .select($"doc_id", $"lang", $"n_tokens", $"quality")
           .orderBy($"doc_id")
