@@ -1,0 +1,55 @@
+package graft.tools
+
+import graft.model.Tables.table
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-stress smoke for the dedup family: amplifies the sf0.1
+  * corpus `xcopies` times (each copy keeps the text, shifts doc_id),
+  * producing a duplicate-SATURATED corpus — every document gains
+  * C(copies, 2) true near-dup partners, the worst case for pairwise
+  * stages (df per gram multiplies by `copies`, so a quadratic
+  * intermediate would blow up copies² ≈ 400x while the corpus only
+  * grows 20x). This is the stress the 5k-doc test set cannot apply.
+  *
+  * Usage: sbt "runMain graft.tools.ScaleSmoke [sfDir] [copies]"
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.drop(1).headOption.map(_.toInt).getOrElse(20)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.model.Tables.withSessionDefaults(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val base = table(spark, sfDir, "documents")
+    val n = base.count()
+    val big = base
+      .crossJoin(spark.range(copies).select($"id".as("__copy")))
+      .select(
+        ($"doc_id" + $"__copy" * lit(1000000L)).as("doc_id"),
+        $"text", $"lang", $"source", $"n_chars")
+    val bigDir = java.nio.file.Files.createTempDirectory("graft_scale").toString
+    big.write.parquet(s"$bigDir/documents.parquet")
+    println(s"SMOKE corpus: ${n * copies} docs ($copies copies of $n)")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"SMOKE $name: ${(System.nanoTime() - t0) / 1e9}%.1f s ($rows rows)")
+    }
+
+    time("dd_exact")(graft.SparkEntry.queries("dd_exact")(spark, bigDir).count())
+    time("dd_minhash_lsh")(graft.SparkEntry.queries("dd_minhash_lsh")(spark, bigDir).count())
+    time("dd_simhash")(graft.SparkEntry.queries("dd_simhash")(spark, bigDir).count())
+    time("t_vocab")(graft.SparkEntry.queries("t_vocab")(spark, bigDir).count())
+    time("t_fingerprint")(graft.SparkEntry.queries("t_fingerprint")(spark, bigDir).count())
+    spark.stop()
+  }
+}
