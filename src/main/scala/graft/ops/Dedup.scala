@@ -172,11 +172,23 @@ object Dedup {
       .agg(min(id).as("keeper"), count(lit(1)).as("n_docs"))
 
   /** MinHash+LSH near-dup pairs, columnar form: shingles exploded to
-    * (id, gram) postings; the h-wide signature is h `min` aggregates
-    * over salted hashes (one hash-aggregate pass, no array churn);
-    * bands of r signature slots hash to bucket keys; the bucket
-    * equi-join yields candidates, exact-Jaccard verifies. Output
-    * (id_a, id_b, sim), id_a < id_b, one row per pair.
+    * (id, gram-hash) postings; the h-wide signature is h `min`
+    * aggregates over permuted hashes (one hash-aggregate pass, no
+    * array churn); bands of r signature slots hash to bucket keys; the
+    * bucket equi-join yields candidates; exact Jaccard over the
+    * distinct 30-bit gram-hash sets verifies. Output (id_a, id_b,
+    * sim), id_a < id_b, one row per pair.
+    *
+    * The verify stage joins the gram-hash SETS carried on the
+    * signature rows (collect_list alongside the min aggregates, one
+    * extra array column through the one aggregation that already
+    * exists) — rejoining freshly-derived shingle arrays would
+    * re-tokenize the whole corpus two more times at 100 TB, and a
+    * per-gram postings join would shuffle |candidates| x |grams| rows.
+    * Jaccard over distinct hash sets equals gram Jaccard up to 30-bit
+    * in-document collisions (~n²/2³¹ per doc — negligible), and BOTH
+    * engines compute the hash-set form, so the oracle parity is exact
+    * even when a collision occurs.
     *
     * The hash family is [[graft.functions.PortableHash]]'s universal
     * hashing over a 30-bit md5-prefix base (one md5 per posting, h
@@ -196,11 +208,15 @@ object Dedup {
     val base = withWordShingles(
         docs.select(id.as("id"), text.as("__text")), col("__text"), "sh")
       .select(col("id"), col("sh"))
-    // one md5 per posting, h cheap integer permutations on top
+    // one md5 per posting, h cheap integer permutations on top;
+    // distinct (id, x) so a 30-bit collision cannot double-count in
+    // the verify stage (grams are already distinct per doc)
     val posts = base.select(col("id"), explode(col("sh")).as("g"))
       .select(col("id"), uhBase(col("g")).as("x"))
+      .distinct()
     val minAggs = (0 until h).map(i => min(uhApply(i, col("x"))).as(s"__m$i"))
-    val sigs = posts.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
+    val aggsWithSet = minAggs :+ collect_list(col("x")).as("xs") // posts distinct => a set
+    val sigs = posts.groupBy(col("id")).agg(aggsWithSet.head, aggsWithSet.tail: _*)
     val bandKeys = (0 until b).map { i =>
       md5(concat_ws(",", lit(i.toString) +: (0 until r).map(j => col(s"__m${r * i + j}")): _*))
     }
@@ -210,9 +226,9 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cand
-      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("sim"))
+      .join(sigs.select(col("id").as("id_a"), col("xs").as("xs_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("xs").as("xs_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("xs_a"), col("xs_b")).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
@@ -327,7 +343,9 @@ object Dedup {
                            [x for x in string_split_regex(lower(text), '\\s+') if x != ''] AS toks
                     FROM documents)),
             ne AS (SELECT doc_id, grams FROM t WHERE len(grams) > 0),
-            xb AS (SELECT doc_id, [${duckdbUhBase("g")} for g in grams] AS xs FROM ne),
+            xb AS (SELECT doc_id,
+                     list_distinct([${duckdbUhBase("g")} for g in grams]) AS xs
+                   FROM ne),
             sig AS (SELECT doc_id,
                        [$slots] AS m
                     FROM xb),
@@ -338,13 +356,13 @@ object Dedup {
                      FROM bands a JOIN bands b
                        ON a.band = b.band AND a.doc_id < b.doc_id)
             SELECT c.id_a, c.id_b,
-                   CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
-                     / len(list_distinct(ga.grams || gb.grams)) AS sim
+                   CAST(len(list_intersect(xa.xs, xb2.xs)) AS DOUBLE)
+                     / (len(xa.xs) + len(xb2.xs) - len(list_intersect(xa.xs, xb2.xs))) AS sim
             FROM cand c
-            JOIN ne ga ON ga.doc_id = c.id_a
-            JOIN ne gb ON gb.doc_id = c.id_b
-            WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
-                    / len(list_distinct(ga.grams || gb.grams)) >= 0.5
+            JOIN xb xa ON xa.doc_id = c.id_a
+            JOIN xb xb2 ON xb2.doc_id = c.id_b
+            WHERE CAST(len(list_intersect(xa.xs, xb2.xs)) AS DOUBLE)
+                    / (len(xa.xs) + len(xb2.xs) - len(list_intersect(xa.xs, xb2.xs))) >= 0.5
             ORDER BY id_a, id_b"""
       }),
 
