@@ -232,6 +232,47 @@ object Dedup {
       .filter(col("sim") >= threshold)
   }
 
+  /** Shared oracle CTE chain replaying [[minhashNearDups]] in DuckDB
+    * up to the verified (id_a, id_b, sim) pair set; consumers append
+    * their own threshold filter / anti-join. */
+  private lazy val minhashOracleCtes: String = {
+    import graft.functions.PortableHash.{duckdbUhApply, duckdbUhBase}
+    val slots = (0 until 32).map(i =>
+      s"list_min([${duckdbUhApply(i, "x")} for x in xs])")
+      .mkString(",\n                         ")
+    val bandKeys = (0 until 16).map(i =>
+      s"md5('$i' || ',' || CAST(m[${2 * i + 1}] AS VARCHAR) || ',' || CAST(m[${2 * i + 2}] AS VARCHAR))")
+      .mkString(",\n                         ")
+    s"""WITH t AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(toks) >= 3
+                   THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+                   ELSE [] END) AS grams
+          FROM (SELECT doc_id,
+                       [x for x in string_split_regex(lower(text), '\\s+') if x != ''] AS toks
+                FROM documents)),
+        ne AS (SELECT doc_id, grams FROM t WHERE len(grams) > 0),
+        xb AS (SELECT doc_id,
+                 list_distinct([${duckdbUhBase("g")} for g in grams]) AS xs
+               FROM ne),
+        sig AS (SELECT doc_id,
+                   [$slots] AS m
+                FROM xb),
+        bands AS (SELECT doc_id,
+                   unnest([$bandKeys]) AS band
+                  FROM sig),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.doc_id < b.doc_id),
+        verified AS (
+          SELECT c.id_a, c.id_b,
+                 CAST(len(list_intersect(xa.xs, xb2.xs)) AS DOUBLE)
+                   / (len(xa.xs) + len(xb2.xs) - len(list_intersect(xa.xs, xb2.xs))) AS sim
+          FROM cand c
+          JOIN xb xa ON xa.doc_id = c.id_a
+          JOIN xb xb2 ON xb2.doc_id = c.id_b)"""
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // Exact dedup groups over the content hash; every group here has
@@ -327,43 +368,36 @@ object Dedup {
           .orderBy($"id_a", $"id_b")
       },
       Some {
-        import graft.functions.PortableHash.{duckdbUhApply, duckdbUhBase}
-        val slots = (0 until 32).map(i =>
-          s"list_min([${duckdbUhApply(i, "x")} for x in xs])")
-          .mkString(",\n                         ")
-        val bandKeys = (0 until 16).map(i =>
-          s"md5('$i' || ',' || CAST(m[${2 * i + 1}] AS VARCHAR) || ',' || CAST(m[${2 * i + 2}] AS VARCHAR))")
-          .mkString(",\n                         ")
-        s"""WITH t AS (
-              SELECT doc_id,
-                     list_distinct(CASE WHEN len(toks) >= 3
-                       THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
-                       ELSE [] END) AS grams
-              FROM (SELECT doc_id,
-                           [x for x in string_split_regex(lower(text), '\\s+') if x != ''] AS toks
-                    FROM documents)),
-            ne AS (SELECT doc_id, grams FROM t WHERE len(grams) > 0),
-            xb AS (SELECT doc_id,
-                     list_distinct([${duckdbUhBase("g")} for g in grams]) AS xs
-                   FROM ne),
-            sig AS (SELECT doc_id,
-                       [$slots] AS m
-                    FROM xb),
-            bands AS (SELECT doc_id,
-                       unnest([$bandKeys]) AS band
-                      FROM sig),
-            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                     FROM bands a JOIN bands b
-                       ON a.band = b.band AND a.doc_id < b.doc_id)
-            SELECT c.id_a, c.id_b,
-                   CAST(len(list_intersect(xa.xs, xb2.xs)) AS DOUBLE)
-                     / (len(xa.xs) + len(xb2.xs) - len(list_intersect(xa.xs, xb2.xs))) AS sim
-            FROM cand c
-            JOIN xb xa ON xa.doc_id = c.id_a
-            JOIN xb xb2 ON xb2.doc_id = c.id_b
-            WHERE CAST(len(list_intersect(xa.xs, xb2.xs)) AS DOUBLE)
-                    / (len(xa.xs) + len(xb2.xs) - len(list_intersect(xa.xs, xb2.xs))) >= 0.5
+        s"""$minhashOracleCtes
+            SELECT id_a, id_b, sim FROM verified
+            WHERE sim >= 0.5
             ORDER BY id_a, id_b"""
+      }),
+
+    // Applied dedup AT SCALE: the corpus minus docs dominated by a
+    // lower-id minhash near-dup partner — the production form of
+    // dd_apply (whose inverted-index ground truth has no banding and
+    // therefore an unbanded Σ df² intermediate). This one's candidate
+    // generation is LSH-bounded end to end, and the whole pipeline
+    // still replays in the oracle.
+    QueryDef(
+      "dd_apply_lsh",
+      (s, d) => {
+        import s.implicits._
+        val docs = table(s, d, "documents")
+        val dominated = minhashNearDups(docs, $"doc_id", $"text", 0.5)
+          .select($"id_b".as("doc_id")).distinct()
+        docs.join(dominated, Seq("doc_id"), "left_anti")
+          .select($"doc_id", $"source", $"n_chars")
+          .orderBy($"doc_id")
+      },
+      Some {
+        s"""$minhashOracleCtes,
+            dominated AS (
+              SELECT DISTINCT id_b AS doc_id FROM verified WHERE sim >= 0.5)
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM dominated)
+            ORDER BY doc_id"""
       }),
 
     // SimHash signatures + hamming-banded near-dup pairs (<= 3 bits
