@@ -107,4 +107,26 @@ object Tables {
     StructField("parameter", StringType, nullable = false),
     StructField("status", IntegerType),
     StructField("ts", TimestampType)))
+
+  /** All five reference tables by name (db_model.py:9-62). */
+  val referenceSchemas: Map[String, StructType] = Map(
+    "buses" -> busesSchema,
+    "channels" -> channelsSchema,
+    "conversions" -> conversionsSchema,
+    "channel_data" -> channelDataSchema,
+    "daq_status" -> daqStatusSchema)
+
+  /** The reference's CREATE-TABLE run mode (R13/D12 —
+    * db_model.py:69-80 `create_tables` via `Base.metadata.create_all`,
+    * invoked from daq-3i.py:326-332): materialize the five declared
+    * schemas as empty managed parquet tables under `location`.
+    * Idempotent like `create_all` (CREATE TABLE IF NOT EXISTS). */
+  def createReferenceTables(spark: SparkSession, location: String): Unit =
+    referenceSchemas.foreach { case (name, schema) =>
+      if (!spark.catalog.tableExists(name)) {
+        spark.catalog.createTable(name, "parquet", schema,
+          Map("path" -> s"$location/$name"))
+        ()
+      }
+    }
 }

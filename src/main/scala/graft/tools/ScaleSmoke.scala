@@ -47,6 +47,7 @@ object ScaleSmoke {
 
     time("dd_exact")(graft.SparkEntry.queries("dd_exact")(spark, bigDir).count())
     time("dd_minhash_lsh")(graft.SparkEntry.queries("dd_minhash_lsh")(spark, bigDir).count())
+    time("dd_apply_lsh")(graft.SparkEntry.queries("dd_apply_lsh")(spark, bigDir).count())
     time("dd_simhash")(graft.SparkEntry.queries("dd_simhash")(spark, bigDir).count())
     time("t_vocab")(graft.SparkEntry.queries("t_vocab")(spark, bigDir).count())
     time("t_fingerprint")(graft.SparkEntry.queries("t_fingerprint")(spark, bigDir).count())
