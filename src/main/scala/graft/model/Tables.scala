@@ -119,7 +119,9 @@ object Tables {
   /** The reference's CREATE-TABLE run mode (R13/D12 —
     * db_model.py:69-80 `create_tables` via `Base.metadata.create_all`,
     * invoked from daq-3i.py:326-332): materialize the five declared
-    * schemas as empty managed parquet tables under `location`.
+    * schemas as empty EXTERNAL parquet tables rooted at `location`
+    * (the caller owns the location — DROP TABLE unregisters but keeps
+    * the data, matching a DB whose files outlive the catalog entry).
     * Idempotent like `create_all` (CREATE TABLE IF NOT EXISTS). */
   def createReferenceTables(spark: SparkSession, location: String): Unit =
     referenceSchemas.foreach { case (name, schema) =>

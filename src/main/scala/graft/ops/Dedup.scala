@@ -208,14 +208,15 @@ object Dedup {
     val base = withWordShingles(
         docs.select(id.as("id"), text.as("__text")), col("__text"), "sh")
       .select(col("id"), col("sh"))
-    // one md5 per posting, h cheap integer permutations on top;
-    // distinct (id, x) so a 30-bit collision cannot double-count in
-    // the verify stage (grams are already distinct per doc)
+    // one md5 per posting, h cheap integer permutations on top
     val posts = base.select(col("id"), explode(col("sh")).as("g"))
       .select(col("id"), uhBase(col("g")).as("x"))
-      .distinct()
+    // collect_SET dedupes inside the one aggregation that already
+    // exists (min aggregates are duplicate-insensitive), so a 30-bit
+    // in-document collision cannot double-count in the verify stage
+    // and no extra distinct() exchange of the posting list is needed
     val minAggs = (0 until h).map(i => min(uhApply(i, col("x"))).as(s"__m$i"))
-    val aggsWithSet = minAggs :+ collect_list(col("x")).as("xs") // posts distinct => a set
+    val aggsWithSet = minAggs :+ collect_set(col("x")).as("xs")
     val sigs = posts.groupBy(col("id")).agg(aggsWithSet.head, aggsWithSet.tail: _*)
     val bandKeys = (0 until b).map { i =>
       md5(concat_ws(",", lit(i.toString) +: (0 until r).map(j => col(s"__m${r * i + j}")): _*))

@@ -54,6 +54,10 @@ class Daemon(
   @volatile private var lastCompactMs = 0L
 
   def start(): Daemon = {
+    // BEFORE the stream starts: a compaction swap that crashed between
+    // its renames left everything in factDir.bak — restore now, while
+    // nothing else can recreate factDir and make the .bak look stale
+    Ingest.recoverFactDir(spark, factDir)
     Ingest.flushStatus(spark, statusDir) // D8 startup flush
     monitor = Monitoring.attach(spark)
     val readings = spark.readStream
@@ -65,14 +69,20 @@ class Daemon(
     ingestQuery = decoded.writeStream
       .option("checkpointLocation", ckptDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Ingest.persistBatch(batch, batchId, factDir, statusDir)
-        // D9 inside the loop: serialized with the fact write above, so
-        // the directory swap can never race a concurrent batch
+        // D9 runs BEFORE this batch persists: at this point every
+        // batch on disk is checkpoint-committed (Spark commits N-1
+        // before starting N), so compaction only ever folds batches
+        // that can no longer replay. A crash anywhere in this trigger
+        // replays batch N into a state where compaction re-runs
+        // harmlessly and batch=bN overwrites itself — replay
+        // idempotence holds with compaction in the loop. Serialized
+        // with the fact write by construction (same thread).
         val now = System.currentTimeMillis()
         if (now - lastCompactMs >= truncIntervalSec * 1000L) {
           Ingest.compactFact(spark, factDir, channels)
           lastCompactMs = now
         }
+        Ingest.persistBatch(batch, batchId, factDir, statusDir)
       }
       .start()
     heartbeatQuery = Ingest.startHeartbeat(spark, statusDir, pulseSec)

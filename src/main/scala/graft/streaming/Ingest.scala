@@ -228,18 +228,30 @@ object Ingest {
     * to a swap directory then renaming — idempotent and atomic at the
     * directory level, the scale-out form of the reference's 15 s
     * truncate sweep (daq-3i.py:173-216). */
+  /** Crash recovery for [[compactFact]]'s directory swap: a swap that
+    * died between its two renames leaves the data under .bak and no
+    * factDir — restore it. MUST run before anything else writes into
+    * factDir after a crash (e.g. a replayed micro-batch recreating the
+    * directory would make the .bak look stale and lose the pre-crash
+    * history), which is why [[Daemon]] calls this at startup before
+    * starting the stream. */
+  def recoverFactDir(spark: SparkSession, factDir: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(factDir)
+    val bak = new org.apache.hadoop.fs.Path(factDir + ".bak")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dst) && fs.exists(bak)) { fs.rename(bak, dst); () }
+  }
+
   def compactFact(
       spark: SparkSession,
       factDir: String,
       channels: DataFrame): Unit = {
-    // crash recovery: a previous swap that died between its two
-    // renames leaves the data under .bak and no factDir — restore it
-    // before doing anything else
+    recoverFactDir(spark, factDir)
+    // nothing persisted yet (e.g. the loop's compact-before-persist on
+    // a quiet stream) -> nothing to retain
     locally {
       val dst = new org.apache.hadoop.fs.Path(factDir)
-      val bak = new org.apache.hadoop.fs.Path(factDir + ".bak")
-      val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(dst) && fs.exists(bak)) fs.rename(bak, dst)
+      if (!dst.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dst)) return
     }
     val fact = readFact(spark, factDir)
     val kept = Maintenance.retainNewestPerKey(

@@ -45,12 +45,17 @@ object ScaleSmoke {
       println(f"SMOKE $name: ${(System.nanoTime() - t0) / 1e9}%.1f s ($rows rows)")
     }
 
-    time("dd_exact")(graft.SparkEntry.queries("dd_exact")(spark, bigDir).count())
-    time("dd_minhash_lsh")(graft.SparkEntry.queries("dd_minhash_lsh")(spark, bigDir).count())
-    time("dd_apply_lsh")(graft.SparkEntry.queries("dd_apply_lsh")(spark, bigDir).count())
-    time("dd_simhash")(graft.SparkEntry.queries("dd_simhash")(spark, bigDir).count())
-    time("t_vocab")(graft.SparkEntry.queries("t_vocab")(spark, bigDir).count())
-    time("t_fingerprint")(graft.SparkEntry.queries("t_fingerprint")(spark, bigDir).count())
-    spark.stop()
+    try {
+      time("dd_exact")(graft.SparkEntry.queries("dd_exact")(spark, bigDir).count())
+      time("dd_minhash_lsh")(graft.SparkEntry.queries("dd_minhash_lsh")(spark, bigDir).count())
+      time("dd_apply_lsh")(graft.SparkEntry.queries("dd_apply_lsh")(spark, bigDir).count())
+      time("dd_simhash")(graft.SparkEntry.queries("dd_simhash")(spark, bigDir).count())
+      time("t_vocab")(graft.SparkEntry.queries("t_vocab")(spark, bigDir).count())
+      time("t_fingerprint")(graft.SparkEntry.queries("t_fingerprint")(spark, bigDir).count())
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(bigDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      spark.stop()
+    }
   }
 }

@@ -42,8 +42,12 @@ class DaemonSpec extends AnyFunSuite with SparkSpec {
         .collect().map(_.getString(0)).toSet
       assert(params == Set("CHL: 1", "CHL: 2", "daq-3i"))
 
-      // monitoring listener observed the micro-batches (D11 surface)
-      assert(daemon.monitoring.batches.nonEmpty)
+      // monitoring listener observed the micro-batches (D11 surface);
+      // listener events arrive on an async bus, so poll with a deadline
+      val deadline = System.currentTimeMillis() + 30000
+      while (daemon.monitoring.batches.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(daemon.monitoring.batches.nonEmpty, "no listener events within 30s")
     } finally daemon.stop()
   }
 }
