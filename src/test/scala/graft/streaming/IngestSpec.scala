@@ -118,6 +118,22 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("recoverFactDir restores a half-swapped .bak before anything else writes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_recover").toString
+    val factDir = s"$dir/fact"
+    Seq((1L, ts(10), BigDecimal(50))).toDF("channel_id", "ts", "value")
+      .write.parquet(s"$factDir/batch=b0")
+    // simulate compactFact dying between its two renames: all data
+    // sits in .bak, factDir is gone
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(factDir),
+      new org.apache.hadoop.fs.Path(factDir + ".bak")))
+    Ingest.recoverFactDir(spark, factDir)
+    assert(Ingest.readFact(spark, factDir).count() == 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(factDir + ".bak")))
+  }
+
   test("status upsert is last-writer-wins and idempotent across replays") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_status").toString + "/status"
