@@ -21,6 +21,14 @@ object FileSources {
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC round-trip — the second columnar format a warehouse
+    * migration meets; same pinned-schema stance as CSV/JSON. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** JDBC batch append (reference sink D6/D11: row-at-a-time ORM
     * inserts, daq-3i.py:272-281 — here one batched executor-side write
     * per partition). Exercised against embedded Derby in

@@ -20,6 +20,10 @@ class FileSourcesSpec extends AnyFunSuite with SparkSpec {
     FileSources.writeJson(orders, s"$dir/json")
     val fromJson = FileSources.readJson(spark, s"$dir/json", schema)
     assert(fromJson.exceptAll(orders).count() == 0 && orders.exceptAll(fromJson).count() == 0)
+
+    FileSources.writeOrc(orders, s"$dir/orc")
+    val fromOrc = FileSources.readOrc(spark, s"$dir/orc", schema)
+    assert(fromOrc.exceptAll(orders).count() == 0 && orders.exceptAll(fromOrc).count() == 0)
   }
 
   test("jdbc round-trip against embedded Derby: fact rows with exact decimals") {
