@@ -167,7 +167,11 @@ object Ingest {
     * prefix a backfill into a factDir already fed by the LIVE stream
     * (whose checkpoint owns `batch=b<id>`) would overwrite committed
     * live partitions. Idempotence holds per checkpoint lineage; the
-    * prefix keeps the two lineages disjoint. */
+    * prefix keeps the two lineages disjoint. Do NOT run a backfill
+    * concurrently with a live [[Daemon]] on the same factDir: the
+    * daemon's in-loop compaction swaps the whole directory and would
+    * race the backfill's partition writes — run backfills with the
+    * daemon stopped, or into a separate factDir union'd at read time. */
   def runBackfill(
       spark: SparkSession,
       rawDir: String,
