@@ -312,6 +312,34 @@ object Relational {
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) t
               WHERE seq <= 20 ORDER BY user_id, seq""")),
 
+    // Time-based RANGE window frame: per-customer rolling 30-day order
+    // count + revenue — the value-range frame the row-frame queries
+    // don't exercise. Ordered by epoch seconds so the frame bound is
+    // numeric and bit-identical in both engines (order timestamps are
+    // whole seconds); peers (same customer, same instant) aggregate
+    // together under RANGE in both.
+    QueryDef(
+      "q_rolling_range",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate".cast("timestamp").cast("long"))
+          .rangeBetween(-2592000L, 0L) // 30 days of seconds
+        table(s, d, "orders")
+          .withColumn("rolling_n", count(lit(1)).over(w))
+          .withColumn("rolling_total", sum(dec2($"o_totalprice")).over(w).cast("double"))
+          .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"rolling_n", $"rolling_total")
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+                     count(*) OVER w AS rolling_n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rolling_total
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+                           RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+              ORDER BY o_orderkey""")),
+
     // Per-group top-K via window rank (engine idiom for R7-at-scale).
     QueryDef(
       "q_group_topk",
