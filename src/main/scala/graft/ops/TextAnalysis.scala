@@ -239,6 +239,34 @@ object TextAnalysis {
               WHERE quality >= 0.7 AND n_tokens >= 30
               ORDER BY doc_id""")),
 
+    // Deterministic stratified sampling: per-source keep quotas
+    // (25/50/75/100% by source index) decided by a portable hash of
+    // the doc id — unlike RNG-seeded sampleBy, the SAME rows are kept
+    // on any cluster, any partitioning, any engine (the oracle
+    // recomputes membership exactly), which is what makes a sampled
+    // training corpus reproducible. Emits per-source totals and kept
+    // counts; the kept set itself is hash-derived, so this aggregate
+    // pins the whole membership function.
+    QueryDef(
+      "t_sample_stratified",
+      (s, d) => {
+        import s.implicits._
+        val thr = ((substring($"source", 4, 10).cast("int") % 4) + 1) * lit(250)
+        table(s, d, "documents")
+          .withColumn("__keep",
+            graft.functions.PortableHash.md5Hash60($"doc_id".cast("string")) % 1000 < thr)
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_total"),
+            sum(when($"__keep", 1L).otherwise(0L)).as("n_kept"))
+          .orderBy($"source")
+      },
+      Some("""SELECT source, count(*) AS n_total,
+                     CAST(sum(CASE WHEN (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000)
+                                        < ((CAST(substring(source, 4) AS INT) % 4 + 1) * 250)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+              FROM documents GROUP BY source ORDER BY source""")),
+
     QueryDef(
       "t_fingerprint",
       (s, d) => {
