@@ -37,6 +37,11 @@ object Tables {
     *    for corpus tables where arrays are almost never empty. */
   def withSessionDefaults(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // driver tables are naive UTC wall-clock; timestamp-literal
+      // comparisons (q1_agg cutoff, date_trunc buckets) must resolve
+      // in UTC no matter which JVM embeds the engine — pinned here,
+      // not just in the CLI entrypoints
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
 

@@ -24,12 +24,16 @@ object ReferenceOps {
       (s, d) => {
         import s.implicits._
         val e = table(s, d, "events")
+        // event_id is reduced mod 65536 BEFORE the multiply: congruent
+        // mod 65536 (identical register values), but the product stays
+        // under 2^48, so an id past 2^63/2654435761 ≈ 3.5e9 — a week
+        // at the stated scale — cannot overflow under ANSI mode
         e.select(
             $"event_id",
             pmod($"event_id", lit(14L)).as("format_code"),
             array(
-              pmod($"event_id" * lit(2654435761L), lit(65536L)).cast("int"),
-              pmod($"event_id" * lit(40503L) + lit(7919L), lit(65536L)).cast("int")
+              pmod(pmod($"event_id", lit(65536L)) * lit(2654435761L), lit(65536L)).cast("int"),
+              pmod(pmod($"event_id", lit(65536L)) * lit(40503L) + lit(7919L), lit(65536L)).cast("int")
             ).as("registers"))
           .filter($"format_code" =!= lit(7L))
           .withColumn("value", ModbusDecode.decode($"format_code", $"registers"))
@@ -37,13 +41,16 @@ object ReferenceOps {
           .agg(
             count(lit(1)).as("n"),
             count($"value").as("n_decoded"),
-            sum($"value").cast("long").as("sum_value"))
+            // values are integral (FLOAT excluded) — decimal partials
+            // keep the cross-row sum exact and order-insensitive where
+            // a raw double sum would round past 2^53
+            sum($"value".cast("decimal(38,0)")).cast("long").as("sum_value"))
           .orderBy($"format_code")
       },
       Some("""WITH t AS (
                 SELECT event_id % 14 AS format_code,
-                       (event_id * 2654435761) % 65536 AS r0,
-                       (event_id * 40503 + 7919) % 65536 AS r1
+                       ((event_id % 65536) * 2654435761) % 65536 AS r0,
+                       ((event_id % 65536) * 40503 + 7919) % 65536 AS r1
                 FROM events
               ), dec AS (
                 SELECT format_code,

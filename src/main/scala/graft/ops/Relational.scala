@@ -94,10 +94,8 @@ object Relational {
       "d5_latest_per_key",
       (s, d) => {
         import s.implicits._
-        val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
-        table(s, d, "events")
-          .withColumn("rn", row_number().over(w))
-          .filter($"rn" === 1)
+        Maintenance.retainNewest(
+            table(s, d, "events"), Seq($"user_id"), Seq($"ts", $"event_id"), 1)
           .select($"user_id", $"event_id", $"ts", $"value")
           .orderBy($"user_id")
       },
@@ -114,10 +112,11 @@ object Relational {
       "d9_retention",
       (s, d) => {
         import s.implicits._
-        val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
-        table(s, d, "events")
-          .withColumn("rn", row_number().over(w))
-          .filter($"rn" <= 5)
+        // the ONE retention implementation (Maintenance.retainNewest),
+        // oracle-checked here — a local window copy could drift from
+        // what compactFact actually runs
+        Maintenance.retainNewest(
+            table(s, d, "events"), Seq($"user_id"), Seq($"ts", $"event_id"), 5)
           .select($"user_id", $"event_id", $"ts")
           .orderBy($"user_id", $"event_id")
       },
@@ -134,10 +133,8 @@ object Relational {
       "d7_status_upsert",
       (s, d) => {
         import s.implicits._
-        val w = Window.partitionBy($"event_type").orderBy($"ts".desc, $"event_id".desc)
-        table(s, d, "events")
-          .withColumn("rn", row_number().over(w))
-          .filter($"rn" === 1)
+        Maintenance.retainNewest(
+            table(s, d, "events"), Seq($"event_type"), Seq($"ts", $"event_id"), 1)
           .select($"event_type".as("parameter"), $"value".as("status"), $"ts")
           .orderBy($"parameter")
       },

@@ -258,8 +258,12 @@ object Ingest {
       if (!dst.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dst)) return
     }
     val fact = readFact(spark, factDir)
+    // order ends with `value` so (channel_id, ts) ties resolve
+    // deterministically — repeated compaction of the same factDir must
+    // keep the same survivors (rows identical in ts AND value are
+    // interchangeable, so the remaining arbitrariness is harmless)
     val kept = Maintenance.retainNewestPerKey(
-      fact, col("channel_id"), Seq(col("ts")),
+      fact, col("channel_id"), Seq(col("ts"), col("value")),
       channels, col("id"), col("history_len"))
     val tmp = factDir + ".compact"
     // keep the batch-partitioned layout so post-compaction micro-batches
