@@ -1,0 +1,87 @@
+package graft
+
+import graft.model.Tables
+import graft.streaming.{Daemon, Ingest}
+import org.apache.spark.sql.SparkSession
+
+/** The reference daemon's CLI surface (D12 — CmdArgParse.py consumed at
+  * daq-3i.py:51-99) as a Spark entry point. Run modes mirror the
+  * reference's flags:
+  *
+  *   - `CREATE-TABLE` (daq-3i.py:326-332): materialize the five
+  *     reference schemas as catalog tables;
+  *   - `TRUNC-ONLY` (daq-3i.py:334-339): one retention sweep over an
+  *     existing fact directory, then exit;
+  *   - `RUN` (default, daq-3i.py:341-348): the full daemon against the
+  *     modbus-sim source — `NO-TRUNC` (daq-3i.py:84-87) disables the
+  *     in-loop retention, `PRINT-LIVE` (daq-3i.py:92-93) prints the
+  *     fact and status tables when the bounded run drains.
+  *
+  * Usage:
+  *   sbt "runMain graft.DaqMain CREATE-TABLE --tables /tmp/daq/tables"
+  *   sbt "runMain graft.DaqMain TRUNC-ONLY --data /tmp/daq"
+  *   sbt "runMain graft.DaqMain RUN --data /tmp/daq --ticks 5 PRINT-LIVE"
+  *
+  * The channel dimension comes from `--channels id@addr,...` (each
+  * channel UINT16, conversion none, history 100 — the simulator
+  * fixture's shape) so a bounded demo run needs no pre-built config
+  * store; a deployment loads dims from its JDBC config database via
+  * `graft.sources.FileSources.jdbcReader` and drives [[Daemon]]
+  * directly.
+  */
+object DaqMain {
+
+  def main(args: Array[String]): Unit = {
+    val flags = args.filter(a => !a.startsWith("--")).map(_.toUpperCase).toSet
+    val opts = args.sliding(2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    val dataDir = opts.getOrElse("data", "/tmp/graft_daq")
+    val spark = Tables.withSessionDefaults(SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val channelSpec = opts.getOrElse("channels", "1@5,2@17")
+    // (id, format_code UINT16, no conversion, history 100)
+    val channels = channelSpec.split(",").toSeq
+      .map(s => (s.split("@")(0).trim.toLong, 4, 0L, 100))
+      .toDF("id", "format_code", "conversion_id", "history_len")
+
+    if (flags.contains("CREATE-TABLE")) {
+      val loc = opts.getOrElse("tables", s"$dataDir/tables")
+      Tables.createReferenceTables(spark, loc)
+      println(s"DAQ created ${Tables.referenceSchemas.size} reference tables at $loc")
+    } else if (flags.contains("TRUNC-ONLY")) {
+      Ingest.compactFact(spark, s"$dataDir/fact", channels)
+      println(s"DAQ retention sweep complete over $dataDir/fact")
+    } else { // RUN
+      val ticks = opts.getOrElse("ticks", "5").toLong
+      val daemon = new Daemon(
+        spark, channels, conversions = Seq.empty,
+        sourceOptions = Map(
+          "channels" -> channelSpec,
+          "startEpochSec" -> "0", "periodSec" -> "1",
+          "maxTicks" -> ticks.toString),
+        dataDir,
+        truncIntervalSec =
+          if (flags.contains("NO-TRUNC")) Int.MaxValue / 1000 else 15)
+      daemon.start()
+      try {
+        daemon.ingest.processAllAvailable() // bounded source drains
+        if (!flags.contains("NO-TRUNC")) Ingest.compactFact(spark, daemon.factDir, channels)
+        if (flags.contains("PRINT-LIVE")) {
+          println("=== channel_data ===")
+          Ingest.readFact(spark, daemon.factDir).orderBy("channel_id", "ts").show(50, truncate = false)
+          println("=== daq_status ===")
+          spark.read.parquet(daemon.statusDir).orderBy("parameter").show(truncate = false)
+        }
+        println(s"DAQ run drained $ticks ticks into $dataDir")
+      } finally daemon.stop()
+    }
+    spark.stop()
+  }
+}
