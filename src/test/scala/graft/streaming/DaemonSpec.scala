@@ -50,4 +50,39 @@ class DaemonSpec extends AnyFunSuite with SparkSpec {
       assert(daemon.monitoring.batches.nonEmpty, "no listener events within 30s")
     } finally daemon.stop()
   }
+
+  test("in-loop retention: compact-before-persist runs every trigger without losing batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_daemon_trunc").toString
+    // ch1 keeps only the newest sample; truncIntervalSec = 0 makes the
+    // in-loop compaction fire on EVERY trigger, including the first
+    // (factDir absent -> the guard no-ops instead of failing)
+    val channels = Seq((1L, 4, 0L, 1), (2L, 4, 0L, 10))
+      .toDF("id", "format_code", "conversion_id", "history_len")
+    val daemon = new Daemon(
+      spark, channels, conversions = Seq.empty,
+      Map(
+        "channels" -> "1@9,2@21", "registers" -> "4",
+        "startEpochSec" -> "0", "periodSec" -> "1", "maxTicks" -> "4"),
+      dir,
+      pulseSec = 3600, truncIntervalSec = 0)
+    daemon.start()
+    try {
+      daemon.ingest.processAllAvailable()
+      // no batch was lost to a compaction swap: ch2 retains all 4
+      // ticks; ch1 compacted down to its newest sample by the sweeps
+      // (the in-flight batch is never folded, so ch1 may hold the last
+      // 1-2 samples until the NEXT trigger compacts — final explicit
+      // sweep settles it)
+      Ingest.compactFact(spark, daemon.factDir, channels)
+      val byCh = Ingest.readFact(spark, daemon.factDir)
+        .groupBy($"channel_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byCh(2L) == 4L, s"ch2 lost samples to compaction: $byCh")
+      assert(byCh(1L) == 1L, s"ch1 retention not applied: $byCh")
+      val latest = Ingest.readFact(spark, daemon.factDir)
+        .filter($"channel_id" === 1L).collect()
+      assert(latest.head.getTimestamp(1).getTime == 4000L, "ch1 kept a non-newest sample")
+    } finally daemon.stop()
+  }
 }
