@@ -57,11 +57,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("pairwise dedup operators never plan a cartesian product") {
-    for (q <- Seq("dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash", "dd_embed_cos")) {
+    for (q <- Seq("dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash",
+        "dd_embed_cos", "dd_apply_lsh")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
     }
+  }
+
+  test("q_rolling_range: RANGE frame ranks inside one key shuffle") {
+    val p = plan("q_rolling_range")
+    assert(p.contains("Window"), p)
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("t_sample_stratified: one aggregation, membership computed in the scan stage") {
+    val p = plan("t_sample_stratified")
+    assert(p.contains("partial_"), p) // map-side combine before the shuffle
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
   }
 
   test("ANN brute force: corpus scanned once, queries broadcast") {
