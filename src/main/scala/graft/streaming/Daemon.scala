@@ -69,17 +69,16 @@ class Daemon(
     ingestQuery = decoded.writeStream
       .option("checkpointLocation", ckptDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // D9 runs BEFORE this batch persists: at this point every
-        // batch on disk is checkpoint-committed (Spark commits N-1
-        // before starting N), so compaction only ever folds batches
-        // that can no longer replay. A crash anywhere in this trigger
-        // replays batch N into a state where compaction re-runs
-        // harmlessly and batch=bN overwrites itself — replay
-        // idempotence holds with compaction in the loop. Serialized
-        // with the fact write by construction (same thread).
+        // D9 runs BEFORE this batch persists, with this trigger's own
+        // partition excluded (see [[Daemon.compactBeforePersist]]) —
+        // every OTHER batch on disk is checkpoint-committed (Spark
+        // commits N-1 before starting N) and safe to fold; batch=bN
+        // itself can only be an uncommitted leftover of a replayed
+        // attempt of this same trigger, about to be rewritten below.
+        // Serialized with the fact write by construction (same thread).
         val now = System.currentTimeMillis()
         if (now - lastCompactMs >= truncIntervalSec * 1000L) {
-          Ingest.compactFact(spark, factDir, channels)
+          Daemon.compactBeforePersist(spark, factDir, channels, batchId)
           lastCompactMs = now
         }
         Ingest.persistBatch(batch, batchId, factDir, statusDir)
@@ -104,5 +103,29 @@ class Daemon(
     if (ingestQuery != null) ingestQuery.stop()
     if (heartbeatQuery != null) heartbeatQuery.stop()
     if (monitor != null) Monitoring.detach(spark, monitor)
+  }
+}
+
+object Daemon {
+
+  /** One in-loop retention pass for trigger `batchId`, safe under
+    * replay. If `batch=b<batchId>` already exists on disk at the START
+    * of trigger `batchId`, it can only be the uncommitted leftover of
+    * a previous attempt of this SAME batch (a crash after
+    * persistBatch but before the checkpoint commit — Spark commits
+    * batch N before ever starting N+1, and backfills live in the
+    * disjoint `bf` prefix). Folding that partition into
+    * `batch=compacted` and then rewriting it in this trigger would
+    * duplicate the batch's rows, so it is deleted first: this trigger
+    * is about to rewrite it in full anyway. */
+  def compactBeforePersist(
+      spark: SparkSession,
+      factDir: String,
+      channels: DataFrame,
+      batchId: Long,
+      batchPrefix: String = "b"): Unit = {
+    val cur = new org.apache.hadoop.fs.Path(s"$factDir/batch=$batchPrefix$batchId")
+    cur.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(cur, true)
+    Ingest.compactFact(spark, factDir, channels)
   }
 }

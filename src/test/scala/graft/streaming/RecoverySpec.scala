@@ -62,4 +62,31 @@ class RecoverySpec extends AnyFunSuite with SparkSpec {
     Ingest.persistBatch(batch, 7L, s"$dir/fact", s"$dir/status")
     assert(Ingest.readFact(spark, s"$dir/fact").count() == 1)
   }
+
+  test("replayed trigger's compaction does not fold its own uncommitted batch") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_fold").toString
+    val (factDir, statusDir) = (s"$dir/fact", s"$dir/status")
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    def mk(sec: Long) =
+      Seq((1L, ts(sec), BigDecimal(sec).setScale(6))).toDF("channel_id", "ts", "value")
+    val channels = Seq((1L, 100L)).toDF("id", "history_len")
+
+    // committed history: batches 0 and 1 (checkpoint owns them)
+    Ingest.persistBatch(mk(10), 0L, factDir, statusDir)
+    Ingest.persistBatch(mk(20), 1L, factDir, statusDir)
+    // trigger 2 crashes AFTER the fact write, BEFORE the checkpoint
+    // commit — batch=b2 is on disk but batch 2 will replay
+    Ingest.persistBatch(mk(30), 2L, factDir, statusDir)
+    // the replayed trigger 2 with an in-loop compaction due: the pass
+    // must NOT fold batch=b2 into batch=compacted (it is about to be
+    // rewritten below, which would duplicate its rows)
+    Daemon.compactBeforePersist(spark, factDir, channels, 2L)
+    Ingest.persistBatch(mk(30), 2L, factDir, statusDir)
+
+    val got = Ingest.readFact(spark, factDir)
+      .select($"ts", $"value".cast("double")).orderBy($"ts").collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getDouble(1)))
+    assert(got.toSeq == Seq((10L, 10.0), (20L, 20.0), (30L, 30.0)))
+  }
 }
