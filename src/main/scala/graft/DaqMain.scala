@@ -56,8 +56,27 @@ object DaqMain {
       Tables.createReferenceTables(spark, loc)
       println(s"DAQ created ${Tables.referenceSchemas.size} reference tables at $loc")
     } else if (flags.contains("TRUNC-ONLY")) {
-      Ingest.compactFact(spark, s"$dataDir/fact", channels)
-      println(s"DAQ retention sweep complete over $dataDir/fact")
+      // Destructive sweep: a channel present in factDir but absent from
+      // the dim falls to retainNewestPerKey's default history of 1, so
+      // running with the demo default channel list would silently
+      // truncate unlisted channels to a single sample. Require the
+      // operator to name the channels, and abort on any mismatch.
+      require(opts.contains("channels"),
+        "TRUNC-ONLY requires an explicit --channels list: channels absent " +
+          "from it would be truncated to their last sample")
+      val factDir = s"$dataDir/fact"
+      val factPath = new org.apache.hadoop.fs.Path(factDir)
+      if (factPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(factPath)) {
+        val unknown = Ingest.readFact(spark, factDir)
+          .select($"channel_id").distinct()
+          .join(channels, $"channel_id" === $"id", "left_anti")
+          .collect().map(_.getLong(0)).sorted
+        require(unknown.isEmpty,
+          s"TRUNC-ONLY aborted: fact data has channel_ids ${unknown.mkString(",")} " +
+            "not in --channels; sweeping would truncate them to a single sample")
+      }
+      Ingest.compactFact(spark, factDir, channels)
+      println(s"DAQ retention sweep complete over $factDir")
     } else { // RUN
       val ticks = opts.getOrElse("ticks", "5").toLong
       val daemon = new Daemon(

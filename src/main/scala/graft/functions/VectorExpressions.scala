@@ -20,9 +20,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * The accumulation order is the same strict left-to-right double sum
   * as the fold it replaces, so results are bit-identical (the DuckDB
-  * oracle parity is preserved). Extra elements beyond the shorter
-  * input are ignored; embeddings are fixed-width so lengths always
-  * match in practice.
+  * oracle parity is preserved). Length-mismatched inputs return null,
+  * exactly like the fold (`zip_with` pads the shorter array with
+  * nulls, and a null element nulls the whole sum).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -45,14 +45,17 @@ case class DotProduct(left: Expression, right: Expression)
     case _ => true // pre-analysis unknown: stay conservative
   })
 
-  /** Null like the fold it replaces: a null ELEMENT nulls the whole
-    * sum (null * x + ... propagates in `aggregate(zip_with(...))`). */
-  override def nullable: Boolean = left.nullable || right.nullable || elemsNullable
+  /** Null like the fold it replaces: a null ELEMENT nulls the sum
+    * (null * x + ... propagates in `aggregate(zip_with(...))`), and so
+    * does a LENGTH MISMATCH (zip_with pads with nulls) — the latter is
+    * data-dependent, so the result is always nullable. */
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -68,19 +71,23 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
-      // the null-element guard only compiles when ev.isNull is a real
-      // variable, which `nullable` guarantees whenever elements CAN be
-      // null; containsNull=false inputs get the guard-free tight loop
+      // ev.isNull is always a real variable (nullable == true), so both
+      // guards can set it; containsNull=false inputs still get the
+      // guard-free tight inner loop
       val guard =
         if (elemsNullable)
           s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
         else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $guard
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $guard
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
          |}
          |${ev.value} = $s;
        """.stripMargin

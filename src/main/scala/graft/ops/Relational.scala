@@ -407,13 +407,20 @@ object Relational {
               FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""")),
 
     // JSON extraction over events.props (engine-added; SURVEY §2.3
-    // scalar functions row).
+    // scalar functions row). The parse goes through an explode(array(_))
+    // barrier: a filter on a plain projected alias gets pushed below the
+    // project with the whole get_json_object tree substituted into it,
+    // parsing the JSON once per row in the filter AND once per surviving
+    // row in the project (verified in codegen: two eval sites). Filters
+    // cannot push below a Generate's output, so this shape parses
+    // exactly once per row; PlanSpec gates the single occurrence.
     QueryDef(
       "q_json_extract",
       (s, d) => {
         import s.implicits._
         table(s, d, "events")
-          .select($"event_id", get_json_object($"props", "$.k").cast("long").as("k"))
+          .select($"event_id",
+            explode(array(get_json_object($"props", "$.k").cast("long"))).as("k"))
           .filter($"k" > 90)
           .orderBy($"event_id")
       },

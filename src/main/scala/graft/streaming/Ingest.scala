@@ -83,7 +83,12 @@ object Ingest {
     * The status table is a CONTROL table bounded by channel count
     * (db_model.py:57-62 — one row per unique `parameter`), so a
     * driver-side materialization before the overwrite is safe and
-    * avoids read-overwrite races; the fact path never does this. */
+    * avoids read-overwrite races; the fact path never does this.
+    *
+    * The persisted table carries the reference's surrogate `id`
+    * (db_model.py:58 autoincrement PK): a parameter keeps its id
+    * across upserts; parameters seen for the first time take the next
+    * ids in parameter order, which makes replays deterministic. */
   def mergeStatus(spark: SparkSession, statusDir: String, updates: DataFrame): Unit = statusLock.synchronized {
     // First-run absence is the ONLY condition that substitutes an empty
     // current table — probed explicitly, so a genuine read failure
@@ -93,19 +98,28 @@ object Ingest {
     // other than fs.defaultFS).
     val statusPath = new org.apache.hadoop.fs.Path(statusDir)
     val fs = statusPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val current =
-      if (fs.exists(statusPath))
-        spark.read.schema(updates.schema).parquet(statusDir)
-      else updates.limit(0)
+    val withIdSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType,
+        nullable = false) +: updates.schema.fields.toSeq)
+    val currentFull =
+      if (fs.exists(statusPath)) spark.read.schema(withIdSchema).parquet(statusDir)
+      else spark.createDataFrame(java.util.Collections.emptyList[Row](), withIdSchema)
     // tie-break equal timestamps in favor of the incoming update so a
     // same-second replay/recompute resolves deterministically
     val merged = Maintenance.upsert(
-        current.withColumn("__src", lit(0)),
+        currentFull.drop("id").withColumn("__src", lit(0)),
         updates.withColumn("__src", lit(1)),
         Seq("parameter"), Seq(col("ts"), col("__src")))
       .drop("__src")
-    val rows: java.util.List[Row] = java.util.Arrays.asList(merged.collect(): _*)
-    spark.createDataFrame(rows, merged.schema)
+    val paramIdx = merged.schema.fieldIndex("parameter")
+    val ids = scala.collection.mutable.Map(currentFull.select("parameter", "id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq: _*)
+    var nextId = (ids.valuesIterator ++ Iterator(0L)).max
+    val out = merged.collect().sortBy(_.getString(paramIdx)).map { r =>
+      val id = ids.getOrElseUpdate(r.getString(paramIdx), { nextId += 1; nextId })
+      Row.fromSeq(id +: r.toSeq)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), withIdSchema)
       .repartition(1).write.mode("overwrite").parquet(statusDir)
   }
 

@@ -77,6 +77,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
   }
 
+  test("q_json_extract: JSON parsed exactly once per row") {
+    // a filter on the projected alias would be pushed below the project
+    // with the parse tree substituted into it (two eval sites in
+    // codegen); the explode barrier must keep it to one
+    val optimized = SparkEntry.queries("q_json_extract")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(count(optimized, "get_json_object") == 1, optimized)
+  }
+
   test("ANN brute force: corpus scanned once, queries broadcast") {
     val p = plan("s_ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)

@@ -30,6 +30,26 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(got(1).isNullAt(1) && got(2).isNullAt(1))
   }
 
+  test("dotProduct on length-mismatched arrays is null, like the built-in fold") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0)),   // left longer
+      (2L, Seq(1.0), Seq(4.0, 5.0, 6.0)),        // right longer
+      (3L, Seq(1.0, 2.0), Seq(3.0, 4.0)))        // equal: 11.0
+      .toDF("id", "a", "b")
+    val got = df.select($"id",
+      VectorExpressions.dotProduct($"a", $"b").as("fused"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0d, (acc, v) -> acc + v)")
+        .as("builtin"))
+      .collect().sortBy(_.getLong(0))
+    got.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"null parity broken at id=${r.getLong(0)}")
+      if (!r.isNullAt(1)) assert(r.getDouble(1) == r.getDouble(2))
+    }
+    assert(got(0).isNullAt(1) && got(1).isNullAt(1))
+    assert(!got(2).isNullAt(1) && got(2).getDouble(1) == 11.0)
+  }
+
   test("dotProduct on null array input is null") {
     import spark.implicits._
     val df = Seq((Option(Seq(1.0, 2.0)), Option.empty[Seq[Double]])).toDF("a", "b")

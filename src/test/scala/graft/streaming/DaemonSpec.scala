@@ -39,7 +39,7 @@ class DaemonSpec extends AnyFunSuite with SparkSpec {
 
       // status: per-channel rows + the per-batch heartbeat (D7 + D10)
       val params = spark.read.parquet(daemon.statusDir)
-        .collect().map(_.getString(0)).toSet
+        .select("parameter").collect().map(_.getString(0)).toSet
       assert(params == Set("CHL: 1", "CHL: 2", "daq-3i"))
 
       // monitoring listener observed the micro-batches (D11 surface);

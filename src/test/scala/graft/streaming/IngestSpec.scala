@@ -51,11 +51,14 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
       (1L, 20L, "90.000000"),
       (2L, 10L, "1.500000")))
 
-    // status: latest per parameter + heartbeat (daq-3i.py:284, :163-171)
-    val status = spark.read.parquet(statusDir).orderBy($"parameter").collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getTimestamp(2).getTime / 1000))
+    // status: latest per parameter + heartbeat (daq-3i.py:284, :163-171),
+    // with the reference's surrogate id (db_model.py:58) stable per
+    // parameter across upserts
+    val status = spark.read.parquet(statusDir).orderBy($"parameter")
+      .select($"id", $"parameter", $"status", $"ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getTimestamp(3).getTime / 1000))
     assert(status.toSeq == Seq(
-      ("CHL: 1", 1, 20L), ("CHL: 2", 1, 10L), ("daq-3i", 1, 20L)))
+      (1L, "CHL: 1", 1, 20L), (2L, "CHL: 2", 1, 10L), (3L, "daq-3i", 1, 20L)))
 
     // D9: compaction honors per-channel history_len (ch1 keeps 1 newest)
     Ingest.compactFact(spark, factDir, channelDim)
@@ -109,7 +112,7 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
       while (rows.isEmpty && System.currentTimeMillis() < deadline) {
         Thread.sleep(500)
         rows =
-          try spark.read.parquet(dir).collect()
+          try spark.read.parquet(dir).select("parameter", "status").collect()
           catch { case _: Throwable => Array.empty }
       }
       assert(rows.nonEmpty, "no heartbeat within 30s")
@@ -142,8 +145,9 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     Ingest.mergeStatus(spark, dir, Ingest.statusUpdates(b1, heartbeat = false)) // replay
     val b2 = Seq((1L, ts(30), BigDecimal(60))).toDF("channel_id", "ts", "value")
     Ingest.mergeStatus(spark, dir, Ingest.statusUpdates(b2, heartbeat = false))
-    val got = spark.read.parquet(dir).collect()
-      .map(r => (r.getString(0), r.getTimestamp(2).getTime / 1000))
-    assert(got.toSeq == Seq(("CHL: 1", 30L)))
+    val got = spark.read.parquet(dir).select("id", "parameter", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime / 1000))
+    // id stable across the three merges (db_model.py:58 parity)
+    assert(got.toSeq == Seq((1L, "CHL: 1", 30L)))
   }
 }
