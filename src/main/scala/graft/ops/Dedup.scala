@@ -123,11 +123,20 @@ object Dedup {
     * fields), so the aggregate is 16 long sums + a row count instead
     * of 64 conditional sums — a 4x narrower hash-agg buffer and a
     * far smaller generated aggregate class (cold codegen time is a
-    * real cost when a query runs once). Per-field overflow needs
-    * 2^16 tokens in one document to occur; votes[i] = 2*ones[i] - n
+    * real cost when a query runs once). Each row's packed word is
+    * built with one bit-deposit multiply (nibble * (1 + 2^15 + 2^30 +
+    * 2^45) masked to the slot bits — cross terms land off-slot and
+    * mask away), not four shift-and-or terms: a third of the
+    * expression tree for Janino to chew. votes[i] = 2*ones[i] - n
     * recovers the exact +1/-1 vote sum, so signatures are
     * bit-identical to the unpacked form. Docs with zero tokens
-    * produce no row (vs an all-zero signature from the scalar form). */
+    * produce no row (vs an all-zero signature from the scalar form).
+    *
+    * SAFETY BOUND: the long sum of packed words overflows once a doc
+    * approaches 2^14 tokens (n * (2^0+2^16+2^32+2^48) vs 2^63), so
+    * the aggregate raises a loud error at n >= 2^14 instead of
+    * silently corrupting signatures — callers with book-length docs
+    * split them or use the unpacked [[simhashChunks]] scalar form. */
   def simhashChunksAgg(
       tokRows: DataFrame, id: Column, tok: Column,
       hash: Column => Column = c => xxhash64(c),
@@ -143,11 +152,15 @@ object Dedup {
     val hashed = tokRows.select(id.as("id"), hash(tok).as("__h"))
     val h = col("__h")
     // packed word w holds ones-counters for signature bits 4w..4w+3 in
-    // 16-bit slots: slot j counts bit (4w + j)
+    // 16-bit slots: slot j counts bit (4w + j). One deposit-multiply
+    // per word: bit j of the nibble lands at j + 15j = 16j; every
+    // cross term j + 15k (j != k) misses the slot mask (16m = j + 15k
+    // has j = k = m as its only solution for j,k in 0..3)
+    val magic = lit((1L << 0) | (1L << 15) | (1L << 30) | (1L << 45))
+    val slotMask = lit(0x0001000100010001L)
     val packedCols = (0 until words).map { w =>
-      (0 until 4).foldLeft(lit(0L)) { (acc, j) =>
-        acc + (shiftright(h, 4 * w + j).bitwiseAND(lit(1L)) * lit(1L << (16 * j)))
-      }.as(s"__p$w")
+      (shiftright(h, 4 * w).bitwiseAND(lit(0xFL)) * magic)
+        .bitwiseAND(slotMask).as(s"__p$w")
     }
     val packed = hashed.select(col("id") +: packedCols: _*)
     val aggs = (0 until words).map(w => sum(col(s"__p$w")).as(s"__s$w")) :+
@@ -162,7 +175,14 @@ object Dedup {
         acc * lit(2) + when(ones(i) * lit(2L) > col("__n"), lit(1)).otherwise(lit(0))
       }.as(s"__c$c")
     }
-    sums.select(col("id"), array(chunks: _*).as("sig"))
+    sums.select(col("id"),
+      when(col("__n") < lit(1L << 14), array(chunks: _*))
+        .otherwise(raise_error(concat(
+          lit("simhashChunksAgg: doc "), col("id").cast("string"),
+          lit(" has "), col("__n").cast("string"),
+          lit(" tokens (>= 2^14): packed vote counters would overflow; " +
+            "split the doc or use the unpacked simhashChunks form"))))
+        .as("sig"))
   }
 
   /** Exact dedup: group by a content hash, keep the lowest id.
@@ -170,6 +190,39 @@ object Dedup {
   def exactGroups(df: DataFrame, text: Column, id: Column): DataFrame =
     df.groupBy(md5(lower(text)).as("content_hash"))
       .agg(min(id).as("keeper"), count(lit(1)).as("n_docs"))
+
+  /** Prefix-filtered candidate pairs for EXACT Jaccard >= 0.5 over
+    * portable-hashed shingle sets (Bayardo et al., WWW'07): each doc
+    * indexes only the first floor(n/2)+1 grams of its set in the
+    * global (df ASC, hash ASC) order — complete for J >= 0.5 (prefix
+    * length |x| - ceil(0.5|x|) + 1), while stop-grams sort to the
+    * suffix and never generate candidates. Input must carry
+    * (doc_id, text); returns (sets = doc_id/xs gram-hash sets for the
+    * verify join, cand = distinct (id_a, id_b) candidate pairs). */
+  def prefixCandidates(docs: DataFrame): (DataFrame, DataFrame) = {
+    import graft.functions.PortableHash.uhBase
+    val sets = withWordShingles(docs, col("text"), "sh")
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), uhBase(col("g")).as("x"))
+      .groupBy(col("doc_id")).agg(collect_set(col("x")).as("xs"))
+    val posts = sets.select(col("doc_id"), size(col("xs")).as("n"), explode(col("xs")).as("x"))
+    val dfx = posts.groupBy(col("x")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("x").asc)
+    val pref = posts.join(dfx, Seq("x"))
+      .withColumn("rk", row_number().over(wDoc))
+      .filter(col("rk") <= shiftright(col("n"), 1) + 1)
+      .select(col("doc_id"), col("n"), col("x"))
+    // length filter (also exact): J(a,b) <= min(n_a,n_b)/max(n_a,n_b),
+    // so J >= 0.5 requires 2*min >= max — size-incompatible pairs can
+    // never verify and are dropped inside the join
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.x") === col("b.x") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * 2 >= col("b.n") && col("b.n") * 2 >= col("a.n"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    (sets, cand)
+  }
 
   /** MinHash+LSH near-dup pairs, columnar form: shingles exploded to
     * (id, gram-hash) postings; the h-wide signature is h `min`
@@ -474,75 +527,131 @@ object Dedup {
     // left-anti join against the pair set). This is the operator a
     // training-data pipeline actually runs; the pair queries above are
     // its evidence.
+    //
+    // EXACT ground truth with BOUNDED candidate generation via prefix
+    // filtering (Bayardo et al., "Scaling Up All Pairs Similarity
+    // Search", WWW'07): order each doc's gram set by (global df ASC,
+    // gram ASC) and index only the first floor(n/2)+1 grams — for
+    // Jaccard >= t a pair MUST share a gram inside both prefixes
+    // (prefix length |x| - ceil(t*|x|) + 1, here t = 0.5), so the
+    // candidate set is complete while stop-grams (df = d, formerly d^2
+    // candidate rows each) sort to the suffix and never join. Grams
+    // are PortableHash 30-bit md5-prefix hashes so BOTH engines
+    // compute the identical (df, hash) total order and hash-set
+    // Jaccard — the whole pipeline replays in DuckDB, same contract as
+    // dd_minhash_lsh (collisions ~n^2/2^31 per doc affect both sides
+    // identically).
     QueryDef(
       "dd_apply",
       (s, d) => {
         import s.implicits._
         val docs = table(s, d, "documents")
-        val wDoc = Window.partitionBy($"doc_id")
-        val postings = withHashedShingles(
-            docs.select($"doc_id", $"text"), $"text", "sh")
-          .select($"doc_id", explode($"sh").as("gram"))
-          .withColumn("ng", count(lit(1)).over(wDoc))
-        val dominated = postings.as("a")
-          .join(postings.as("b"),
-            $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
-          .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
-            $"a.ng".as("n_a"), $"b.ng".as("n_b"))
-          .agg(count(lit(1)).as("inter"))
-          .filter($"inter".cast("double") / ($"n_a" + $"n_b" - $"inter") >= 0.5)
-          .select($"id_b".as("doc_id"))
+        val (sets, cand) = prefixCandidates(docs.select($"doc_id", $"text"))
+        val dominated = cand
+          .join(sets.select($"doc_id".as("id_a"), $"xs".as("xs_a")), Seq("id_a"))
+          .join(sets.select($"doc_id".as("id_b"), $"xs".as("xs_b")), Seq("id_b"))
+          .filter(jaccard($"xs_a", $"xs_b") >= 0.5)
+          .select($"id_b".as("doc_id")).distinct()
         docs.join(dominated, Seq("doc_id"), "left_anti")
           .select($"doc_id", $"source", $"n_chars")
           .orderBy($"doc_id")
       },
-      Some("""WITH t AS (
-                SELECT doc_id,
-                       list_distinct(CASE WHEN len(toks) >= 3
-                         THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
-                         ELSE [] END) AS grams
-                FROM (SELECT doc_id,
-                             [x for x in string_split_regex(lower(text), '\s+') if x != ''] AS toks
-                      FROM documents)),
-              dominated AS (
-                SELECT DISTINCT b.doc_id
-                FROM t a JOIN t b ON a.doc_id < b.doc_id
-                WHERE len(list_intersect(a.grams, b.grams)) > 0
-                  AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                      / len(list_distinct(a.grams || b.grams)) >= 0.5)
-              SELECT doc_id, source, n_chars FROM documents
-              WHERE doc_id NOT IN (SELECT doc_id FROM dominated)
-              ORDER BY doc_id""")),
+      Some {
+        import graft.functions.PortableHash.duckdbUhBase
+        s"""WITH t AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(toks) >= 3
+                       THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+                       ELSE [] END) AS grams
+              FROM (SELECT doc_id,
+                           [x for x in string_split_regex(lower(text), '\\s+') if x != ''] AS toks
+                    FROM documents)),
+            xb AS (
+              SELECT doc_id, list_distinct([${duckdbUhBase("g")} for g in grams]) AS xs
+              FROM t WHERE len(grams) > 0),
+            post AS (SELECT doc_id, len(xs) AS n, unnest(xs) AS x FROM xb),
+            dfx AS (SELECT x, count(*) AS df FROM post GROUP BY x),
+            pref AS (
+              SELECT doc_id, n, x FROM (
+                SELECT p.doc_id, p.x, p.n,
+                       row_number() OVER (PARTITION BY p.doc_id
+                         ORDER BY d.df ASC, p.x ASC) AS rk
+                FROM post p JOIN dfx d USING (x))
+              WHERE rk <= n // 2 + 1),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM pref a JOIN pref b ON a.x = b.x AND a.doc_id < b.doc_id
+               AND a.n * 2 >= b.n AND b.n * 2 >= a.n),
+            dominated AS (
+              SELECT DISTINCT cand.id_b
+              FROM cand
+              JOIN xb xa ON xa.doc_id = cand.id_a
+              JOIN xb yb ON yb.doc_id = cand.id_b
+              WHERE CAST(len(list_intersect(xa.xs, yb.xs)) AS DOUBLE)
+                    / len(list_distinct(xa.xs || yb.xs)) >= 0.5)
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT id_b FROM dominated)
+            ORDER BY doc_id"""
+      }),
 
-    // Embedding-cosine near-dup: pairs within the same label bucket at
-    // cosine >= 0.4 (this corpus has no planted vector dups; the
-    // threshold sits in the observable tail); norms precomputed per
-    // row (one pass) so the pair-join multiplies, never re-normalizes.
+    // Embedding-cosine near-dup, LSH-bounded end to end: candidates =
+    // pairs colliding in any of 8 hyperplane bands (8 sign bits each —
+    // Similarity.hyperplaneBandBuckets), verified at cosine >= 0.4
+    // (this corpus has no planted vector dups; the threshold sits in
+    // the observable tail). The band equi-join prunes ~2^8-fold per
+    // band where the former label blocking was all-pairs within a
+    // small fixed bucket set (O(N^2/L) — a scale-killer at 100x);
+    // norms precomputed per row (one pass) so the verify join
+    // multiplies, never re-normalizes. The LCG planes are exact
+    // integer math in both engines, so the candidate set itself
+    // replays in the oracle.
     QueryDef(
       "dd_embed_cos",
       (s, d) => {
         import s.implicits._
         val emb = table(s, d, "embeddings")
-          .select($"vec_id", $"label", Similarity.asDouble($"embedding").as("v"))
+          .select($"vec_id", Similarity.asDouble($"embedding").as("v"))
           .withColumn("norm", Similarity.l2norm($"v"))
-        val a = emb.select($"label", $"vec_id".as("id_a"), $"v".as("v_a"), $"norm".as("n_a"))
-        val b = emb.select($"label", $"vec_id".as("id_b"), $"v".as("v_b"), $"norm".as("n_b"))
-        a.join(b, Seq("label"))
-          .filter($"id_a" < $"id_b")
+        val banded = emb.select($"vec_id",
+          explode(Similarity.hyperplaneBandBuckets($"v", bands = 8, r = 8)).as("bkt"))
+        val cand = banded.as("a")
+          .join(banded.as("b"),
+            col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+          .distinct()
+        cand
+          .join(emb.select($"vec_id".as("id_a"), $"v".as("v_a"), $"norm".as("n_a")), Seq("id_a"))
+          .join(emb.select($"vec_id".as("id_b"), $"v".as("v_b"), $"norm".as("n_b")), Seq("id_b"))
           .select($"id_a", $"id_b",
             (Similarity.dot($"v_a", $"v_b") / ($"n_a" * $"n_b")).as("cos"))
           .filter($"cos" >= 0.4)
           .orderBy($"id_a", $"id_b")
       },
       Some("""WITH e AS (
-                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                              CAST(embedding AS DOUBLE[]))) AS nrm
-                FROM embeddings)
-              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                     list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
-              FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-              WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+                FROM embeddings),
+              b AS (
+                SELECT vec_id,
+                       [bb * 256 + list_sum([CASE WHEN list_dot_product(v,
+                            [CAST(((1103515245::BIGINT * ((bb * 8 + q) * 1048576 + i) + 12345) % 2147483648) AS DOUBLE)
+                               / 2147483648.0 - 0.5
+                             for i in range(len(v))]) >= 0.0
+                          THEN (1 << (7 - q)) ELSE 0 END
+                          for q in range(8)])
+                        for bb in range(8)] AS bkts
+                FROM e),
+              cand AS (
+                SELECT a.vec_id AS id_a, c.vec_id AS id_b
+                FROM b a JOIN b c ON a.vec_id < c.vec_id
+                WHERE len(list_intersect(a.bkts, c.bkts)) > 0)
+              SELECT cand.id_a, cand.id_b,
+                     list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cos
+              FROM cand
+              JOIN e x ON x.vec_id = cand.id_a
+              JOIN e y ON y.vec_id = cand.id_b
+              WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4
               ORDER BY id_a, id_b"""))
   )
 }

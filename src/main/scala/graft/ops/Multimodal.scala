@@ -46,15 +46,21 @@ object Multimodal {
     val featureDim = 16
 
     /** STUB decode+embed: fold the bytes into a fixed-width float
-      * vector (stands in for decode -> model forward pass). */
+      * vector (stands in for decode -> model forward pass). Each lane
+      * is an exact INTEGER byte sum with a single float division at
+      * the end — deterministic like any stub, and exactly replayable
+      * outside the JVM (an integer sum plus one correctly-rounded
+      * float division carries no accumulation-order sensitivity; lane
+      * sums stay below 2^24 for any payload under ~1 MiB/lane, so the
+      * float cast is exact). */
     def extract(bytes: Array[Byte]): Array[Float] = {
-      val acc = new Array[Float](featureDim)
+      val acc = new Array[Long](featureDim)
       var i = 0
       while (i < bytes.length) {
-        acc(i % featureDim) += (bytes(i) & 0xFF) / 255.0f
+        acc(i % featureDim) += (bytes(i) & 0xFF)
         i += 1
       }
-      acc
+      acc.map(s => s / 255.0f)
     }
 
     /** STUB resize: keeps every stride-th byte of a row-major fake
@@ -145,7 +151,12 @@ object Multimodal {
               GROUP BY 1 ORDER BY kind""")),
 
     // Feature vectors from the typed mapPartitions path, reduced to a
-    // checkable aggregate (vector folds are deterministic).
+    // checkable aggregate. The stub's lanes are integer byte sums with
+    // one float division each (see StubCodec.extract), so DuckDB
+    // re-derives the exact float lanes from codepoint arithmetic (the
+    // corpus is ASCII: octet_length == length, byte == ord(char)) and
+    // the double fold replays left-to-right via list_reduce — the
+    // mapPartitions codec path is hash-checked end to end.
     QueryDef(
       "mm_features",
       (s, d) => {
@@ -156,7 +167,23 @@ object Multimodal {
               lit(0.0), (acc, x) => acc + x.cast("double")), 3).as("feature_sum"))
           .orderBy($"media_id")
       },
-      None), // stub codec fold has no SQL twin; rows-only + MultimodalSpec
+      Some("""WITH m AS (
+                SELECT doc_id AS media_id,
+                       ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+                       text,
+                       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+                FROM documents),
+              f AS (
+                SELECT media_id, kind, n_bytes,
+                       [CAST(CAST(COALESCE(list_sum(
+                            [ord(text[i + 1]) for i in range(CAST(n_bytes AS INT)) if i % 16 = j]),
+                            0) AS FLOAT) / CAST(255 AS FLOAT) AS FLOAT)
+                        for j in range(16)] AS feature
+                FROM m)
+              SELECT media_id, kind, n_bytes,
+                     round(list_reduce([CAST(x AS DOUBLE) for x in feature],
+                       (acc, x) -> acc + x), 3) AS feature_sum
+              FROM f ORDER BY media_id""")),
 
     // Frame sampling (every 3rd frame of each video) through the REAL
     // per-partition codec path; the oracle re-derives the frame

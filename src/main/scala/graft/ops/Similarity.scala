@@ -56,6 +56,30 @@ object Similarity {
           lit(1)).otherwise(lit(0))),
       lit(0), (acc, bit) => acc * lit(2) + bit)
 
+  /** Banded random-hyperplane signatures for near-dup blocking: one
+    * bucket per band, band b packing the sign bits of the r planes
+    * [b*r, (b+1)*r) behind the band index (value = b * 2^r + bits, so
+    * buckets from different bands can never collide). OR-ing bands
+    * recovers the recall a single wide signature loses — the classic
+    * LSH band construction, same shape as the minhash banding — while
+    * each band still prunes ~2^r-fold. Same exact-integer LCG plane
+    * family as [[hyperplaneBucket]] (global plane index b*r + q), so
+    * the bucket ids — and any candidate set derived from them —
+    * replay exactly in the DuckDB oracle. */
+  def hyperplaneBandBuckets(v: Column, bands: Int = 8, r: Int = 8): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      aggregate(
+        transform(sequence(lit(0), lit(r - 1)), q =>
+          when(
+            aggregate(
+              zip_with(v, sequence(lit(0), size(v) - 1),
+                (x, i) => x *
+                  (((lit(1103515245L) * ((b.cast("long") * lit(r.toLong) + q.cast("long")) * lit(1048576L) + i.cast("long")) + lit(12345L))
+                    % lit(2147483648L)).cast("double") / lit(2.147483648E9) - lit(0.5))),
+              lit(0.0), (acc, x) => acc + x) >= lit(0.0),
+            lit(1)).otherwise(lit(0))),
+        b, (acc, bit) => acc * lit(2) + bit))
+
   /** Exact top-k cosine neighbors of each query vector. Both inputs
     * must carry (id, vec); query side is broadcast. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {

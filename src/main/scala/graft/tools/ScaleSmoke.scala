@@ -47,6 +47,13 @@ object ScaleSmoke {
 
     try {
       time("dd_exact")(graft.SparkEntry.queries("dd_exact")(spark, bigDir).count())
+      // prefix-filtered ground truth: candidate volume stays pair-bound
+      // (stop-grams fall out of prefixes), not sum-of-df^2-bound
+      time("dd_apply_prefix_candidates") {
+        val docs = table(spark, bigDir, "documents")
+        graft.ops.Dedup.prefixCandidates(docs.select($"doc_id", $"text"))._2.count()
+      }
+      time("dd_apply")(graft.SparkEntry.queries("dd_apply")(spark, bigDir).count())
       time("dd_minhash_lsh")(graft.SparkEntry.queries("dd_minhash_lsh")(spark, bigDir).count())
       time("dd_apply_lsh")(graft.SparkEntry.queries("dd_apply_lsh")(spark, bigDir).count())
       time("dd_simhash")(graft.SparkEntry.queries("dd_simhash")(spark, bigDir).count())

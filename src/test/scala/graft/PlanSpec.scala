@@ -77,6 +77,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
   }
 
+  test("dd_embed_cos: candidate join is keyed on the hyperplane band bucket") {
+    // the former label blocking was all-pairs within a fixed bucket
+    // set (O(N^2/L)); the join key must be the LSH band bucket
+    val p = plan("dd_embed_cos")
+    assert("""(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \[bkt""".r
+      .findFirstIn(p).isDefined, p)
+  }
+
   test("q_json_extract: JSON parsed exactly once per row") {
     // a filter on the projected alias would be pushed below the project
     // with the parse tree substituted into it (two eval sites in

@@ -73,6 +73,25 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     columnar.foreach { case (id, sig) => assert(sig == scalar(id), s"doc $id") }
   }
 
+  test("simhashChunksAgg raises loudly at 2^14 tokens instead of overflowing the packed counters") {
+    import spark.implicits._
+    val big = spark.range(1).select(lit(1L).as("doc_id"),
+      explode(transform(sequence(lit(0), lit((1 << 14) - 1)),
+        i => concat(lit("w"), i.cast("string")))).as("tok"))
+    val e = intercept[Exception] {
+      simhashChunksAgg(big, $"doc_id", $"tok").collect()
+    }
+    assert(e.getMessage.contains("overflow") ||
+      Option(e.getCause).exists(_.getMessage.contains("overflow")), e.getMessage)
+    // one token under the bound still computes
+    val ok = simhashChunksAgg(
+      spark.range(1).select(lit(1L).as("doc_id"),
+        explode(transform(sequence(lit(0), lit((1 << 14) - 2)),
+          i => concat(lit("w"), i.cast("string")))).as("tok")),
+      $"doc_id", $"tok").collect()
+    assert(ok.length == 1 && ok.head.getSeq[Int](1).length == 4)
+  }
+
   test("simhash: identical token sets -> identical signature, hamming 0; planted near-dups are close") {
     import spark.implicits._
     val df = Seq("the quick brown fox", "the quick brown fox", "entirely different words here")

@@ -64,6 +64,26 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(b1.values.forall(b => b >= 0 && b < 256)) // 8 planes -> 2^8 buckets
   }
 
+  test("hyperplaneBandBuckets: band value ranges disjoint, duplicate vectors collide everywhere") {
+    import spark.implicits._
+    val emb = graft.model.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(30).select($"vec_id", asDouble($"embedding").as("v"))
+    val rows = emb.select($"vec_id", hyperplaneBandBuckets($"v").as("bkts")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1))
+    rows.foreach { case (id, bkts) =>
+      assert(bkts.length == 8, s"vec $id")
+      // value = band * 2^8 + bits: bands can never cross-collide
+      bkts.zipWithIndex.foreach { case (v, b) =>
+        assert(v >= b * 256 && v < (b + 1) * 256, s"vec $id band $b value $v")
+      }
+    }
+    // a duplicated vector gets the identical signature in every band —
+    // exact dup recall of the banded blocking is 1.0 by construction
+    val dup = emb.limit(5).union(emb.limit(5))
+      .select(hyperplaneBandBuckets($"v").as("bkts")).collect().map(_.getSeq[Int](0))
+    assert(dup.take(5).toSeq == dup.drop(5).toSeq)
+  }
+
   test("IVF: every returned neighbor lives in the query's probed cell") {
     import spark.implicits._
     val out = graft.SparkEntry.queries("s_ann_ivf")(spark, "/root/testdata/sf0.001")
