@@ -12,28 +12,43 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import java.util
 
-/** DataSource V2 streaming source simulating a fleet of Modbus-TCP
-  * devices — the engine's stand-in for the reference's acquisition
-  * layer (D1/D2, modbus.py:37-56) and its device simulator fixture
-  * (modbus_server.py: holding register hr[addr] == addr, which makes
-  * `UINT16 @ address A -> value A` the golden end-to-end check,
-  * FIXTURES.md §1).
+/** DataSource V2 streaming source for a fleet of Modbus-TCP devices —
+  * the reference's acquisition layer (D1/D2, modbus.py:37-56) with two
+  * reader modes behind one plan shape:
   *
-  * Semantics:
+  *  - `mode=sim` (default, short name `modbus-sim`): an in-process
+  *    generator replaying the reference's device simulator fixture
+  *    (modbus_server.py: holding register hr[addr] == addr, which
+  *    makes `UINT16 @ address A -> value A` the golden end-to-end
+  *    check, FIXTURES.md §1);
+  *  - `mode=tcp` (short name `modbus-tcp`): a live MBAP/function-code-3
+  *    client ([[ModbusTcpClient]]) polling a real device at
+  *    `host`:`port` with the per-bus `timeoutMs` (db_model.py:38); a
+  *    failed read (transport error, timeout, or device exception
+  *    response) yields a status=-1 row with no registers instead of a
+  *    sample, exactly the reference's error path (bus.py:94-100).
+  *
+  * Shared semantics:
   *  - each micro-batch is one poll tick; tick t reads every configured
   *    channel once (the reference's 1 Hz bus loop, daq-3i.py:238-251);
-  *  - a channel is (channel_id, address); the simulated device returns
-  *    registers [addr, addr+1, ... addr+count-1] mod 2^16 — exactly
-  *    the simulator's ramp block;
   *  - rows are (channel_id, ts, registers, status), the input schema
-  *    of graft.streaming.Ingest.decodeAndConvert;
-  *  - channels are split across `numPartitions` input partitions: on a
-  *    real deployment each PartitionReader owns its TCP connections
-  *    (SURVEY.md §3.5 network boundary); here it owns the generator.
+  *    of graft.streaming.Ingest.decodeAndConvert; ts is tick-derived
+  *    (startEpochSec + tick*periodSec) in BOTH modes so a replayed
+  *    micro-batch regenerates the same keys — the idempotent sink
+  *    depends on it (a wall-clock ts would fork the key space on every
+  *    replay);
+  *  - channels are split across `numPartitions` input partitions; in
+  *    tcp mode each PartitionReader owns ONE connection for all its
+  *    channels in the batch (SURVEY.md §3.5 network boundary — the
+  *    driver never touches a socket).
   *
-  * Options: `channels` = "id@address" comma list; `registers` = words
-  * per read (default 4); `startEpochSec`; `periodSec` (tick width);
-  * `numPartitions`.
+  * Options: `channels` = comma list of `id@address[@count[@unit]]`
+  * (count defaults to `registers`, unit to `unitId`); `registers` =
+  * default words per read (default 4); `unitId` (default 1);
+  * `startEpochSec`; `periodSec` (tick width); `numPartitions`;
+  * `maxTicks`; tcp mode adds `host`, `port`, `timeoutMs` (default
+  * 1000), `funcCode` (must be 3 — the only implemented function,
+  * modbus.py:48-49).
   */
 class ModbusSimSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "modbus-sim"
@@ -48,6 +63,21 @@ class ModbusSimSource extends TableProvider with DataSourceRegister {
     new ModbusSimTable(new CaseInsensitiveStringMap(properties))
 }
 
+/** `spark.readStream.format("modbus-tcp")` — the live-client mode as a
+  * first-class format name (equivalent to `modbus-sim` with
+  * `mode=tcp`). */
+class ModbusTcpSource extends ModbusSimSource {
+  override def shortName(): String = "modbus-tcp"
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val withMode = new util.HashMap[String, String](properties)
+    withMode.put("mode", "tcp")
+    new ModbusSimTable(new CaseInsensitiveStringMap(withMode))
+  }
+}
+
 object ModbusSimSource {
   val schema: StructType = StructType(Seq(
     StructField("channel_id", LongType, nullable = false),
@@ -55,27 +85,50 @@ object ModbusSimSource {
     StructField("registers", ArrayType(IntegerType, containsNull = false), nullable = false),
     StructField("status", IntegerType, nullable = false)))
 
+  /** One polled channel: id, register address, words per read (the
+    * reference derives this from the format code — FORMAT_LENGTH,
+    * modbus.py:26-29), Modbus unit/device id (db_model.py:14). */
+  case class Chan(id: Long, addr: Int, count: Int, unit: Int)
+
   case class Config(
-      channels: Seq[(Long, Int)], // (channel_id, register address)
-      registersPerRead: Int,
+      channels: Seq[Chan],
       startEpochSec: Long,
       periodSec: Long,
       numPartitions: Int,
-      maxTicks: Long) // <= 0: unbounded (live mode); > 0: stop advancing
+      maxTicks: Long, // <= 0: unbounded (live mode); > 0: stop advancing
+      mode: String, // "sim" | "tcp"
+      host: String,
+      port: Int,
+      timeoutMs: Int)
 
   def parse(options: CaseInsensitiveStringMap): Config = {
+    val defaultCount = options.getInt("registers", 4)
+    val defaultUnit = options.getInt("unitId", 1)
     val chans = options.getOrDefault("channels", "1@5,2@17")
       .split(",").toSeq.map { s =>
-        val Array(id, addr) = s.trim.split("@")
-        (id.toLong, addr.toInt)
+        val parts = s.trim.split("@")
+        Chan(parts(0).toLong, parts(1).toInt,
+          if (parts.length > 2) parts(2).toInt else defaultCount,
+          if (parts.length > 3) parts(3).toInt else defaultUnit)
       }
+    val mode = options.getOrDefault("mode", "sim").toLowerCase
+    require(mode == "sim" || mode == "tcp", s"mode must be sim|tcp, got $mode")
+    // the reference refuses any function code but READHOLDING=3
+    // (modbus.py:48-49) — fail at plan time, not per-row
+    val fn = options.getInt("funcCode", 3)
+    require(fn == 3, s"function code $fn not yet implemented (only 3)")
+    if (mode == "tcp") require(options.containsKey("host") && options.containsKey("port"),
+      "tcp mode requires host and port options")
     Config(
       chans,
-      options.getInt("registers", 4),
       options.getLong("startEpochSec", 0L),
       options.getLong("periodSec", 1L),
       options.getInt("numPartitions", 2),
-      options.getLong("maxTicks", 0L))
+      options.getLong("maxTicks", 0L),
+      mode,
+      options.getOrDefault("host", ""),
+      options.getInt("port", 502),
+      options.getInt("timeoutMs", 1000))
   }
 }
 
@@ -155,29 +208,29 @@ private class ModbusSimMicroBatchStream(config: ModbusSimSource.Config)
   override def createReaderFactory(): PartitionReaderFactory =
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[ModbusSimPartition]
-      new ModbusSimPartitionReader(p)
+      if (p.config.mode == "tcp") new ModbusTcpPartitionReader(p)
+      else new ModbusSimPartitionReader(p)
     }
 }
 
 private case class ModbusSimPartition(
-    channels: Seq[(Long, Int)],
+    channels: Seq[ModbusSimSource.Chan],
     startTick: Long,
     endTick: Long,
     config: ModbusSimSource.Config) extends InputPartition
 
-/** Generates one row per (tick, channel) for ticks in (start, end].
-  * A real deployment opens its Modbus TCP connection here — the
-  * network boundary lives inside the reader, never on the driver. */
+/** Generates one row per (tick, channel) for ticks in (start, end]
+  * from the in-process simulator ramp. */
 private class ModbusSimPartitionReader(p: ModbusSimPartition)
     extends PartitionReader[InternalRow] {
   private val rows: Iterator[InternalRow] = for {
     t <- Iterator.range(p.startTick + 1, p.endTick + 1)
-    (id, addr) <- p.channels.iterator
+    ch <- p.channels.iterator
   } yield {
     val tsMicros = (p.config.startEpochSec + t * p.config.periodSec) * 1000000L
     // simulated device block: hr[a] == a (modbus_server.py:92)
-    val regs = Array.tabulate(p.config.registersPerRead)(i => (addr + i) & 0xFFFF)
-    InternalRow(id, tsMicros, ArrayData.toArrayData(regs), 0)
+    val regs = Array.tabulate(ch.count)(i => (ch.addr + i) & 0xFFFF)
+    InternalRow(ch.id, tsMicros, ArrayData.toArrayData(regs), 0)
   }
   private var current: InternalRow = _
   override def next(): Boolean = {
@@ -185,4 +238,37 @@ private class ModbusSimPartitionReader(p: ModbusSimPartition)
   }
   override def get(): InternalRow = current
   override def close(): Unit = ()
+}
+
+/** Live mode: one MBAP connection per partition per micro-batch,
+  * amortized over every (tick, channel) read this partition owns — the
+  * network boundary lives inside the reader, never on the driver. A
+  * failed read maps to a status=-1 row with no registers
+  * (bus.py:94-100) and the next read reconnects; a device exception
+  * response keeps the connection (the device is alive and talking). */
+private class ModbusTcpPartitionReader(p: ModbusSimPartition)
+    extends PartitionReader[InternalRow] {
+  private val client =
+    new ModbusTcpClient(p.config.host, p.config.port, p.config.timeoutMs)
+  private val emptyRegs = ArrayData.toArrayData(Array.empty[Int])
+  private val rows: Iterator[InternalRow] = for {
+    t <- Iterator.range(p.startTick + 1, p.endTick + 1)
+    ch <- p.channels.iterator
+  } yield {
+    val tsMicros = (p.config.startEpochSec + t * p.config.periodSec) * 1000000L
+    try {
+      val regs = client.readHoldingRegisters(ch.unit, ch.addr, ch.count)
+      InternalRow(ch.id, tsMicros, ArrayData.toArrayData(regs), 0)
+    } catch {
+      case _: java.io.IOException => // transport failure, timeout, or
+        // device exception response: sample becomes a status=-1 row
+        InternalRow(ch.id, tsMicros, emptyRegs, -1)
+    }
+  }
+  private var current: InternalRow = _
+  override def next(): Boolean = {
+    if (rows.hasNext) { current = rows.next(); true } else false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = client.close()
 }
