@@ -79,19 +79,30 @@ object DaqMain {
       println(s"DAQ retention sweep complete over $factDir")
     } else { // RUN
       val ticks = opts.getOrElse("ticks", "5").toLong
+      val baseOptions = Map(
+        "startEpochSec" -> "0", "periodSec" -> "1",
+        "maxTicks" -> ticks.toString)
+      // --config <location>: the reference's load() path (daq-3i.py:
+      // 218-231) — buses/channels/conversions come from the config
+      // store and every enabled bus is polled live over Modbus-TCP;
+      // without it, the CLI channel list drives the simulator (demo).
+      val (dChannels, dConversions, dSource, dExtra) = opts.get("config") match {
+        case Some(loc) =>
+          val cfg = graft.streaming.ConfigStore.load(spark, loc, baseOptions)
+          (cfg.channels, cfg.conversions, cfg.busSources.head, cfg.busSources.tail)
+        case None =>
+          (channels, Seq.empty[(Long, String)],
+            baseOptions + ("channels" -> channelSpec), Nil)
+      }
       val daemon = new Daemon(
-        spark, channels, conversions = Seq.empty,
-        sourceOptions = Map(
-          "channels" -> channelSpec,
-          "startEpochSec" -> "0", "periodSec" -> "1",
-          "maxTicks" -> ticks.toString),
-        dataDir,
+        spark, dChannels, dConversions, dSource, dataDir,
         truncIntervalSec =
-          if (flags.contains("NO-TRUNC")) Int.MaxValue / 1000 else 15)
+          if (flags.contains("NO-TRUNC")) Int.MaxValue / 1000 else 15,
+        extraSources = dExtra)
       daemon.start()
       try {
         daemon.ingest.processAllAvailable() // bounded source drains
-        if (!flags.contains("NO-TRUNC")) Ingest.compactFact(spark, daemon.factDir, channels)
+        if (!flags.contains("NO-TRUNC")) Ingest.compactFact(spark, daemon.factDir, dChannels)
         if (flags.contains("PRINT-LIVE")) {
           println("=== channel_data ===")
           Ingest.readFact(spark, daemon.factDir).orderBy("channel_id", "ts").show(50, truncate = false)

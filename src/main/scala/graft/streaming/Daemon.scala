@@ -42,7 +42,24 @@ class Daemon(
     sourceOptions: Map[String, String],
     dataDir: String,
     pulseSec: Int = 15,
-    truncIntervalSec: Int = 15) {
+    truncIntervalSec: Int = 15,
+    // additional acquisition sources, one option map per extra bus
+    // (daq-3i.py:311-318 spawns one acquire thread per bus; here every
+    // bus is a DSv2 stream and the union feeds ONE decode+persist
+    // pipeline — channel_id disambiguates, as it does in the reference
+    // fact table). Built from the config store by [[ConfigStore.load]].
+    extraSources: Seq[Map[String, String]] = Nil,
+    // state-store provider for any stateful stage in this session:
+    // "rocksdb" (per-executor state spills to local disk — the
+    // large-key-space cluster setting) or a provider class name; None
+    // keeps Spark's default HDFS-backed in-memory store
+    stateStore: Option[String] = None,
+    // opt-in duplicate guard: drop re-delivered (channel_id, ts)
+    // samples within this lateness before persisting. The polled
+    // Modbus path can't produce dups, but at-least-once upstream
+    // transports (gateway replays) can — and the stage is the daemon's
+    // stateful surface, exercised by the RocksDB spec variant
+    dedupeLateness: Option[String] = None) {
 
   val factDir = s"$dataDir/fact"
   val statusDir = s"$dataDir/status"
@@ -60,10 +77,18 @@ class Daemon(
     Ingest.recoverFactDir(spark, factDir)
     Ingest.flushStatus(spark, statusDir) // D8 startup flush
     monitor = Monitoring.attach(spark)
-    val readings = spark.readStream
-      .format("modbus-sim")
-      .options(sourceOptions)
-      .load()
+    stateStore.foreach { p =>
+      val cls = if (p.equalsIgnoreCase("rocksdb"))
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      else p
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+    }
+    val raw = (sourceOptions +: extraSources)
+      .map(opts => spark.readStream.format("modbus-sim").options(opts).load())
+      .reduce(_ unionByName _)
+    val readings = dedupeLateness.fold(raw)(late =>
+      raw.withWatermark("ts", late)
+        .dropDuplicatesWithinWatermark("channel_id", "ts"))
     val decoded = Ingest.decodeAndConvert(readings, channels, conversions)
     lastCompactMs = System.currentTimeMillis()
     ingestQuery = decoded.writeStream
