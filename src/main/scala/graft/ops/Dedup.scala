@@ -48,18 +48,14 @@ object Dedup {
   def wordShingles(text: Column, n: Int = 3): Column =
     wordShinglesOf(tokens(text), n)
 
-  /** Adds `out` = distinct word n-gram shingles of `text`, with the
-    * token array materialized as its own projection step so the
-    * shingle lambda references a bound attribute (single tokenizer
-    * pass per document). The alias is referenced 3x, so Catalyst's
-    * CollapseProject keeps the projections separate rather than
-    * re-inlining the tokenizer into the lambda. */
-  def withWordShingles(df: DataFrame, text: Column, out: String, n: Int = 3): DataFrame = {
-    val tk = s"__toks_$out"
-    df.withColumn(tk, tokens(text))
-      .withColumn(out, wordShinglesOf(col(tk), n))
-      .drop(tk)
-  }
+  /** Adds `out` = distinct word n-gram shingles of `text` via the
+    * FUSED native expression (graft.functions.WordShingles): one
+    * compiled tokenize+shingle+distinct pass per document, replacing
+    * the four-deep interpreted HOF tree that was the dedup family's
+    * largest shared cost. Bit-identical to [[wordShinglesOf]] over
+    * [[tokens]] (asserted in DedupSpec). */
+  def withWordShingles(df: DataFrame, text: Column, out: String, n: Int = 3): DataFrame =
+    df.withColumn(out, graft.functions.TextShingles.wordShingles(text, n))
 
   /** Adds `out` = distinct 64-bit-hashed word n-gram shingles (see
     * [[hashedShingles]] for why hashes, [[withWordShingles]] for why
@@ -68,10 +64,10 @@ object Dedup {
     * outer lambda only references its own variable, so the shingle
     * array is built once per row. */
   def withHashedShingles(df: DataFrame, text: Column, out: String, n: Int = 3): DataFrame = {
-    val tk = s"__toks_$out"
-    df.withColumn(tk, tokens(text))
-      .withColumn(out, transform(wordShinglesOf(col(tk), n), s => xxhash64(s)))
-      .drop(tk)
+    val sh = s"__sh_$out"
+    df.withColumn(sh, graft.functions.TextShingles.wordShingles(text, n))
+      .withColumn(out, transform(col(sh), s => xxhash64(s)))
+      .drop(sh)
   }
 
   /** Jaccard similarity of two (distinct-element) array columns. */
@@ -166,17 +162,27 @@ object Dedup {
     val aggs = (0 until words).map(w => sum(col(s"__p$w")).as(s"__s$w")) :+
       count(lit(1)).as("__n")
     val sums = packed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-    // ones-count for signature bit i lives in word i/4, slot i%4
-    def ones(i: Int): Column =
-      shiftright(col(s"__s${i / 4}"), 16 * (i % 4)).bitwiseAND(lit(0xFFFFL))
-    val chunks = (0 until 4).map { c =>
-      (0 until chunkWidth).foldLeft(lit(0)) { (acc, j) =>
-        val i = chunkWidth * c + j // vote > 0  <=>  2*ones > n
-        acc * lit(2) + when(ones(i) * lit(2L) > col("__n"), lit(1)).otherwise(lit(0))
-      }.as(s"__c$c")
-    }
+    // Chunk reconstruction as DELIBERATELY interpreted higher-order
+    // functions: the aggregate leaves one row per doc, so evaluating
+    // the `bits` slot-extract/vote terms interpreted costs microseconds
+    // — while compiling them as a single codegen'd projection cost
+    // seconds of Janino for a projection that runs once per query.
+    // ones-count for signature bit i lives in word i/4, 16-bit slot i%4.
+    val wordsArr = array((0 until words).map(w => col(s"__s$w")): _*)
+    val sig = transform(sequence(lit(0), lit(3)), c =>
+      aggregate(sequence(lit(0), lit(chunkWidth - 1)), lit(0), (acc, j) => {
+        val i = c * lit(chunkWidth) + j
+        val word = element_at(wordsArr, shiftright(i, 2) + lit(1))
+        val slot = i.bitwiseAND(lit(3))
+        val one = when(slot === lit(0), word.bitwiseAND(lit(0xFFFFL)))
+          .when(slot === lit(1), shiftright(word, 16).bitwiseAND(lit(0xFFFFL)))
+          .when(slot === lit(2), shiftright(word, 32).bitwiseAND(lit(0xFFFFL)))
+          .otherwise(shiftright(word, 48).bitwiseAND(lit(0xFFFFL)))
+        // vote > 0  <=>  2*ones > n
+        acc * lit(2) + when(one * lit(2L) > col("__n"), lit(1)).otherwise(lit(0))
+      }))
     sums.select(col("id"),
-      when(col("__n") < lit(1L << 14), array(chunks: _*))
+      when(col("__n") < lit(1L << 14), sig)
         .otherwise(raise_error(concat(
           lit("simhashChunksAgg: doc "), col("id").cast("string"),
           lit(" has "), col("__n").cast("string"),
@@ -197,31 +203,55 @@ object Dedup {
     * global (df ASC, hash ASC) order — complete for J >= 0.5 (prefix
     * length |x| - ceil(0.5|x|) + 1), while stop-grams sort to the
     * suffix and never generate candidates. Input must carry
-    * (doc_id, text); returns (sets = doc_id/xs gram-hash sets for the
-    * verify join, cand = distinct (id_a, id_b) candidate pairs). */
+    * (doc_id, text); returns (posts = (doc_id, n, x) distinct gram-hash
+    * postings for the count-based verify join, cand = distinct
+    * (id_a, id_b) candidate pairs). Every consumer of `posts` shares
+    * one tokenize+hash+dedup pass: the lineage up to the doc_id
+    * hash-aggregate is identical, so ReuseExchange serves all of them
+    * from a single shuffle. */
   def prefixCandidates(docs: DataFrame): (DataFrame, DataFrame) = {
     import graft.functions.PortableHash.uhBase
-    val sets = withWordShingles(docs, col("text"), "sh")
+    val posts = withWordShingles(docs, col("text"), "sh")
       .select(col("doc_id"), explode(col("sh")).as("g"))
       .select(col("doc_id"), uhBase(col("g")).as("x"))
       .groupBy(col("doc_id")).agg(collect_set(col("x")).as("xs"))
-    val posts = sets.select(col("doc_id"), size(col("xs")).as("n"), explode(col("xs")).as("x"))
-    val dfx = posts.groupBy(col("x")).agg(count(lit(1)).as("df"))
+      .select(col("doc_id"), size(col("xs")).as("n"), explode(col("xs")).as("x"))
+    // df as a count window over partition(x), not a groupBy+self-join:
+    // one exchange feeds the window directly, two fewer stages
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("x").asc)
-    val pref = posts.join(dfx, Seq("x"))
+    val pref = posts
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("x"))))
       .withColumn("rk", row_number().over(wDoc))
       .filter(col("rk") <= shiftright(col("n"), 1) + 1)
-      .select(col("doc_id"), col("n"), col("x"))
-    // length filter (also exact): J(a,b) <= min(n_a,n_b)/max(n_a,n_b),
-    // so J >= 0.5 requires 2*min >= max — size-incompatible pairs can
-    // never verify and are dropped inside the join
+      .select(col("doc_id"), col("n"), col("x"), col("rk"))
+    // Two further EXACT prunes inside/after the join, both from the
+    // PPJoin family (Xiao et al., WWW'08):
+    //  - length filter: J <= min/max, so J >= 0.5 needs 2*min >= max;
+    //  - positional filter: let g* be the max-ordered prefix collision
+    //    of a pair, at ranks (rka, rkb). Any OTHER shared gram sorting
+    //    before g* would lie inside both prefixes (ranks are monotone
+    //    in the global (df, x) order) and so would itself be a
+    //    collision — hence every non-collision shared gram sorts after
+    //    g*, giving inter <= c + min(n_a - rka, n_b - rkb). J >= 0.5
+    //    needs 3*inter >= n_a + n_b, so pairs failing
+    //    3*(c + min(...)) >= n_a + n_b can never verify. This is what
+    //    keeps the verify join (candidates x grams) pair-bound, not
+    //    collision-bound.
+    // The max-rank row is the same row for both sides (rank order is
+    // the shared global gram order), so two max() aggregates agree.
     val cand = pref.as("a")
       .join(pref.as("b"),
         col("a.x") === col("b.x") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n") * 2 >= col("b.n") && col("b.n") * 2 >= col("a.n"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    (sets, cand)
+      .groupBy(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("c"),
+        max(col("a.rk")).as("rka"), max(col("b.rk")).as("rkb"))
+      .filter(lit(3) * (col("c") +
+        least(col("na") - col("rka"), col("nb") - col("rkb"))) >= col("na") + col("nb"))
+      .select(col("id_a"), col("id_b"))
+    (posts, cand)
   }
 
   /** MinHash+LSH near-dup pairs, columnar form: shingles exploded to
@@ -546,11 +576,19 @@ object Dedup {
       (s, d) => {
         import s.implicits._
         val docs = table(s, d, "documents")
-        val (sets, cand) = prefixCandidates(docs.select($"doc_id", $"text"))
+        val (posts, cand) = prefixCandidates(docs.select($"doc_id", $"text"))
+        // verify by postings-join intersection counts, candidates-only:
+        // no gram arrays cross a shuffle and the whole check is
+        // codegen'd joins + one hash-agg (an interpreted per-pair
+        // array_intersect was 2.5x slower at sf0.1)
+        val pa = posts.select($"doc_id".as("id_a"), $"n".as("n_a"), $"x")
+        val pb = posts.select($"doc_id".as("id_b"), $"n".as("n_b"), $"x")
         val dominated = cand
-          .join(sets.select($"doc_id".as("id_a"), $"xs".as("xs_a")), Seq("id_a"))
-          .join(sets.select($"doc_id".as("id_b"), $"xs".as("xs_b")), Seq("id_b"))
-          .filter(jaccard($"xs_a", $"xs_b") >= 0.5)
+          .join(pa, Seq("id_a"))
+          .join(pb, Seq("id_b", "x"))
+          .groupBy($"id_a", $"id_b", $"n_a", $"n_b")
+          .agg(count(lit(1)).as("inter"))
+          .filter($"inter".cast("double") / ($"n_a" + $"n_b" - $"inter") >= 0.5)
           .select($"id_b".as("doc_id")).distinct()
         docs.join(dominated, Seq("doc_id"), "left_anti")
           .select($"doc_id", $"source", $"n_chars")
@@ -612,8 +650,12 @@ object Dedup {
         val emb = table(s, d, "embeddings")
           .select($"vec_id", Similarity.asDouble($"embedding").as("v"))
           .withColumn("norm", Similarity.l2norm($"v"))
+        // one-row dim probe (LIMIT-1 scan) so the 64 plane evaluations
+        // compile to constant-vector DotProducts instead of interpreted
+        // HOFs — the corpus dimension is fixed per table
+        val dim = emb.select(size($"v")).head.getInt(0)
         val banded = emb.select($"vec_id",
-          explode(Similarity.hyperplaneBandBuckets($"v", bands = 8, r = 8)).as("bkt"))
+          explode(Similarity.hyperplaneBandBucketsFixed($"v", dim, bands = 8, r = 8)).as("bkt"))
         val cand = banded.as("a")
           .join(banded.as("b"),
             col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))

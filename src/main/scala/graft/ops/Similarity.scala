@@ -20,8 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cast a float vector column to double for exact, reproducible math. */
-  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Cast a float vector column to double for exact, reproducible math
+    * (float -> double widening is value-exact). A native array Cast,
+    * NOT `transform(v, _.cast)`: higher-order functions are
+    * CodegenFallback, so the transform form knocked every stage that
+    * touched the vector out of whole-stage codegen — and CollapseProject
+    * re-inlined it into each consumer (64 plane dot products in the
+    * banded-LSH path), re-evaluating the interpreted per-element
+    * lambda per use. The Cast stays codegen'd and evaluates once. */
+  def asDouble(v: Column): Column = v.cast("array<double>")
 
   /** Dot product: fused native expression (graft.functions.DotProduct,
     * codegen'd single loop), bit-identical to the left-to-right
@@ -79,6 +86,21 @@ object Similarity {
               lit(0.0), (acc, x) => acc + x) >= lit(0.0),
             lit(1)).otherwise(lit(0))),
         b, (acc, bit) => acc * lit(2) + bit))
+
+  /** [[hyperplaneBandBuckets]] for a KNOWN vector dimension: the same
+    * exact-integer LCG plane family evaluated driver-side into literal
+    * coefficient arrays, so each sign bit is one codegen'd
+    * [[dot]] against a constant vector instead of an interpreted
+    * zip_with/aggregate pair (higher-order functions are
+    * CodegenFallback — bands*r interpreted plane evaluations per row
+    * made the column form ~10x slower on wide fan-outs). Bit-identical
+    * buckets: coefficient doubles (integer LCG, exact power-of-two
+    * scaling) and left-to-right fold order are exactly the column
+    * form's — SimilaritySpec asserts equality — so the DuckDB oracle
+    * replays unchanged. */
+  def hyperplaneBandBucketsFixed(
+      v: Column, dim: Int, bands: Int = 8, r: Int = 8): Column =
+    graft.functions.VectorExpressions.hyperplaneBandBuckets(v, dim, bands, r)
 
   /** Exact top-k cosine neighbors of each query vector. Both inputs
     * must carry (id, vec); query side is broadcast. */

@@ -73,6 +73,19 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     columnar.foreach { case (id, sig) => assert(sig == scalar(id), s"doc $id") }
   }
 
+  test("fused WordShingles expression is bit-identical to the HOF pipeline on the real corpus") {
+    import spark.implicits._
+    val docs = graft.model.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+      // edge shapes the corpus may not cover
+      .union(Seq((90001L, ""), (90002L, "  one  two  "), (90003L, "a b c a b c a b c"),
+        (90004L, "\tx\n y \r\n z w\t"), (90005L, "solo")).toDF("doc_id", "text"))
+    val both = docs.select(
+      wordShingles($"text").as("hof"),
+      graft.functions.TextShingles.wordShingles($"text", 3).as("fused")).collect()
+    both.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   test("simhashChunksAgg raises loudly at 2^14 tokens instead of overflowing the packed counters") {
     import spark.implicits._
     val big = spark.range(1).select(lit(1L).as("doc_id"),

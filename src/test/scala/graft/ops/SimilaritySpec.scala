@@ -84,6 +84,17 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(dup.take(5).toSeq == dup.drop(5).toSeq)
   }
 
+  test("hyperplaneBandBucketsFixed is bit-identical to the column form") {
+    import spark.implicits._
+    val emb = graft.model.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(50).select($"vec_id", asDouble($"embedding").as("v"))
+    val dim = emb.select(size($"v")).head.getInt(0)
+    val both = emb.select(
+      hyperplaneBandBuckets($"v").as("hof"),
+      hyperplaneBandBucketsFixed($"v", dim).as("fixed")).collect()
+    both.foreach(r => assert(r.getSeq[Int](0) == r.getSeq[Int](1)))
+  }
+
   test("IVF: every returned neighbor lives in the query's probed cell") {
     import spark.implicits._
     val out = graft.SparkEntry.queries("s_ann_ivf")(spark, "/root/testdata/sf0.001")
