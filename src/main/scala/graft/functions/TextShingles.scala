@@ -89,8 +89,56 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Lowercased whitespace tokens (multiplicity and order preserved) in
+  * one compiled pass — the fused form of
+  * `filter(split(lower(text), "\\s+"), t => t != "")`, whose filter
+  * HOF is CodegenFallback. Same primitives as [[WordShingles]]
+  * (UTF8String.toLowerCase, regex \s+ split, empties dropped), so
+  * token streams are bit-identical to the HOF pipeline
+  * (DedupSpec asserts it). */
+case class WordTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"wordTokens requires string, got ${t.sql}")
+  }
+
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+
+  def compute(text: UTF8String): ArrayData = {
+    val toks0 = ws.split(text.toLowerCase.toString, -1)
+    var m = 0
+    var k = 0
+    while (k < toks0.length) { if (toks0(k).nonEmpty) m += 1; k += 1 }
+    val out = new Array[Any](m)
+    m = 0; k = 0
+    while (k < toks0.length) {
+      if (toks0(k).nonEmpty) { out(m) = UTF8String.fromString(toks0(k)); m += 1 }
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("tokenizer", this, classOf[WordTokens].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $self.compute($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordTokens =
+    copy(child = newChild)
+}
+
 object TextShingles {
   /** Fused distinct word n-gram shingles (see [[WordShingles]]). */
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  /** Fused lowercase whitespace tokenizer (see [[WordTokens]]). */
+  def wordTokens(text: Column): Column =
+    ColumnBridge.column(WordTokens(ColumnBridge.expression(text)))
 }

@@ -114,82 +114,23 @@ object Dedup {
       lit(0), (acc, h) => acc + h)
 
   /** Columnar SimHash: same signature as [[simhashChunks]] (asserted
-    * equivalent in DedupSpec) computed from exploded (id, token) rows.
-    * The 64 per-bit vote counters are PACKED four to a long (16-bit
-    * fields), so the aggregate is 16 long sums + a row count instead
-    * of 64 conditional sums — a 4x narrower hash-agg buffer and a
-    * far smaller generated aggregate class (cold codegen time is a
-    * real cost when a query runs once). Each row's packed word is
-    * built with one bit-deposit multiply (nibble * (1 + 2^15 + 2^30 +
-    * 2^45) masked to the slot bits — cross terms land off-slot and
-    * mask away), not four shift-and-or terms: a third of the
-    * expression tree for Janino to chew. votes[i] = 2*ones[i] - n
-    * recovers the exact +1/-1 vote sum, so signatures are
-    * bit-identical to the unpacked form. Docs with zero tokens
-    * produce no row (vs an all-zero signature from the scalar form).
-    *
-    * SAFETY BOUND: the long sum of packed words overflows once a doc
-    * approaches 2^14 tokens (n * (2^0+2^16+2^32+2^48) vs 2^63), so
-    * the aggregate raises a loud error at n >= 2^14 instead of
-    * silently corrupting signatures — callers with book-length docs
-    * split them or use the unpacked [[simhashChunks]] scalar form. */
+    * equivalent in DedupSpec) computed from exploded (id, token) rows,
+    * via ONE native aggregate ([[graft.functions.SimHashSigAgg]]): the
+    * ones-count vector lives in the aggregation buffer, partials merge
+    * with a vector add, and the majority-vote chunks come out of
+    * eval() directly. The hash is bound to a real column first so the
+    * aggregate's child is an attribute, not the md5 pipeline. Int
+    * counters are exact to 2^31 tokens per doc (the earlier
+    * packed-long form overflowed at 2^14 and needed a guard). Docs
+    * with zero tokens produce no row (vs an all-zero signature from
+    * the scalar form). */
   def simhashChunksAgg(
       tokRows: DataFrame, id: Column, tok: Column,
       hash: Column => Column = c => xxhash64(c),
-      bits: Int = 64): DataFrame = {
-    require(bits % 4 == 0, "bits must split into 4 equal chunks")
-    val words = bits / 4      // packed longs, 4 counters each
-    val chunkWidth = bits / 4 // signature bits per output chunk
-    // bind the token hash to a real column before fanning out into the
-    // packed-counter terms: each of the `bits` terms references the
-    // attribute, not a copy of the (md5-based) hash expression tree —
-    // the difference between a small generated class and several
-    // seconds of Janino compiling 60 inlined hash pipelines
-    val hashed = tokRows.select(id.as("id"), hash(tok).as("__h"))
-    val h = col("__h")
-    // packed word w holds ones-counters for signature bits 4w..4w+3 in
-    // 16-bit slots: slot j counts bit (4w + j). One deposit-multiply
-    // per word: bit j of the nibble lands at j + 15j = 16j; every
-    // cross term j + 15k (j != k) misses the slot mask (16m = j + 15k
-    // has j = k = m as its only solution for j,k in 0..3)
-    val magic = lit((1L << 0) | (1L << 15) | (1L << 30) | (1L << 45))
-    val slotMask = lit(0x0001000100010001L)
-    val packedCols = (0 until words).map { w =>
-      (shiftright(h, 4 * w).bitwiseAND(lit(0xFL)) * magic)
-        .bitwiseAND(slotMask).as(s"__p$w")
-    }
-    val packed = hashed.select(col("id") +: packedCols: _*)
-    val aggs = (0 until words).map(w => sum(col(s"__p$w")).as(s"__s$w")) :+
-      count(lit(1)).as("__n")
-    val sums = packed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-    // Chunk reconstruction as DELIBERATELY interpreted higher-order
-    // functions: the aggregate leaves one row per doc, so evaluating
-    // the `bits` slot-extract/vote terms interpreted costs microseconds
-    // — while compiling them as a single codegen'd projection cost
-    // seconds of Janino for a projection that runs once per query.
-    // ones-count for signature bit i lives in word i/4, 16-bit slot i%4.
-    val wordsArr = array((0 until words).map(w => col(s"__s$w")): _*)
-    val sig = transform(sequence(lit(0), lit(3)), c =>
-      aggregate(sequence(lit(0), lit(chunkWidth - 1)), lit(0), (acc, j) => {
-        val i = c * lit(chunkWidth) + j
-        val word = element_at(wordsArr, shiftright(i, 2) + lit(1))
-        val slot = i.bitwiseAND(lit(3))
-        val one = when(slot === lit(0), word.bitwiseAND(lit(0xFFFFL)))
-          .when(slot === lit(1), shiftright(word, 16).bitwiseAND(lit(0xFFFFL)))
-          .when(slot === lit(2), shiftright(word, 32).bitwiseAND(lit(0xFFFFL)))
-          .otherwise(shiftright(word, 48).bitwiseAND(lit(0xFFFFL)))
-        // vote > 0  <=>  2*ones > n
-        acc * lit(2) + when(one * lit(2L) > col("__n"), lit(1)).otherwise(lit(0))
-      }))
-    sums.select(col("id"),
-      when(col("__n") < lit(1L << 14), sig)
-        .otherwise(raise_error(concat(
-          lit("simhashChunksAgg: doc "), col("id").cast("string"),
-          lit(" has "), col("__n").cast("string"),
-          lit(" tokens (>= 2^14): packed vote counters would overflow; " +
-            "split the doc or use the unpacked simhashChunks form"))))
-        .as("sig"))
-  }
+      bits: Int = 64): DataFrame =
+    tokRows.select(id.as("id"), hash(tok).as("__h"))
+      .groupBy(col("id"))
+      .agg(graft.functions.SimHashAgg.simhashSig(col("__h"), bits).as("sig"))
 
   /** Exact dedup: group by a content hash, keep the lowest id.
     * Returns (hash, keeper id, group size). */

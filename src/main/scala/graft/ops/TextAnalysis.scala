@@ -19,8 +19,16 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Whitespace tokens, lowercased, empties dropped (split of trailing
-    * whitespace yields empty strings in both Spark and DuckDB). */
+    * whitespace yields empty strings in both Spark and DuckDB). Fused
+    * native expression — the `filter(split(lower(...)))` HOF form is
+    * CodegenFallback and was re-evaluated interpreted at every token
+    * fan-out; the fused pass is bit-identical (DedupSpec). */
   def tokens(text: Column): Column =
+    graft.functions.TextShingles.wordTokens(text)
+
+  /** The HOF form [[tokens]] replaced, kept as the equivalence-spec
+    * reference. */
+  def tokensHof(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= lit(""))
 
   /** BPE-ish token count: letter runs, single digits, or single

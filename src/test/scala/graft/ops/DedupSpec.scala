@@ -84,25 +84,27 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       wordShingles($"text").as("hof"),
       graft.functions.TextShingles.wordShingles($"text", 3).as("fused")).collect()
     both.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    // and the fused tokenizer against its HOF reference (multiplicity
+    // and order preserved, not just the distinct-set view)
+    val toks = docs.select(
+      graft.ops.TextAnalysis.tokensHof($"text").as("hof"),
+      graft.ops.TextAnalysis.tokens($"text").as("fused")).collect()
+    toks.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
-  test("simhashChunksAgg raises loudly at 2^14 tokens instead of overflowing the packed counters") {
+  test("simhashChunksAgg handles book-length docs exactly (no packed-counter ceiling)") {
     import spark.implicits._
+    // 2^14 tokens/doc overflowed the former packed-long counters; the
+    // native aggregate's int counters are exact to 2^31 — and splitting
+    // the doc across partitions must merge to the same signature
     val big = spark.range(1).select(lit(1L).as("doc_id"),
       explode(transform(sequence(lit(0), lit((1 << 14) - 1)),
-        i => concat(lit("w"), i.cast("string")))).as("tok"))
-    val e = intercept[Exception] {
-      simhashChunksAgg(big, $"doc_id", $"tok").collect()
-    }
-    assert(e.getMessage.contains("overflow") ||
-      Option(e.getCause).exists(_.getMessage.contains("overflow")), e.getMessage)
-    // one token under the bound still computes
-    val ok = simhashChunksAgg(
-      spark.range(1).select(lit(1L).as("doc_id"),
-        explode(transform(sequence(lit(0), lit((1 << 14) - 2)),
-          i => concat(lit("w"), i.cast("string")))).as("tok")),
-      $"doc_id", $"tok").collect()
-    assert(ok.length == 1 && ok.head.getSeq[Int](1).length == 4)
+        i => concat(lit("w"), (i % 977).cast("string")))).as("tok"))
+    val one = simhashChunksAgg(big, $"doc_id", $"tok").collect()
+    assert(one.length == 1 && one.head.getSeq[Int](1).length == 4)
+    val spread = simhashChunksAgg(big.repartition(8), $"doc_id", $"tok").collect()
+    assert(spread.head.getSeq[Int](1) == one.head.getSeq[Int](1),
+      "partial-merge signature differs from single-partition signature")
   }
 
   test("simhash: identical token sets -> identical signature, hamming 0; planted near-dups are close") {
