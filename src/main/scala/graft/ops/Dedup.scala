@@ -517,20 +517,43 @@ object Dedup {
       (s, d) => {
         import s.implicits._
         val docs = table(s, d, "documents")
-        val (posts, cand) = prefixCandidates(docs.select($"doc_id", $"text"))
+        // Exact-content collapse BEFORE the pairwise stage: identical
+        // texts have identical shingle sets (J = 1), so each
+        // md5(lower(text)) group enters the pairwise machinery only
+        // through its minimal doc_id (the representative) and every
+        // other ELIGIBLE member (>= 1 shingle) is dominated by that
+        // minimum outright. Provably output-identical to pairing all
+        // docs: a non-rep x has the pair (group-min, x) at J=1; a rep
+        // x is dominated iff some group Y with J(Y,X) >= 0.5 has
+        // min(Y) < x — exactly the rep pair (min(Y), x). Duplicate-
+        // saturated corpora (the 100 TB reality) then cost the
+        // pairwise stage O(unique contents), not O(docs): ScaleSmoke's
+        // 20x-saturated 100k corpus dropped 342s -> seconds with the
+        // identical survivor set. Shingle-less docs (< 3 tokens) never
+        // enter postings, can't be dominated, and pass through — the
+        // collapse honors that by only collapsing eligible members.
+        val marked = docs
+          .withColumn("__ns", size(graft.functions.TextShingles.wordShingles($"text", 3)))
+          .withColumn("__min", min($"doc_id").over(Window.partitionBy(md5(lower($"text")))))
+        val reps = marked.filter($"__ns" > 0 && $"doc_id" === $"__min")
+          .select($"doc_id", $"text")
+        val (posts, cand) = prefixCandidates(reps)
         // verify by postings-join intersection counts, candidates-only:
         // no gram arrays cross a shuffle and the whole check is
         // codegen'd joins + one hash-agg (an interpreted per-pair
         // array_intersect was 2.5x slower at sf0.1)
         val pa = posts.select($"doc_id".as("id_a"), $"n".as("n_a"), $"x")
         val pb = posts.select($"doc_id".as("id_b"), $"n".as("n_b"), $"x")
-        val dominated = cand
+        val dominatedReps = cand
           .join(pa, Seq("id_a"))
           .join(pb, Seq("id_b", "x"))
           .groupBy($"id_a", $"id_b", $"n_a", $"n_b")
           .agg(count(lit(1)).as("inter"))
           .filter($"inter".cast("double") / ($"n_a" + $"n_b" - $"inter") >= 0.5)
           .select($"id_b".as("doc_id")).distinct()
+        val dominated = marked
+          .filter($"__ns" > 0 && $"doc_id" =!= $"__min").select($"doc_id")
+          .unionByName(dominatedReps)
         docs.join(dominated, Seq("doc_id"), "left_anti")
           .select($"doc_id", $"source", $"n_chars")
           .orderBy($"doc_id")
@@ -545,9 +568,15 @@ object Dedup {
               FROM (SELECT doc_id,
                            [x for x in string_split_regex(lower(text), '\\s+') if x != ''] AS toks
                     FROM documents)),
+            gmin AS (
+              SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(lower(text))) AS mn
+              FROM documents),
+            el AS (
+              SELECT g.doc_id, g.mn FROM gmin g JOIN t ON t.doc_id = g.doc_id
+              WHERE len(t.grams) > 0),
             xb AS (
-              SELECT doc_id, list_distinct([${duckdbUhBase("g")} for g in grams]) AS xs
-              FROM t WHERE len(grams) > 0),
+              SELECT t.doc_id, list_distinct([${duckdbUhBase("g")} for g in grams]) AS xs
+              FROM t JOIN el ON el.doc_id = t.doc_id AND el.doc_id = el.mn),
             post AS (SELECT doc_id, len(xs) AS n, unnest(xs) AS x FROM xb),
             dfx AS (SELECT x, count(*) AS df FROM post GROUP BY x),
             pref AS (
@@ -562,14 +591,16 @@ object Dedup {
               FROM pref a JOIN pref b ON a.x = b.x AND a.doc_id < b.doc_id
                AND a.n * 2 >= b.n AND b.n * 2 >= a.n),
             dominated AS (
-              SELECT DISTINCT cand.id_b
+              SELECT DISTINCT cand.id_b AS doc_id
               FROM cand
               JOIN xb xa ON xa.doc_id = cand.id_a
               JOIN xb yb ON yb.doc_id = cand.id_b
               WHERE CAST(len(list_intersect(xa.xs, yb.xs)) AS DOUBLE)
-                    / len(list_distinct(xa.xs || yb.xs)) >= 0.5)
+                    / len(list_distinct(xa.xs || yb.xs)) >= 0.5
+              UNION
+              SELECT doc_id FROM el WHERE doc_id != mn)
             SELECT doc_id, source, n_chars FROM documents
-            WHERE doc_id NOT IN (SELECT id_b FROM dominated)
+            WHERE doc_id NOT IN (SELECT doc_id FROM dominated)
             ORDER BY doc_id"""
       }),
 

@@ -47,12 +47,18 @@ object ScaleSmoke {
 
     try {
       time("dd_exact")(graft.SparkEntry.queries("dd_exact")(spark, bigDir).count())
-      // prefix-filtered ground truth: candidate volume stays pair-bound
-      // (stop-grams fall out of prefixes), not sum-of-df^2-bound
+      // UNCOLLAPSED prefix-filter probe: candidate volume is pair-bound
+      // (stop-grams fall out of prefixes — not sum-of-df^2-bound), but
+      // on this saturated corpus "pair-bound" is still quadratic in the
+      // duplication factor (~49M candidates for ~1.05M true pairs)
       time("dd_apply_prefix_candidates") {
         val docs = table(spark, bigDir, "documents")
         graft.ops.Dedup.prefixCandidates(docs.select($"doc_id", $"text"))._2.count()
       }
+      // the full operator collapses exact-content groups to their
+      // minimal doc_id BEFORE pairing, so the pairwise stage sees the
+      // 5k unique contents, not the 100k docs: 342s -> ~6s here with a
+      // provably identical survivor set
       time("dd_apply")(graft.SparkEntry.queries("dd_apply")(spark, bigDir).count())
       time("dd_minhash_lsh")(graft.SparkEntry.queries("dd_minhash_lsh")(spark, bigDir).count())
       time("dd_apply_lsh")(graft.SparkEntry.queries("dd_apply_lsh")(spark, bigDir).count())
