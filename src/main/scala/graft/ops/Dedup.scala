@@ -260,7 +260,12 @@ object Dedup {
   /** Shared oracle CTE chain replaying [[minhashNearDups]] in DuckDB
     * up to the verified (id_a, id_b, sim) pair set; consumers append
     * their own threshold filter / anti-join. */
-  private lazy val minhashOracleCtes: String = {
+  private lazy val minhashOracleCtes: String = minhashOracleCtesFrom("documents")
+
+  /** [[minhashOracleCtes]] with the doc source parameterized —
+    * dd_apply_lsh feeds exact-content group representatives instead of
+    * the full corpus. */
+  private def minhashOracleCtesFrom(docsRel: String): String = {
     import graft.functions.PortableHash.{duckdbUhApply, duckdbUhBase}
     val slots = (0 until 32).map(i =>
       s"list_min([${duckdbUhApply(i, "x")} for x in xs])")
@@ -275,7 +280,7 @@ object Dedup {
                    ELSE [] END) AS grams
           FROM (SELECT doc_id,
                        [x for x in string_split_regex(lower(text), '\\s+') if x != ''] AS toks
-                FROM documents)),
+                FROM $docsRel)),
         ne AS (SELECT doc_id, grams FROM t WHERE len(grams) > 0),
         xb AS (SELECT doc_id,
                  list_distinct([${duckdbUhBase("g")} for g in grams]) AS xs
@@ -410,16 +415,43 @@ object Dedup {
       (s, d) => {
         import s.implicits._
         val docs = table(s, d, "documents")
-        val dominated = minhashNearDups(docs, $"doc_id", $"text", 0.5)
+        // Same exact-content collapse as dd_apply, same proof: identical
+        // texts share signatures, bands, AND exact hash-set Jaccard, so
+        // the rep pair reproduces every cross-group domination and the
+        // group minimum dominates its eligible twins directly. Groups
+        // are content-homogeneous, so twin eligibility = rep
+        // eligibility (shingles computed once per unique content).
+        val grp = docs.withColumn("__min",
+          min($"doc_id").over(Window.partitionBy(md5(lower($"text")))))
+        val reps = grp.filter($"doc_id" === $"__min")
+        val eligibleReps = reps
+          .filter(size(graft.functions.TextShingles.wordShingles($"text", 3)) > 0)
+          .select($"doc_id".as("__min"))
+        val twinDominated = grp.filter($"doc_id" =!= $"__min")
+          .join(eligibleReps, Seq("__min")).select($"doc_id")
+        val dominated = minhashNearDups(
+            reps.select($"doc_id", $"text"), $"doc_id", $"text", 0.5)
           .select($"id_b".as("doc_id")).distinct()
+          .unionByName(twinDominated)
         docs.join(dominated, Seq("doc_id"), "left_anti")
           .select($"doc_id", $"source", $"n_chars")
           .orderBy($"doc_id")
       },
       Some {
-        s"""$minhashOracleCtes,
+        val reps = """(SELECT doc_id, text FROM (
+                        SELECT doc_id, text,
+                               min(doc_id) OVER (PARTITION BY md5(lower(text))) AS mn
+                        FROM documents) WHERE doc_id = mn)"""
+        s"""${minhashOracleCtesFrom(reps)},
+            gm AS (
+              SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(lower(text))) AS mn
+              FROM documents),
+            twin AS (
+              SELECT g.doc_id FROM gm g JOIN ne ON ne.doc_id = g.mn
+              WHERE g.doc_id != g.mn),
             dominated AS (
-              SELECT DISTINCT id_b AS doc_id FROM verified WHERE sim >= 0.5)
+              SELECT DISTINCT id_b AS doc_id FROM verified WHERE sim >= 0.5
+              UNION SELECT doc_id FROM twin)
             SELECT doc_id, source, n_chars FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM dominated)
             ORDER BY doc_id"""

@@ -247,9 +247,16 @@ object Similarity {
       "s_ann_lsh",
       (s, d) => {
         import s.implicits._
-        val emb = table(s, d, "embeddings")
+        val emb0 = table(s, d, "embeddings")
           .select($"vec_id", asDouble($"embedding").as("v"))
-          .withColumn("bucket", hyperplaneBucket($"v"))
+        // one-row dim probe; bands=1, r=8 of the fused matrix-vector
+        // expression IS hyperplaneBucket (band 0 offsets by 0 and the
+        // global plane indices coincide) — same buckets, compiled loop
+        // instead of 8 interpreted HOF plane folds
+        val dim = emb0.select(size($"v")).head.getInt(0)
+        val emb = emb0
+          .withColumn("bucket",
+            element_at(hyperplaneBandBucketsFixed($"v", dim, bands = 1, r = 8), 1))
           .withColumn("nrm", l2norm($"v"))
         val q = emb.filter($"vec_id" < 20)
           .select($"bucket", $"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))

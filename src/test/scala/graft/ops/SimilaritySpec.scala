@@ -93,6 +93,13 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       hyperplaneBandBuckets($"v").as("hof"),
       hyperplaneBandBucketsFixed($"v", dim).as("fixed")).collect()
     both.foreach(r => assert(r.getSeq[Int](0) == r.getSeq[Int](1)))
+    // bands=1, r=8 degenerates to hyperplaneBucket (same global plane
+    // indices, zero band offset) — the swap s_ann_lsh relies on
+    val single = emb.select(
+      hyperplaneBucket($"v").as("hof"),
+      element_at(hyperplaneBandBucketsFixed($"v", dim, bands = 1, r = 8), 1).as("fixed"))
+      .collect()
+    single.foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
 
   test("IVF: every returned neighbor lives in the query's probed cell") {
