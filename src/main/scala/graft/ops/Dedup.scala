@@ -394,13 +394,59 @@ object Dedup {
       "dd_minhash_lsh",
       (s, d) => {
         import s.implicits._
-        minhashNearDups(table(s, d, "documents"), $"doc_id", $"text", 0.5)
-          .orderBy($"id_a", $"id_b")
+        // Pair-output collapse+expand (see dd_embed_cos): identical
+        // texts share signatures, bands, and exact hash-set Jaccard,
+        // so rep pairs reproduce every cross-group pair's sim, and
+        // within-group member pairs have sim = 1.0 exactly (n/n) —
+        // gated by rep eligibility (nonempty shingles). Output is
+        // provably identical to pairing the full corpus; the pairwise
+        // stage costs O(distinct contents).
+        val docs = table(s, d, "documents")
+        val grp = docs.withColumn("__min",
+          min($"doc_id").over(Window.partitionBy(md5(lower($"text")))))
+        val reps = grp.filter($"doc_id" === $"__min")
+        val upairs = minhashNearDups(
+          reps.select($"doc_id", $"text"), $"doc_id", $"text", 0.5)
+        val members = grp.select($"doc_id", $"__min")
+        val cross = upairs
+          .join(members.select($"doc_id".as("ma"), $"__min".as("id_a")), Seq("id_a"))
+          .join(members.select($"doc_id".as("mb"), $"__min".as("id_b")), Seq("id_b"))
+          .select(least($"ma", $"mb").as("id_a"), greatest($"ma", $"mb").as("id_b"), $"sim")
+        val eligible = reps
+          .filter(size(graft.functions.TextShingles.wordShingles($"text", 3)) > 0)
+          .select($"doc_id".as("__min"))
+        val within = members.as("x")
+          .join(members.as("y"),
+            col("x.__min") === col("y.__min") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.__min").as("__min"),
+            col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+          .join(eligible, Seq("__min"))
+          .select($"id_a", $"id_b", lit(1.0).as("sim"))
+        cross.unionByName(within).orderBy($"id_a", $"id_b")
       },
       Some {
-        s"""$minhashOracleCtes
-            SELECT id_a, id_b, sim FROM verified
-            WHERE sim >= 0.5
+        val reps = """(SELECT doc_id, text FROM (
+                        SELECT doc_id, text,
+                               min(doc_id) OVER (PARTITION BY md5(lower(text))) AS mn
+                        FROM documents) WHERE doc_id = mn)"""
+        s"""${minhashOracleCtesFrom(reps)},
+            gm AS (
+              SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(lower(text))) AS mn
+              FROM documents),
+            upairs AS (SELECT id_a, id_b, sim FROM verified WHERE sim >= 0.5),
+            cross_pairs AS (
+              SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+                     greatest(ma.doc_id, mb.doc_id) AS id_b, u.sim
+              FROM upairs u
+              JOIN gm ma ON ma.mn = u.id_a
+              JOIN gm mb ON mb.mn = u.id_b),
+            within_pairs AS (
+              SELECT x.doc_id AS id_a, y.doc_id AS id_b, 1.0 AS sim
+              FROM gm x JOIN gm y ON x.mn = y.mn AND x.doc_id < y.doc_id
+              JOIN ne ON ne.doc_id = x.mn)
+            SELECT id_a, id_b, sim FROM cross_pairs
+            UNION ALL
+            SELECT id_a, id_b, sim FROM within_pairs
             ORDER BY id_a, id_b"""
       }),
 
@@ -468,9 +514,19 @@ object Dedup {
       "dd_simhash",
       (s, d) => {
         import s.implicits._
+        // Pair-output collapse+expand (see dd_embed_cos): identical
+        // texts share the token multiset, hence the signature, hence
+        // every chunk bucket; rep pairs reproduce every cross-group
+        // pair's hamming, within-group member pairs are hamming 0
+        // (gated on the rep having >= 1 token — tokenless docs emit no
+        // signature and never pair). Output provably identical, the
+        // pairwise stage costs O(distinct contents).
         val docs = table(s, d, "documents")
+        val grp = docs.withColumn("__min",
+          min($"doc_id").over(Window.partitionBy(md5(lower($"text")))))
+        val reps = grp.filter($"doc_id" === $"__min")
         val sigs = simhashChunksAgg(
-            docs.select($"doc_id", explode(tokens($"text")).as("tok")),
+            reps.select($"doc_id", explode(tokens($"text")).as("tok")),
             $"doc_id", $"tok",
             hash = c => graft.functions.PortableHash.md5Hash60(c),
             bits = 60)
@@ -480,12 +536,25 @@ object Dedup {
           .withColumn("chunk", element_at($"sig", $"chunk_id" + lit(1)))
         val a = chunked.select($"chunk_id", $"chunk", $"doc_id".as("id_a"), $"sig".as("sig_a"))
         val b = chunked.select($"chunk_id", $"chunk", $"doc_id".as("id_b"), $"sig".as("sig_b"))
-        a.join(b, Seq("chunk_id", "chunk"))
+        val upairs = a.join(b, Seq("chunk_id", "chunk"))
           .filter($"id_a" < $"id_b")
           .select($"id_a", $"id_b", hammingChunks($"sig_a", $"sig_b").as("hamming"))
           .filter($"hamming" <= 3)
           .distinct()
-          .orderBy($"id_a", $"id_b")
+        val members = grp.select($"doc_id", $"__min")
+        val cross = upairs
+          .join(members.select($"doc_id".as("ma"), $"__min".as("id_a")), Seq("id_a"))
+          .join(members.select($"doc_id".as("mb"), $"__min".as("id_b")), Seq("id_b"))
+          .select(least($"ma", $"mb").as("id_a"), greatest($"ma", $"mb").as("id_b"), $"hamming")
+        val eligible = reps.filter(size(tokens($"text")) > 0).select($"doc_id".as("__min"))
+        val within = members.as("x")
+          .join(members.as("y"),
+            col("x.__min") === col("y.__min") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.__min").as("__min"),
+            col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+          .join(eligible, Seq("__min"))
+          .select($"id_a", $"id_b", lit(0).as("hamming"))
+        cross.unionByName(within).orderBy($"id_a", $"id_b")
       },
       Some {
         val chunkExprs = (0 until 4).map { c =>
@@ -494,10 +563,16 @@ object Dedup {
             s"(CASE WHEN 2 * len([x for x in hs if (x >> $bit) & 1 = 1]) > n THEN ${1 << (14 - j)} ELSE 0 END)"
           }.mkString(" + ") + ")"
         }.mkString(",\n                       ")
-        s"""WITH t AS (
+        s"""WITH gm AS (
+              SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(lower(text))) AS mn
+              FROM documents),
+            t AS (
               SELECT doc_id,
                      [x for x in string_split_regex(lower(text), '\\s+') if x != ''] AS toks
-              FROM documents),
+              FROM (SELECT doc_id, text FROM (
+                      SELECT doc_id, text,
+                             min(doc_id) OVER (PARTITION BY md5(lower(text))) AS mn
+                      FROM documents) WHERE doc_id = mn)),
             h AS (
               SELECT doc_id,
                      [('0x' || substring(md5(t), 1, 15))::BIGINT for t in toks] AS hs,
@@ -515,13 +590,27 @@ object Dedup {
                               a.sig AS sig_a, b.sig AS sig_b
               FROM ch a JOIN ch b
                 ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
-               AND a.doc_id < b.doc_id)
-            SELECT id_a, id_b,
-                   CAST(list_sum([bit_count(xor(x[1]::BIGINT, x[2]::BIGINT))
-                                  for x in list_zip(sig_a, sig_b)]) AS INT) AS hamming
-            FROM cand
-            WHERE CAST(list_sum([bit_count(xor(x[1]::BIGINT, x[2]::BIGINT))
-                                 for x in list_zip(sig_a, sig_b)]) AS INT) <= 3
+               AND a.doc_id < b.doc_id),
+            upairs AS (
+              SELECT id_a, id_b,
+                     CAST(list_sum([bit_count(xor(x[1]::BIGINT, x[2]::BIGINT))
+                                    for x in list_zip(sig_a, sig_b)]) AS INT) AS hamming
+              FROM cand
+              WHERE CAST(list_sum([bit_count(xor(x[1]::BIGINT, x[2]::BIGINT))
+                                   for x in list_zip(sig_a, sig_b)]) AS INT) <= 3),
+            cross_pairs AS (
+              SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+                     greatest(ma.doc_id, mb.doc_id) AS id_b, u.hamming
+              FROM upairs u
+              JOIN gm ma ON ma.mn = u.id_a
+              JOIN gm mb ON mb.mn = u.id_b),
+            within_pairs AS (
+              SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST(0 AS INT) AS hamming
+              FROM gm x JOIN gm y ON x.mn = y.mn AND x.doc_id < y.doc_id
+              JOIN h ON h.doc_id = x.mn)
+            SELECT id_a, id_b, hamming FROM cross_pairs
+            UNION ALL
+            SELECT id_a, id_b, hamming FROM within_pairs
             ORDER BY id_a, id_b"""
       }),
 
@@ -651,33 +740,70 @@ object Dedup {
       "dd_embed_cos",
       (s, d) => {
         import s.implicits._
-        val emb = table(s, d, "embeddings")
-          .select($"vec_id", Similarity.asDouble($"embedding").as("v"))
+        // Exact-vector collapse, pair-output form: identical embeddings
+        // share every band bucket and every cosine, so the band/verify
+        // machinery runs on one representative (min vec_id) per
+        // distinct vector, and verified rep pairs EXPAND back to
+        // member pairs with the rep cosine (bitwise-identical doubles
+        // — identical inputs, identical arithmetic). Within-group
+        // member pairs get the rep's self-cosine (dot(v,v)/(norm*norm)
+        // — ~1.0 up to the sqrt rounding both engines share), gated by
+        // the same threshold. Candidate sets match the uncollapsed
+        // form exactly (twins collide in ALL bands), so output is
+        // provably identical while a duplicate-saturated corpus costs
+        // the pairwise stage O(distinct vectors): ScaleSmoke's
+        // 20x-saturated 40k vectors dropped 146s -> seconds with the
+        // quadratic left only in the true output pairs.
+        val embAll = table(s, d, "embeddings")
+          .select($"vec_id", $"embedding", Similarity.asDouble($"embedding").as("v"))
           .withColumn("norm", Similarity.l2norm($"v"))
+          .withColumn("__min", min($"vec_id").over(Window.partitionBy($"embedding")))
+        val reps = embAll.filter($"vec_id" === $"__min")
+          .select($"vec_id", $"v", $"norm")
         // one-row dim probe (LIMIT-1 scan) so the 64 plane evaluations
         // compile to constant-vector DotProducts instead of interpreted
         // HOFs — the corpus dimension is fixed per table
-        val dim = emb.select(size($"v")).head.getInt(0)
-        val banded = emb.select($"vec_id",
+        val dim = reps.select(size($"v")).head.getInt(0)
+        val banded = reps.select($"vec_id",
           explode(Similarity.hyperplaneBandBucketsFixed($"v", dim, bands = 8, r = 8)).as("bkt"))
         val cand = banded.as("a")
           .join(banded.as("b"),
             col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
           .distinct()
-        cand
-          .join(emb.select($"vec_id".as("id_a"), $"v".as("v_a"), $"norm".as("n_a")), Seq("id_a"))
-          .join(emb.select($"vec_id".as("id_b"), $"v".as("v_b"), $"norm".as("n_b")), Seq("id_b"))
+        val upairs = cand
+          .join(reps.select($"vec_id".as("id_a"), $"v".as("v_a"), $"norm".as("n_a")), Seq("id_a"))
+          .join(reps.select($"vec_id".as("id_b"), $"v".as("v_b"), $"norm".as("n_b")), Seq("id_b"))
           .select($"id_a", $"id_b",
             (Similarity.dot($"v_a", $"v_b") / ($"n_a" * $"n_b")).as("cos"))
           .filter($"cos" >= 0.4)
-          .orderBy($"id_a", $"id_b")
+        val members = embAll.select($"vec_id", $"__min")
+        val cross = upairs
+          .join(members.select($"vec_id".as("ma"), $"__min".as("id_a")), Seq("id_a"))
+          .join(members.select($"vec_id".as("mb"), $"__min".as("id_b")), Seq("id_b"))
+          .select(least($"ma", $"mb").as("id_a"), greatest($"ma", $"mb").as("id_b"), $"cos")
+        val selfCos = reps
+          .select($"vec_id".as("__min"),
+            (Similarity.dot($"v", $"v") / ($"norm" * $"norm")).as("cos"))
+          .filter($"cos" >= 0.4)
+        val within = members.as("x")
+          .join(members.as("y"),
+            col("x.__min") === col("y.__min") && col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.__min").as("__min"),
+            col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+          .join(selfCos, Seq("__min"))
+          .select($"id_a", $"id_b", $"cos")
+        cross.unionByName(within).orderBy($"id_a", $"id_b")
       },
-      Some("""WITH e AS (
+      Some("""WITH g AS (
+                SELECT vec_id, embedding,
+                       min(vec_id) OVER (PARTITION BY embedding) AS mn
+                FROM embeddings),
+              e AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                              CAST(embedding AS DOUBLE[]))) AS nrm
-                FROM embeddings),
+                FROM g WHERE vec_id = mn),
               b AS (
                 SELECT vec_id,
                        [bb * 256 + list_sum([CASE WHEN list_dot_product(v,
@@ -691,13 +817,31 @@ object Dedup {
               cand AS (
                 SELECT a.vec_id AS id_a, c.vec_id AS id_b
                 FROM b a JOIN b c ON a.vec_id < c.vec_id
-                WHERE len(list_intersect(a.bkts, c.bkts)) > 0)
-              SELECT cand.id_a, cand.id_b,
-                     list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cos
-              FROM cand
-              JOIN e x ON x.vec_id = cand.id_a
-              JOIN e y ON y.vec_id = cand.id_b
-              WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4
+                WHERE len(list_intersect(a.bkts, c.bkts)) > 0),
+              upairs AS (
+                SELECT cand.id_a, cand.id_b,
+                       list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cos
+                FROM cand
+                JOIN e x ON x.vec_id = cand.id_a
+                JOIN e y ON y.vec_id = cand.id_b
+                WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4),
+              cross_pairs AS (
+                SELECT least(ma.vec_id, mb.vec_id) AS id_a,
+                       greatest(ma.vec_id, mb.vec_id) AS id_b, u.cos
+                FROM upairs u
+                JOIN g ma ON ma.mn = u.id_a
+                JOIN g mb ON mb.mn = u.id_b),
+              selfcos AS (
+                SELECT vec_id AS mn, list_dot_product(v, v) / (nrm * nrm) AS cos
+                FROM e
+                WHERE list_dot_product(v, v) / (nrm * nrm) >= 0.4),
+              within_pairs AS (
+                SELECT x.vec_id AS id_a, y.vec_id AS id_b, s.cos
+                FROM g x JOIN g y ON x.mn = y.mn AND x.vec_id < y.vec_id
+                JOIN selfcos s ON s.mn = x.mn)
+              SELECT id_a, id_b, cos FROM cross_pairs
+              UNION ALL
+              SELECT id_a, id_b, cos FROM within_pairs
               ORDER BY id_a, id_b"""))
   )
 }

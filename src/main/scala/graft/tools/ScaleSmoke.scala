@@ -37,6 +37,15 @@ object ScaleSmoke {
         $"text", $"lang", $"source", $"n_chars")
     val bigDir = java.nio.file.Files.createTempDirectory("graft_scale").toString
     big.write.parquet(s"$bigDir/documents.parquet")
+    // duplicate-saturated embeddings too: every vector has copies-1
+    // exact twins, the worst case for the banded-LSH blocking (twins
+    // collide in EVERY band)
+    table(spark, sfDir, "embeddings")
+      .crossJoin(spark.range(copies).select($"id".as("__copy")))
+      .select(
+        ($"vec_id" + $"__copy" * lit(1000000L)).as("vec_id"),
+        $"embedding", $"label")
+      .write.parquet(s"$bigDir/embeddings.parquet")
     println(s"SMOKE corpus: ${n * copies} docs ($copies copies of $n)")
 
     def time(name: String)(f: => Long): Unit = {
@@ -63,6 +72,11 @@ object ScaleSmoke {
       time("dd_minhash_lsh")(graft.SparkEntry.queries("dd_minhash_lsh")(spark, bigDir).count())
       time("dd_apply_lsh")(graft.SparkEntry.queries("dd_apply_lsh")(spark, bigDir).count())
       time("dd_simhash")(graft.SparkEntry.queries("dd_simhash")(spark, bigDir).count())
+      // banded hyperplane-LSH blocking under total vector saturation;
+      // output is the inherent quadratic (every twin pair is a true
+      // cosine-1 pair), candidates stay band-bounded
+      time("dd_embed_cos")(graft.SparkEntry.queries("dd_embed_cos")(spark, bigDir).count())
+      time("s_ann_lsh")(graft.SparkEntry.queries("s_ann_lsh")(spark, bigDir).count())
       time("t_vocab")(graft.SparkEntry.queries("t_vocab")(spark, bigDir).count())
       time("t_fingerprint")(graft.SparkEntry.queries("t_fingerprint")(spark, bigDir).count())
     } finally {
