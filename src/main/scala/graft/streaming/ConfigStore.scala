@@ -53,6 +53,7 @@ object ConfigStore {
       spark.read.schema(Tables.referenceSchemas(name)).parquet(s"$location/$name")
 
     val buses = tbl("buses").filter(col("enabled")).collect()
+    require(buses.nonEmpty, s"no enabled bus in the config store at $location")
     val badProto = buses.filter(_.getAs[Int]("protocol") != 1)
     require(badProto.isEmpty,
       s"unsupported bus protocol(s): ${badProto.map(b =>

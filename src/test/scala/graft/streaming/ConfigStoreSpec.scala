@@ -88,6 +88,47 @@ class ConfigStoreSpec extends AnyFunSuite with SparkSpec {
     } finally { s1.close(); s2.close() }
   }
 
+  test("CREATE-TABLE catalog tables + SQL INSERTs drive the daemon end to end") {
+    import spark.implicits._
+    // the reference's own bring-up: CREATE-TABLE run mode (R13), rows
+    // INSERTed into the config tables (R11), then daemon startup from
+    // the store (daq-3i.py:326-332 then :341-348)
+    val loc = Files.createTempDirectory("graft_cfg_ddl").toString
+    val dataDir = Files.createTempDirectory("graft_cfg_ddl_run").toString
+    val server = new ModbusTestServer()
+    try {
+      Tables.referenceSchemas.keys.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Tables.createReferenceTables(spark, loc)
+      spark.sql(s"""INSERT INTO buses VALUES
+        (1, 'bus-a', 1, '127.0.0.1', ${server.port}, 1, true)""")
+      spark.sql("""INSERT INTO channels VALUES
+        (1, 'ch1', 1, 1, 5, 1, 0, 3, 4, true, 'V', 100, 'chan one'),
+        (2, 'ch2', 1, 1, 17, 1, 1, 3, 4, true, 'V', 100, 'chan two')""")
+      spark.sql("INSERT INTO conversions VALUES (1, 'x10', 'Value = x * 10')")
+
+      val cfg = ConfigStore.load(spark, loc,
+        Map("startEpochSec" -> "0", "periodSec" -> "1", "maxTicks" -> "2"))
+      val daemon = new Daemon(
+        spark, cfg.channels, cfg.conversions,
+        cfg.busSources.head, dataDir,
+        pulseSec = 3600, truncIntervalSec = 3600,
+        extraSources = cfg.busSources.tail)
+      daemon.start()
+      try {
+        daemon.ingest.processAllAvailable()
+        val fact = Ingest.readFact(spark, daemon.factDir)
+          .select($"channel_id", $"value".cast("double")).distinct()
+          .orderBy($"channel_id").collect()
+          .map(r => (r.getLong(0), r.getDouble(1)))
+        // hr[addr] == addr: ch1 = 5 raw (conv 0 = none), ch2 = 17*10
+        assert(fact.toSeq == Seq((1L, 5.0), (2L, 170.0)))
+      } finally daemon.stop()
+    } finally {
+      server.close()
+      Tables.referenceSchemas.keys.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("unsupported protocol and non-READHOLDING function codes fail loudly at load") {
     import spark.implicits._
     val loc = Files.createTempDirectory("graft_cfg_bad").toString
