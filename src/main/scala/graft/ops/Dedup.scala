@@ -345,9 +345,17 @@ object Dedup {
         // statistics, which is what keeps the intermediate bounded
         // when the corpus scales 1000x. Text is tokenized exactly
         // once; shingle counts aggregate from the postings themselves.
+        // Pair-output collapse+expand (see dd_embed_cos), grouped on
+        // (content, n_chars) because the length band keys on n_chars:
+        // twins share postings AND bands, so rep pairs reproduce every
+        // cross-group sim and within-group member pairs are sim = 1.0
+        // (gated on the rep having grams — gramless docs never post).
+        val grp = table(s, d, "documents")
+          .withColumn("__min", min($"doc_id")
+            .over(Window.partitionBy(md5(lower($"text")), $"n_chars")))
+        val reps = grp.filter($"doc_id" === $"__min")
         val postings = withHashedShingles(
-            table(s, d, "documents")
-              .select($"doc_id", $"text", floor($"n_chars" / lit(50)).as("band")),
+            reps.select($"doc_id", $"text", floor($"n_chars" / lit(50)).as("band")),
             $"text", "sh")
           .select($"doc_id", $"band", explode($"sh").as("gram"))
         val ng = postings.groupBy($"doc_id").agg(count(lit(1)).as("ng"))
@@ -361,13 +369,28 @@ object Dedup {
           .agg(count(lit(1)).as("inter"))
         // ng is per-doc (corpus-sized) -> no broadcast hint; AQE picks
         // broadcast only while it actually fits
-        pairs
+        val upairs = pairs
           .join(ng.select($"doc_id".as("id_a"), $"ng".as("n_a")), Seq("id_a"))
           .join(ng.select($"doc_id".as("id_b"), $"ng".as("n_b")), Seq("id_b"))
           .select($"id_a", $"id_b",
             ($"inter".cast("double") / ($"n_a" + $"n_b" - $"inter")).as("sim"))
           .filter($"sim" >= 0.2)
-          .orderBy($"id_a", $"id_b")
+        val members = grp.select($"doc_id", $"__min")
+        val cross = upairs
+          .join(members.select($"doc_id".as("ma"), $"__min".as("id_a")), Seq("id_a"))
+          .join(members.select($"doc_id".as("mb"), $"__min".as("id_b")), Seq("id_b"))
+          .select(least($"ma", $"mb").as("id_a"), greatest($"ma", $"mb").as("id_b"), $"sim")
+        val eligible = reps
+          .filter(size(graft.functions.TextShingles.wordShingles($"text", 3)) > 0)
+          .select($"doc_id".as("__min"))
+        val within = members.as("x")
+          .join(members.as("y"),
+            col("x.__min") === col("y.__min") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.__min").as("__min"),
+            col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+          .join(eligible, Seq("__min"))
+          .select($"id_a", $"id_b", lit(1.0).as("sim"))
+        cross.unionByName(within).orderBy($"id_a", $"id_b")
       },
       Some("""WITH t AS (
                 SELECT doc_id, floor(n_chars / 50) AS band,

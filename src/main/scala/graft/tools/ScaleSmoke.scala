@@ -70,6 +70,7 @@ object ScaleSmoke {
       // provably identical survivor set
       time("dd_apply")(graft.SparkEntry.queries("dd_apply")(spark, bigDir).count())
       time("dd_minhash_lsh")(graft.SparkEntry.queries("dd_minhash_lsh")(spark, bigDir).count())
+      time("dd_ngram_jaccard")(graft.SparkEntry.queries("dd_ngram_jaccard")(spark, bigDir).count())
       time("dd_apply_lsh")(graft.SparkEntry.queries("dd_apply_lsh")(spark, bigDir).count())
       time("dd_simhash")(graft.SparkEntry.queries("dd_simhash")(spark, bigDir).count())
       // banded hyperplane-LSH blocking under total vector saturation;

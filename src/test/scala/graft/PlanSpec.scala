@@ -58,7 +58,7 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
 
   test("pairwise dedup operators never plan a cartesian product") {
     for (q <- Seq("dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash",
-        "dd_embed_cos", "dd_apply_lsh")) {
+        "dd_embed_cos", "dd_apply_lsh", "dd_apply")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")

@@ -52,6 +52,18 @@ class ModbusTcpSourceSpec extends AnyFunSuite with SparkSpec {
     } finally ok.close()
   }
 
+  test("transport drop mid-conversation: the failed read throws, the next read reconnects") {
+    val server = new ModbusTestServer(dropEveryNth = 2)
+    try {
+      val c = new ModbusTcpClient("127.0.0.1", server.port, 1000)
+      try {
+        assert(c.readHoldingRegisters(1, 5, 1).toSeq == Seq(5)) // request 1 ok
+        intercept[java.io.IOException](c.readHoldingRegisters(1, 6, 1)) // request 2 dropped
+        assert(c.readHoldingRegisters(1, 7, 1).toSeq == Seq(7)) // request 3: fresh socket
+      } finally c.close()
+    } finally server.close()
+  }
+
   test("golden check over TCP: UINT16 @ address A ingests value A through the full pipeline") {
     import spark.implicits._
     val server = new ModbusTestServer()
