@@ -92,6 +92,49 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     toks.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
+  test("dd_apply equals brute-force all-pairs domination (independent of the mirrored oracle)") {
+    import spark.implicits._
+    // the DuckDB oracle REPLAYS the prefix-filter + collapse pipeline,
+    // so a completeness bug shared by both engines would hash-match;
+    // this check is against plain all-pairs Jaccard >= 0.5 domination
+    // computed with none of that machinery
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.model.Tables.table(spark, d, "documents")
+    val sets = docs.select($"doc_id",
+        graft.functions.TextShingles.wordShingles($"text", 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val dominated = (for {
+      (a, sa) <- sets; (b, sb) <- sets
+      if a < b && sa.nonEmpty && sb.nonEmpty
+      if (sa & sb).size.toDouble / (sa | sb).size >= 0.5
+    } yield b).toSet
+    val expect = sets.map(_._1).filterNot(dominated).sorted.toSeq
+    val got = graft.SparkEntry.queries("dd_apply")(spark, d)
+      .select($"doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == expect)
+  }
+
+  test("collapsed pair queries equal their uncollapsed full-corpus forms, incl. exact twins") {
+    import spark.implicits._
+    // the test corpora have no exact duplicates, so double the corpus:
+    // every doc gets one identical twin — the within-group expansion
+    // path must fire and still match the uncollapsed pairing exactly
+    val d = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft_dup").toString
+    val base = graft.model.Tables.table(spark, d, "documents")
+    base.union(base.select(($"doc_id" + 1000000L).as("doc_id"),
+        $"text", $"lang", $"source", $"n_chars"))
+      .write.parquet(s"$dir/documents.parquet")
+    val docs = graft.model.Tables.table(spark, dir, "documents")
+    val direct = minhashNearDups(docs.select($"doc_id", $"text"), $"doc_id", $"text", 0.5)
+      .select($"id_a", $"id_b", $"sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(direct.nonEmpty, "doubled corpus must produce twin pairs")
+    val collapsed = graft.SparkEntry.queries("dd_minhash_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(collapsed == direct)
+  }
+
   test("simhashChunksAgg handles book-length docs exactly (no packed-counter ceiling)") {
     import spark.implicits._
     // 2^14 tokens/doc overflowed the former packed-long counters; the
