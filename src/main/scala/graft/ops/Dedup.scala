@@ -786,7 +786,7 @@ object Dedup {
         // one-row dim probe (LIMIT-1 scan) so the 64 plane evaluations
         // compile to constant-vector DotProducts instead of interpreted
         // HOFs — the corpus dimension is fixed per table
-        val dim = reps.select(size($"v")).head.getInt(0)
+        val dim = reps.select(size($"v")).head().getInt(0)
         val banded = reps.select($"vec_id",
           explode(Similarity.hyperplaneBandBucketsFixed($"v", dim, bands = 8, r = 8)).as("bkt"))
         val cand = banded.as("a")

@@ -253,7 +253,7 @@ object Similarity {
         // expression IS hyperplaneBucket (band 0 offsets by 0 and the
         // global plane indices coincide) — same buckets, compiled loop
         // instead of 8 interpreted HOF plane folds
-        val dim = emb0.select(size($"v")).head.getInt(0)
+        val dim = emb0.select(size($"v")).head().getInt(0)
         val emb = emb0
           .withColumn("bucket",
             element_at(hyperplaneBandBucketsFixed($"v", dim, bands = 1, r = 8), 1))
