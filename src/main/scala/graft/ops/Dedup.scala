@@ -57,33 +57,10 @@ object Dedup {
   def withWordShingles(df: DataFrame, text: Column, out: String, n: Int = 3): DataFrame =
     df.withColumn(out, graft.functions.TextShingles.wordShingles(text, n))
 
-  /** Adds `out` = distinct 64-bit-hashed word n-gram shingles (see
-    * [[hashedShingles]] for why hashes, [[withWordShingles]] for why
-    * DataFrame-level). Composes [[wordShinglesOf]] — one shingle
-    * definition in the codebase — with an element-hash transform; the
-    * outer lambda only references its own variable, so the shingle
-    * array is built once per row. */
-  def withHashedShingles(df: DataFrame, text: Column, out: String, n: Int = 3): DataFrame = {
-    val sh = s"__sh_$out"
-    df.withColumn(sh, graft.functions.TextShingles.wordShingles(text, n))
-      .withColumn(out, transform(col(sh), s => xxhash64(s)))
-      .drop(sh)
-  }
-
   /** Jaccard similarity of two (distinct-element) array columns. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
-
-  /** 64-bit-hashed shingle set: set operations on fixed-width longs
-    * are ~an order of magnitude cheaper than on strings, and Jaccard
-    * over the hashed sets equals Jaccard over the strings up to
-    * 64-bit collisions (≈ n²/2⁶⁵ — negligible at any corpus size that
-    * fits a cluster). The 100 TB trick: never carry text into a
-    * pairwise stage. Scalar convenience — the bulk path is
-    * [[withHashedShingles]] (bound token array, single tokenizer pass). */
-  def hashedShingles(text: Column, n: Int = 3): Column =
-    transform(wordShingles(text, n), s => xxhash64(s))
 
   /** 64-bit SimHash of a token multiset — per-bit majority vote of
     * token hashes — represented as 4 x 16-bit chunk values (an
@@ -354,10 +331,14 @@ object Dedup {
           .withColumn("__min", min($"doc_id")
             .over(Window.partitionBy(md5(lower($"text")), $"n_chars")))
         val reps = grp.filter($"doc_id" === $"__min")
-        val postings = withHashedShingles(
+        // hash AFTER the explode: xxhash64 per posting row is
+        // codegen'd, where transform(sh, xxhash64) over the array is an
+        // interpreted HOF; identical gram identities either way
+        val postings = withWordShingles(
             reps.select($"doc_id", $"text", floor($"n_chars" / lit(50)).as("band")),
             $"text", "sh")
-          .select($"doc_id", $"band", explode($"sh").as("gram"))
+          .select($"doc_id", $"band", explode($"sh").as("g"))
+          .select($"doc_id", $"band", xxhash64($"g").as("gram"))
         val ng = postings.groupBy($"doc_id").agg(count(lit(1)).as("ng"))
         val pairs = postings
           .withColumn("bkey", explode(array($"band" - 1, $"band", $"band" + 1)))
