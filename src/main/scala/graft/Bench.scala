@@ -18,10 +18,13 @@ object Bench {
     graft.model.Tables.table(spark, sfDir, "region").count()
     // (time, error-class-or-null) per query — a crashed query must not
     // masquerade as a fast one in the bench JSON
+    // noop sink: forces full evaluation of every projected column (count()
+    // would let Catalyst prune the very expressions a projection query
+    // exists to exercise) at zero disk cost
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
-        try { fn(spark, sfDir).count(); None }
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case e: Throwable => Some(e.getClass.getSimpleName) }
       name -> ((System.nanoTime() - t0) / 1e9, err)
     }
