@@ -115,61 +115,161 @@ object Dedup {
     df.groupBy(md5(lower(text)).as("content_hash"))
       .agg(min(id).as("keeper"), count(lit(1)).as("n_docs"))
 
-  /** Prefix-filtered candidate pairs for EXACT Jaccard >= 0.5 over
-    * portable-hashed shingle sets (Bayardo et al., WWW'07): each doc
-    * indexes only the first floor(n/2)+1 grams of its set in the
-    * global (df ASC, hash ASC) order — complete for J >= 0.5 (prefix
-    * length |x| - ceil(0.5|x|) + 1), while stop-grams sort to the
-    * suffix and never generate candidates. Input must carry
-    * (doc_id, text); returns (posts = (doc_id, n, x) distinct gram-hash
-    * postings for the count-based verify join, cand = distinct
-    * (id_a, id_b) candidate pairs). Every consumer of `posts` shares
-    * one tokenize+hash+dedup pass: the lineage up to the doc_id
+  /** Prefix-filtered candidate pairs for EXACT Jaccard >= tn/td over
+    * hashed shingle sets (Bayardo et al., WWW'07): each doc indexes
+    * only the first |x| - ceil(t*|x|) + 1 grams of its set in the
+    * global (df ASC, hash ASC) order — complete for J >= t (any pair
+    * reaching t must collide inside both prefixes), while stop-grams
+    * sort to the suffix and never generate candidates. Input must
+    * carry (doc_id, text) — plus an integer `band` column when
+    * `banded` (length-band blocking: side a replicates each prefix
+    * posting under band keys {band-1, band, band+1}, so the non-equi
+    * adjacency predicate |band_a - band_b| <= 1 becomes part of the
+    * equi-join key). Returns (posts = (doc_id [, band], n, x) distinct
+    * gram-hash postings for the count-based verify join, cand =
+    * distinct (id_a, id_b) candidate pairs). Every consumer of `posts`
+    * shares one tokenize+hash+dedup pass: the lineage up to the doc_id
     * hash-aggregate is identical, so ReuseExchange serves all of them
     * from a single shuffle. */
-  def prefixCandidates(docs: DataFrame): (DataFrame, DataFrame) = {
-    import graft.functions.PortableHash.uhBase
+  def prefixCandidates(
+      docs: DataFrame, tn: Int = 1, td: Int = 2,
+      hash: Column => Column = graft.functions.PortableHash.uhBase,
+      banded: Boolean = false): (DataFrame, DataFrame) = {
+    val bandCols = if (banded) Seq(col("band")) else Seq.empty[Column]
     val posts = withWordShingles(docs, col("text"), "sh")
-      .select(col("doc_id"), explode(col("sh")).as("g"))
-      .select(col("doc_id"), uhBase(col("g")).as("x"))
-      .groupBy(col("doc_id")).agg(collect_set(col("x")).as("xs"))
-      .select(col("doc_id"), size(col("xs")).as("n"), explode(col("xs")).as("x"))
+      .select(col("doc_id") +: bandCols :+ explode(col("sh")).as("g"): _*)
+      .select(col("doc_id") +: bandCols :+ hash(col("g")).as("x"): _*)
+      .groupBy(col("doc_id") +: bandCols: _*).agg(collect_set(col("x")).as("xs"))
+      .select((col("doc_id") +: bandCols) ++
+        Seq(size(col("xs")).as("n"), explode(col("xs")).as("x")): _*)
     // df as a count window over partition(x), not a groupBy+self-join:
     // one exchange feeds the window directly, two fewer stages
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("x").asc)
+    // prefix length n - ceil(t*n) + 1 in exact integer math:
+    // ceil(tn*n/td) = (tn*n + td - 1) div td  (n, tn, td > 0)
     val pref = posts
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("x"))))
       .withColumn("rk", row_number().over(wDoc))
-      .filter(col("rk") <= shiftright(col("n"), 1) + 1)
-      .select(col("doc_id"), col("n"), col("x"), col("rk"))
+      .filter(col("rk") <=
+        col("n") - floor((col("n") * tn + lit(td - 1)) / lit(td)) + 1)
+      .select((col("doc_id") +: bandCols) ++
+        Seq(col("n"), col("x"), col("rk")): _*)
     // Two further EXACT prunes inside/after the join, both from the
     // PPJoin family (Xiao et al., WWW'08):
-    //  - length filter: J <= min/max, so J >= 0.5 needs 2*min >= max;
+    //  - length filter: J <= min/max, so J >= tn/td needs
+    //    td*min >= tn*max;
     //  - positional filter: let g* be the max-ordered prefix collision
     //    of a pair, at ranks (rka, rkb). Any OTHER shared gram sorting
     //    before g* would lie inside both prefixes (ranks are monotone
     //    in the global (df, x) order) and so would itself be a
     //    collision — hence every non-collision shared gram sorts after
-    //    g*, giving inter <= c + min(n_a - rka, n_b - rkb). J >= 0.5
-    //    needs 3*inter >= n_a + n_b, so pairs failing
-    //    3*(c + min(...)) >= n_a + n_b can never verify. This is what
-    //    keeps the verify join (candidates x grams) pair-bound, not
-    //    collision-bound.
+    //    g*, giving inter <= c + min(n_a - rka, n_b - rkb). J >= tn/td
+    //    needs (td+tn)*inter >= tn*(n_a + n_b), so pairs failing that
+    //    bound at the inter upper estimate can never verify. This is
+    //    what keeps the verify join (candidates x grams) pair-bound,
+    //    not collision-bound.
     // The max-rank row is the same row for both sides (rank order is
     // the shared global gram order), so two max() aggregates agree.
-    val cand = pref.as("a")
+    val prefA =
+      if (banded)
+        pref.withColumn("bkey",
+          explode(array(col("band") - 1, col("band"), col("band") + 1)))
+      else pref
+    val bandAdj =
+      if (banded) col("a.bkey") === col("b.band") else lit(true)
+    val cand = prefA.as("a")
       .join(pref.as("b"),
-        col("a.x") === col("b.x") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.n") * 2 >= col("b.n") && col("b.n") * 2 >= col("a.n"))
+        col("a.x") === col("b.x") && bandAdj && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * td >= col("b.n") * tn && col("b.n") * td >= col("a.n") * tn)
       .groupBy(
         col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("c"),
         max(col("a.rk")).as("rka"), max(col("b.rk")).as("rkb"))
-      .filter(lit(3) * (col("c") +
-        least(col("na") - col("rka"), col("nb") - col("rkb"))) >= col("na") + col("nb"))
+      .filter(lit(td + tn) * (col("c") +
+        least(col("na") - col("rka"), col("nb") - col("rkb"))) >=
+        lit(tn) * (col("na") + col("nb")))
       .select(col("id_a"), col("id_b"))
     (posts, cand)
+  }
+
+  /** Exact-content collapse + pair-expand combinator — the machinery
+    * shared by every near-dup PAIR query (formerly hand-inlined per
+    * query). Groups `df` by `groupCols`, runs the pairwise machinery
+    * (`repPairs`) on one representative per group (the minimal
+    * `idCol`), then expands verified rep pairs back to member pairs
+    * and adds within-group member pairs valued/gated by `withinVals`.
+    *
+    * Correctness contract (each caller's pairwise machinery must
+    * satisfy it; the per-query comments state why):
+    *   - group members are indistinguishable to `repPairs` — identical
+    *     `groupCols` implies identical signatures/bands/similarity, so
+    *     a rep pair reproduces every cross-group pair's value exactly;
+    *   - `withinVals(reps)` returns one row (`__min`, value columns)
+    *     per group whose members pair with each other at that value —
+    *     groups absent from it (ineligible: no tokens/shingles, or a
+    *     self-similarity below threshold) produce no within pairs.
+    *
+    * `repPairs(reps)` must return (`id_a`, `id_b`, value columns) with
+    * id_a < id_b drawn from rep ids; the expansion re-orders member
+    * ids via least/greatest. Output is ordered (id_a, id_b).
+    *
+    * Scale: the pairwise stage costs O(distinct group keys), not
+    * O(rows) — on a duplicate-saturated 100 TB corpus this is the
+    * difference between bounded candidate joins and a quadratic blowup
+    * in the true-duplicate cliques (ScaleSpec exercises saturation).
+    */
+  def collapseExpandPairs(
+      df: DataFrame, idCol: String, groupCols: Seq[Column])(
+      repPairs: DataFrame => DataFrame)(
+      withinVals: DataFrame => DataFrame): DataFrame = {
+    val grp = df.withColumn("__min",
+      min(col(idCol)).over(Window.partitionBy(groupCols: _*)))
+    val reps = grp.filter(col(idCol) === col("__min"))
+    val upairs = repPairs(reps)
+    val valueCols = upairs.columns.filterNot(c => c == "id_a" || c == "id_b").toSeq
+    val members = grp.select(col(idCol), col("__min"))
+    val cross = upairs
+      .join(members.select(col(idCol).as("ma"), col("__min").as("id_a")), Seq("id_a"))
+      .join(members.select(col(idCol).as("mb"), col("__min").as("id_b")), Seq("id_b"))
+      .select(least(col("ma"), col("mb")).as("id_a") +:
+        greatest(col("ma"), col("mb")).as("id_b") +: valueCols.map(col): _*)
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.__min") === col("y.__min") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col("x.__min").as("__min"),
+        col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .join(withinVals(reps), Seq("__min"))
+      .select(col("id_a") +: col("id_b") +: valueCols.map(col): _*)
+    cross.unionByName(within).orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Exact-content collapse for APPLIED dedup (survivor set): groups
+    * `docs` by `groupCols`, lets `dominatedReps` name dominated
+    * representatives from the eligible-rep set, marks every non-rep
+    * member of an ELIGIBLE group as twin-dominated by its group
+    * minimum, and anti-joins. Same collapse proof as
+    * [[collapseExpandPairs]]: a non-rep x of an eligible group is
+    * dominated by its group min at similarity 1; a rep x is dominated
+    * iff some group Y with sim(Y, X) >= t has min(Y) < x — exactly a
+    * rep pair. Group members are content-homogeneous, so member
+    * eligibility equals rep eligibility and eligibility is computed
+    * once per distinct content, not per doc. Returns the surviving
+    * rows of `docs` (original schema). */
+  def collapseApplySurvivors(
+      docs: DataFrame, idCol: String, groupCols: Seq[Column])(
+      eligibleReps: DataFrame => DataFrame)(
+      dominatedReps: DataFrame => DataFrame): DataFrame = {
+    val grp = docs.withColumn("__min",
+      min(col(idCol)).over(Window.partitionBy(groupCols: _*)))
+    val reps = grp.filter(col(idCol) === col("__min"))
+    val el = eligibleReps(reps)
+    val twinDominated = grp.filter(col(idCol) =!= col("__min"))
+      .join(el.select(col(idCol).as("__min")), Seq("__min"))
+      .select(col(idCol))
+    val dominated = dominatedReps(el).toDF(idCol).unionByName(twinDominated)
+    docs.join(dominated, Seq(idCol), "left_anti")
   }
 
   /** MinHash+LSH near-dup pairs, columnar form: shingles exploded to
@@ -309,69 +409,46 @@ object Dedup {
       "dd_ngram_jaccard",
       (s, d) => {
         import s.implicits._
-        // Inverted-index set-similarity join: explode (gram -> doc)
-        // postings, self-join on the gram, count shared grams per doc
-        // pair, then |A∪B| = n_a + n_b - |A∩B|. The band-adjacency
-        // block is pushed INTO the pair join: side a replicates each
-        // posting under band keys {band-1, band, band+1}, so b.band
-        // equals exactly ONE of a's keys iff |band_a - band_b| <= 1 —
-        // the non-equi adjacency predicate becomes part of the
-        // equi-join key, per-pair gram counts are preserved, and
-        // distant-band pairs never reach the aggregation. Work is
-        // Σ adjacent-band df(gram)² — bounded by PER-BAND vocabulary
-        // statistics, which is what keeps the intermediate bounded
-        // when the corpus scales 1000x. Text is tokenized exactly
-        // once; shingle counts aggregate from the postings themselves.
-        // Pair-output collapse+expand (see dd_embed_cos), grouped on
-        // (content, n_chars) because the length band keys on n_chars:
-        // twins share postings AND bands, so rep pairs reproduce every
-        // cross-group sim and within-group member pairs are sim = 1.0
-        // (gated on the rep having grams — gramless docs never post).
-        val grp = table(s, d, "documents")
-          .withColumn("__min", min($"doc_id")
-            .over(Window.partitionBy(md5(lower($"text")), $"n_chars")))
-        val reps = grp.filter($"doc_id" === $"__min")
-        // hash AFTER the explode: xxhash64 per posting row is
-        // codegen'd, where transform(sh, xxhash64) over the array is an
-        // interpreted HOF; identical gram identities either way
-        val postings = withWordShingles(
-            reps.select($"doc_id", $"text", floor($"n_chars" / lit(50)).as("band")),
-            $"text", "sh")
-          .select($"doc_id", $"band", explode($"sh").as("g"))
-          .select($"doc_id", $"band", xxhash64($"g").as("gram"))
-        val ng = postings.groupBy($"doc_id").agg(count(lit(1)).as("ng"))
-        val pairs = postings
-          .withColumn("bkey", explode(array($"band" - 1, $"band", $"band" + 1)))
-          .as("a")
-          .join(postings.as("b"),
-            $"a.gram" === $"b.gram" && $"a.bkey" === $"b.band" &&
-              $"a.doc_id" < $"b.doc_id")
-          .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
-          .agg(count(lit(1)).as("inter"))
-        // ng is per-doc (corpus-sized) -> no broadcast hint; AQE picks
-        // broadcast only while it actually fits
-        val upairs = pairs
-          .join(ng.select($"doc_id".as("id_a"), $"ng".as("n_a")), Seq("id_a"))
-          .join(ng.select($"doc_id".as("id_b"), $"ng".as("n_b")), Seq("id_b"))
-          .select($"id_a", $"id_b",
-            ($"inter".cast("double") / ($"n_a" + $"n_b" - $"inter")).as("sim"))
-          .filter($"sim" >= 0.2)
-        val members = grp.select($"doc_id", $"__min")
-        val cross = upairs
-          .join(members.select($"doc_id".as("ma"), $"__min".as("id_a")), Seq("id_a"))
-          .join(members.select($"doc_id".as("mb"), $"__min".as("id_b")), Seq("id_b"))
-          .select(least($"ma", $"mb").as("id_a"), greatest($"ma", $"mb").as("id_b"), $"sim")
-        val eligible = reps
-          .filter(size(graft.functions.TextShingles.wordShingles($"text", 3)) > 0)
-          .select($"doc_id".as("__min"))
-        val within = members.as("x")
-          .join(members.as("y"),
-            col("x.__min") === col("y.__min") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.__min").as("__min"),
-            col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-          .join(eligible, Seq("__min"))
-          .select($"id_a", $"id_b", lit(1.0).as("sim"))
-        cross.unionByName(within).orderBy($"id_a", $"id_b")
+        // Prefix-filtered set-similarity join at t = 0.2 (Bayardo
+        // WWW'07 + PPJoin length/positional filters — see
+        // prefixCandidates): candidate volume is bounded by prefix
+        // collisions, NOT Σ df(gram)² — a hot gram indexes only in
+        // the df-ASC suffix and never joins, so the plan survives a
+        // corpus where one band shares a stop-gram. The band-adjacency
+        // block (near-dups have near-equal lengths; semantics of this
+        // query) rides the candidate equi-join key via side-a key
+        // replication {band-1, band, band+1}. Grams are 64-bit
+        // xxhash64 identities (collision odds ~n²/2⁻⁶⁴ per doc —
+        // negligible, and the count-based verify is exact over them).
+        // Pair-output collapse+expand (collapseExpandPairs), grouped
+        // on (content, n_chars) because the length band keys on
+        // n_chars: twins share postings AND bands, so rep pairs
+        // reproduce every cross-group sim and within-group member
+        // pairs are sim = 1.0 (gated on the rep having grams —
+        // gramless docs never post).
+        collapseExpandPairs(table(s, d, "documents"), "doc_id",
+            Seq(md5(lower($"text")), $"n_chars")) { reps =>
+          val (posts, cand) = prefixCandidates(
+            reps.select($"doc_id", $"text",
+              floor($"n_chars" / lit(50)).cast("int").as("band")),
+            tn = 1, td = 5, hash = c => xxhash64(c), banded = true)
+          // verify by postings-join intersection counts over the FULL
+          // posting sets (the candidate join only sees prefixes):
+          // codegen'd joins + one hash-agg, no gram arrays shuffled
+          val pa = posts.select($"doc_id".as("id_a"), $"n".as("n_a"), $"x")
+          val pb = posts.select($"doc_id".as("id_b"), $"n".as("n_b"), $"x")
+          cand
+            .join(pa, Seq("id_a"))
+            .join(pb, Seq("id_b", "x"))
+            .groupBy($"id_a", $"id_b", $"n_a", $"n_b")
+            .agg(count(lit(1)).as("inter"))
+            .select($"id_a", $"id_b",
+              ($"inter".cast("double") / ($"n_a" + $"n_b" - $"inter")).as("sim"))
+            .filter($"sim" >= 0.2)
+        } { reps =>
+          reps.filter(size(graft.functions.TextShingles.wordShingles($"text", 3)) > 0)
+            .select($"doc_id".as("__min"), lit(1.0).as("sim"))
+        }
       },
       Some("""WITH t AS (
                 SELECT doc_id, floor(n_chars / 50) AS band,
@@ -398,35 +475,19 @@ object Dedup {
       "dd_minhash_lsh",
       (s, d) => {
         import s.implicits._
-        // Pair-output collapse+expand (see dd_embed_cos): identical
-        // texts share signatures, bands, and exact hash-set Jaccard,
-        // so rep pairs reproduce every cross-group pair's sim, and
+        // collapseExpandPairs contract holds because identical texts
+        // share signatures, bands, and exact hash-set Jaccard, so rep
+        // pairs reproduce every cross-group pair's sim, and
         // within-group member pairs have sim = 1.0 exactly (n/n) —
-        // gated by rep eligibility (nonempty shingles). Output is
-        // provably identical to pairing the full corpus; the pairwise
-        // stage costs O(distinct contents).
-        val docs = table(s, d, "documents")
-        val grp = docs.withColumn("__min",
-          min($"doc_id").over(Window.partitionBy(md5(lower($"text")))))
-        val reps = grp.filter($"doc_id" === $"__min")
-        val upairs = minhashNearDups(
-          reps.select($"doc_id", $"text"), $"doc_id", $"text", 0.5)
-        val members = grp.select($"doc_id", $"__min")
-        val cross = upairs
-          .join(members.select($"doc_id".as("ma"), $"__min".as("id_a")), Seq("id_a"))
-          .join(members.select($"doc_id".as("mb"), $"__min".as("id_b")), Seq("id_b"))
-          .select(least($"ma", $"mb").as("id_a"), greatest($"ma", $"mb").as("id_b"), $"sim")
-        val eligible = reps
-          .filter(size(graft.functions.TextShingles.wordShingles($"text", 3)) > 0)
-          .select($"doc_id".as("__min"))
-        val within = members.as("x")
-          .join(members.as("y"),
-            col("x.__min") === col("y.__min") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.__min").as("__min"),
-            col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-          .join(eligible, Seq("__min"))
-          .select($"id_a", $"id_b", lit(1.0).as("sim"))
-        cross.unionByName(within).orderBy($"id_a", $"id_b")
+        // gated by rep eligibility (nonempty shingles).
+        collapseExpandPairs(table(s, d, "documents"), "doc_id",
+            Seq(md5(lower($"text")))) { reps =>
+          minhashNearDups(
+            reps.select($"doc_id", $"text"), $"doc_id", $"text", 0.5)
+        } { reps =>
+          reps.filter(size(graft.functions.TextShingles.wordShingles($"text", 3)) > 0)
+            .select($"doc_id".as("__min"), lit(1.0).as("sim"))
+        }
       },
       Some {
         val reps = """(SELECT doc_id, text FROM (
@@ -464,26 +525,22 @@ object Dedup {
       "dd_apply_lsh",
       (s, d) => {
         import s.implicits._
-        val docs = table(s, d, "documents")
-        // Same exact-content collapse as dd_apply, same proof: identical
-        // texts share signatures, bands, AND exact hash-set Jaccard, so
-        // the rep pair reproduces every cross-group domination and the
-        // group minimum dominates its eligible twins directly. Groups
-        // are content-homogeneous, so twin eligibility = rep
-        // eligibility (shingles computed once per unique content).
-        val grp = docs.withColumn("__min",
-          min($"doc_id").over(Window.partitionBy(md5(lower($"text")))))
-        val reps = grp.filter($"doc_id" === $"__min")
-        val eligibleReps = reps
-          .filter(size(graft.functions.TextShingles.wordShingles($"text", 3)) > 0)
-          .select($"doc_id".as("__min"))
-        val twinDominated = grp.filter($"doc_id" =!= $"__min")
-          .join(eligibleReps, Seq("__min")).select($"doc_id")
-        val dominated = minhashNearDups(
-            reps.select($"doc_id", $"text"), $"doc_id", $"text", 0.5)
-          .select($"id_b".as("doc_id")).distinct()
-          .unionByName(twinDominated)
-        docs.join(dominated, Seq("doc_id"), "left_anti")
+        // collapseApplySurvivors contract holds exactly as in
+        // dd_minhash_lsh: identical texts share signatures, bands, AND
+        // exact hash-set Jaccard, so the rep pair reproduces every
+        // cross-group domination and the group minimum dominates its
+        // eligible twins directly (shingles computed once per unique
+        // content). Shingle-less reps emit no postings/bands and can
+        // never pair, so running the pipeline on eligible reps only is
+        // output-identical.
+        collapseApplySurvivors(table(s, d, "documents"), "doc_id",
+            Seq(md5(lower($"text")))) { reps =>
+          reps.filter(size(graft.functions.TextShingles.wordShingles($"text", 3)) > 0)
+        } { el =>
+          minhashNearDups(
+              el.select($"doc_id", $"text"), $"doc_id", $"text", 0.5)
+            .select($"id_b".as("doc_id")).distinct()
+        }
           .select($"doc_id", $"source", $"n_chars")
           .orderBy($"doc_id")
       },
@@ -518,47 +575,34 @@ object Dedup {
       "dd_simhash",
       (s, d) => {
         import s.implicits._
-        // Pair-output collapse+expand (see dd_embed_cos): identical
-        // texts share the token multiset, hence the signature, hence
-        // every chunk bucket; rep pairs reproduce every cross-group
-        // pair's hamming, within-group member pairs are hamming 0
-        // (gated on the rep having >= 1 token — tokenless docs emit no
-        // signature and never pair). Output provably identical, the
-        // pairwise stage costs O(distinct contents).
-        val docs = table(s, d, "documents")
-        val grp = docs.withColumn("__min",
-          min($"doc_id").over(Window.partitionBy(md5(lower($"text")))))
-        val reps = grp.filter($"doc_id" === $"__min")
-        val sigs = simhashChunksAgg(
-            reps.select($"doc_id", explode(tokens($"text")).as("tok")),
-            $"doc_id", $"tok",
-            hash = c => graft.functions.PortableHash.md5Hash60(c),
-            bits = 60)
-          .withColumnRenamed("id", "doc_id")
-        val chunked = sigs
-          .withColumn("chunk_id", explode(sequence(lit(0), lit(3))))
-          .withColumn("chunk", element_at($"sig", $"chunk_id" + lit(1)))
-        val a = chunked.select($"chunk_id", $"chunk", $"doc_id".as("id_a"), $"sig".as("sig_a"))
-        val b = chunked.select($"chunk_id", $"chunk", $"doc_id".as("id_b"), $"sig".as("sig_b"))
-        val upairs = a.join(b, Seq("chunk_id", "chunk"))
-          .filter($"id_a" < $"id_b")
-          .select($"id_a", $"id_b", hammingChunks($"sig_a", $"sig_b").as("hamming"))
-          .filter($"hamming" <= 3)
-          .distinct()
-        val members = grp.select($"doc_id", $"__min")
-        val cross = upairs
-          .join(members.select($"doc_id".as("ma"), $"__min".as("id_a")), Seq("id_a"))
-          .join(members.select($"doc_id".as("mb"), $"__min".as("id_b")), Seq("id_b"))
-          .select(least($"ma", $"mb").as("id_a"), greatest($"ma", $"mb").as("id_b"), $"hamming")
-        val eligible = reps.filter(size(tokens($"text")) > 0).select($"doc_id".as("__min"))
-        val within = members.as("x")
-          .join(members.as("y"),
-            col("x.__min") === col("y.__min") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.__min").as("__min"),
-            col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-          .join(eligible, Seq("__min"))
-          .select($"id_a", $"id_b", lit(0).as("hamming"))
-        cross.unionByName(within).orderBy($"id_a", $"id_b")
+        // collapseExpandPairs contract holds because identical texts
+        // share the token multiset, hence the signature, hence every
+        // chunk bucket; rep pairs reproduce every cross-group pair's
+        // hamming, within-group member pairs are hamming 0 (gated on
+        // the rep having >= 1 token — tokenless docs emit no signature
+        // and never pair).
+        collapseExpandPairs(table(s, d, "documents"), "doc_id",
+            Seq(md5(lower($"text")))) { reps =>
+          val sigs = simhashChunksAgg(
+              reps.select($"doc_id", explode(tokens($"text")).as("tok")),
+              $"doc_id", $"tok",
+              hash = c => graft.functions.PortableHash.md5Hash60(c),
+              bits = 60)
+            .withColumnRenamed("id", "doc_id")
+          val chunked = sigs
+            .withColumn("chunk_id", explode(sequence(lit(0), lit(3))))
+            .withColumn("chunk", element_at($"sig", $"chunk_id" + lit(1)))
+          val a = chunked.select($"chunk_id", $"chunk", $"doc_id".as("id_a"), $"sig".as("sig_a"))
+          val b = chunked.select($"chunk_id", $"chunk", $"doc_id".as("id_b"), $"sig".as("sig_b"))
+          a.join(b, Seq("chunk_id", "chunk"))
+            .filter($"id_a" < $"id_b")
+            .select($"id_a", $"id_b", hammingChunks($"sig_a", $"sig_b").as("hamming"))
+            .filter($"hamming" <= 3)
+            .distinct()
+        } { reps =>
+          reps.filter(size(tokens($"text")) > 0)
+            .select($"doc_id".as("__min"), lit(0).as("hamming"))
+        }
       },
       Some {
         val chunkExprs = (0 until 4).map { c =>
@@ -641,45 +685,36 @@ object Dedup {
       "dd_apply",
       (s, d) => {
         import s.implicits._
-        val docs = table(s, d, "documents")
-        // Exact-content collapse BEFORE the pairwise stage: identical
-        // texts have identical shingle sets (J = 1), so each
-        // md5(lower(text)) group enters the pairwise machinery only
-        // through its minimal doc_id (the representative) and every
-        // other ELIGIBLE member (>= 1 shingle) is dominated by that
-        // minimum outright. Provably output-identical to pairing all
-        // docs: a non-rep x has the pair (group-min, x) at J=1; a rep
-        // x is dominated iff some group Y with J(Y,X) >= 0.5 has
-        // min(Y) < x — exactly the rep pair (min(Y), x). Duplicate-
-        // saturated corpora (the 100 TB reality) then cost the
-        // pairwise stage O(unique contents), not O(docs): ScaleSmoke's
-        // 20x-saturated 100k corpus dropped 342s -> seconds with the
-        // identical survivor set. Shingle-less docs (< 3 tokens) never
-        // enter postings, can't be dominated, and pass through — the
-        // collapse honors that by only collapsing eligible members.
-        val marked = docs
-          .withColumn("__ns", size(graft.functions.TextShingles.wordShingles($"text", 3)))
-          .withColumn("__min", min($"doc_id").over(Window.partitionBy(md5(lower($"text")))))
-        val reps = marked.filter($"__ns" > 0 && $"doc_id" === $"__min")
-          .select($"doc_id", $"text")
-        val (posts, cand) = prefixCandidates(reps)
-        // verify by postings-join intersection counts, candidates-only:
-        // no gram arrays cross a shuffle and the whole check is
-        // codegen'd joins + one hash-agg (an interpreted per-pair
-        // array_intersect was 2.5x slower at sf0.1)
-        val pa = posts.select($"doc_id".as("id_a"), $"n".as("n_a"), $"x")
-        val pb = posts.select($"doc_id".as("id_b"), $"n".as("n_b"), $"x")
-        val dominatedReps = cand
-          .join(pa, Seq("id_a"))
-          .join(pb, Seq("id_b", "x"))
-          .groupBy($"id_a", $"id_b", $"n_a", $"n_b")
-          .agg(count(lit(1)).as("inter"))
-          .filter($"inter".cast("double") / ($"n_a" + $"n_b" - $"inter") >= 0.5)
-          .select($"id_b".as("doc_id")).distinct()
-        val dominated = marked
-          .filter($"__ns" > 0 && $"doc_id" =!= $"__min").select($"doc_id")
-          .unionByName(dominatedReps)
-        docs.join(dominated, Seq("doc_id"), "left_anti")
+        // collapseApplySurvivors: identical texts have identical
+        // shingle sets (J = 1), so each md5(lower(text)) group enters
+        // the pairwise machinery only through its minimal doc_id and
+        // every other eligible member (>= 1 shingle — groups are
+        // content-homogeneous, so rep eligibility decides) is
+        // dominated by that minimum outright. Duplicate-saturated
+        // corpora (the 100 TB reality) then cost the pairwise stage
+        // O(unique contents), not O(docs): ScaleSmoke's 20x-saturated
+        // 100k corpus dropped 342s -> seconds with the identical
+        // survivor set. Shingle-less docs (< 3 tokens) never enter
+        // postings, can't be dominated, and pass through.
+        collapseApplySurvivors(table(s, d, "documents"), "doc_id",
+            Seq(md5(lower($"text")))) { reps =>
+          reps.filter(size(graft.functions.TextShingles.wordShingles($"text", 3)) > 0)
+        } { el =>
+          val (posts, cand) = prefixCandidates(el.select($"doc_id", $"text"))
+          // verify by postings-join intersection counts,
+          // candidates-only: no gram arrays cross a shuffle and the
+          // whole check is codegen'd joins + one hash-agg (an
+          // interpreted per-pair array_intersect was 2.5x slower)
+          val pa = posts.select($"doc_id".as("id_a"), $"n".as("n_a"), $"x")
+          val pb = posts.select($"doc_id".as("id_b"), $"n".as("n_b"), $"x")
+          cand
+            .join(pa, Seq("id_a"))
+            .join(pb, Seq("id_b", "x"))
+            .groupBy($"id_a", $"id_b", $"n_a", $"n_b")
+            .agg(count(lit(1)).as("inter"))
+            .filter($"inter".cast("double") / ($"n_a" + $"n_b" - $"inter") >= 0.5)
+            .select($"id_b".as("doc_id")).distinct()
+        }
           .select($"doc_id", $"source", $"n_chars")
           .orderBy($"doc_id")
       },
@@ -744,60 +779,46 @@ object Dedup {
       "dd_embed_cos",
       (s, d) => {
         import s.implicits._
-        // Exact-vector collapse, pair-output form: identical embeddings
-        // share every band bucket and every cosine, so the band/verify
-        // machinery runs on one representative (min vec_id) per
-        // distinct vector, and verified rep pairs EXPAND back to
-        // member pairs with the rep cosine (bitwise-identical doubles
-        // — identical inputs, identical arithmetic). Within-group
-        // member pairs get the rep's self-cosine (dot(v,v)/(norm*norm)
-        // — ~1.0 up to the sqrt rounding both engines share), gated by
-        // the same threshold. Candidate sets match the uncollapsed
-        // form exactly (twins collide in ALL bands), so output is
-        // provably identical while a duplicate-saturated corpus costs
-        // the pairwise stage O(distinct vectors): ScaleSmoke's
-        // 20x-saturated 40k vectors dropped 146s -> seconds with the
-        // quadratic left only in the true output pairs.
+        // collapseExpandPairs over exact-vector groups: identical
+        // embeddings share every band bucket and every cosine, so
+        // verified rep pairs expand to member pairs with the rep
+        // cosine (bitwise-identical doubles — identical inputs,
+        // identical arithmetic). Within-group member pairs get the
+        // rep's self-cosine (dot(v,v)/(norm*norm) — ~1.0 up to the
+        // sqrt rounding both engines share), gated by the same
+        // threshold. Candidate sets match the uncollapsed form exactly
+        // (twins collide in ALL bands); ScaleSmoke's 20x-saturated 40k
+        // vectors dropped 146s -> seconds with the quadratic left only
+        // in the true output pairs.
         val embAll = table(s, d, "embeddings")
           .select($"vec_id", $"embedding", Similarity.asDouble($"embedding").as("v"))
           .withColumn("norm", Similarity.l2norm($"v"))
-          .withColumn("__min", min($"vec_id").over(Window.partitionBy($"embedding")))
-        val reps = embAll.filter($"vec_id" === $"__min")
-          .select($"vec_id", $"v", $"norm")
-        // one-row dim probe (LIMIT-1 scan) so the 64 plane evaluations
-        // compile to constant-vector DotProducts instead of interpreted
-        // HOFs — the corpus dimension is fixed per table
-        val dim = reps.select(size($"v")).head().getInt(0)
-        val banded = reps.select($"vec_id",
-          explode(Similarity.hyperplaneBandBucketsFixed($"v", dim, bands = 8, r = 8)).as("bkt"))
-        val cand = banded.as("a")
-          .join(banded.as("b"),
-            col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-          .distinct()
-        val upairs = cand
-          .join(reps.select($"vec_id".as("id_a"), $"v".as("v_a"), $"norm".as("n_a")), Seq("id_a"))
-          .join(reps.select($"vec_id".as("id_b"), $"v".as("v_b"), $"norm".as("n_b")), Seq("id_b"))
-          .select($"id_a", $"id_b",
-            (Similarity.dot($"v_a", $"v_b") / ($"n_a" * $"n_b")).as("cos"))
-          .filter($"cos" >= 0.4)
-        val members = embAll.select($"vec_id", $"__min")
-        val cross = upairs
-          .join(members.select($"vec_id".as("ma"), $"__min".as("id_a")), Seq("id_a"))
-          .join(members.select($"vec_id".as("mb"), $"__min".as("id_b")), Seq("id_b"))
-          .select(least($"ma", $"mb").as("id_a"), greatest($"ma", $"mb").as("id_b"), $"cos")
-        val selfCos = reps
-          .select($"vec_id".as("__min"),
-            (Similarity.dot($"v", $"v") / ($"norm" * $"norm")).as("cos"))
-          .filter($"cos" >= 0.4)
-        val within = members.as("x")
-          .join(members.as("y"),
-            col("x.__min") === col("y.__min") && col("x.vec_id") < col("y.vec_id"))
-          .select(col("x.__min").as("__min"),
-            col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
-          .join(selfCos, Seq("__min"))
-          .select($"id_a", $"id_b", $"cos")
-        cross.unionByName(within).orderBy($"id_a", $"id_b")
+        collapseExpandPairs(embAll, "vec_id", Seq($"embedding")) { reps0 =>
+          val reps = reps0.select($"vec_id", $"v", $"norm")
+          // one-row dim probe (LIMIT-1 scan) so the 64 plane
+          // evaluations compile to constant-vector DotProducts instead
+          // of interpreted HOFs — the corpus dimension is fixed per
+          // table
+          val dim = reps.select(size($"v")).head().getInt(0)
+          val banded = reps.select($"vec_id",
+            explode(Similarity.hyperplaneBandBucketsFixed($"v", dim, bands = 8, r = 8)).as("bkt"))
+          val cand = banded.as("a")
+            .join(banded.as("b"),
+              col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
+            .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+            .distinct()
+          cand
+            .join(reps.select($"vec_id".as("id_a"), $"v".as("v_a"), $"norm".as("n_a")), Seq("id_a"))
+            .join(reps.select($"vec_id".as("id_b"), $"v".as("v_b"), $"norm".as("n_b")), Seq("id_b"))
+            .select($"id_a", $"id_b",
+              (Similarity.dot($"v_a", $"v_b") / ($"n_a" * $"n_b")).as("cos"))
+            .filter($"cos" >= 0.4)
+        } { reps =>
+          reps
+            .select($"vec_id".as("__min"),
+              (Similarity.dot($"v", $"v") / ($"norm" * $"norm")).as("cos"))
+            .filter($"cos" >= 0.4)
+        }
       },
       Some("""WITH g AS (
                 SELECT vec_id, embedding,

@@ -69,6 +69,17 @@ object ScaleSmoke {
       // 5k unique contents, not the 100k docs: 342s -> ~6s here with a
       // provably identical survivor set
       time("dd_apply")(graft.SparkEntry.queries("dd_apply")(spark, bigDir).count())
+      // ngram candidate volume under saturation, uncollapsed probe: the
+      // banded prefix filter at t=0.2 keeps this pair-bound (prefix
+      // collisions within adjacent bands), not Σ df²-bound — the
+      // pre-round-4 full-postings join would square the gram df here
+      time("dd_ngram_prefix_candidates") {
+        val docs = table(spark, bigDir, "documents")
+        graft.ops.Dedup.prefixCandidates(
+          docs.select($"doc_id", $"text",
+            floor($"n_chars" / lit(50)).cast("int").as("band")),
+          tn = 1, td = 5, hash = c => xxhash64(c), banded = true)._2.count()
+      }
       time("dd_minhash_lsh")(graft.SparkEntry.queries("dd_minhash_lsh")(spark, bigDir).count())
       time("dd_ngram_jaccard")(graft.SparkEntry.queries("dd_ngram_jaccard")(spark, bigDir).count())
       time("dd_apply_lsh")(graft.SparkEntry.queries("dd_apply_lsh")(spark, bigDir).count())

@@ -85,6 +85,27 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       .findFirstIn(p).isDefined, p)
   }
 
+  test("dd_ngram_jaccard: candidates are prefix-filtered and band-keyed") {
+    // the pre-round-4 form joined FULL posting lists on the gram —
+    // Σ adjacent-band df(gram)², unbounded under a hot gram; the
+    // prefix filter indexes only the df-ASC prefix (rank predicate)
+    // and the band adjacency must ride the equi-join key
+    val p = plan("dd_ngram_jaccard")
+    assert(p.contains("row_number"), p)
+    assert("""(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin) \[x#""".r
+      .findFirstIn(p).isDefined, p)
+  }
+
+  test("dd_apply: one postings shuffle serves prefix + both verify sides") {
+    // prefixCandidates' doc says ReuseExchange shares the postings
+    // aggregate across its three consumers — pin the runtime behavior
+    // (AQE finalizes reuse during execution, so execute first)
+    val df = SparkEntry.queries("dd_apply")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(count(p, "ReusedExchange") >= 3, p)
+  }
+
   test("q_json_extract: JSON parsed exactly once per row") {
     // a filter on the projected alias would be pushed below the project
     // with the parse tree substituted into it (two eval sites in
