@@ -29,6 +29,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   */
 case class SimHashSigAgg(
     child: Expression,
+    weight: Expression,
     bits: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
@@ -38,29 +39,36 @@ case class SimHashSigAgg(
     s"bits must be in (0,64] and split into 4 chunks, got $bits")
   private val chunkWidth = bits / 4
 
-  override def children: Seq[Expression] = Seq(child)
+  override def children: Seq[Expression] = Seq(child, weight)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case LongType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"simhashSig requires a long token-hash column, got ${t.sql}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, weight.dataType) match {
+      case (LongType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (c, w) => TypeCheckResult.TypeCheckFailure(
+        s"simhashSig requires (long token-hash, int weight), got (${c.sql}, ${w.sql})")
+    }
 
   // buffer = ones-counts for bits [0, bits) ++ token count at [bits]
   override def createAggregationBuffer(): Array[Int] = new Array[Int](bits + 1)
 
+  // a (hash, weight) row votes exactly like `weight` occurrence rows
+  // of that hash: per-bit ones-counts and the token total both scale
+  // by the weight, so count-collapsed inputs produce bit-identical
+  // signatures (majority vote is count-weighted by definition)
   override def update(buf: Array[Int], input: org.apache.spark.sql.catalyst.InternalRow): Array[Int] = {
     val v = child.eval(input)
-    if (v != null) {
+    val w = weight.eval(input)
+    if (v != null && w != null) {
       val h = v.asInstanceOf[Long]
+      val c = w.asInstanceOf[Int]
       var i = 0
       while (i < bits) {
-        buf(i) += ((h >>> i) & 1L).toInt
+        buf(i) += ((h >>> i) & 1L).toInt * c
         i += 1
       }
-      buf(bits) += 1
+      buf(bits) += c
     }
     buf
   }
@@ -110,13 +118,20 @@ case class SimHashSigAgg(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): SimHashSigAgg =
-    copy(child = newChildren.head)
+    copy(child = newChildren(0), weight = newChildren(1))
 }
 
 object SimHashAgg {
   /** Aggregate column: 4-chunk SimHash signature over a long
-    * token-hash column (see [[SimHashSigAgg]]). */
+    * token-hash column, one row per occurrence (see [[SimHashSigAgg]]). */
   def simhashSig(h: Column, bits: Int): Column =
+    simhashSigWeighted(h, org.apache.spark.sql.functions.lit(1), bits)
+
+  /** Count-weighted form: one row per DISTINCT token with its
+    * occurrence count — bit-identical signatures at ~5-10x fewer
+    * upstream hash evaluations on natural text. */
+  def simhashSigWeighted(h: Column, cnt: Column, bits: Int): Column =
     ColumnBridge.column(
-      SimHashSigAgg(ColumnBridge.expression(h), bits).toAggregateExpression())
+      SimHashSigAgg(ColumnBridge.expression(h), ColumnBridge.expression(cnt),
+        bits).toAggregateExpression())
 }

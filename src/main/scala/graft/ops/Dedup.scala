@@ -109,6 +109,28 @@ object Dedup {
       .groupBy(col("id"))
       .agg(graft.functions.SimHashAgg.simhashSig(col("__h"), bits).as("sig"))
 
+  /** [[simhashChunksAgg]] from (doc) rows directly, hashing each
+    * DISTINCT token once and count-weighting the vote: the fused
+    * WordTokenCounts expression collapses the token multiset to
+    * (token, count) entries inside the row (before the explode), so
+    * the md5/xxhash pipeline runs per distinct token per doc — ~5-10x
+    * fewer hash evaluations on natural text — while the weighted
+    * vote keeps signatures bit-identical to the per-occurrence form
+    * (DedupSpec asserts it). Same one-aggregation plan shape: explode
+    * -> hash projection -> ObjectHashAggregate with map-side partials.
+    * Docs with zero tokens produce no row (empty array explodes to
+    * nothing), matching [[simhashChunksAgg]] over exploded tokens. */
+  def simhashChunksAggCounted(
+      docs: DataFrame, id: Column, text: Column,
+      hash: Column => Column = c => xxhash64(c),
+      bits: Int = 64): DataFrame =
+    docs.select(id.as("id"),
+        explode(graft.functions.TextShingles.wordTokenCounts(text)).as("tc"))
+      .select(col("id"), hash(col("tc.tok")).as("__h"), col("tc.cnt").as("__c"))
+      .groupBy(col("id"))
+      .agg(graft.functions.SimHashAgg.simhashSigWeighted(
+        col("__h"), col("__c"), bits).as("sig"))
+
   /** Exact dedup: group by a content hash, keep the lowest id.
     * Returns (hash, keeper id, group size). */
   def exactGroups(df: DataFrame, text: Column, id: Column): DataFrame =
@@ -583,9 +605,8 @@ object Dedup {
         // and never pair).
         collapseExpandPairs(table(s, d, "documents"), "doc_id",
             Seq(md5(lower($"text")))) { reps =>
-          val sigs = simhashChunksAgg(
-              reps.select($"doc_id", explode(tokens($"text")).as("tok")),
-              $"doc_id", $"tok",
+          val sigs = simhashChunksAggCounted(
+              reps, $"doc_id", $"text",
               hash = c => graft.functions.PortableHash.md5Hash60(c),
               bits = 60)
             .withColumnRenamed("id", "doc_id")

@@ -73,6 +73,26 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     columnar.foreach { case (id, sig) => assert(sig == scalar(id), s"doc $id") }
   }
 
+  test("count-weighted simhashChunksAggCounted == per-occurrence simhashChunksAgg") {
+    import spark.implicits._
+    // the counted path hashes each distinct token once and weights the
+    // vote; signatures must be bit-identical to the occurrence stream
+    // (incl. md5Hash60, the dd_simhash configuration)
+    val docs = graft.model.Tables.table(spark, sf, "documents").limit(200)
+      .select($"doc_id", $"text")
+      .union(Seq((90001L, ""), (90002L, "  rep rep rep  one "),
+        (90003L, "a b a b a")).toDF("doc_id", "text"))
+    val h = (c: org.apache.spark.sql.Column) => graft.functions.PortableHash.md5Hash60(c)
+    val occ = simhashChunksAgg(
+        docs.select($"doc_id", explode(graft.ops.TextAnalysis.tokens($"text")).as("tok")),
+        $"doc_id", $"tok", hash = h, bits = 60)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val cnt = simhashChunksAggCounted(docs, $"doc_id", $"text", hash = h, bits = 60)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(cnt.keySet == occ.keySet) // empty-token docs absent from both
+    cnt.foreach { case (id, sig) => assert(sig == occ(id), s"doc $id") }
+  }
+
   test("fused WordShingles expression is bit-identical to the HOF pipeline on the real corpus") {
     import spark.implicits._
     val docs = graft.model.Tables.table(spark, "/root/testdata/sf0.001", "documents")
