@@ -816,13 +816,13 @@ object Dedup {
           .withColumn("norm", Similarity.l2norm($"v"))
         collapseExpandPairs(embAll, "vec_id", Seq($"embedding")) { reps0 =>
           val reps = reps0.select($"vec_id", $"v", $"norm")
-          // one-row dim probe (LIMIT-1 scan) so the 64 plane
+          // empty-safe dim probe (LIMIT-1 scan) so the 64 plane
           // evaluations compile to constant-vector DotProducts instead
           // of interpreted HOFs — the corpus dimension is fixed per
-          // table
-          val dim = reps.select(size($"v")).head().getInt(0)
+          // table; a mismatched row fails loudly instead of silently
+          // dropping from candidate generation
           val banded = reps.select($"vec_id",
-            explode(Similarity.hyperplaneBandBucketsFixed($"v", dim, bands = 8, r = 8)).as("bkt"))
+            explode(Similarity.bandBucketsProbed(reps, $"v", bands = 8, r = 8)).as("bkt"))
           val cand = banded.as("a")
             .join(banded.as("b"),
               col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))

@@ -102,6 +102,26 @@ object Similarity {
       v: Column, dim: Int, bands: Int = 8, r: Int = 8): Column =
     graft.functions.VectorExpressions.hyperplaneBandBuckets(v, dim, bands, r)
 
+  /** [[hyperplaneBandBucketsFixed]] with an empty-safe dimension probe:
+    * reads ONE row of `df` for the corpus dimension (LIMIT-1 scan; the
+    * dimension is fixed per table). An empty table falls back to the
+    * dim-agnostic column form — same buckets (SimilaritySpec asserts
+    * the two forms equal), and on zero rows the expression never
+    * evaluates, so construction cannot throw. A non-empty table with a
+    * row whose vector length differs from the probed dim fails LOUDLY:
+    * the fused form would emit a null bucket array and the row would
+    * silently drop out of candidate generation. */
+  def bandBucketsProbed(df: DataFrame, v: Column, bands: Int = 8, r: Int = 8): Column =
+    df.select(size(v)).limit(1).collect().headOption.map(_.getInt(0)) match {
+      case None => hyperplaneBandBuckets(v, bands, r)
+      case Some(dim) =>
+        when(v.isNull, lit(null))
+          .when(size(v) =!= dim, raise_error(concat(
+            lit(s"embedding dimension mismatch: expected $dim, got "),
+            size(v).cast("string"))))
+          .otherwise(hyperplaneBandBucketsFixed(v, dim, bands, r))
+    }
+
   /** Exact top-k cosine neighbors of each query vector. Both inputs
     * must carry (id, vec); query side is broadcast. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
@@ -249,14 +269,13 @@ object Similarity {
         import s.implicits._
         val emb0 = table(s, d, "embeddings")
           .select($"vec_id", asDouble($"embedding").as("v"))
-        // one-row dim probe; bands=1, r=8 of the fused matrix-vector
+        // empty-safe dim probe; bands=1, r=8 of the fused matrix-vector
         // expression IS hyperplaneBucket (band 0 offsets by 0 and the
         // global plane indices coincide) — same buckets, compiled loop
         // instead of 8 interpreted HOF plane folds
-        val dim = emb0.select(size($"v")).head().getInt(0)
         val emb = emb0
           .withColumn("bucket",
-            element_at(hyperplaneBandBucketsFixed($"v", dim, bands = 1, r = 8), 1))
+            element_at(bandBucketsProbed(emb0, $"v", bands = 1, r = 8), 1))
           .withColumn("nrm", l2norm($"v"))
         val q = emb.filter($"vec_id" < 20)
           .select($"bucket", $"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))

@@ -81,7 +81,14 @@ object ConfigStore {
       val busId = b.getAs[Long]("id")
       byBus.get(busId).map { chs =>
         val spec = chs.sortBy(_.getAs[Long]("id")).map { c =>
-          val count = ModbusDecode.formatLength.getOrElse(c.getAs[Int]("format_code"), 1)
+          val fc = c.getAs[Int]("format_code")
+          // fail loudly at load like the protocol/func_code checks — a
+          // silent count=1 default would mis-frame every read of the
+          // channel (the reference raises KeyError per read, modbus.py:26)
+          require(ModbusDecode.formatLength.contains(fc),
+            s"unknown format_code $fc for channel ${c.getAs[String]("name")} " +
+              s"(id ${c.getAs[Long]("id")}); known: ${ModbusDecode.formatLength.keys.toSeq.sorted.mkString(",")}")
+          val count = ModbusDecode.formatLength(fc)
           s"${c.getAs[Long]("id")}@${c.getAs[Int]("address")}@$count@${c.getAs[Int]("device_id")}"
         }.mkString(",")
         sourceDefaults ++ Map(

@@ -102,7 +102,22 @@ object Ingest {
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType,
         nullable = false) +: updates.schema.fields.toSeq)
     val currentFull =
-      if (fs.exists(statusPath)) spark.read.schema(withIdSchema).parquet(statusDir)
+      if (fs.exists(statusPath)) {
+        // probe the on-disk schema: a statusDir written by an id-less
+        // engine version would read null ids through the non-nullable
+        // schema (getLong unboxes null to 0 — every legacy parameter
+        // would silently share id 0). Backfill deterministically in
+        // parameter order instead, mirroring first-run id assignment.
+        if (spark.read.parquet(statusDir).schema.fieldNames.contains("id"))
+          spark.read.schema(withIdSchema).parquet(statusDir)
+        else {
+          val legacy = spark.read.schema(updates.schema).parquet(statusDir)
+          val pIdx = updates.schema.fieldIndex("parameter")
+          val rows = legacy.collect().sortBy(_.getString(pIdx))
+            .zipWithIndex.map { case (r, i) => Row.fromSeq((i + 1).toLong +: r.toSeq) }
+          spark.createDataFrame(java.util.Arrays.asList(rows: _*), withIdSchema)
+        }
+      }
       else spark.createDataFrame(java.util.Collections.emptyList[Row](), withIdSchema)
     // tie-break equal timestamps in favor of the incoming update so a
     // same-second replay/recompute resolves deterministically

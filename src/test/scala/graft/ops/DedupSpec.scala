@@ -155,6 +155,54 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(collapsed == direct)
   }
 
+  test("dd_embed_cos equals an independent banded all-pairs reference, incl. exact twins") {
+    import spark.implicits._
+    // the DuckDB oracle REPLAYS the LCG banding, so a recall bug in the
+    // band construction would hash-match on both sides; this reference
+    // derives the candidate set from the COLUMN-form bucket expression
+    // (no fused expression, no collapse+expand, no join machinery) and
+    // plain driver-side cosine — and the corpus is doubled so the
+    // within-group expansion path must fire
+    val d = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft_embdup").toString
+    val base = graft.model.Tables.table(spark, d, "embeddings")
+    base.union(base.select(($"vec_id" + 1000000L).as("vec_id"), $"embedding", $"label"))
+      .write.parquet(s"$dir/embeddings.parquet")
+    val rows = graft.model.Tables.table(spark, dir, "embeddings")
+      .select($"vec_id", Similarity.asDouble($"embedding").as("v"))
+      .select($"vec_id", $"v",
+        Similarity.hyperplaneBandBuckets($"v", bands = 8, r = 8).as("bks"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getSeq[Int](2).toSet))
+    // strict left-to-right fold, the engine's (and oracle's) sum order
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val expected = (for {
+      (a, va, ba) <- rows; (b, vb, bb) <- rows
+      if a < b && (ba intersect bb).nonEmpty
+      c = cos(va, vb) if c >= 0.4
+    } yield (a, b, c)).sorted.toSeq
+    val got = graft.SparkEntry.queries("dd_embed_cos")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(got == expected)
+    // document the LSH recall boundary on the base corpus: banded
+    // candidates are a subset of plain all-pairs >= 0.4; pairs missing
+    // from `banded` are exactly those colliding in no band
+    val baseRows = rows.filter(_._1 < 1000000L)
+    val all = (for {
+      (a, va, _) <- baseRows; (b, vb, _) <- baseRows
+      if a < b
+      c = cos(va, vb) if c >= 0.4
+    } yield (a, b)).toSet
+    val banded = expected.collect { case (a, b, _) if a < 1000000L && b < 1000000L => (a, b) }.toSet
+    assert(banded.subsetOf(all), s"false positives: ${banded -- all}")
+  }
+
   test("simhashChunksAgg handles book-length docs exactly (no packed-counter ceiling)") {
     import spark.implicits._
     // 2^14 tokens/doc overflowed the former packed-long counters; the

@@ -131,4 +131,30 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val bs = df.collect().map(_.getInt(1))
     assert(bs(0) == bs(1))
   }
+
+  test("empty embeddings table: probed-bucket queries construct and return zero rows") {
+    import spark.implicits._
+    // the former one-row dim probe threw NoSuchElementException at
+    // DataFrame-CONSTRUCTION time on an empty table
+    val dir = java.nio.file.Files.createTempDirectory("graft_embempty").toString
+    graft.model.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(0).write.parquet(s"$dir/embeddings.parquet")
+    assert(graft.SparkEntry.queries("s_ann_lsh")(spark, dir).count() == 0)
+    assert(graft.SparkEntry.queries("dd_embed_cos")(spark, dir).count() == 0)
+  }
+
+  test("dimension-mismatched vector fails loudly instead of silently dropping") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_embmix").toString
+    val base = graft.model.Tables.table(spark, "/root/testdata/sf0.001", "embeddings").limit(5)
+    base.union(Seq((999999L, Seq.fill(3)(0.5f), 0))
+        .toDF("vec_id", "embedding", "label"))
+      .write.parquet(s"$dir/embeddings.parquet")
+    val e = intercept[Exception] {
+      graft.SparkEntry.queries("dd_embed_cos")(spark, dir).count()
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.toString +: causes(t.getCause)
+    assert(causes(e).exists(_.contains("dimension mismatch")), e.toString)
+  }
 }

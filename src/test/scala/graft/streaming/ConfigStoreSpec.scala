@@ -159,6 +159,16 @@ class ConfigStoreSpec extends AnyFunSuite with SparkSpec {
     // we surface the same contract once, at startup
     val e2 = intercept[IllegalArgumentException](ConfigStore.load(spark, loc))
     assert(e2.getMessage.contains("function code"))
+
+    // unknown format_code: same fail-loud-at-load policy (a silent
+    // count=1 default would mis-frame every read of the channel)
+    Seq((1L, "ch1", 1L, 1, 5, 1, Some(0L), 3, 99, true, "V", 100, ""))
+      .toDF("id", "name", "bus_id", "device_id", "address", "timing",
+        "conversion_id", "func_code", "format_code", "enabled", "eng_unit",
+        "history_len", "long_name")
+      .write.mode("overwrite").parquet(s"$loc/channels")
+    val e3 = intercept[IllegalArgumentException](ConfigStore.load(spark, loc))
+    assert(e3.getMessage.contains("format_code") && e3.getMessage.contains("ch1"))
   }
 
   test("daemon under RocksDB state store with the duplicate guard: same results, stateful stage on RocksDB") {

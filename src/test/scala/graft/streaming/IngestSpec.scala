@@ -150,4 +150,21 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     // id stable across the three merges (db_model.py:58 parity)
     assert(got.toSeq == Seq((1L, "CHL: 1", 30L)))
   }
+
+  test("id-less legacy status table upgrades with deterministic backfilled ids") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_status_legacy").toString + "/status"
+    // a statusDir written by the pre-surrogate-id engine: no id column
+    Seq(("CHL: 2", 1, ts(10)), ("CHL: 1", 1, ts(10)), ("daq-3i", 1, ts(10)))
+      .toDF("parameter", "status", "ts")
+      .repartition(1).write.parquet(dir)
+    val b = Seq((3L, ts(20), BigDecimal(5))).toDF("channel_id", "ts", "value")
+    Ingest.mergeStatus(spark, dir, Ingest.statusUpdates(b, heartbeat = false))
+    val got = spark.read.parquet(dir).select("id", "parameter").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._2)
+    // legacy parameters backfilled in parameter order (not all id 0 via
+    // null-unboxing); the new parameter takes the next id
+    assert(got.map(_._1).distinct.length == got.length, s"duplicate ids: ${got.toSeq}")
+    assert(got.toSeq == Seq((1L, "CHL: 1"), (2L, "CHL: 2"), (4L, "CHL: 3"), (3L, "daq-3i")))
+  }
 }
