@@ -48,9 +48,35 @@ object ConfigStore {
   def load(
       spark: SparkSession,
       location: String,
-      sourceDefaults: Map[String, String] = Map.empty): DaemonConfig = {
-    def tbl(name: String): DataFrame =
-      spark.read.schema(Tables.referenceSchemas(name)).parquet(s"$location/$name")
+      sourceDefaults: Map[String, String] = Map.empty): DaemonConfig =
+    loadFrom(spark, location, sourceDefaults)(name =>
+      spark.read.schema(Tables.referenceSchemas(name)).parquet(s"$location/$name"))
+
+  /** [[load]] against a live JDBC config database — the reference's
+    * actual deployment shape (daq-3i.py:112-114 reads the dims through
+    * the engine whose URL db_model.py:65-67 builds). Columns are cast
+    * to the declared reference schemas, so driver-specific JDBC type
+    * mappings (Derby CLOB for strings, DECIMAL widths) can't leak into
+    * the daemon's dims. Config tables are bus/channel-bounded, so each
+    * reads in one partition — `FileSources.jdbcReader`'s split
+    * machinery is for fact-sized tables. */
+  def loadJdbc(
+      spark: SparkSession,
+      url: String,
+      sourceDefaults: Map[String, String] = Map.empty): DaemonConfig =
+    loadFrom(spark, url, sourceDefaults) { name =>
+      val schema = Tables.referenceSchemas(name)
+      graft.sources.FileSources
+        .jdbcReader(spark, url, name, "id", 0L, 1L << 20, numPartitions = 1)
+        .load()
+        .select(schema.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    }
+
+  private def loadFrom(
+      spark: SparkSession,
+      location: String,
+      sourceDefaults: Map[String, String])(
+      tbl: String => DataFrame): DaemonConfig = {
 
     val buses = tbl("buses").filter(col("enabled")).collect()
     require(buses.nonEmpty, s"no enabled bus in the config store at $location")

@@ -129,6 +129,56 @@ class ConfigStoreSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("JDBC config database drives the daemon end to end, identical to the parquet path") {
+    import spark.implicits._
+    // the reference's real deployment: dims live in a SQL engine
+    // (daq-3i.py:112-114; URL built at db_model.py:65-67). Seed the
+    // same rows into embedded Derby over JDBC and into parquet, run
+    // the daemon from each, and require identical fact + status.
+    val loc = Files.createTempDirectory("graft_cfg_pq").toString
+    val pqRun = Files.createTempDirectory("graft_cfg_pq_run").toString
+    val jdbcRun = Files.createTempDirectory("graft_cfg_jdbc_run").toString
+    val url = "jdbc:derby:memory:graftcfg;create=true"
+    val s1 = new ModbusTestServer()
+    val s2 = new ModbusTestServer()
+    def runDaemon(cfg: ConfigStore.DaemonConfig, dataDir: String): Unit = {
+      val daemon = new Daemon(
+        spark, cfg.channels, cfg.conversions,
+        cfg.busSources.head, dataDir,
+        pulseSec = 3600, truncIntervalSec = 3600,
+        extraSources = cfg.busSources.tail)
+      daemon.start()
+      try daemon.ingest.processAllAvailable() finally daemon.stop()
+    }
+    def facts(dataDir: String): Seq[(Long, Double)] =
+      Ingest.readFact(spark, s"$dataDir/fact")
+        .select($"channel_id", $"value".cast("double")).distinct()
+        .orderBy($"channel_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    try {
+      seed(loc, s1.port, s2.port)
+      for (t <- Seq("buses", "channels", "conversions"))
+        graft.sources.FileSources.writeJdbc(
+          spark.read.schema(Tables.referenceSchemas(t)).parquet(s"$loc/$t"),
+          url, t)
+      val opts = Map("startEpochSec" -> "0", "periodSec" -> "1", "maxTicks" -> "2")
+      val jdbcCfg = ConfigStore.loadJdbc(spark, url, opts)
+      val pqCfg = ConfigStore.load(spark, loc, opts)
+      // dims resolve identically through either store
+      assert(jdbcCfg.busSources.toSet == pqCfg.busSources.toSet)
+      assert(jdbcCfg.conversions.sorted == pqCfg.conversions.sorted)
+      assert(jdbcCfg.channels.orderBy($"id").collect().toSeq
+        == pqCfg.channels.orderBy($"id").collect().toSeq)
+      runDaemon(pqCfg, pqRun)
+      runDaemon(jdbcCfg, jdbcRun)
+      assert(facts(jdbcRun) == facts(pqRun) && facts(jdbcRun).nonEmpty)
+      def status(dir: String) = spark.read.parquet(s"$dir/status")
+        .select("parameter", "status").collect()
+        .map(r => (r.getString(0), r.getInt(1))).sortBy(_._1).toSeq
+      assert(status(jdbcRun) == status(pqRun))
+    } finally { s1.close(); s2.close() }
+  }
+
   test("unsupported protocol and non-READHOLDING function codes fail loudly at load") {
     import spark.implicits._
     val loc = Files.createTempDirectory("graft_cfg_bad").toString
