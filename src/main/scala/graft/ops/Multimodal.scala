@@ -81,6 +81,28 @@ object Multimodal {
     }
   }
 
+  /** A codec INSTANCE — the object a real deployment makes expensive
+    * to construct (ffmpeg context, JNI handle, ONNX session). Every
+    * mapPartitions operator below constructs exactly ONE per partition
+    * iterator and streams the partition's rows through it; the
+    * construction counter makes that amortization observable
+    * (MultimodalSpec asserts inits == partitions — a per-row init
+    * would show up as inits == rows). Methods delegate to the
+    * deterministic [[StubCodec]] stubs, so swapping a real codec in
+    * changes only this class. */
+  final class CodecInstance {
+    CodecInstance.inits.incrementAndGet()
+    def extract(bytes: Array[Byte]): Array[Float] = StubCodec.extract(bytes)
+    def resize(bytes: Array[Byte], stride: Int): Array[Byte] = StubCodec.resize(bytes, stride)
+    def sampleFrames(bytes: Array[Byte], nFrames: Int, k: Int): Seq[Array[Byte]] =
+      StubCodec.sampleFrames(bytes, nFrames, k)
+  }
+  object CodecInstance {
+    /** JVM-local construction count (observable under local[*]; on a
+      * cluster each executor counts its own). */
+    val inits = new java.util.concurrent.atomic.AtomicLong
+  }
+
   /** Synthesize a deterministic media table from `documents` (text
     * bytes as payload) — the driver testdata has no binary table, so
     * this gives the plumbing a reproducible input. */
@@ -105,11 +127,10 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaFile]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition setup cost amortized (real codecs are expensive
-      // to initialize)
+      val codec = new CodecInstance // once per partition, not per row
       rows.map { m =>
         MediaFeatures(m.media_id, m.kind, m.content.length.toLong,
-          StubCodec.extract(m.content))
+          codec.extract(m.content))
       }
     }
   }
@@ -117,12 +138,15 @@ object Multimodal {
   /** Resize every image payload in place (stub), preserving schema. */
   def resizeImages(media: Dataset[MediaFile], stride: Int): Dataset[MediaFile] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map { m =>
-      if (m.kind == "image")
-        m.copy(content = StubCodec.resize(m.content, stride),
-          width = m.width / stride, height = m.height / stride)
-      else m
-    })
+    media.mapPartitions { rows =>
+      val codec = new CodecInstance // once per partition, not per row
+      rows.map { m =>
+        if (m.kind == "image")
+          m.copy(content = codec.resize(m.content, stride),
+            width = m.width / stride, height = m.height / stride)
+        else m
+      }
+    }
   }
 
   val queries: Seq[QueryDef] = Seq(
@@ -197,11 +221,14 @@ object Multimodal {
         import s.implicits._
         synthesize(s, d)
           .filter($"kind" === "video")
-          .mapPartitions(_.map { m =>
-            val frames = StubCodec.sampleFrames(m.content, m.n_frames, 3)
-            (m.media_id, m.n_frames, frames.length.toLong,
-              frames.map(_.length.toLong).sum)
-          })
+          .mapPartitions { rows =>
+            val codec = new CodecInstance // once per partition
+            rows.map { m =>
+              val frames = codec.sampleFrames(m.content, m.n_frames, 3)
+              (m.media_id, m.n_frames, frames.length.toLong,
+                frames.map(_.length.toLong).sum)
+            }
+          }
           .toDF("media_id", "n_frames", "n_sampled", "bytes_kept")
           .orderBy($"media_id")
       },

@@ -18,7 +18,19 @@ class Monitoring(budgetMs: Long = Cadence.TICK_BUDGET_MS)
     extends StreamingQueryListener {
 
   case class BatchStat(queryId: String, batchId: Long, durationMs: Long,
-      numInputRows: Long)
+      numInputRows: Long,
+      // backpressure surface: sustained input rate above processing
+      // rate means the source backlog GROWS — the metric a 100 TB
+      // operator pages on before any batch actually overruns
+      inputRowsPerSecond: Double,
+      processedRowsPerSecond: Double,
+      addBatchMs: Long,
+      stateRows: Long)
+
+  /** Per-query health roll-up — the page/dashboard surface. */
+  case class QueryHealth(
+      batches: Long, maxTriggerMs: Long, avgTriggerMs: Double,
+      overruns: Long, maxConsecutiveOverruns: Int, backlogged: Long)
 
   private val stats = new ConcurrentLinkedQueue[BatchStat]()
 
@@ -27,9 +39,14 @@ class Monitoring(budgetMs: Long = Cadence.TICK_BUDGET_MS)
 
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val p = e.progress
-    val duration = Option(p.durationMs.get("triggerExecution"))
-      .map(_.longValue()).getOrElse(0L)
-    stats.add(BatchStat(p.id.toString, p.batchId, duration, p.numInputRows))
+    def dur(k: String): Long =
+      Option(p.durationMs.get(k)).map(_.longValue()).getOrElse(0L)
+    def rate(d: Double): Double = if (d.isNaN) 0.0 else d
+    stats.add(BatchStat(p.id.toString, p.batchId, dur("triggerExecution"),
+      p.numInputRows,
+      rate(p.inputRowsPerSecond), rate(p.processedRowsPerSecond),
+      dur("addBatch"),
+      p.stateOperators.map(_.numRowsTotal).sum))
     ()
   }
 
@@ -39,6 +56,27 @@ class Monitoring(budgetMs: Long = Cadence.TICK_BUDGET_MS)
   /** Batches that overran the tick budget (the reference's stall
     * signal, daq-3i.py:253-256, at query granularity). */
   def overruns: Seq[BatchStat] = batches.filter(_.durationMs > budgetMs)
+
+  /** Batches whose input rate exceeded the processing rate — each one
+    * grows the source backlog; a RUN of them is the early page. */
+  def backlogged: Seq[BatchStat] =
+    batches.filter(b => b.numInputRows > 0 &&
+      b.inputRowsPerSecond > b.processedRowsPerSecond)
+
+  /** Per-query health roll-up for the metrics sink / dashboard. */
+  def health: Map[String, QueryHealth] = {
+    val consec = maxConsecutiveOverruns
+    batches.groupBy(_.queryId).map { case (q, bs) =>
+      q -> QueryHealth(
+        batches = bs.size.toLong,
+        maxTriggerMs = bs.map(_.durationMs).max,
+        avgTriggerMs = bs.map(_.durationMs).sum.toDouble / bs.size,
+        overruns = bs.count(_.durationMs > budgetMs).toLong,
+        maxConsecutiveOverruns = consec.getOrElse(q, 0),
+        backlogged = bs.count(b => b.numInputRows > 0 &&
+          b.inputRowsPerSecond > b.processedRowsPerSecond).toLong)
+    }
+  }
 
   /** Consecutive-overrun count per query — EXCEEDING
     * Cadence.STALL_LIMIT (i.e. the 6th consecutive overrun,

@@ -49,4 +49,20 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(frames.head.head == 0.toByte && frames(1).head == 20.toByte)
     assert(StubCodec.sampleFrames(bytes, 0, 2).isEmpty)
   }
+
+  test("codec initialized once per partition, not per row") {
+    // real codecs are expensive to construct; the mapPartitions
+    // operators must amortize one instance across the partition
+    val media = synthesize(spark, "/root/testdata/sf0.001").repartition(4)
+    val nRows = media.count()
+    assert(nRows > 4, s"need more rows than partitions, got $nRows")
+    CodecInstance.inits.set(0L)
+    extractFeatures(media).collect()
+    val afterExtract = CodecInstance.inits.get()
+    assert(afterExtract == 4, s"extractFeatures inits: $afterExtract (rows=$nRows)")
+    CodecInstance.inits.set(0L)
+    resizeImages(media, 2).collect()
+    assert(CodecInstance.inits.get() == 4,
+      s"resizeImages inits: ${CodecInstance.inits.get()}")
+  }
 }
