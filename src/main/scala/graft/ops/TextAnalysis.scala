@@ -113,6 +113,13 @@ object TextAnalysis {
     * outer expressions per element, so passing `lower(text)` directly
     * would re-lowercase the document once per character position. */
   def shingleFingerprintOf(t: Column, k: Int = 8): Column =
+    graft.functions.Fingerprint.shingleMinMd5(t, k)
+
+  /** The declarative HOF form [[shingleFingerprintOf]]'s fused
+    * expression replaced (one interpreted md5 + hex string per char
+    * position, all materialized before array_min) — retained as the
+    * equivalence reference for TextAnalysisSpec. */
+  def shingleFingerprintHof(t: Column, k: Int = 8): Column =
     when(char_length(t) >= k,
       array_min(transform(
         sequence(lit(1), char_length(t) - lit(k - 1)),
