@@ -20,8 +20,10 @@ object Profile {
       val fn = graft.SparkEntry.queries(name)
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
-        println(f"PROFILE $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        // noop sink, like Bench: count() would let column pruning skip
+        // the projection work being profiled
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        println(f"PROFILE $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }
     spark.stop()
