@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Distinct word n-gram shingles of a text column in ONE compiled
@@ -191,10 +191,111 @@ case class WordTokenCounts(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Distinct HASHES of the distinct word n-gram shingles of a text
+  * column, in one compiled pass — the in-row form of
+  *
+  *   groupBy(doc).agg(collect_set(hash(explode(wordShingles(text)))))
+  *
+  * which shuffled every posting into an ObjectHashAggregate and
+  * re-exploded the set, purely to dedupe by hash value. Shingle
+  * construction is [[WordShingles]]'s exactly (same tokenizer, same
+  * first-occurrence distinct), and the hash dedupe happens in a local
+  * set before any exchange — identical hash SETS by construction
+  * (if two distinct shingles collide, both forms keep the value once),
+  * asserted in DedupSpec for both kinds.
+  *
+  * hashKind selects the engine's two gram-identity families:
+  *  - "uh30": PortableHash.uhBase — long of the first 15 hex chars of
+  *    md5, mod 2^30 (the oracle-replayable family);
+  *  - "xx64": Spark's xxhash64 with its default seed 42.
+  */
+case class HashedWordShingles(child: Expression, n: Int, hashKind: String)
+    extends UnaryExpression {
+  require(hashKind == "uh30" || hashKind == "xx64", s"unknown hashKind $hashKind")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hashedWordShingles requires string, got ${t.sql}")
+  }
+
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+
+  private def hashShingle(s: String): Long =
+    if (hashKind == "xx64") {
+      val u = UTF8String.fromString(s)
+      org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+    } else {
+      // first 15 hex chars of md5 as a long (PortableHash.md5Hash60:
+      // 7 full bytes then the high nibble of the 8th), mod 2^30
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var i = 0
+      while (i < 7) { v = (v << 8) | (d(i) & 0xFF); i += 1 }
+      v = (v << 4) | ((d(7) & 0xFF) >>> 4)
+      v % PortableHash.UH_DOMAIN
+    }
+
+  def compute(text: UTF8String): ArrayData = {
+    val toks0 = ws.split(text.toLowerCase.toString, -1)
+    var m = 0
+    var k = 0
+    while (k < toks0.length) { if (toks0(k).nonEmpty) m += 1; k += 1 }
+    if (m < n) return ArrayData.toArrayData(Array.empty[Long])
+    val toks = new Array[String](m)
+    m = 0; k = 0
+    while (k < toks0.length) {
+      if (toks0(k).nonEmpty) { toks(m) = toks0(k); m += 1 }
+      k += 1
+    }
+    // distinct shingle strings first (exactly WordShingles), THEN
+    // distinct hashes — matches collect_set over hashed distinct grams
+    val seen = new java.util.HashSet[String](m * 2)
+    val out = new java.util.LinkedHashSet[java.lang.Long](m * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= m - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val s = sb.toString
+      if (seen.add(s)) out.add(hashShingle(s))
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var o = 0
+    while (it.hasNext) { arr(o) = it.next(); o += 1 }
+    ArrayData.toArrayData(arr)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("hashedShingler", this, classOf[HashedWordShingles].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $self.compute($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedWordShingles =
+    copy(child = newChild)
+}
+
 object TextShingles {
   /** Fused distinct word n-gram shingles (see [[WordShingles]]). */
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  /** Fused distinct hashed shingles (see [[HashedWordShingles]]). */
+  def hashedWordShingles(text: Column, n: Int, hashKind: String): Column =
+    ColumnBridge.column(HashedWordShingles(ColumnBridge.expression(text), n, hashKind))
 
   /** Fused lowercase whitespace tokenizer (see [[WordTokens]]). */
   def wordTokens(text: Column): Column =

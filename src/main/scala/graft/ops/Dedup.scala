@@ -149,21 +149,25 @@ object Dedup {
     * adjacency predicate |band_a - band_b| <= 1 becomes part of the
     * equi-join key). Returns (posts = (doc_id [, band], n, x) distinct
     * gram-hash postings for the count-based verify join, cand =
-    * distinct (id_a, id_b) candidate pairs). Every consumer of `posts`
-    * shares one tokenize+hash+dedup pass: the lineage up to the doc_id
-    * hash-aggregate is identical, so ReuseExchange serves all of them
-    * from a single shuffle. */
+    * distinct (id_a, id_b) candidate pairs).
+    *
+    * The distinct hashed gram set is computed IN-ROW by the fused
+    * HashedWordShingles expression (tokenize, shingle, hash, dedupe in
+    * one compiled pass) — the former explode + collect_set + re-explode
+    * dedupe shuffled every posting through an ObjectHashAggregate
+    * before any pairing work started. Every consumer of `posts` shares
+    * that one pass, and the df-window exchange below is the lineage
+    * point ReuseExchange serves all of them from (PlanSpec pins it). */
   def prefixCandidates(
       docs: DataFrame, tn: Int = 1, td: Int = 2,
-      hash: Column => Column = graft.functions.PortableHash.uhBase,
+      hashKind: String = "uh30",
       banded: Boolean = false): (DataFrame, DataFrame) = {
     val bandCols = if (banded) Seq(col("band")) else Seq.empty[Column]
-    val posts = withWordShingles(docs, col("text"), "sh")
-      .select(col("doc_id") +: bandCols :+ explode(col("sh")).as("g"): _*)
-      .select(col("doc_id") +: bandCols :+ hash(col("g")).as("x"): _*)
-      .groupBy(col("doc_id") +: bandCols: _*).agg(collect_set(col("x")).as("xs"))
+    val posts = docs
+      .withColumn("hs",
+        graft.functions.TextShingles.hashedWordShingles(col("text"), 3, hashKind))
       .select((col("doc_id") +: bandCols) ++
-        Seq(size(col("xs")).as("n"), explode(col("xs")).as("x")): _*)
+        Seq(size(col("hs")).as("n"), explode(col("hs")).as("x")): _*)
     // df as a count window over partition(x), not a groupBy+self-join:
     // one exchange feeds the window directly, two fewer stages (a
     // groupBy+join form was measured 20% slower at sf0.1 even with the
@@ -456,7 +460,7 @@ object Dedup {
           val (posts, cand) = prefixCandidates(
             reps.select($"doc_id", $"text",
               floor($"n_chars" / lit(50)).cast("int").as("band")),
-            tn = 1, td = 5, hash = c => xxhash64(c), banded = true)
+            tn = 1, td = 5, hashKind = "xx64", banded = true)
           // verify by postings-join intersection counts over the FULL
           // posting sets (the candidate join only sees prefixes):
           // codegen'd joins + one hash-agg, no gram arrays shuffled

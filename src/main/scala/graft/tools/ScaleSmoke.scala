@@ -78,7 +78,7 @@ object ScaleSmoke {
         graft.ops.Dedup.prefixCandidates(
           docs.select($"doc_id", $"text",
             floor($"n_chars" / lit(50)).cast("int").as("band")),
-          tn = 1, td = 5, hash = c => xxhash64(c), banded = true)._2.count()
+          tn = 1, td = 5, hashKind = "xx64", banded = true)._2.count()
       }
       time("dd_minhash_lsh")(graft.SparkEntry.queries("dd_minhash_lsh")(spark, bigDir).count())
       time("dd_ngram_jaccard")(graft.SparkEntry.queries("dd_ngram_jaccard")(spark, bigDir).count())

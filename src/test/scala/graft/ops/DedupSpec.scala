@@ -93,6 +93,32 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     cnt.foreach { case (id, sig) => assert(sig == occ(id), s"doc $id") }
   }
 
+  test("fused HashedWordShingles == explode+hash+collect_set dedupe, both hash kinds") {
+    import spark.implicits._
+    val docs = graft.model.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+      .union(Seq((90001L, ""), (90002L, "one two"), (90003L, "a b c a b c a b c"),
+        (90004L, "x y z x y z w")).toDF("doc_id", "text"))
+    for ((kind, hash) <- Seq(
+        "uh30" -> ((c: org.apache.spark.sql.Column) => graft.functions.PortableHash.uhBase(c)),
+        "xx64" -> ((c: org.apache.spark.sql.Column) => xxhash64(c)))) {
+      val viaAgg = withWordShingles(docs, $"text", "sh")
+        .select($"doc_id", explode($"sh").as("g"))
+        .select($"doc_id", hash($"g").as("x"))
+        .groupBy($"doc_id").agg(collect_set($"x").as("xs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val fused = docs
+        .select($"doc_id",
+          graft.functions.TextShingles.hashedWordShingles($"text", 3, kind).as("hs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      // agg form has no row for gramless docs; fused has an empty set
+      fused.foreach { case (id, hs) =>
+        assert(hs == viaAgg.getOrElse(id, Set.empty[Long]), s"$kind doc $id")
+      }
+      assert(viaAgg.keySet.subsetOf(fused.keySet))
+    }
+  }
+
   test("fused WordShingles expression is bit-identical to the HOF pipeline on the real corpus") {
     import spark.implicits._
     val docs = graft.model.Tables.table(spark, "/root/testdata/sf0.001", "documents")
