@@ -329,27 +329,25 @@ object Dedup {
   def minhashNearDups(
       docs: DataFrame, id: Column, text: Column,
       threshold: Double, h: Int = 32, b: Int = 16): DataFrame = {
-    import graft.functions.PortableHash.{uhApply, uhBase}
     val r = h / b
-    // no size(sh) > 0 filter: empty-shingle docs emit no postings and
-    // no bands, so they can never become candidates — and an explicit
-    // filter here would be pushed below the projection with the whole
-    // shingle expression substituted in (evaluated once more per row)
-    val base = withWordShingles(
-        docs.select(id.as("id"), text.as("__text")), col("__text"), "sh")
-      .select(col("id"), col("sh"))
-    // one md5 per posting, h cheap integer permutations on top
-    val posts = base.select(col("id"), explode(col("sh")).as("g"))
-      .select(col("id"), uhBase(col("g")).as("x"))
-    // collect_SET dedupes inside the one aggregation that already
-    // exists (min aggregates are duplicate-insensitive), so a 30-bit
-    // in-document collision cannot double-count in the verify stage
-    // and no extra distinct() exchange of the posting list is needed
-    val minAggs = (0 until h).map(i => min(uhApply(i, col("x"))).as(s"__m$i"))
-    val aggsWithSet = minAggs :+ collect_set(col("x")).as("xs")
-    val sigs = posts.groupBy(col("id")).agg(aggsWithSet.head, aggsWithSet.tail: _*)
+    // The whole signature stage is IN-ROW: HashedWordShingles emits
+    // the deduped 30-bit gram-hash set per doc (one compiled pass) and
+    // MinhashSlots folds the h universal-hash minima over it — where
+    // the former pipeline exploded postings and shuffled them into a
+    // groupBy of h min-aggregates + collect_set, the signature now
+    // needs NO exchange at all. Hash-set dedupe before the mins keeps
+    // a 30-bit in-document collision from double-counting in the
+    // verify stage, exactly like the collect_set form. Gramless docs
+    // are filtered here (they produced no aggregate row before, and
+    // can never become candidates either way).
+    val sigs = docs
+      .select(id.as("id"),
+        graft.functions.TextShingles.hashedWordShingles(text, 3, "uh30").as("xs"))
+      .filter(size(col("xs")) > 0)
+      .withColumn("__sig", graft.functions.MinhashSlots.minhashSlots(col("xs"), h))
     val bandKeys = (0 until b).map { i =>
-      md5(concat_ws(",", lit(i.toString) +: (0 until r).map(j => col(s"__m${r * i + j}")): _*))
+      md5(concat_ws(",", lit(i.toString) +:
+        (0 until r).map(j => element_at(col("__sig"), r * i + j + 1)): _*))
     }
     val bands = sigs.select(col("id"), explode(array(bandKeys: _*)).as("band"))
     val cand = bands.as("a")

@@ -119,6 +119,29 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("fused MinhashSlots == per-slot min aggregates over exploded postings") {
+    import spark.implicits._
+    import graft.functions.PortableHash.{uhApply, uhBase}
+    val h = 32
+    val docs = graft.model.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    val viaAgg = withWordShingles(docs, $"text", "sh")
+      .select($"doc_id", explode($"sh").as("g"))
+      .select($"doc_id", uhBase($"g").as("x"))
+      .groupBy($"doc_id")
+      .agg(min(uhApply(0, $"x")).as("m0"),
+        (1 until h).map(i => min(uhApply(i, $"x")).as(s"m$i")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to h).map(r.getLong(_)).toSeq).toMap
+    val fused = docs
+      .select($"doc_id",
+        graft.functions.MinhashSlots.minhashSlots(
+          graft.functions.TextShingles.hashedWordShingles($"text", 3, "uh30"), h).as("sig"))
+      .collect().filterNot(_.isNullAt(1))
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(fused.keySet == viaAgg.keySet) // gramless docs absent from both
+    fused.foreach { case (id, sig) => assert(sig == viaAgg(id), s"doc $id") }
+  }
+
   test("fused WordShingles expression is bit-identical to the HOF pipeline on the real corpus") {
     import spark.implicits._
     val docs = graft.model.Tables.table(spark, "/root/testdata/sf0.001", "documents")
