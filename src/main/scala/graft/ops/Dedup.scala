@@ -85,10 +85,16 @@ object Dedup {
         (acc, v) => acc * lit(2) + when(v > 0, lit(1)).otherwise(lit(0))))
   }
 
-  /** Hamming distance between two chunked signatures. */
-  def hammingChunks(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
-      lit(0), (acc, h) => acc + h)
+  /** Hamming distance between two chunked signatures. Unrolled over
+    * the fixed 4-chunk layout with element_at/bit_count builtins: the
+    * HOF form (`aggregate(zip_with(...))`) is CodegenFallback and ran
+    * INTERPRETED per candidate pair in the simhash verify projection
+    * — the one per-pair expression in that hot path. Same int sum,
+    * bit-exact. */
+  def hammingChunks(a: Column, b: Column, chunks: Int = 4): Column =
+    (0 until chunks)
+      .map(i => bit_count(element_at(a, i + 1).bitwiseXOR(element_at(b, i + 1))).cast("int"))
+      .reduce(_ + _)
 
   /** Columnar SimHash: same signature as [[simhashChunks]] (asserted
     * equivalent in DedupSpec) computed from exploded (id, token) rows,
