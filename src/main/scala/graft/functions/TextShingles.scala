@@ -288,10 +288,60 @@ case class HashedWordShingles(child: Expression, n: Int, hashKind: String)
     copy(child = newChild)
 }
 
+/** Occurrence count of array elements belonging to a constant word
+  * set, in one compiled pass — the fused form of
+  * `size(filter(toks, t => t.isin(words)))`, whose filter HOF is
+  * CodegenFallback and ran interpreted once per (row, language) in
+  * the stopword/lang-id queries. Identical counting: string equality
+  * on UTF8String (what isin compares), null elements skipped (a null
+  * fails the isin predicate and is dropped by filter). */
+case class TokenSetHits(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"tokenSetHits requires array<string>, got ${t.sql}")
+  }
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  def compute(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    var hits = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("hits", this, classOf[TokenSetHits].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $self.compute($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenSetHits =
+    copy(child = newChild)
+}
+
 object TextShingles {
   /** Fused distinct word n-gram shingles (see [[WordShingles]]). */
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  /** Fused constant-set membership count (see [[TokenSetHits]]). */
+  def tokenSetHits(toks: Column, words: Seq[String]): Column =
+    ColumnBridge.column(TokenSetHits(ColumnBridge.expression(toks), words))
 
   /** Fused distinct hashed shingles (see [[HashedWordShingles]]). */
   def hashedWordShingles(text: Column, n: Int, hashKind: String): Column =

@@ -41,15 +41,22 @@ object TextAnalysis {
     (length(text) - length(regexp_replace(text, "[.,!?;:]", "")))
       .cast("double") / length(text)
 
-  private[ops] val stopwords: Map[String, Seq[String]] = Map(
+  private[graft] val stopwords: Map[String, Seq[String]] = Map(
     "de" -> Seq("der", "die", "und", "das", "ist", "von", "den", "mit", "auf", "ein"),
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se", "del", "las"),
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "il"),
     "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "这", "他"))
 
-  /** Occurrence count of tokens from `words` (not distinct-presence). */
+  /** Occurrence count of tokens from `words` (not distinct-presence).
+    * Fused native expression — the `size(filter(isin))` HOF form is
+    * CodegenFallback and ran interpreted once per (row, language);
+    * kept as [[stopwordHitsHof]] for the equivalence spec. */
   def stopwordHits(toks: Column, words: Seq[String]): Column =
+    graft.functions.TextShingles.tokenSetHits(toks, words)
+
+  /** The HOF form [[stopwordHits]] replaced (equivalence reference). */
+  def stopwordHitsHof(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit): _*)))
 
   /** Stopword ratio for one language's list. */

@@ -31,4 +31,18 @@ class FingerprintSpec extends AnyFunSuite with SparkSpec {
         r.getString(0) == r.getString(1), r.toString)
     }
   }
+
+  test("fused TokenSetHits == size(filter(isin)) for every stopword list") {
+    import spark.implicits._
+    val docs = graft.model.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select($"text")
+      .union(Seq("", "the the the", "el de la zh 的 的", "none match here").toDF("text"))
+      .withColumn("__toks", graft.ops.TextAnalysis.tokens($"text"))
+    graft.ops.TextAnalysis.stopwords.foreach { case (lang, words) =>
+      val both = docs.select(
+        graft.ops.TextAnalysis.stopwordHitsHof($"__toks", words).as("hof"),
+        graft.ops.TextAnalysis.stopwordHits($"__toks", words).as("fused")).collect()
+      both.foreach(r => assert(r.getInt(0) == r.getInt(1), s"$lang: $r"))
+    }
+  }
 }
