@@ -280,6 +280,60 @@ object Dedup {
     cross.unionByName(within).orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Connected components of an undirected pair graph as min-label
+    * propagation: every vertex starts labeled with its own id and
+    * repeatedly takes the minimum label over itself and its neighbors
+    * until a fixpoint — the final label is the minimum vertex id of
+    * the component (the canonical-document id a dedup pipeline keys
+    * clusters on). Returns (id, cluster).
+    *
+    * Execution shape: the DRIVER runs the loop, but it is control
+    * only — each round is one distributed join + hash aggregate, data
+    * never leaves executors, and convergence is detected from a
+    * 1-row aggregate (labels only ever decrease, so sum(label) is
+    * strictly monotone until the fixpoint — no per-row diff join).
+    * Round count is the component diameter, which for near-dup
+    * clusters is small (dup cliques have diameter 1; chains of
+    * borderline pairs are short); `maxIters` fails loudly rather than
+    * returning a half-propagated labeling. Each round persists its
+    * labels and unpersists the previous round's, so lineage stays one
+    * round deep. At 100 TB the same loop holds (rounds are
+    * diameter-bounded, not data-bounded); a graph with adversarially
+    * long chains would swap this for the two-phase star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — same per-round plan shape. */
+  def connectedMinLabels(
+      vertices: DataFrame, edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    val e = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = vertices.select(col("id"), col("id").as("label")).persist()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
+    var sum0 = labelSum(labels)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val prop = e.join(labels, e("src") === labels("id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
+      val next = labels.as("l")
+        .join(prop, col("l.id") === prop("dst"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label"))
+        .persist()
+      val sum1 = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = sum1.compareTo(sum0) == 0
+      sum0 = sum1
+      iter += 1
+    }
+    e.unpersist()
+    require(converged, s"component labeling did not converge in $maxIters rounds")
+    labels
+  }
+
   /** Exact-content collapse for APPLIED dedup (survivor set): groups
     * `docs` by `groupCols`, lets `dominatedReps` name dominated
     * representatives from the eligible-rep set, marks every non-rep
@@ -899,6 +953,71 @@ object Dedup {
               SELECT id_a, id_b, cos FROM cross_pairs
               UNION ALL
               SELECT id_a, id_b, cos FROM within_pairs
-              ORDER BY id_a, id_b"""))
+              ORDER BY id_a, id_b""")),
+
+    // Near-dup CLUSTERS: connected components over the verified
+    // minhash pair graph, cluster id = minimum doc_id of the component
+    // — the canonicalization step a training-data pipeline runs after
+    // pairing (keep one doc per cluster, attribute the rest to it).
+    // Components are computed on exact-content representatives only
+    // (collapse proof as in dd_minhash_lsh: twins share every pair, so
+    // a member's component is its rep's component); members of
+    // eligible groups inherit the rep's cluster, gramless docs (never
+    // pair) are singletons. The min-label loop is driver-CONTROLLED
+    // but executor-run: one join+agg round per component-diameter hop
+    // (see connectedMinLabels). The oracle replays the whole pipeline
+    // — signatures, banding, verify, and the component fixpoint as a
+    // recursive CTE (closure bounded by sum of component sizes
+    // squared; components are near-dup cliques, so tiny).
+    QueryDef(
+      "dd_cluster",
+      (s, d) => {
+        import s.implicits._
+        val docs = table(s, d, "documents")
+        val grp = docs.withColumn("__min",
+          min($"doc_id").over(Window.partitionBy(md5(lower($"text")))))
+        val reps = grp.filter($"doc_id" === $"__min")
+        val pairs = minhashNearDups(
+            reps.select($"doc_id", $"text"), $"doc_id", $"text", 0.5)
+          .select($"id_a", $"id_b")
+        val repLabels = connectedMinLabels(
+          reps.select($"doc_id".as("id")), pairs)
+        val eligible = reps
+          .filter(size(graft.functions.TextShingles.wordShingles($"text", 3)) > 0)
+          .select($"doc_id".as("__min"))
+        val members = grp.select($"doc_id", $"__min")
+        val inherited = members
+          .join(eligible, Seq("__min"))
+          .join(repLabels.select($"id".as("__min"), $"label".as("cluster")), Seq("__min"))
+          .select($"doc_id", $"cluster")
+        val singletons = members.join(eligible, Seq("__min"), "left_anti")
+          .select($"doc_id", $"doc_id".as("cluster"))
+        inherited.unionByName(singletons).orderBy($"doc_id")
+      },
+      Some {
+        val reps = """(SELECT doc_id, text FROM (
+                        SELECT doc_id, text,
+                               min(doc_id) OVER (PARTITION BY md5(lower(text))) AS mn
+                        FROM documents) WHERE doc_id = mn)"""
+        s"""${minhashOracleCtesFrom(reps).replaceFirst("WITH ", "WITH RECURSIVE ")},
+            gm AS (
+              SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(lower(text))) AS mn
+              FROM documents),
+            up AS (SELECT id_a, id_b FROM verified WHERE sim >= 0.5),
+            eg AS (SELECT id_a AS src, id_b AS dst FROM up
+                   UNION ALL SELECT id_b, id_a FROM up),
+            reach AS (
+              SELECT doc_id AS id, doc_id AS label FROM ne
+              UNION
+              SELECT eg.dst, r.label FROM reach r JOIN eg ON eg.src = r.id
+            ),
+            repl AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id)
+            SELECT g.doc_id, r.cluster
+            FROM gm g JOIN ne ON ne.doc_id = g.mn JOIN repl r ON r.id = g.mn
+            UNION ALL
+            SELECT g.doc_id, g.doc_id AS cluster
+            FROM gm g LEFT JOIN ne ON ne.doc_id = g.mn WHERE ne.doc_id IS NULL
+            ORDER BY doc_id"""
+      })
   )
 }

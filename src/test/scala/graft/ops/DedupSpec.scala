@@ -252,6 +252,41 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(banded.subsetOf(all), s"false positives: ${banded -- all}")
   }
 
+  test("dd_cluster equals driver-side union-find over the pair graph, incl. exact twins") {
+    import spark.implicits._
+    // independent reference: plain union-find over the engine's own
+    // verified pair set (dd_minhash_lsh output, itself independently
+    // checked against the uncollapsed form) on a twin-doubled corpus —
+    // no label propagation, no collapse, no recursive SQL
+    val d = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft_clu").toString
+    val base = graft.model.Tables.table(spark, d, "documents")
+    base.union(base.select(($"doc_id" + 1000000L).as("doc_id"),
+        $"text", $"lang", $"source", $"n_chars"))
+      .write.parquet(s"$dir/documents.parquet")
+    val pairs = graft.SparkEntry.queries("dd_minhash_lsh")(spark, dir)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = graft.model.Tables.table(spark, dir, "documents")
+      .select($"doc_id").collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    pairs.foreach { case (a, b) => union(a, b) }
+    val expected = ids.map(i => i -> find(i)).sortBy(_._1).toSeq
+    val got = graft.SparkEntry.queries("dd_cluster")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    assert(got == expected)
+    // twins must actually cluster (the within-group path fired)
+    assert(got.exists { case (id, c) => id != c })
+  }
+
   test("simhashChunksAgg handles book-length docs exactly (no packed-counter ceiling)") {
     import spark.implicits._
     // 2^14 tokens/doc overflowed the former packed-long counters; the
