@@ -5,110 +5,148 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Minimum md5 over all k-char shingles of a string — the 1-hash
-  * winnowing fingerprint — in ONE compiled pass, replacing
+/** Minimum rolling-hash over all k-char shingles of a string — the
+  * 1-hash winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03)
+  * — in ONE compiled pass.
   *
-  *   array_min(transform(sequence(1, len - k + 1),
-  *     i => md5(substring(t, i, k))))
+  * Replaces the earlier min-MD5-per-window form, whose cost WAS the
+  * algorithm: one full MD5 (~dozens of rounds) per character position
+  * per document. Here each window slide is a handful of integer ops:
   *
-  * whose transform HOF is CodegenFallback AND materializes one 32-char
-  * hex string per character position before array_min scans them (a
-  * 1000-char doc allocates ~993 UTF8Strings to keep one).
+  *   v_i   = sum_{j<k} cp(i+j) * 31^(k-1-j)      (code-point polynomial)
+  *   v_i+1 = (v_i - cp(i) * 31^(k-1)) * 31 + cp(i+k)   (O(1) slide)
+  *   h_i   = (A * v_i + C) mod 2^61              (affine scramble)
   *
-  * Bit-identical results (TextAnalysisSpec asserts vs the HOF form):
-  *  - windows are CHARACTER windows (UTF8String.substringSQL
-  *    semantics; an ASCII fast path hashes byte slices in place —
-  *    identical bytes by definition of UTF-8);
-  *  - digests are compared as UNSIGNED 16-byte arrays, which orders
-  *    exactly like the lowercase-hex strings array_min compares (hex
-  *    encoding is monotone per byte), and only the winner is
-  *    hex-encoded;
-  *  - fewer than k chars -> null (the `when(length >= k)` arm).
+  * and the fingerprint is min_i h_i. The scramble decouples the min
+  * from the lexicographic order of the windows (v alone would make
+  * every document fingerprint on its alphabetically-smallest shingle).
+  *
+  * All arithmetic is EXACT and replayable by the DuckDB oracle:
+  *  - code points are what DuckDB's unicode(substr(t,i,1)) returns and
+  *    what UTF8String yields per character, so windows agree;
+  *  - v fits a signed 64-bit integer with no overflow: cp < 2^21 and
+  *    k <= 8 bound v < 2^21 * 31^7 * 31/30 < 2^57 (the require below
+  *    enforces the k bound), and the slide's intermediate
+  *    (v - cp*31^7)*31 stays under 2^62;
+  *  - the scramble is computed mod 2^61: the JVM's wrapping 64-bit
+  *    multiply-add masked to 61 bits equals the true product mod 2^61
+  *    (2^61 divides 2^64), and DuckDB reproduces it exactly in HUGEINT:
+  *    (A::HUGEINT * v + C) % 2305843009213693952;
+  *  - A = 6364136223846793005 (Knuth MMIX multiplier, odd — the map is
+  *    a bijection mod 2^61), C = 1442695040888963407;
+  *  - fewer than k chars -> null.
   */
-case class ShingleMinMd5(child: Expression, k: Int) extends UnaryExpression {
-  require(k > 0, s"shingle width must be positive, got $k")
-  override def dataType: DataType = StringType
+case class ShingleMinRoll(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1 && k <= 8,
+    s"shingle width must be in [1, 8] so the code-point polynomial stays exact in 64 bits, got $k")
+
+  override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"shingleMinMd5 requires string, got ${t.sql}")
+      s"shingleMinRoll requires string, got ${t.sql}")
   }
 
-  def compute(t: UTF8String): UTF8String = {
-    val nChars = t.numChars()
-    if (nChars < k) return null
-    // MessageDigest is not thread-safe and expression instances are
-    // shared across local-mode tasks: one instance per ROW (not per
-    // window — digest() resets it for reuse across the loop)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    var best: Array[Byte] = null
-    if (t.numBytes() == nChars) {
-      // ASCII fast path: char windows == byte windows; hash slices of
-      // the backing bytes with zero per-window allocation
+  private val topPow: Long = {
+    var p = 1L; var i = 0
+    while (i < k - 1) { p *= 31L; i += 1 }
+    p // 31^(k-1)
+  }
+
+  @inline private def mix(v: Long): Long =
+    (ShingleMinRoll.MixA * v + ShingleMinRoll.MixC) & ShingleMinRoll.Mask61
+
+  /** Boxed so codegen/interpreted paths share one null-aware kernel. */
+  def compute(t: UTF8String): java.lang.Long = {
+    val n = t.numChars()
+    if (n < k) return null
+    var v = 0L
+    var best = Long.MaxValue
+    if (t.numBytes() == n) {
+      // ASCII fast path: one code point per byte, hash in place
       val bytes = t.getBytes
       var i = 0
-      while (i <= nChars - k) {
-        md.update(bytes, i, k)
-        val d = md.digest()
-        if (best == null || unsignedLess(d, best)) best = d
+      while (i < k) { v = v * 31L + (bytes(i) & 0xFF); i += 1 }
+      best = mix(v)
+      i = k
+      while (i < n) {
+        v = (v - (bytes(i - k) & 0xFF) * topPow) * 31L + (bytes(i) & 0xFF)
+        val h = mix(v)
+        if (h < best) best = h
         i += 1
       }
     } else {
-      var i = 1
-      while (i <= nChars - k + 1) {
-        val d = md.digest(t.substringSQL(i, k).getBytes)
-        if (best == null || unsignedLess(d, best)) best = d
+      // one UTF-8 sequence == one code point == one DuckDB "character"
+      val cps = t.toString.codePoints.toArray
+      var i = 0
+      while (i < k) { v = v * 31L + cps(i); i += 1 }
+      best = mix(v)
+      i = k
+      while (i < cps.length) {
+        v = (v - cps(i - k).toLong * topPow) * 31L + cps(i)
+        val h = mix(v)
+        if (h < best) best = h
         i += 1
       }
     }
-    UTF8String.fromString(hex(best))
+    java.lang.Long.valueOf(best)
   }
 
-  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
-    var i = 0
-    while (i < a.length) {
-      val x = a(i) & 0xFF
-      val y = b(i) & 0xFF
-      if (x != y) return x < y
-      i += 1
-    }
-    false
+  override def nullSafeEval(input: Any): Any = {
+    val r = compute(input.asInstanceOf[UTF8String])
+    if (r == null) null else r.longValue()
   }
-
-  private def hex(d: Array[Byte]): String = {
-    val digits = "0123456789abcdef"
-    val out = new Array[Char](d.length * 2)
-    var i = 0
-    while (i < d.length) {
-      out(2 * i) = digits((d(i) >> 4) & 0xF)
-      out(2 * i + 1) = digits(d(i) & 0xF)
-      i += 1
-    }
-    new String(out)
-  }
-
-  override def nullSafeEval(input: Any): Any =
-    compute(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val self = ctx.addReferenceObj("fp", this, classOf[ShingleMinMd5].getName)
+    val self = ctx.addReferenceObj("fp", this, classOf[ShingleMinRoll].getName)
     nullSafeCodeGen(ctx, ev, t => s"""
-      |${ev.value} = $self.compute($t);
-      |${ev.isNull} = ${ev.value} == null;
+      |java.lang.Long ${ev.value}_r = $self.compute($t);
+      |${ev.isNull} = ${ev.value}_r == null;
+      |${ev.value} = ${ev.isNull} ? -1L : ${ev.value}_r.longValue();
     """.stripMargin)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): ShingleMinMd5 =
+  override protected def withNewChildInternal(newChild: Expression): ShingleMinRoll =
     copy(child = newChild)
 }
 
+object ShingleMinRoll {
+  val MixA: Long = 6364136223846793005L
+  val MixC: Long = 1442695040888963407L
+  val Mask61: Long = (1L << 61) - 1
+  val Mod61: Long = 1L << 61 // 2305843009213693952
+
+  /** 31^(k-1-j) coefficients for the expanded (non-rolling) window
+    * polynomial — what the DuckDB oracle and the spec's independent
+    * reference implementation use. */
+  def powers(k: Int): Seq[Long] =
+    (0 until k).map(j => (0 until (k - 1 - j)).foldLeft(1L)((p, _) => p * 31L))
+
+  /** DuckDB twin: the full fingerprint expression over `expr` (an
+    * already-lowercased VARCHAR), shingle width k. */
+  def duckdbSql(expr: String, k: Int = 8): String = {
+    // ::BIGINT on every term: unicode() is INT32 and the small power
+    // literals fit INT32 too — the product would overflow INT32
+    val terms = powers(k).zipWithIndex.map { case (p, j) =>
+      val pos = if (j == 0) "i" else s"i+$j"
+      if (p == 1L) s"unicode(substr($expr, $pos, 1))::BIGINT"
+      else s"unicode(substr($expr, $pos, 1))::BIGINT*$p"
+    }.mkString(" + ")
+    s"""CASE WHEN length($expr) >= $k
+       |     THEN CAST(list_min([CAST(($MixA::HUGEINT * ($terms) + $MixC) % $Mod61 AS BIGINT)
+       |                         for i in range(1, length($expr) - ${k - 2})])
+       |          AS BIGINT)
+       |     ELSE NULL END""".stripMargin
+  }
+}
+
 object Fingerprint {
-  /** Fused min-md5 shingle fingerprint (see [[ShingleMinMd5]]). */
-  def shingleMinMd5(t: Column, k: Int): Column =
-    ColumnBridge.column(ShingleMinMd5(ColumnBridge.expression(t), k))
+  /** Fused min-rolling-hash shingle fingerprint (see [[ShingleMinRoll]]). */
+  def shingleMinRoll(t: Column, k: Int): Column =
+    ColumnBridge.column(ShingleMinRoll(ColumnBridge.expression(t), k))
 }

@@ -114,24 +114,13 @@ object TextAnalysis {
   def docHash(text: Column): Column = md5(lower(text))
 
   /** Rolling-hash document fingerprint over an ALREADY-BOUND lowercased
-    * text column: the minimum md5 over all 8-char shingles (a 1-hash
-    * winnowing sketch); null for texts shorter than the shingle.
-    * `t` must be a bound attribute — the lambda re-evaluates captured
-    * outer expressions per element, so passing `lower(text)` directly
-    * would re-lowercase the document once per character position. */
+    * text column: the minimum scrambled poly-31 rolling hash over all
+    * 8-char shingles (a 1-hash winnowing sketch — see
+    * [[graft.functions.ShingleMinRoll]]); null for texts shorter than
+    * the shingle. A handful of integer ops per character position, vs
+    * the full MD5 per position the first implementation paid. */
   def shingleFingerprintOf(t: Column, k: Int = 8): Column =
-    graft.functions.Fingerprint.shingleMinMd5(t, k)
-
-  /** The declarative HOF form [[shingleFingerprintOf]]'s fused
-    * expression replaced (one interpreted md5 + hex string per char
-    * position, all materialized before array_min) — retained as the
-    * equivalence reference for TextAnalysisSpec. */
-  def shingleFingerprintHof(t: Column, k: Int = 8): Column =
-    when(char_length(t) >= k,
-      array_min(transform(
-        sequence(lit(1), char_length(t) - lit(k - 1)),
-        i => md5(substring(t, i, lit(k))))))
-      .otherwise(lit(null).cast("string"))
+    graft.functions.Fingerprint.shingleMinRoll(t, k)
 
   /** Scalar convenience for tiny inputs/specs — bulk callers bind
     * lower(text) to a column first (see [[shingleFingerprintOf]]). */
@@ -301,11 +290,8 @@ object TextAnalysis {
             shingleFingerprintOf($"__lt").as("shingle_fp"))
           .orderBy($"doc_id")
       },
-      Some("""SELECT doc_id, md5(lower(text)) AS doc_md5,
-                     CASE WHEN length(lower(text)) >= 8
-                          THEN list_min([md5(substr(lower(text), i, 8))
-                                         for i in range(1, length(lower(text)) - 6)])
-                          ELSE NULL END AS shingle_fp
-              FROM documents ORDER BY doc_id"""))
+      Some(s"""SELECT doc_id, md5(lower(text)) AS doc_md5,
+                      ${graft.functions.ShingleMinRoll.duckdbSql("lower(text)")} AS shingle_fp
+               FROM documents ORDER BY doc_id"""))
   )
 }

@@ -6,7 +6,23 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class FingerprintSpec extends AnyFunSuite with SparkSpec {
 
-  test("fused ShingleMinMd5 is bit-identical to the HOF pipeline, incl. non-ASCII") {
+  /** Independent reference: expanded (non-rolling) window polynomial in
+    * BigInt — no 64-bit wrap tricks, no slide recurrence — then the
+    * affine scramble as a true mod-2^61. Mirrors what the DuckDB oracle
+    * computes, term by term. */
+  private def referenceFp(s: String, k: Int): Option[Long] = {
+    val cps = s.codePoints.toArray
+    if (cps.length < k) return None
+    val pows = ShingleMinRoll.powers(k).map(BigInt(_))
+    val mod = BigInt(1) << 61
+    val hashes = (0 to cps.length - k).map { i =>
+      val v = (0 until k).map(j => BigInt(cps(i + j)) * pows(j)).sum
+      ((BigInt(ShingleMinRoll.MixA) * v + BigInt(ShingleMinRoll.MixC)) mod mod).toLong
+    }
+    Some(hashes.min)
+  }
+
+  test("fused ShingleMinRoll matches the BigInt window-polynomial reference, incl. non-ASCII") {
     import spark.implicits._
     val docs = graft.model.Tables.table(spark, "/root/testdata/sf0.001", "documents")
       .select($"text")
@@ -15,21 +31,25 @@ class FingerprintSpec extends AnyFunSuite with SparkSpec {
       .union(Seq("", "short", "exactly8", "café au lait café",
         "aaaaaaaaaaaaaaaa", "日本語のテキストです").toDF("text"))
       .withColumn("__lt", lower($"text"))
-    val both = docs.select(
-      graft.ops.TextAnalysis.shingleFingerprintHof($"__lt").as("hof"),
-      graft.ops.TextAnalysis.shingleFingerprintOf($"__lt").as("fused")).collect()
-    both.foreach { r =>
-      assert((r.isNullAt(0) && r.isNullAt(1)) ||
-        r.getString(0) == r.getString(1), r.toString)
+    for (k <- Seq(8, 3)) {
+      val rows = docs.select($"__lt",
+        graft.ops.TextAnalysis.shingleFingerprintOf($"__lt", k).as("fused")).collect()
+      rows.foreach { r =>
+        val expected = referenceFp(r.getString(0), k)
+        val actual = if (r.isNullAt(1)) None else Some(r.getLong(1))
+        assert(actual == expected, s"k=$k text=${r.getString(0).take(40)}")
+      }
     }
-    // and for a couple of other shingle widths
-    val w = docs.select(
-      graft.ops.TextAnalysis.shingleFingerprintHof($"__lt", 3).as("hof"),
-      graft.ops.TextAnalysis.shingleFingerprintOf($"__lt", 3).as("fused")).collect()
-    w.foreach { r =>
-      assert((r.isNullAt(0) && r.isNullAt(1)) ||
-        r.getString(0) == r.getString(1), r.toString)
-    }
+  }
+
+  test("ShingleMinRoll handles supplementary code points as single characters") {
+    import spark.implicits._
+    // U+1F600 is one code point (one DuckDB character) but two UTF-16
+    // chars — the codePoints walk must not split it
+    val s = "a😀b😀c😀d😀e"
+    val r = Seq(s).toDF("t")
+      .select(graft.ops.TextAnalysis.shingleFingerprintOf($"t", 3).as("fp")).head()
+    assert(referenceFp(s, 3).contains(r.getLong(0)))
   }
 
   test("fused TokenSetHits == size(filter(isin)) for every stopword list") {
