@@ -3,6 +3,7 @@ package graft.ops
 import graft.QueryDef
 import graft.model.Tables.table
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -112,7 +113,7 @@ object Similarity {
     * the fused form would emit a null bucket array and the row would
     * silently drop out of candidate generation. */
   def bandBucketsProbed(df: DataFrame, v: Column, bands: Int = 8, r: Int = 8): Column =
-    df.select(size(v)).limit(1).collect().headOption.map(_.getInt(0)) match {
+    probedDim(df, v) match {
       case None => hyperplaneBandBuckets(v, bands, r)
       case Some(dim) =>
         when(v.isNull, lit(null))
@@ -121,6 +122,26 @@ object Similarity {
             size(v).cast("string"))))
           .otherwise(hyperplaneBandBucketsFixed(v, dim, bands, r))
     }
+
+  /** Probe-job cache: query CONSTRUCTION firing a Spark job is a
+    * surprise to a caller composing plans offline, and repeated builds
+    * over the same table (dd_embed_cos + s_ann_lsh in one Verify run)
+    * would re-probe a dimension that cannot have changed. Keyed by the
+    * canonicalized plan of the probe itself (so both the input relation
+    * AND the probed column participate); bounded by the number of
+    * distinct (table, column) pairs a session touches. A table whose
+    * dimension changes IN PLACE mid-process would serve a stale dim —
+    * and the per-row raise_error mismatch guard turns that into a loud
+    * failure, never silent candidate loss. */
+  private val probedDims =
+    new java.util.concurrent.ConcurrentHashMap[LogicalPlan, Option[Int]]()
+
+  private def probedDim(df: DataFrame, v: Column): Option[Int] = {
+    val probe = df.select(size(v)).limit(1)
+    probedDims.computeIfAbsent(
+      probe.queryExecution.analyzed.canonicalized,
+      _ => probe.collect().headOption.map(_.getInt(0)))
+  }
 
   /** Exact top-k cosine neighbors of each query vector. Both inputs
     * must carry (id, vec); query side is broadcast. */

@@ -143,6 +143,40 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(graft.SparkEntry.queries("dd_embed_cos")(spark, dir).count() == 0)
   }
 
+  test("dim probe runs one Spark job, then repeated query builds are job-free") {
+    import spark.implicits._
+    // a filter no other suite uses => a fresh probe-cache key, and a
+    // parquet-backed plan, so the probe's collect() really runs a job
+    // (LocalRelation collects can short-circuit the scheduler)
+    val emb = graft.model.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter($"vec_id" =!= 987654321L)
+      .select($"vec_id", $"embedding".as("v"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // listener delivery is async — poll until the count stops moving
+    def stableCount(): Int = {
+      var last = -1; var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val cur = jobs.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      last
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      bandBucketsProbed(emb, $"v")
+      val afterFirst = stableCount()
+      assert(afterFirst >= 1, "first build should probe with a real Spark job")
+      bandBucketsProbed(emb, $"v")
+      bandBucketsProbed(emb, $"v", bands = 4, r = 8) // same probe plan -> still cached
+      assert(stableCount() == afterFirst, "repeated builds must not re-probe")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("dimension-mismatched vector fails loudly instead of silently dropping") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_embmix").toString
