@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -334,6 +334,53 @@ case class TokenSetHits(child: Expression, words: Seq[String])
     copy(child = newChild)
 }
 
+/** Intersection size of two SORTED bigint arrays in one linear merge —
+  * the verify kernel for pair-bound set-similarity checks. Equivalent
+  * to `size(array_intersect(a, b))` on duplicate-free inputs (spec
+  * asserts it), but a codegen'd two-pointer walk over primitive longs
+  * instead of an interpreted per-row hash-set build. Inputs must be
+  * ascending (sort_array) and distinct (HashedWordShingles emits
+  * distinct grams); duplicates would count min-multiplicity, which for
+  * distinct inputs is the same set semantics. */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sortedLongIntersectCount requires two array<bigint>, got ${l.sql}, ${r.sql}")
+    }
+
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("ic", this, classOf[SortedLongIntersectCount].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $self.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextShingles {
   /** Fused distinct word n-gram shingles (see [[WordShingles]]). */
   def wordShingles(text: Column, n: Int): Column =
@@ -354,4 +401,10 @@ object TextShingles {
   /** Fused distinct (token, count) entries (see [[WordTokenCounts]]). */
   def wordTokenCounts(text: Column): Column =
     ColumnBridge.column(WordTokenCounts(ColumnBridge.expression(text)))
+
+  /** Fused sorted-array intersection size (see
+    * [[SortedLongIntersectCount]]). */
+  def sortedLongIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedLongIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -515,22 +515,31 @@ object Dedup {
         // gramless docs never post).
         collapseExpandPairs(table(s, d, "documents"), "doc_id",
             Seq(md5(lower($"text")), $"n_chars")) { reps =>
-          val (posts, cand) = prefixCandidates(
-            reps.select($"doc_id", $"text",
-              floor($"n_chars" / lit(50)).cast("int").as("band")),
-            tn = 1, td = 5, hashKind = "xx64", banded = true)
-          // verify by postings-join intersection counts over the FULL
-          // posting sets (the candidate join only sees prefixes):
-          // codegen'd joins + one hash-agg, no gram arrays shuffled
-          val pa = posts.select($"doc_id".as("id_a"), $"n".as("n_a"), $"x")
-          val pb = posts.select($"doc_id".as("id_b"), $"n".as("n_b"), $"x")
+          val banded = reps.select($"doc_id", $"text",
+            floor($"n_chars" / lit(50)).cast("int").as("band"))
+          val (_, cand) = prefixCandidates(
+            banded, tn = 1, td = 5, hashKind = "xx64", banded = true)
+          // Verify per PAIR on sorted in-row gram arrays (PPJoin-style
+          // verification): at t = 0.2 prefixes hold ~80% of postings,
+          // so the candidate set is collision-rich (sf0.1: 190k pairs
+          // for 25 survivors) and the former postings-join verify
+          // expanded each pair by its FULL posting set — 13M join rows
+          // shuffled to count 25 intersections. Joining the candidate
+          // PAIRS (two narrow equi-joins) against one array row per
+          // doc and counting with the codegen'd two-pointer merge
+          // moves 2x|cand| rows instead — Σ|grams| bytes ride the
+          // join value, never a per-gram row explosion.
+          val arrays = banded.select($"doc_id",
+            sort_array(graft.functions.TextShingles
+              .hashedWordShingles($"text", 3, "xx64")).as("xs"))
+          val inter = graft.functions.TextShingles
+            .sortedLongIntersectCount($"xsa", $"xsb")
           cand
-            .join(pa, Seq("id_a"))
-            .join(pb, Seq("id_b", "x"))
-            .groupBy($"id_a", $"id_b", $"n_a", $"n_b")
-            .agg(count(lit(1)).as("inter"))
-            .select($"id_a", $"id_b",
-              ($"inter".cast("double") / ($"n_a" + $"n_b" - $"inter")).as("sim"))
+            .join(arrays.select($"doc_id".as("id_a"), $"xs".as("xsa")), Seq("id_a"))
+            .join(arrays.select($"doc_id".as("id_b"), $"xs".as("xsb")), Seq("id_b"))
+            .withColumn("inter", inter)
+            .select($"id_a", $"id_b", ($"inter".cast("double") /
+              (size($"xsa") + size($"xsb") - $"inter")).as("sim"))
             .filter($"sim" >= 0.2)
         } { reps =>
           reps.filter(size(graft.functions.TextShingles.wordShingles($"text", 3)) > 0)

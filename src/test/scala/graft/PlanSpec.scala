@@ -96,6 +96,23 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       .findFirstIn(p).isDefined, p)
   }
 
+  test("dd_ngram_jaccard: postings + array exchanges are reused, verify never explodes per gram") {
+    // two pins: (1) the prefix-postings window exchange feeds BOTH
+    // candidate-join sides and the doc-array relation feeds BOTH
+    // verify joins from one exchange each (ReuseExchange, finalized by
+    // AQE at runtime — execute first); (2) the verify stage joins
+    // candidate PAIRS on doc ids only — a join keyed on the gram
+    // column x beyond the candidate join would be the 13M-row
+    // pair-x-posting explosion this plan replaced
+    val df = SparkEntry.queries("dd_ngram_jaccard")(spark, sf)
+    df.collect()
+    // AdaptiveSparkPlan.toString prints the final plan FOLLOWED by the
+    // initial plan — count joins only in the final section
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(count(p, "ReusedExchange") >= 3, p)
+    assert(count(p, """(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin) \[x#""") <= 1, p)
+  }
+
   test("dd_apply: one postings shuffle serves prefix + both verify sides") {
     // prefixCandidates' doc says ReuseExchange shares the postings
     // aggregate across its three consumers — pin the runtime behavior

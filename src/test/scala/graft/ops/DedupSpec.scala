@@ -119,6 +119,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("fused SortedLongIntersectCount == size(array_intersect) on doc gram pairs") {
+    import spark.implicits._
+    val hs = graft.functions.TextShingles.hashedWordShingles($"text", 3, "xx64")
+    val docs = graft.model.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", sort_array(hs).as("xs"))
+      .union(Seq((90001L, Seq.empty[Long]), (90002L, Seq(1L, 2L, 3L)),
+        (90003L, Seq(2L, 3L, 9L)), (90004L, Seq(Long.MinValue, -1L, 0L, Long.MaxValue)))
+        .toDF("doc_id", "xs"))
+    // all pairs over a small slice, incl. self pairs (full overlap),
+    // empties, and extreme values
+    val pairs = docs.limit(30).as("a").crossJoin(docs.limit(30).as("b"))
+    val both = pairs.select(
+      size(array_intersect($"a.xs", $"b.xs")).as("builtin"),
+      graft.functions.TextShingles
+        .sortedLongIntersectCount($"a.xs", $"b.xs").as("fused")).collect()
+    both.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
+
   test("fused MinhashSlots == per-slot min aggregates over exploded postings") {
     import spark.implicits._
     import graft.functions.PortableHash.{uhApply, uhBase}
