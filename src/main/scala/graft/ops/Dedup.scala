@@ -295,9 +295,14 @@ object Dedup {
     * Round count is the component diameter, which for near-dup
     * clusters is small (dup cliques have diameter 1; chains of
     * borderline pairs are short); `maxIters` fails loudly rather than
-    * returning a half-propagated labeling. Each round persists its
-    * labels and unpersists the previous round's, so lineage stays one
-    * round deep. At 100 TB the same loop holds (rounds are
+    * returning a half-propagated labeling. Each round's labels are
+    * eagerly `localCheckpoint`ed and the previous round's blocks
+    * dropped: checkpointing (unlike persist) also TRUNCATES the
+    * logical plan, which otherwise deepens by one join per round and
+    * sends Catalyst re-optimizing — and eventually OOMing the driver
+    * on — an ever-growing tree (observed at ~20 rounds; any iterative
+    * DataFrame algorithm needs this). At 100 TB the same loop holds
+    * (rounds are
     * diameter-bounded, not data-bounded); a graph with adversarially
     * long chains would swap this for the two-phase star contraction
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -307,7 +312,8 @@ object Dedup {
     val e = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    var labels = vertices.select(col("id"), col("id").as("label")).persist()
+    var labels = vertices.select(col("id"), col("id").as("label"))
+      .localCheckpoint()
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
@@ -321,7 +327,7 @@ object Dedup {
         .join(prop, col("l.id") === prop("dst"), "left")
         .select(col("l.id").as("id"),
           least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label"))
-        .persist()
+        .localCheckpoint()
       val sum1 = labelSum(next)
       labels.unpersist()
       labels = next
@@ -332,6 +338,78 @@ object Dedup {
     e.unpersist()
     require(converged, s"component labeling did not converge in $maxIters rounds")
     labels
+  }
+
+  /** Connected components by alternating star contraction (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14,
+    * alg. 2 "two-phase") — the documented fallback
+    * [[connectedMinLabels]] names for graphs with adversarially long
+    * chains. Same signature, same output contract: (id, label) with
+    * label = the component's minimum vertex id.
+    *
+    * Each round rewires edges toward local minima:
+    *  - LARGE-STAR: for every vertex c, link each strictly-larger
+    *    neighbor to min(N(c) ∪ {c});
+    *  - SMALL-STAR: for every vertex u over its smaller-or-equal
+    *    neighborhood N(u), link u and each x ∈ N(u) to min(N(u)).
+    * Both keep every edge inside one equi-join + hash-aggregate round
+    * (same per-round plan shape as min-label propagation), but the
+    * component shrinks to a star rooted at its minimum in O(log n)
+    * rounds instead of O(diameter) — a 10⁶-long chain needs ~20 rounds,
+    * not 10⁶. Near-dup cliques (diameter 1-2) don't need this; use it
+    * when the pair graph's shape is unknown or chain-heavy.
+    *
+    * Convergence = the canonical (hi, lo) edge set reaches a fixpoint:
+    * checked exactly (count + one-way except — both sides are
+    * distinct), at one extra distributed round each iteration, which
+    * the O(log n) round bound keeps cheap. At the fixpoint the edges
+    * form a star forest (child → component-min root); vertices with no
+    * edge label themselves. */
+  def connectedStarContraction(
+      vertices: DataFrame, edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    def canon(e: DataFrame): DataFrame =
+      e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    // localCheckpoint (not persist) per round: truncates the logical
+    // plan so Catalyst never re-optimizes the accumulated join tree —
+    // see connectedMinLabels' doc
+    var e = canon(edges.select(col("id_a").as("u"), col("id_b").as("v")))
+      .localCheckpoint()
+    var eCount = e.count()
+    var converged = eCount == 0L
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // large-star around every center c (both edge directions)
+      val sym = e.select(col("u").as("c"), col("v").as("n"))
+        .unionByName(e.select(col("v").as("c"), col("u").as("n")))
+      val cmin = sym.groupBy("c").agg(min(col("n")).as("nm"))
+        .select(col("c"), least(col("c"), col("nm")).as("m"))
+      val large = canon(sym.join(cmin, "c").filter(col("n") > col("c"))
+        .select(col("n").as("u"), col("m").as("v"))).persist()
+      // small-star over each u's (strictly smaller, post-canon) nbrs
+      val umin = large.groupBy("u").agg(min(col("v")).as("m"))
+      val withM = large.join(umin, "u")
+      val next = canon(
+        withM.select(col("v").as("u"), col("m").as("v"))
+          .unionByName(withM.select(col("u"), col("m").as("v"))))
+        .localCheckpoint()
+      val nextCount = next.count()
+      // fixpoint test is exact: equal counts + empty one-way difference
+      converged = nextCount == eCount &&
+        next.exceptAll(e).isEmpty
+      large.unpersist()
+      e.unpersist()
+      e = next
+      eCount = nextCount
+      iter += 1
+    }
+    require(converged, s"star contraction did not converge in $maxIters rounds")
+    // e stays checkpointed: the returned frame reads it, and a
+    // localCheckpoint's blocks are NOT recomputable once dropped
+    vertices.select(col("id"))
+      .join(e.select(col("u").as("id"), col("v").as("__root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__root"), col("id")).as("label"))
   }
 
   /** Exact-content collapse for APPLIED dedup (survivor set): groups

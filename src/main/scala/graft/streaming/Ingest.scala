@@ -162,6 +162,78 @@ object Ingest {
   def readFact(spark: SparkSession, factDir: String): DataFrame =
     spark.read.parquet(factDir).drop("batch")
 
+  /** D6's fact append into a JDBC store with the same effective
+    * exactly-once the parquet path gets from batch-keyed directory
+    * overwrite ([[persistBatch]]). A JDBC append can't overwrite, so
+    * replay safety comes from a two-step protocol against a batch
+    * LEDGER table (`<table>_batches`, created on first use):
+    *
+    *  1. ledger already holds `batchId` → the batch committed; the
+    *     replay is a NO-OP;
+    *  2. otherwise scrub rows tagged `batchId` (a crashed attempt that
+    *     died between data append and ledger insert left partials),
+    *     append the batch tagged with a `batch_id` column, and insert
+    *     the ledger row LAST — the commit marker.
+    *
+    * Every crash point replays to the same final state: before the
+    * append (clean retry), mid-append (scrub removes partials), after
+    * the append but before the marker (scrub + re-append), after the
+    * marker (no-op). The ledger's PRIMARY KEY makes two concurrent
+    * writers of the same batch fail loudly rather than double-commit.
+    * The tag column mirrors the parquet path's `batch=bN` partition;
+    * [[readFactJdbc]] strips it. Reference persist path:
+    * daq-3i.py:262-292 (row-at-a-time ORM inserts, at-least-once). */
+  def persistBatchJdbc(
+      batch: DataFrame, batchId: Long, url: String, table: String): Unit = {
+    val ledger = s"${table}_batches"
+    def withConn[A](f: java.sql.Connection => A): A = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try f(c) finally c.close()
+    }
+    def exists(c: java.sql.Connection, t: String): Boolean = {
+      val rs = c.getMetaData.getTables(null, null, t.toUpperCase, null)
+      try rs.next() finally rs.close()
+    }
+    val committed = withConn { c =>
+      if (!exists(c, ledger)) {
+        val st = c.createStatement()
+        try st.executeUpdate(s"CREATE TABLE $ledger (batch_id BIGINT PRIMARY KEY)")
+        finally st.close()
+        false
+      } else {
+        val ps = c.prepareStatement(s"SELECT 1 FROM $ledger WHERE batch_id = ?")
+        try {
+          ps.setLong(1, batchId)
+          val rs = ps.executeQuery()
+          try rs.next() finally rs.close()
+        } finally ps.close()
+      }
+    }
+    if (committed) return
+    withConn { c =>
+      if (exists(c, table)) {
+        // Spark's JDBC writer creates columns QUOTED (case-preserving),
+        // so the scrub must quote too — with the driver's own quote
+        // string (Derby: ", MySQL: backtick), not a hardcoded one
+        val q = c.getMetaData.getIdentifierQuoteString.trim
+        val ps = c.prepareStatement(
+          s"DELETE FROM $table WHERE $q" + "batch_id" + s"$q = ?")
+        try { ps.setLong(1, batchId); ps.executeUpdate(); () } finally ps.close()
+      }
+    }
+    graft.sources.FileSources.writeJdbc(
+      batch.withColumn("batch_id", lit(batchId)), url, table)
+    withConn { c =>
+      val ps = c.prepareStatement(s"INSERT INTO $ledger (batch_id) VALUES (?)")
+      try { ps.setLong(1, batchId); ps.executeUpdate(); () } finally ps.close()
+    }
+  }
+
+  /** Read the JDBC fact sink without its replay-protocol tag column. */
+  def readFactJdbc(spark: SparkSession, url: String, table: String): DataFrame =
+    spark.read.format("jdbc").option("url", url).option("dbtable", table)
+      .load().drop("batch_id")
+
   /** Start the full ingestion stream. Each micro-batch lands decoded
     * samples in `factDir` and upserts `statusDir`; exactly-once =
     * checkpointed offsets + idempotent [[persistBatch]] replays. */
@@ -317,6 +389,87 @@ object Ingest {
     }
     fs.delete(bak, true)
     ()
+  }
+
+  /** D9 retention over a DATE-PARTITIONED fact table carrying the
+    * reference's surrogate id (db_model.py:49-54) — the shape a 100 TB
+    * deployment actually lands facts in, where [[compactFact]]'s
+    * whole-directory rewrite would re-write 100 TB to delete a few
+    * percent. Touches ONLY partitions that contain victims:
+    *
+    *  - phase 1 (cutoffs): a column-pruned scan of (channel_id, ts, id)
+    *    — never `value` — through one window ranks each channel's rows
+    *    and keeps the history_len-th newest `(ts, id)` per channel: the
+    *    retention cutoff, a CHANNEL-BOUNDED broadcastable table. A full
+    *    pass is unavoidable for count-based retention (the per-key
+    *    Nth-newest row is a global property), but it is the CHEAP kind:
+    *    pruned columns, one shuffle on channel_id;
+    *  - phase 2 (victim partitions): a second column-pruned scan
+    *    broadcast-joined against the cutoffs — no shuffle — yields the
+    *    distinct partition values holding victims (bounded by partition
+    *    count, safe to collect);
+    *  - phase 3 (the rewrite): reads `fact WHERE partCol IN hot`, which
+    *    Catalyst prunes at the SCAN (PartitionFilters — cold partitions
+    *    are never opened, spec-asserted), keeps rows lexicographically
+    *    >= their channel's cutoff, writes to a swap dir, and installs
+    *    each hot partition by directory move. Cold partitions are never
+    *    read, written, or moved — their files stay byte-identical.
+    *
+    * Channels absent from the dim keep history_len 1 (db_model.py:24);
+    * channels with fewer rows than their limit have no cutoff row and
+    * keep everything (left join, null guard). The unique `id`
+    * tiebreaker makes the cutoff exact under duplicate timestamps —
+    * same semantics as the reference's id-ordered delete
+    * (daq-3i.py:209-214). Returns the rewritten partition values. */
+  def compactFactPartitioned(
+      spark: SparkSession,
+      factDir: String,
+      channels: DataFrame,
+      partCol: String = "day"): Seq[String] = {
+    import org.apache.spark.sql.expressions.Window
+    val fact = spark.read.parquet(factDir)
+    val dataCols = fact.columns.filterNot(_ == partCol).map(col).toSeq
+    val w = Window.partitionBy(col("channel_id"))
+      .orderBy(col("ts").desc, col("id").desc)
+    val cutoffs = fact.select(col("channel_id"), col("ts"), col("id"))
+      .join(broadcast(channels.select(col("id").as("__ch"), col("history_len"))),
+        col("channel_id") === col("__ch"), "left")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === coalesce(col("history_len"), lit(1)))
+      .select(col("channel_id").as("__cch"), col("ts").as("__cts"),
+        col("id").as("__cid"))
+      .persist() // channel-bounded; feeds two broadcasts (phases 2+3)
+    // inner join: a channel with no cutoff row keeps everything and
+    // contributes no victims by construction
+    val hot = fact.select(col("channel_id"), col("ts"), col("id"), col(partCol))
+      .join(broadcast(cutoffs), col("channel_id") === col("__cch"))
+      .filter(col("ts") < col("__cts") ||
+        (col("ts") === col("__cts") && col("id") < col("__cid")))
+      .select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    if (hot.isEmpty) { cutoffs.unpersist(); return Nil }
+    val keptHot = fact
+      .filter(col(partCol).cast("string").isin(hot: _*))
+      .join(broadcast(cutoffs), col("channel_id") === col("__cch"), "left")
+      .filter(col("__cch").isNull || col("ts") > col("__cts") ||
+        (col("ts") === col("__cts") && col("id") >= col("__cid")))
+      .select(dataCols :+ col(partCol): _*)
+    val tmp = factDir + ".compact"
+    keptHot.write.mode("overwrite").partitionBy(partCol).parquet(tmp)
+    cutoffs.unpersist()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(factDir).getFileSystem(conf)
+    hot.foreach { d =>
+      val dst = new org.apache.hadoop.fs.Path(s"$factDir/$partCol=$d")
+      val src = new org.apache.hadoop.fs.Path(s"$tmp/$partCol=$d")
+      fs.delete(dst, true)
+      // a hot partition whose kept set is empty has no swap dir — the
+      // delete above IS its compaction (all rows were victims)
+      if (fs.exists(src) && !fs.rename(src, dst))
+        throw new java.io.IOException(s"compactFactPartitioned: cannot install $src")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    hot
   }
 
   /** D8: flush the status table at startup (daq_status.py:19-33). */

@@ -1,23 +1,43 @@
 package graft.tools
 
 import graft.model.Tables.table
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-stress smoke for the dedup family: amplifies the sf0.1
-  * corpus `xcopies` times (each copy keeps the text, shifts doc_id),
-  * producing a duplicate-SATURATED corpus — every document gains
-  * C(copies, 2) true near-dup partners, the worst case for pairwise
-  * stages (df per gram multiplies by `copies`, so a quadratic
-  * intermediate would blow up copies² ≈ 400x while the corpus only
-  * grows 20x). This is the stress the 5k-doc test set cannot apply.
+/** Scale-stress harness. Three modes:
   *
-  * Usage: sbt "runMain graft.tools.ScaleSmoke [sfDir] [copies]"
+  *  - `full <sfDir> <copies> <outJson>` — runs EVERY `SparkEntry.queries`
+  *    entry twice, against the base corpus and against a `copies`×
+  *    amplified replica of the WHOLE database, and writes per-query
+  *    (time@1x, time@Nx, ratio) to `outJson`. The amplified database is
+  *    `copies` disjoint, FK-consistent replicas: every fact table's key
+  *    columns are shifted per copy so joins land exactly as at 1x, while
+  *    the dimension tables (region/nation) stay broadcast-small — which
+  *    is precisely the 100 TB shape (facts grow, dims don't). Documents
+  *    keep their text across copies, so the dedup family sees a
+  *    duplicate-SATURATED corpus — its worst case (candidate volume
+  *    would grow copies² if any stage were pairwise-unbounded).
+  *    A query whose time grows super-linearly in `copies` (ratio well
+  *    above `copies`, beyond fixed-overhead noise) is a scale defect.
+  *
+  *  - `dedup <sfDir> <copies>` — the round-4 dedup-family saturation
+  *    probes (uncollapsed candidate volumes vs the collapsed operators).
+  *
+  *  - `skew <sfDir> <variants>` — plants a HOT BAND: `variants` distinct
+  *    near-identical documents (~20% of the corpus) whose shingle sets
+  *    differ by one token, so every LSH band hashes them into the SAME
+  *    bucket. The candidate join then has one bucket holding ~20% of all
+  *    postings — the adversarial-skew case for the banded equi-joins.
+  *    Prints wall time plus the max/median TASK time of the run: AQE's
+  *    skew-join split (`spark.sql.adaptive.skewJoin`, on by default)
+  *    splits the oversized sort-merge partition across tasks, so the
+  *    hot bucket must NOT serialize into one straggler task.
+  *
+  * Usage: sbt "runMain graft.tools.ScaleSmoke [mode] [sfDir] [n] [out]"
   */
 object ScaleSmoke {
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val copies = args.drop(1).headOption.map(_.toInt).getOrElse(20)
+
+  private def buildSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.model.Tables.withSessionDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,6 +46,202 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    args.headOption.getOrElse("dedup") match {
+      case "full"  => fullSet(args.drop(1))
+      case "amp"   => // materialize an amplified dir for ad-hoc profiling
+        val spark = buildSession()
+        try amplifyDatabase(spark, args(1), args(3), args(2).toInt)
+        finally spark.stop()
+      case "skew"  => hotBand(args.drop(1))
+      case "dedup" => dedupSaturation(args.drop(1))
+      case other   => sys.error(s"unknown mode '$other' (full|dedup|skew)")
+    }
+  }
+
+  /** Key columns shifted per copy so each replica is FK-consistent and
+    * disjoint from the others. Dims (region, nation) are NOT amplified:
+    * at 100 TB dimensions stay broadcast-small while facts grow. */
+  private val shiftCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  /** Amplify the whole database into `outDir`: `copies` id-shifted,
+    * FK-consistent replicas of every fact table; dims copied verbatim.
+    * Raw parquet in/out (no `table()` ts normalization) so the
+    * amplified dir is schema-identical to the driver's. */
+  def amplifyDatabase(spark: SparkSession, sfDir: String, outDir: String,
+      copies: Int): Unit = {
+    import spark.implicits._
+    val off = 1000000000L
+    graft.model.Tables.driverTables.foreach { t =>
+      val df = spark.read.parquet(s"$sfDir/$t.parquet")
+      val out = shiftCols.get(t) match {
+        case None => df // broadcast dim: unchanged
+        case Some(keys) =>
+          df.crossJoin(spark.range(copies).select($"id".as("__copy")))
+            .select(df.schema.fields.toSeq.map { f =>
+              if (keys.contains(f.name))
+                (col(f.name) + $"__copy" * lit(off)).cast(f.dataType).as(f.name)
+              else col(f.name)
+            }: _*)
+      }
+      out.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+  }
+
+  private def noopForce(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** Whole-query-set 1x vs Nx proof run → JSON. */
+  def fullSet(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val outJson = args.drop(2).headOption.getOrElse("SCALE_r05.json")
+    val spark = buildSession()
+    val ampDir = java.nio.file.Files.createTempDirectory("graft_amp").toString
+    try {
+      // one-time session costs outside all timed runs (same as Bench)
+      spark.range(1000).selectExpr("sum(id)").collect()
+      table(spark, sfDir, "region").count()
+      amplifyDatabase(spark, sfDir, ampDir, copies)
+      println(s"SCALE amplified ${copies}x database at $ampDir")
+
+      // warm/warm protocol: each (query, scale) runs twice and the
+      // SECOND run is timed, so whole-stage-codegen JIT (compiled on
+      // first execution, identical plan at both scales) cannot subsidize
+      // whichever scale runs later — the ratio compares steady states
+      def timed(dir: String, fn: (SparkSession, String) => DataFrame): (Double, Option[String]) =
+        try {
+          noopForce(fn(spark, dir))
+          val t0 = System.nanoTime()
+          noopForce(fn(spark, dir))
+          ((System.nanoTime() - t0) / 1e9, None)
+        } catch { case e: Throwable => (Double.NaN, Some(e.getClass.getSimpleName)) }
+
+      val names = graft.SparkEntry.queries.keys.toSeq.sorted
+      val (base, amp) = names.map { name =>
+        val fn = graft.SparkEntry.queries(name)
+        val b = timed(sfDir, fn)
+        val a = timed(ampDir, fn)
+        println(f"SCALE $name%s: ${b._1}%.2f s @1x -> ${a._1}%.2f s @${copies}x" +
+          (b._2.orElse(a._2).fold("")(" ERR " + _)))
+        (name -> b, name -> a)
+      }.unzip match { case (b, a) => (b.toMap, a.toMap) }
+      val entries = names.map { n =>
+        val (t1raw, e1) = base(n)
+        val (tnraw, en) = amp(n)
+        val (t1, tn) = (if (t1raw.isNaN) -1.0 else t1raw, if (tnraw.isNaN) -1.0 else tnraw)
+        val ratio = if (t1 > 0 && tn >= 0) tn / t1 else -1.0
+        f"""    "$n": {"t1": $t1%.3f, "tN": $tn%.3f, "ratio": $ratio%.2f""" +
+          (e1.orElse(en).fold("")(e => s""", "err": "$e"""")) + "}"
+      }
+      val t1Total = base.values.map(_._1).filterNot(_.isNaN).sum
+      val tnTotal = amp.values.map(_._1).filterNot(_.isNaN).sum
+      val json =
+        f"""{
+  "copies": $copies,
+  "sf": "$sfDir",
+  "total_t1": $t1Total%.1f,
+  "total_tN": $tnTotal%.1f,
+  "total_ratio": ${tnTotal / t1Total}%.2f,
+  "failed": ${(base.values ++ amp.values).count(_._2.isDefined)},
+  "queries": {
+${entries.mkString(",\n")}
+  }
+}
+"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+        json.getBytes("UTF-8"))
+      println(s"SCALE wrote $outJson (total ${f"$t1Total%.1f"} s @1x -> ${f"$tnTotal%.1f"} s @${copies}x)")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(ampDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      spark.stop()
+    }
+  }
+
+  /** Hot-band skew stress for the banded dedup joins (see object doc). */
+  def hotBand(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val variants = args.drop(1).headOption.map(_.toInt).getOrElse(2500)
+    val spark = buildSession()
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    try {
+      val base = table(spark, sfDir, "documents")
+      val n = base.count()
+      // background: 2 id-shifted copies (duplicate-saturated baseline)
+      val bg = base
+        .crossJoin(spark.range(2).select($"id".as("__copy")))
+        .select(($"doc_id" + $"__copy" * lit(1000000L)).as("doc_id"),
+          $"text", $"lang", $"source", $"n_chars")
+      // hot band: `variants` DISTINCT texts sharing ~all shingles — one
+      // appended unique token each, so exact-content collapse can NOT
+      // absorb them (all contents distinct) and every minhash band
+      // funnels them into the same bucket
+      val seedText = base.orderBy($"doc_id").select($"text").head().getString(0)
+      val hot = spark.range(variants).select(
+        ($"id" + lit(500000000L)).as("doc_id"),
+        concat(lit(seedText), lit(" varianttok"), $"id").as("text"),
+        lit("en").as("lang"), lit("hot").as("source"),
+        (length(lit(seedText)) + lit(12)).cast("long").as("n_chars"))
+      bg.unionByName(hot).write.parquet(s"$dir/documents.parquet")
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .write.parquet(s"$dir/embeddings.parquet")
+      val total = n * 2 + variants
+      println(s"SKEW corpus: $total docs, hot band = $variants distinct near-identical texts (${100 * variants / total}%)")
+
+      // task-level skew metrics: if the hot bucket serialized into one
+      // task, max task time ≈ whole-stage time; AQE's skew-join split
+      // (adaptive.skewJoin, default on) plus the pair-bound verify keep
+      // max/median bounded instead
+      val durations = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          durations.add(te.taskInfo.duration); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        for (q <- Seq("dd_minhash_lsh", "dd_apply_lsh", "dd_simhash")) {
+          durations.clear()
+          val t0 = System.nanoTime()
+          val rows = graft.SparkEntry.queries(q)(spark, dir).count()
+          val wall = (System.nanoTime() - t0) / 1e9
+          val ds = { import scala.jdk.CollectionConverters._
+            durations.iterator().asScala.toArray.sorted }
+          val maxT = if (ds.nonEmpty) ds.last / 1e3 else 0.0
+          val medT = if (ds.nonEmpty) ds(ds.length / 2) / 1e3 else 0.0
+          println(f"SKEW $q%s: $wall%.1f s wall, $rows rows, ${ds.length} tasks, max task $maxT%.1f s, median $medT%.2f s, max/wall ${maxT / wall}%.2f")
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      spark.stop()
+    }
+  }
+
+  /** Round-4 dedup-family saturation probes: amplifies the sf0.1 corpus
+    * `copies` times (each copy keeps the text, shifts doc_id), producing
+    * a duplicate-SATURATED corpus — every document gains C(copies, 2)
+    * true near-dup partners, the worst case for pairwise stages (df per
+    * gram multiplies by `copies`, so a quadratic intermediate would blow
+    * up copies² ≈ 400x while the corpus only grows 20x). */
+  def dedupSaturation(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.drop(1).headOption.map(_.toInt).getOrElse(20)
+    val spark = buildSession()
     import spark.implicits._
 
     val base = table(spark, sfDir, "documents")

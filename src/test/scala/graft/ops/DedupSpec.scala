@@ -305,6 +305,43 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got.exists { case (id, c) => id != c })
   }
 
+  test("star contraction labels a long chain in O(log n) rounds where min-label cannot") {
+    import spark.implicits._
+    // path graph 0-1-2-...-199: diameter 199 >> any near-dup clique's.
+    // Min-label propagation needs one round per hop — 20 rounds must
+    // fail loudly; star contraction halves the structure every round
+    // and must finish inside the same budget with every label = 0.
+    val n = 200
+    val vertices = spark.range(n).select($"id")
+    val edges = spark.range(n - 1)
+      .select($"id".as("id_a"), ($"id" + 1L).as("id_b"))
+    intercept[IllegalArgumentException] {
+      connectedMinLabels(vertices, edges, maxIters = 20).collect()
+    }
+    val got = connectedStarContraction(vertices, edges, maxIters = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    assert(got == (0L until n).map(_ -> 0L))
+  }
+
+  test("star contraction equals min-label propagation on a mixed pair graph") {
+    import spark.implicits._
+    // two cliques bridged by an edge, a short chain, isolated vertices —
+    // the same (vertices, edges) through both algorithms must agree
+    val vertices = spark.range(30).select($"id")
+    val cliqueA = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val cliqueB = for (a <- 10L to 13L; b <- (a + 1) to 13L) yield (a, b)
+    val bridge = Seq((4L, 10L))
+    val chain = (20L until 25L).map(i => (i, i + 1))
+    val edges = (cliqueA ++ cliqueB ++ bridge ++ chain).toDF("id_a", "id_b")
+    val a = connectedMinLabels(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val b = connectedStarContraction(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    assert(a == b)
+    // sanity: the bridge merged the cliques under label 0
+    assert(a.toMap.apply(13L) == 0L && a.toMap.apply(25L) == 20L)
+  }
+
   test("simhashChunksAgg handles book-length docs exactly (no packed-counter ceiling)") {
     import spark.implicits._
     // 2^14 tokens/doc overflowed the former packed-long counters; the

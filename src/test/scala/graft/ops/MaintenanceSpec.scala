@@ -80,4 +80,71 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
     assert(flushed.count() == 0)
     assert(flushed.schema == df.schema)
   }
+
+  test("compactFactPartitioned rewrites only victim partitions; cold files byte-identical; scan pruned") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/fact"
+    // ch 1 (hist 2): 8 rows over days 01-04 (2/day) — victims in 01-03,
+    // day 04 holds only its kept newest-2; ch 2 (hist 5): 5 rows all in
+    // day 04, none evicted; ch 3 (hist 100): never evicted. So days
+    // 01-03 are hot, day 04 must remain untouched on disk.
+    val rows =
+      (1L to 8L).map(i => (i, 1L, i, s"2026-01-0${1 + (i - 1) / 2}")) ++
+      (101L to 105L).map(i => (i, 2L, i, "2026-01-04")) ++
+      (201L to 204L).map(i => (i, 3L, i, s"2026-01-0${i - 200}"))
+    rows.toDF("id", "channel_id", "ts", "day")
+      .withColumn("value", ($"ts" * 2).cast("decimal(25,6)"))
+      .write.partitionBy("day").parquet(dir)
+    val channels = Seq((1L, 2), (2L, 5), (3L, 100)).toDF("id", "history_len")
+
+    def inventory(day: String): Map[String, (Long, Long)] = {
+      val d = java.nio.file.Paths.get(s"$dir/day=$day")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(d).iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map { p =>
+          val bytes = java.nio.file.Files.readAllBytes(p)
+          p.getFileName.toString ->
+            ((bytes.length.toLong, java.util.Arrays.hashCode(bytes).toLong))
+        }.toMap
+    }
+    val coldBefore = inventory("2026-01-04")
+    val before = spark.read.parquet(dir)
+      .select($"id", $"channel_id", $"ts", $"value", $"day")
+    val expected = Maintenance.retainNewestPerKey(
+        before, $"channel_id", Seq($"ts", $"id"),
+        channels, $"id", $"history_len")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    val hot = graft.streaming.Ingest.compactFactPartitioned(spark, dir, channels)
+    assert(hot == Seq("2026-01-01", "2026-01-02", "2026-01-03"))
+    // cold partition: same files, same bytes — never rewritten
+    assert(inventory("2026-01-04") == coldBefore)
+    // survivors equal the unpartitioned D9 operator's kept set
+    val got = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == expected)
+    // the rewrite's scan shape: the hot-partition filter prunes at the
+    // SCAN — 3 of 4 partitions selected, day=2026-01-04 never opened
+    val pruned = spark.read.parquet(dir).filter($"day".isin(hot: _*))
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.toString.contains("PartitionFilters"), scan.toString)
+    assert(scan.selectedPartitions.partitionCount == 3,
+      scan.selectedPartitions.partitionCount)
+  }
+
+  test("compactFactPartitioned with no victims touches nothing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part0").toString + "/fact"
+    (1L to 6L).map(i => (i, 1L, i, s"2026-02-0${1 + (i - 1) % 3}"))
+      .toDF("id", "channel_id", "ts", "day")
+      .write.partitionBy("day").parquet(dir)
+    val channels = Seq((1L, 10)).toDF("id", "history_len")
+    val before = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    assert(graft.streaming.Ingest.compactFactPartitioned(spark, dir, channels).isEmpty)
+    val after = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    assert(after == before)
+  }
 }

@@ -63,6 +63,39 @@ class RecoverySpec extends AnyFunSuite with SparkSpec {
     assert(Ingest.readFact(spark, s"$dir/fact").count() == 1)
   }
 
+  test("persistBatchJdbc: duplicate-batch replay lands no double rows (Derby)") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftjdbcsink;create=true"
+    val table = "fact_jdbc"
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    def mk(base: Long) = (0 until 5).map { i =>
+      (1L + i % 2, ts(base + i), BigDecimal((base + i) * 10).setScale(6))
+    }.toDF("channel_id", "ts", "value")
+      .select($"channel_id", $"ts", $"value".cast("decimal(25,6)"))
+
+    // committed batch replayed whole (crash AFTER the ledger marker)
+    Ingest.persistBatchJdbc(mk(100), 0L, url, table)
+    Ingest.persistBatchJdbc(mk(100), 0L, url, table)
+    assert(Ingest.readFactJdbc(spark, url, table).count() == 5)
+
+    // crash BETWEEN data append and marker: partial rows tagged with
+    // the batch id, no ledger entry — the replay must scrub them, not
+    // stack on top
+    graft.sources.FileSources.writeJdbc(
+      mk(200).limit(2).withColumn("batch_id", lit(1L)), url, table)
+    Ingest.persistBatchJdbc(mk(200), 1L, url, table)
+    assert(Ingest.readFactJdbc(spark, url, table).count() == 10)
+
+    // distinct batches accumulate; full content check, not just counts
+    Ingest.persistBatchJdbc(mk(300), 2L, url, table)
+    val got = Ingest.readFactJdbc(spark, url, table)
+      .select($"ts".cast("long"), $"value".cast("double")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    val want = Seq(100L, 200L, 300L).flatMap(b => (0 until 5)
+      .map(i => (b + i, (b + i) * 10.0))).sorted
+    assert(got == want)
+  }
+
   test("replayed trigger's compaction does not fold its own uncommitted batch") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_fold").toString
