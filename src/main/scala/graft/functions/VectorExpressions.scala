@@ -189,11 +189,83 @@ case class HyperplaneBandBuckets(child: Expression, dim: Int, bands: Int, r: Int
     copy(child = newChild)
 }
 
+/** Bitwise fingerprint of a float vector: the 4-byte big-endian IEEE
+  * bits of each element, with -0.0 collapsed onto +0.0 and NaNs
+  * canonicalized (floatToIntBits) — so bytes-equal <=> float-equal
+  * under SQL grouping semantics, exactly the equivalence Spark's own
+  * NormalizeFloatingNumbers establishes before keying on a float array.
+  *
+  * Why it exists: grouping/windowing BY the raw `array<float>` column
+  * makes NormalizeFloatingNumbers wrap the key in
+  * `knownfloatingpointnormalized(transform(...))` — a CodegenFallback
+  * higher-order function that the generated SpecificOrdering then
+  * EVALUATES TWICE PER SORT COMPARISON. Observed on dd_embed_cos's
+  * exact-vector collapse: the windowed corpus sorts by that wrapped
+  * key in every branch that reads the window, each comparison paying
+  * two interpreted per-element lambdas — and at small scale AQE
+  * coalesces the stage to one partition, serializing all of it into a
+  * single straggler task (minutes for a corpus the same query joins in
+  * seconds). Keying on this BINARY column instead keeps the exchange a
+  * byte-hash and the sort a memcmp, with the normalization evaluated
+  * ONCE per row in a codegen'd projection. */
+case class FloatVectorBytes(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"floatVectorBytes requires array<float>, got ${t.sql}")
+  }
+
+  def compute(v: ArrayData): Array[Byte] = {
+    val n = v.numElements()
+    val out = new Array[Byte](n * 4)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null // null element -> null key, like the normalized form
+      var f = v.getFloat(i)
+      if (f == 0f) f = 0f // -0.0f == 0.0f, so this collapses the sign
+      val bits = java.lang.Float.floatToIntBits(f) // canonical NaN
+      val o = i * 4
+      out(o) = (bits >>> 24).toByte
+      out(o + 1) = (bits >>> 16).toByte
+      out(o + 2) = (bits >>> 8).toByte
+      out(o + 3) = bits.toByte
+      i += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("fvb", this, classOf[FloatVectorBytes].getName)
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |${ev.value} = $self.compute($v);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FloatVectorBytes =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Fused dot product over two array<double> columns. */
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Bitwise binary fingerprint of an array<float> column — the
+    * grouping-safe exact-equality key (see [[FloatVectorBytes]]). */
+  def floatVectorBytes(v: Column): Column =
+    ColumnBridge.column(FloatVectorBytes(ColumnBridge.expression(v)))
 
   /** Banded hyperplane-LSH bucket array in one fused matrix-vector
     * expression (see [[HyperplaneBandBuckets]]). */

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.QueryDef
 import graft.model.Tables.table
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -963,10 +963,20 @@ object Dedup {
         // (twins collide in ALL bands); ScaleSmoke's 20x-saturated 40k
         // vectors dropped 146s -> seconds with the quadratic left only
         // in the true output pairs.
+        // the group key is a codegen'd BINARY fingerprint of the
+        // vector, NOT the raw array<float>: keying on the float array
+        // makes NormalizeFloatingNumbers wrap it in an interpreted
+        // transform(...) that the window sort then evaluates per
+        // comparison (FloatVectorBytes doc has the full autopsy);
+        // bytes-equal <=> float-equal under grouping semantics, so the
+        // groups — and the oracle, which partitions by embedding — are
+        // unchanged
         val embAll = table(s, d, "embeddings")
           .select($"vec_id", $"embedding", Similarity.asDouble($"embedding").as("v"))
           .withColumn("norm", Similarity.l2norm($"v"))
-        collapseExpandPairs(embAll, "vec_id", Seq($"embedding")) { reps0 =>
+          .withColumn("vkey",
+            graft.functions.VectorExpressions.floatVectorBytes($"embedding"))
+        collapseExpandPairs(embAll, "vec_id", Seq($"vkey")) { reps0 =>
           val reps = reps0.select($"vec_id", $"v", $"norm")
           // empty-safe dim probe (LIMIT-1 scan) so the 64 plane
           // evaluations compile to constant-vector DotProducts instead
@@ -1058,53 +1068,69 @@ object Dedup {
     // squared; components are near-dup cliques, so tiny).
     QueryDef(
       "dd_cluster",
-      (s, d) => {
-        import s.implicits._
-        val docs = table(s, d, "documents")
-        val grp = docs.withColumn("__min",
-          min($"doc_id").over(Window.partitionBy(md5(lower($"text")))))
-        val reps = grp.filter($"doc_id" === $"__min")
-        val pairs = minhashNearDups(
-            reps.select($"doc_id", $"text"), $"doc_id", $"text", 0.5)
-          .select($"id_a", $"id_b")
-        val repLabels = connectedMinLabels(
-          reps.select($"doc_id".as("id")), pairs)
-        val eligible = reps
-          .filter(size(graft.functions.TextShingles.wordShingles($"text", 3)) > 0)
-          .select($"doc_id".as("__min"))
-        val members = grp.select($"doc_id", $"__min")
-        val inherited = members
-          .join(eligible, Seq("__min"))
-          .join(repLabels.select($"id".as("__min"), $"label".as("cluster")), Seq("__min"))
-          .select($"doc_id", $"cluster")
-        val singletons = members.join(eligible, Seq("__min"), "left_anti")
-          .select($"doc_id", $"doc_id".as("cluster"))
-        inherited.unionByName(singletons).orderBy($"doc_id")
-      },
-      Some {
-        val reps = """(SELECT doc_id, text FROM (
-                        SELECT doc_id, text,
-                               min(doc_id) OVER (PARTITION BY md5(lower(text))) AS mn
-                        FROM documents) WHERE doc_id = mn)"""
-        s"""${minhashOracleCtesFrom(reps).replaceFirst("WITH ", "WITH RECURSIVE ")},
-            gm AS (
-              SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(lower(text))) AS mn
-              FROM documents),
-            up AS (SELECT id_a, id_b FROM verified WHERE sim >= 0.5),
-            eg AS (SELECT id_a AS src, id_b AS dst FROM up
-                   UNION ALL SELECT id_b, id_a FROM up),
-            reach AS (
-              SELECT doc_id AS id, doc_id AS label FROM ne
-              UNION
-              SELECT eg.dst, r.label FROM reach r JOIN eg ON eg.src = r.id
-            ),
-            repl AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id)
-            SELECT g.doc_id, r.cluster
-            FROM gm g JOIN ne ON ne.doc_id = g.mn JOIN repl r ON r.id = g.mn
-            UNION ALL
-            SELECT g.doc_id, g.doc_id AS cluster
-            FROM gm g LEFT JOIN ne ON ne.doc_id = g.mn WHERE ne.doc_id IS NULL
-            ORDER BY doc_id"""
-      })
+      clusterQuery((v, e) => connectedMinLabels(v, e)),
+      Some(clusterOracle)),
+
+    // Same clusters via the star-contraction CC (the chain-robust
+    // variant): labels are identical by construction — both converge
+    // to component-minimum labels — so the ORACLE IS SHARED, and the
+    // driver's hash-compare holds the two algorithms to bit-equality.
+    QueryDef(
+      "dd_cluster_star",
+      clusterQuery((v, e) => connectedStarContraction(v, e)),
+      Some(clusterOracle))
   )
+
+  /** The dd_cluster pipeline body, parameterized by the connected-
+    * components algorithm (min-label propagation or star contraction —
+    * both return (id, label=component min)). */
+  private def clusterQuery(cc: (DataFrame, DataFrame) => DataFrame)(
+      s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = table(s, d, "documents")
+    val grp = docs.withColumn("__min",
+      min($"doc_id").over(Window.partitionBy(md5(lower($"text")))))
+    val reps = grp.filter($"doc_id" === $"__min")
+    val pairs = minhashNearDups(
+        reps.select($"doc_id", $"text"), $"doc_id", $"text", 0.5)
+      .select($"id_a", $"id_b")
+    val repLabels = cc(reps.select($"doc_id".as("id")), pairs)
+    val eligible = reps
+      .filter(size(graft.functions.TextShingles.wordShingles($"text", 3)) > 0)
+      .select($"doc_id".as("__min"))
+    val members = grp.select($"doc_id", $"__min")
+    val inherited = members
+      .join(eligible, Seq("__min"))
+      .join(repLabels.select($"id".as("__min"), $"label".as("cluster")), Seq("__min"))
+      .select($"doc_id", $"cluster")
+    val singletons = members.join(eligible, Seq("__min"), "left_anti")
+      .select($"doc_id", $"doc_id".as("cluster"))
+    inherited.unionByName(singletons).orderBy($"doc_id")
+  }
+
+  private lazy val clusterOracle: String = {
+    val reps = """(SELECT doc_id, text FROM (
+                    SELECT doc_id, text,
+                           min(doc_id) OVER (PARTITION BY md5(lower(text))) AS mn
+                    FROM documents) WHERE doc_id = mn)"""
+    s"""${minhashOracleCtesFrom(reps).replaceFirst("WITH ", "WITH RECURSIVE ")},
+        gm AS (
+          SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(lower(text))) AS mn
+          FROM documents),
+        up AS (SELECT id_a, id_b FROM verified WHERE sim >= 0.5),
+        eg AS (SELECT id_a AS src, id_b AS dst FROM up
+               UNION ALL SELECT id_b, id_a FROM up),
+        reach AS (
+          SELECT doc_id AS id, doc_id AS label FROM ne
+          UNION
+          SELECT eg.dst, r.label FROM reach r JOIN eg ON eg.src = r.id
+        ),
+        repl AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id)
+        SELECT g.doc_id, r.cluster
+        FROM gm g JOIN ne ON ne.doc_id = g.mn JOIN repl r ON r.id = g.mn
+        UNION ALL
+        SELECT g.doc_id, g.doc_id AS cluster
+        FROM gm g LEFT JOIN ne ON ne.doc_id = g.mn WHERE ne.doc_id IS NULL
+        ORDER BY doc_id"""
+  }
 }

@@ -124,15 +124,18 @@ object ReferenceOps {
                 FROM events) t
               WHERE rn <= user_id % 7 + 1 ORDER BY user_id, event_id""")),
 
-    // D9 victim set (what the reference DELETEs, daq-3i.py:209-214),
-    // computed as a left-anti join against the kept set.
+    // D9 victim set (what the reference DELETEs, daq-3i.py:209-214) in
+    // ONE window pass (rank > history): the kept+anti-join form costs
+    // two more shuffles on the unique key for the identical set — the
+    // 10x amplified run measured it super-linear (0.6s -> 53s) where
+    // this form scales with the data (MaintenanceSpec pins the
+    // equivalence, the oracle SQL is unchanged and is itself this shape).
     QueryDef(
       "d9_victims",
       (s, d) => {
         import s.implicits._
         val e = table(s, d, "events")
-        val kept = Maintenance.retainNewest(e, Seq($"user_id"), Seq($"ts", $"event_id"), 5)
-        Maintenance.victims(e, kept, Seq("event_id"))
+        Maintenance.evictNewest(e, Seq($"user_id"), Seq($"ts", $"event_id"), 5)
           .select($"event_id", $"user_id")
           .orderBy($"event_id")
       },

@@ -34,6 +34,14 @@ import org.apache.spark.sql.functions._
   *    hot bucket must NOT serialize into one straggler task.
   *
   * Usage: sbt "runMain graft.tools.ScaleSmoke [mode] [sfDir] [n] [out]"
+  *
+  * Run with the DEFAULT driver heap (no SPARK_DRIVER_MEM override).
+  * Measured: oversizing the heap to 40g made warm repeat runs degrade
+  * progressively (dd_cluster 3.9s at 8g -> 26s then 106s at 40g) — a
+  * huge heap almost never GCs, so everything the ContextCleaner frees
+  * only after a driver GC (shuffle state, broadcasts, checkpoint
+  * blocks) accumulates without bound. Same reason buildSession sets a
+  * short periodic-GC interval.
   */
 object ScaleSmoke {
 
@@ -43,6 +51,10 @@ object ScaleSmoke {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // long measurement sessions accumulate shuffle/broadcast state
+      // that only a driver GC lets the ContextCleaner release; with a
+      // large heap that GC may never come on its own (default 30min)
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -107,42 +119,78 @@ object ScaleSmoke {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = args.drop(1).headOption.map(_.toInt).getOrElse(10)
     val outJson = args.drop(2).headOption.getOrElse("SCALE_r05.json")
-    val spark = buildSession()
     val ampDir = java.nio.file.Files.createTempDirectory("graft_amp").toString
+    val ampSession = buildSession()
     try {
-      // one-time session costs outside all timed runs (same as Bench)
-      spark.range(1000).selectExpr("sum(id)").collect()
-      table(spark, sfDir, "region").count()
-      amplifyDatabase(spark, sfDir, ampDir, copies)
+      amplifyDatabase(ampSession, sfDir, ampDir, copies)
+      ampSession.stop()
       println(s"SCALE amplified ${copies}x database at $ampDir")
 
-      // warm/warm protocol: each (query, scale) runs twice and the
-      // SECOND run is timed, so whole-stage-codegen JIT (compiled on
-      // first execution, identical plan at both scales) cannot subsidize
-      // whichever scale runs later — the ratio compares steady states
-      def timed(dir: String, fn: (SparkSession, String) => DataFrame): (Double, Option[String]) =
+      // Each sweep gets a FRESH SparkSession (the amplify writes and the
+      // other sweep contribute zero session state — broadcast blocks,
+      // checkpoint blocks, shuffle tracking — to the measurement; a
+      // shared session measurably distorted repeat runs). Per query:
+      // one untimed warmup (whole-stage-codegen JIT compiles on first
+      // execution — identical plan at both scales, so neither side may
+      // pay it in the ratio), then the MEDIAN of three timed runs —
+      // a 130-execution local sweep shows sporadic multi-second stalls
+      // (GC / cleaner / IO), and a single sample let one stall print a
+      // 90x "ratio" that in-isolation reruns put at ~4x.
+      def sweep(dir: String, only: Seq[String] = Nil): Map[String, (Double, Option[String])] = {
+        val spark = buildSession()
         try {
-          noopForce(fn(spark, dir))
-          val t0 = System.nanoTime()
-          noopForce(fn(spark, dir))
-          ((System.nanoTime() - t0) / 1e9, None)
-        } catch { case e: Throwable => (Double.NaN, Some(e.getClass.getSimpleName)) }
+          // one-time session costs outside all timed runs (same as Bench)
+          spark.range(1000).selectExpr("sum(id)").collect()
+          table(spark, dir, "region").count()
+          val qs = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+          (if (only.isEmpty) qs else qs.filter(q => only.contains(q._1)))
+            .map { case (name, fn) =>
+              val r =
+                try {
+                  noopForce(fn(spark, dir))
+                  val samples = (1 to 3).map { _ =>
+                    val t0 = System.nanoTime()
+                    noopForce(fn(spark, dir))
+                    (System.nanoTime() - t0) / 1e9
+                  }.sorted
+                  (samples(1), Option.empty[String])
+                } catch {
+                  case e: Throwable => (Double.NaN, Some(e.getClass.getSimpleName))
+                }
+              println(f"SCALE $dir%s $name%s: ${r._1}%.2f s${r._2.fold("")(" ERR " + _)}")
+              name -> r
+            }.toMap
+        } finally spark.stop()
+      }
 
-      val names = graft.SparkEntry.queries.keys.toSeq.sorted
-      val (base, amp) = names.map { name =>
-        val fn = graft.SparkEntry.queries(name)
-        val b = timed(sfDir, fn)
-        val a = timed(ampDir, fn)
-        println(f"SCALE $name%s: ${b._1}%.2f s @1x -> ${a._1}%.2f s @${copies}x" +
-          (b._2.orElse(a._2).fold("")(" ERR " + _)))
-        (name -> b, name -> a)
-      }.unzip match { case (b, a) => (b.toMap, a.toMap) }
+      val base = sweep(sfDir)
+      val amp = sweep(ampDir)
+      val names = base.keys.toSeq.sorted
+      def ratioOf(n: String): Double = {
+        val (t1, tn) = (base(n)._1, amp(n)._1)
+        if (!t1.isNaN && !tn.isNaN && t1 > 0) tn / t1 else -1.0
+      }
+      // Queries whose sweep ratio exceeds 10 are re-measured ALONE in a
+      // fresh session: the 130-execution sweep measures queries under
+      // shared-session memory pressure (storage blocks, shuffle state,
+      // page-cache churn from every prior query), which inflates a few
+      // window-heavy queries well past their plan-inherent scaling —
+      // e.g. q_rolling_range timed 31s mid-sweep but 3.0s isolated on
+      // the same amplified data. Both numbers are reported; the
+      // isolated one is the plan's own scaling.
+      val over = names.filter(n => ratioOf(n) > 10)
+      val iso =
+        if (over.isEmpty) Map.empty[String, (Double, Option[String])]
+        else { println(s"SCALE isolated recheck: ${over.mkString(", ")}"); sweep(ampDir, over) }
       val entries = names.map { n =>
         val (t1raw, e1) = base(n)
         val (tnraw, en) = amp(n)
         val (t1, tn) = (if (t1raw.isNaN) -1.0 else t1raw, if (tnraw.isNaN) -1.0 else tnraw)
         val ratio = if (t1 > 0 && tn >= 0) tn / t1 else -1.0
-        f"""    "$n": {"t1": $t1%.3f, "tN": $tn%.3f, "ratio": $ratio%.2f""" +
+        val isoPart = iso.get(n).filterNot(_._1.isNaN).fold("") { case (ti, _) =>
+          f""", "tN_iso": $ti%.3f, "ratio_iso": ${if (t1 > 0) ti / t1 else -1.0}%.2f"""
+        }
+        f"""    "$n": {"t1": $t1%.3f, "tN": $tn%.3f, "ratio": $ratio%.2f""" + isoPart +
           (e1.orElse(en).fold("")(e => s""", "err": "$e"""")) + "}"
       }
       val t1Total = base.values.map(_._1).filterNot(_.isNaN).sum
@@ -165,8 +213,8 @@ ${entries.mkString(",\n")}
       println(s"SCALE wrote $outJson (total ${f"$t1Total%.1f"} s @1x -> ${f"$tnTotal%.1f"} s @${copies}x)")
     } finally {
       val p = new org.apache.hadoop.fs.Path(ampDir)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-      spark.stop()
+      p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+      ()
     }
   }
 

@@ -65,6 +65,25 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("no operator sorts or exchanges on an interpreted lambda key (float-array normalization)") {
+    // Keying a sort/shuffle on a raw array<float> makes
+    // NormalizeFloatingNumbers wrap the key in an interpreted
+    // transform(..., lambdafunction(...)) evaluated per COMPARISON
+    // inside the generated ordering — measured turning dd_embed_cos's
+    // exact-vector collapse into a single-task straggler at 10x.
+    // FloatVectorBytes (a codegen'd binary fingerprint column) is the
+    // sanctioned key shape; this pins every query to it.
+    val sortKey = "(?m)^\\s*[+:*\\-() 0-9]*Sort \\[[^\\n]*lambdafunction".r
+    val exchKey = "(?m)^\\s*[+:*\\-() 0-9]*Exchange hashpartitioning\\([^\\n]*lambdafunction".r
+    for (q <- Seq("dd_embed_cos", "dd_minhash_lsh", "dd_apply_lsh",
+        "dd_cluster", "dd_cluster_star", "s_ann_lsh", "s_ann_ivf",
+        "s_ann_bruteforce")) {
+      val p = plan(q)
+      assert(sortKey.findFirstIn(p).isEmpty, s"$q sorts on an interpreted lambda:\n$p")
+      assert(exchKey.findFirstIn(p).isEmpty, s"$q shuffles on an interpreted lambda:\n$p")
+    }
+  }
+
   test("q_rolling_range: RANGE frame ranks inside one key shuffle") {
     val p = plan("q_rolling_range")
     assert(p.contains("Window"), p)

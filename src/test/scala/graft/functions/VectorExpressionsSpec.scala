@@ -65,4 +65,51 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.toLowerCase.contains("array"))
   }
+
+  test("floatVectorBytes: bytes-equal <=> float-equal under grouping semantics") {
+    import spark.implicits._
+    // -0.0 collapses onto +0.0 and all NaN payloads canonicalize — the
+    // exact equivalence Spark's NormalizeFloatingNumbers establishes
+    // before keying on a float array; distinct values stay distinct
+    val rows = Seq(
+      (1L, Seq(1.5f, 0.0f)),
+      (2L, Seq(1.5f, -0.0f)), // same group as 1
+      (3L, Seq(Float.NaN, 2.0f)),
+      (4L, Seq(java.lang.Float.intBitsToFloat(0x7fc00001), 2.0f)), // NaN payload, same group as 3
+      (5L, Seq(1.5f, 0.1f)), // close to 1 but distinct
+      (6L, Seq(1.5f))) // prefix of 1 but shorter
+    val df = rows.toDF("id", "v")
+      .select($"id", VectorExpressions.floatVectorBytes($"v").as("k"))
+    val groups = df.groupBy($"k").agg(collect_list($"id").as("ids"))
+      .collect().map(_.getSeq[Long](1).sorted.toSeq).sortBy(_.head)
+    assert(groups.toSeq == Seq(Seq(1L, 2L), Seq(3L, 4L), Seq(5L), Seq(6L)))
+  }
+
+  test("floatVectorBytes grouping partitions the real embeddings exactly like the raw array") {
+    import spark.implicits._
+    // twin-doubled corpus: grouping by the binary fingerprint must give
+    // the same group structure as grouping by the float array itself
+    val e = graft.model.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val both = e.union(e.select($"vec_id" + 1000000L, $"embedding", $"label"))
+    val byArray = both.groupBy($"embedding").count()
+      .collect().map(_.getLong(1)).sorted.toSeq
+    val byBytes = both.groupBy(VectorExpressions.floatVectorBytes($"embedding")).count()
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(byBytes == byArray)
+    assert(byBytes.forall(_ >= 2)) // every vector has its twin
+  }
+
+  test("floatVectorBytes: null element -> null key; null array -> null; non-float rejected") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option(Seq(Option(1.0f), None))),
+      (2L, Option.empty[Seq[Option[Float]]])).toDF("id", "v")
+    val r = df.select(VectorExpressions.floatVectorBytes($"v")).collect()
+    assert(r.forall(_.isNullAt(0)))
+    val bad = Seq((1, Seq(1.0))).toDF("n", "d")
+    val ex = intercept[AnalysisException] {
+      bad.select(VectorExpressions.floatVectorBytes($"d")).queryExecution.analyzed
+    }
+    assert(ex.getMessage.toLowerCase.contains("array<float>"))
+  }
 }

@@ -45,6 +45,16 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
     assert(kept.select("id").intersect(victims.select("id")).count() == 0)
   }
 
+  test("evictNewest equals the kept-set anti-join complement") {
+    import spark.implicits._
+    val df = sampleLog
+    val kept = Maintenance.retainNewest(df, Seq($"channel_id"), Seq($"ts", $"id"), 5)
+    val viaAnti = Maintenance.victims(df, kept, Seq("id"))
+    val viaRank = Maintenance.evictNewest(df, Seq($"channel_id"), Seq($"ts", $"id"), 5)
+    assert(viaRank.exceptAll(viaAnti).count() == 0)
+    assert(viaAnti.exceptAll(viaRank).count() == 0)
+  }
+
   test("retention is idempotent") {
     import spark.implicits._
     val df = sampleLog
