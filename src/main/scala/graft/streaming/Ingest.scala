@@ -183,19 +183,32 @@ object Ingest {
     * The tag column mirrors the parquet path's `batch=bN` partition;
     * [[readFactJdbc]] strips it. Reference persist path:
     * daq-3i.py:262-292 (row-at-a-time ORM inserts, at-least-once). */
+  private def withJdbc[A](url: String)(f: java.sql.Connection => A): A = {
+    val c = java.sql.DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  private def jdbcTableExists(c: java.sql.Connection, t: String): Boolean = {
+    val rs = c.getMetaData.getTables(null, null, t.toUpperCase, null)
+    try rs.next() finally rs.close()
+  }
+
+  /** Delete rows tagged with `batchId` — a crashed attempt's partials.
+    * Spark's JDBC writer creates columns QUOTED (case-preserving), so
+    * the scrub must quote too — with the driver's own quote string
+    * (Derby: ", MySQL: backtick), not a hardcoded one. */
+  private def scrubBatchJdbc(c: java.sql.Connection, table: String, batchId: Long): Unit = {
+    val q = c.getMetaData.getIdentifierQuoteString.trim
+    val ps = c.prepareStatement(
+      s"DELETE FROM $table WHERE $q" + "batch_id" + s"$q = ?")
+    try { ps.setLong(1, batchId); ps.executeUpdate(); () } finally ps.close()
+  }
+
   def persistBatchJdbc(
       batch: DataFrame, batchId: Long, url: String, table: String): Unit = {
     val ledger = s"${table}_batches"
-    def withConn[A](f: java.sql.Connection => A): A = {
-      val c = java.sql.DriverManager.getConnection(url)
-      try f(c) finally c.close()
-    }
-    def exists(c: java.sql.Connection, t: String): Boolean = {
-      val rs = c.getMetaData.getTables(null, null, t.toUpperCase, null)
-      try rs.next() finally rs.close()
-    }
-    val committed = withConn { c =>
-      if (!exists(c, ledger)) {
+    val committed = withJdbc(url) { c =>
+      if (!jdbcTableExists(c, ledger)) {
         val st = c.createStatement()
         try st.executeUpdate(s"CREATE TABLE $ledger (batch_id BIGINT PRIMARY KEY)")
         finally st.close()
@@ -210,22 +223,59 @@ object Ingest {
       }
     }
     if (committed) return
-    withConn { c =>
-      if (exists(c, table)) {
-        // Spark's JDBC writer creates columns QUOTED (case-preserving),
-        // so the scrub must quote too — with the driver's own quote
-        // string (Derby: ", MySQL: backtick), not a hardcoded one
-        val q = c.getMetaData.getIdentifierQuoteString.trim
-        val ps = c.prepareStatement(
-          s"DELETE FROM $table WHERE $q" + "batch_id" + s"$q = ?")
-        try { ps.setLong(1, batchId); ps.executeUpdate(); () } finally ps.close()
-      }
+    withJdbc(url) { c =>
+      if (jdbcTableExists(c, table)) scrubBatchJdbc(c, table, batchId)
     }
     graft.sources.FileSources.writeJdbc(
       batch.withColumn("batch_id", lit(batchId)), url, table)
-    withConn { c =>
+    withJdbc(url) { c =>
       val ps = c.prepareStatement(s"INSERT INTO $ledger (batch_id) VALUES (?)")
       try { ps.setLong(1, batchId); ps.executeUpdate(); () } finally ps.close()
+    }
+  }
+
+  /** Public replay-guard entry for the daemon's in-loop JDBC
+    * compaction (see Daemon.compactBeforePersistJdbc): delete rows of
+    * a batch that has NOT been ledger-committed. No-op when the fact
+    * table doesn't exist yet. */
+  def scrubUncommittedBatch(url: String, table: String, batchId: Long): Unit =
+    withJdbc(url) { c =>
+      if (jdbcTableExists(c, table)) scrubBatchJdbc(c, table, batchId)
+    }
+
+  /** D9 over a JDBC fact sink: compute the kept set, stage it
+    * executor-parallel into `<table>_compact`, then swap with
+    * DELETE + INSERT inside ONE database transaction — the reference's
+    * row-at-a-time delete sweep (daq-3i.py:209-214) as a single atomic
+    * set operation. The parquet path approximates atomicity with a
+    * two-rename directory swap; the database gives the real thing, so
+    * a crash mid-compaction leaves the fact table untouched (the
+    * orphaned staging table is rebuilt by the next sweep's overwrite). */
+  def compactFactJdbc(
+      spark: SparkSession, url: String, table: String, channels: DataFrame): Unit = {
+    if (!withJdbc(url)(jdbcTableExists(_, table))) return
+    val staging = s"${table}_compact"
+    val fact = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).load()
+    val kept = Maintenance.retainNewestPerKey(
+      fact, col("channel_id"), Seq(col("ts"), col("value")),
+      channels, col("id"), col("history_len"))
+    // staging is created by the same writer from the same schema, so
+    // its column order matches `table` and INSERT ... SELECT * aligns
+    kept.write.format("jdbc")
+      .option("url", url).option("dbtable", staging)
+      .mode("overwrite").save()
+    withJdbc(url) { c =>
+      c.setAutoCommit(false)
+      val st = c.createStatement()
+      try {
+        st.executeUpdate(s"DELETE FROM $table")
+        st.executeUpdate(s"INSERT INTO $table SELECT * FROM $staging")
+        c.commit()
+        c.setAutoCommit(true)
+        st.executeUpdate(s"DROP TABLE $staging")
+        ()
+      } finally st.close()
     }
   }
 

@@ -32,6 +32,43 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(maxGroup < 20000 * 0.9 / 4, s"salting failed to spread: $maxGroup")
   }
 
+  test("amplifyDatabase: FK-consistent replicas — no orphans, exact Nx join cardinality, saturated text") {
+    import spark.implicits._
+    // the 10x scale-proof corpus (SCALE_r05.json) is only meaningful if
+    // the amplified database joins exactly like the base one: every
+    // copy must be a disjoint, self-consistent replica
+    val sf = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft_ampspec").toString
+    graft.tools.ScaleSmoke.amplifyDatabase(spark, sf, out, copies = 3)
+    def base(t: String) = spark.read.parquet(s"$sf/$t.parquet")
+    def amp(t: String) = spark.read.parquet(s"$out/$t.parquet")
+
+    // fact rows scale exactly; dims are untouched
+    assert(amp("lineitem").count() == 3 * base("lineitem").count())
+    assert(amp("nation").count() == base("nation").count())
+
+    // zero orphan FKs after shifting both sides
+    val orphans = amp("lineitem").join(amp("orders"),
+      $"l_orderkey" === $"o_orderkey", "left_anti").count()
+    assert(orphans == 0L)
+    val custOrphans = amp("orders").join(amp("customer"),
+      $"o_custkey" === $"c_custkey", "left_anti").count()
+    assert(custOrphans == 0L)
+
+    // join cardinality scales exactly Nx (replicas never cross-join)
+    val baseJoin = base("lineitem").join(base("orders"),
+      $"l_orderkey" === $"o_orderkey").count()
+    val ampJoin = amp("lineitem").join(amp("orders"),
+      $"l_orderkey" === $"o_orderkey").count()
+    assert(ampJoin == 3 * baseJoin)
+
+    // documents: ids disjoint, text saturated (dedup's worst case)
+    assert(amp("documents").select($"doc_id").distinct().count() ==
+      3 * base("documents").count())
+    assert(amp("documents").select($"text").distinct().count() ==
+      base("documents").select($"text").distinct().count())
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString

@@ -85,4 +85,43 @@ class DaemonSpec extends AnyFunSuite with SparkSpec {
       assert(latest.head.getTimestamp(1).getTime == 4000L, "ch1 kept a non-newest sample")
     } finally daemon.stop()
   }
+
+  test("daemon with a JDBC fact sink lands the same facts and applies retention (Derby)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_daemon_jdbc").toString
+    val url = "jdbc:derby:memory:graftdaemon;create=true"
+    // same topology as the parquet-mode test: ch1 (conversion x10,
+    // keep 1), ch2 (raw, keep 10), golden modbus-sim source — the fact
+    // rows landing in Derby must equal the parquet run's
+    val channels = Seq((1L, 4, 1L, 1), (2L, 4, 0L, 10))
+      .toDF("id", "format_code", "conversion_id", "history_len")
+    val daemon = new Daemon(
+      spark, channels, Seq(1L -> "Value = x * 10"),
+      Map(
+        "channels" -> "1@5,2@17", "registers" -> "4",
+        "startEpochSec" -> "0", "periodSec" -> "1", "maxTicks" -> "3"),
+      dir,
+      pulseSec = 3600, truncIntervalSec = 3600,
+      jdbcFactSink = Some((url, "daemon_fact")))
+    daemon.start()
+    try {
+      daemon.drainAndCompact()
+      val fact = Ingest.readFactJdbc(spark, url, "daemon_fact")
+        .orderBy($"channel_id", $"ts").collect()
+        .map(r => (r.getLong(0), r.getDecimal(2).toPlainString))
+      assert(fact.toSeq == Seq(
+        (1L, "50.000000"),
+        (2L, "17.000000"), (2L, "17.000000"), (2L, "17.000000")))
+      // status path is shared with parquet mode (D7 + D10)
+      val params = spark.read.parquet(daemon.statusDir)
+        .select("parameter").collect().map(_.getString(0)).toSet
+      assert(params == Set("CHL: 1", "CHL: 2", "daq-3i"))
+      // the compaction ran its transactional swap: staging cleaned up
+      val staged = intercept[Exception] {
+        spark.read.format("jdbc").option("url", url)
+          .option("dbtable", "daemon_fact_compact").load().count()
+      }
+      assert(staged != null)
+    } finally daemon.stop()
+  }
 }
