@@ -464,10 +464,29 @@ object Dedup {
     * banding, candidates, verify — replays in the DuckDB oracle (see
     * the dd_minhash_lsh oracle SQL); a deployment preferring xxhash64
     * swaps the two hash call sites. */
+  /** The in-row signature stage shared by the symmetric and asymmetric
+    * minhash operators: (id, xs = deduped 30-bit gram-hash set,
+    * __sig = h-slot signature), gramless docs dropped. */
+  private def minhashSignatures(
+      docs: DataFrame, id: Column, text: Column, h: Int): DataFrame =
+    docs
+      .select(id.as("id"),
+        graft.functions.TextShingles.hashedWordShingles(text, 3, "uh30").as("xs"))
+      .filter(size(col("xs")) > 0)
+      .withColumn("__sig", graft.functions.MinhashSlots.minhashSlots(col("xs"), h))
+
+  /** Band bucket keys over a `__sig` column: b keys of r slots each. */
+  private def minhashBandKeys(h: Int, b: Int): Seq[Column] = {
+    val r = h / b
+    (0 until b).map { i =>
+      md5(concat_ws(",", lit(i.toString) +:
+        (0 until r).map(j => element_at(col("__sig"), r * i + j + 1)): _*))
+    }
+  }
+
   def minhashNearDups(
       docs: DataFrame, id: Column, text: Column,
       threshold: Double, h: Int = 32, b: Int = 16): DataFrame = {
-    val r = h / b
     // The whole signature stage is IN-ROW: HashedWordShingles emits
     // the deduped 30-bit gram-hash set per doc (one compiled pass) and
     // MinhashSlots folds the h universal-hash minima over it — where
@@ -478,16 +497,9 @@ object Dedup {
     // verify stage, exactly like the collect_set form. Gramless docs
     // are filtered here (they produced no aggregate row before, and
     // can never become candidates either way).
-    val sigs = docs
-      .select(id.as("id"),
-        graft.functions.TextShingles.hashedWordShingles(text, 3, "uh30").as("xs"))
-      .filter(size(col("xs")) > 0)
-      .withColumn("__sig", graft.functions.MinhashSlots.minhashSlots(col("xs"), h))
-    val bandKeys = (0 until b).map { i =>
-      md5(concat_ws(",", lit(i.toString) +:
-        (0 until r).map(j => element_at(col("__sig"), r * i + j + 1)): _*))
-    }
-    val bands = sigs.select(col("id"), explode(array(bandKeys: _*)).as("band"))
+    val sigs = minhashSignatures(docs, id, text, h)
+    val bands = sigs.select(col("id"),
+      explode(array(minhashBandKeys(h, b): _*)).as("band"))
     val cand = bands.as("a")
       .join(bands.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -499,15 +511,51 @@ object Dedup {
       .filter(col("sim") >= threshold)
   }
 
+  /** Decontamination — asymmetric near-dup scrub: remove from `docs`
+    * every document whose minhash-verified similarity to ANY document
+    * of `blocklist` reaches `threshold`. The pretraining-data step
+    * that keeps benchmark/eval text out of a training corpus; unlike
+    * [[minhashNearDups]] nothing in `docs` is compared to itself, and
+    * the blocklist is read-only.
+    *
+    * Scale shape: both sides run the IN-ROW signature stage (zero
+    * exchanges); candidates are an equi-join of the two band sets with
+    * the blocklist side BROADCAST — benchmarks are thousands of
+    * documents while the corpus is the 100 TB side, so the corpus
+    * streams through map-side joins and only its contaminated ids ever
+    * shuffle (for the distinct + anti-join). Verification is exact
+    * hash-set jaccard on candidate pairs only, against the same
+    * portable hash family, so the whole pipeline replays in DuckDB.
+    * Returns the surviving rows of `docs` (original schema). */
+  def decontaminate(
+      docs: DataFrame, blocklist: DataFrame, idCol: String, text: Column,
+      threshold: Double, h: Int = 32, b: Int = 16): DataFrame = {
+    val ds = minhashSignatures(docs, col(idCol), text, h)
+    val bs = minhashSignatures(blocklist, col(idCol), text, h)
+    val dBands = ds.select(col("id"),
+      explode(array(minhashBandKeys(h, b): _*)).as("band"))
+    val bBands = bs.select(col("id").as("bid"),
+      explode(array(minhashBandKeys(h, b): _*)).as("band"))
+    val cand = dBands.join(broadcast(bBands), Seq("band"))
+      .select(col("id"), col("bid")).distinct()
+    val contaminated = cand
+      .join(ds.select(col("id"), col("xs")), Seq("id"))
+      .join(broadcast(bs.select(col("id").as("bid"), col("xs").as("xs_b"))), Seq("bid"))
+      .filter(jaccard(col("xs"), col("xs_b")) >= threshold)
+      .select(col("id").as(idCol)).distinct()
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Shared oracle CTE chain replaying [[minhashNearDups]] in DuckDB
     * up to the verified (id_a, id_b, sim) pair set; consumers append
     * their own threshold filter / anti-join. */
   private lazy val minhashOracleCtes: String = minhashOracleCtesFrom("documents")
 
-  /** [[minhashOracleCtes]] with the doc source parameterized —
-    * dd_apply_lsh feeds exact-content group representatives instead of
-    * the full corpus. */
-  private def minhashOracleCtesFrom(docsRel: String): String = {
+  /** One side of the minhash pipeline as prefixed CTEs
+    * (`<p>t`/`<p>ne`/`<p>xb`/`<p>sig`/`<p>bands`) over `docsRel` — the
+    * building block both the symmetric ([[minhashOracleCtesFrom]]) and
+    * asymmetric (dd_decontaminate) oracles assemble from. */
+  private def minhashSideCtes(p: String, docsRel: String): String = {
     import graft.functions.PortableHash.{duckdbUhApply, duckdbUhBase}
     val slots = (0 until 32).map(i =>
       s"list_min([${duckdbUhApply(i, "x")} for x in xs])")
@@ -515,7 +563,7 @@ object Dedup {
     val bandKeys = (0 until 16).map(i =>
       s"md5('$i' || ',' || CAST(m[${2 * i + 1}] AS VARCHAR) || ',' || CAST(m[${2 * i + 2}] AS VARCHAR))")
       .mkString(",\n                         ")
-    s"""WITH t AS (
+    s"""${p}t AS (
           SELECT doc_id,
                  list_distinct(CASE WHEN len(toks) >= 3
                    THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
@@ -523,16 +571,23 @@ object Dedup {
           FROM (SELECT doc_id,
                        [x for x in string_split_regex(lower(text), '\\s+') if x != ''] AS toks
                 FROM $docsRel)),
-        ne AS (SELECT doc_id, grams FROM t WHERE len(grams) > 0),
-        xb AS (SELECT doc_id,
+        ${p}ne AS (SELECT doc_id, grams FROM ${p}t WHERE len(grams) > 0),
+        ${p}xb AS (SELECT doc_id,
                  list_distinct([${duckdbUhBase("g")} for g in grams]) AS xs
-               FROM ne),
-        sig AS (SELECT doc_id,
+               FROM ${p}ne),
+        ${p}sig AS (SELECT doc_id,
                    [$slots] AS m
-                FROM xb),
-        bands AS (SELECT doc_id,
+                FROM ${p}xb),
+        ${p}bands AS (SELECT doc_id,
                    unnest([$bandKeys]) AS band
-                  FROM sig),
+                  FROM ${p}sig)"""
+  }
+
+  /** [[minhashOracleCtes]] with the doc source parameterized —
+    * dd_apply_lsh feeds exact-content group representatives instead of
+    * the full corpus. */
+  private def minhashOracleCtesFrom(docsRel: String): String =
+    s"""WITH ${minhashSideCtes("", docsRel)},
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                  FROM bands a JOIN bands b
                    ON a.band = b.band AND a.doc_id < b.doc_id),
@@ -543,7 +598,6 @@ object Dedup {
           FROM cand c
           JOIN xb xa ON xa.doc_id = c.id_a
           JOIN xb xb2 ON xb2.doc_id = c.id_b)"""
-  }
 
   val queries: Seq[QueryDef] = Seq(
 
@@ -735,6 +789,48 @@ object Dedup {
               UNION SELECT doc_id FROM twin)
             SELECT doc_id, source, n_chars FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM dominated)
+            ORDER BY doc_id"""
+      }),
+
+    // Decontamination: scrub the training split of everything that
+    // near-matches the benchmark split (the held-out 20% by the same
+    // deterministic md5 split q_hash_split uses — pure id arithmetic,
+    // so the split itself replays in the oracle). Asymmetric minhash:
+    // candidates from the banded equi-join of the two sides' band sets
+    // with the BENCHMARK side broadcast, verify = exact hash-set
+    // jaccard, survivors = training anti-join contaminated ids.
+    QueryDef(
+      "dd_decontaminate",
+      (s, d) => {
+        import s.implicits._
+        val bucket = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+          .cast("int") % 100
+        val docs = table(s, d, "documents").withColumn("__bucket", bucket)
+        val training = docs.filter($"__bucket" >= 20).drop("__bucket")
+        val benchmark = docs.filter($"__bucket" < 20).drop("__bucket")
+        decontaminate(training, benchmark, "doc_id", $"text", 0.5)
+          .select($"doc_id", $"source", $"n_chars")
+          .orderBy($"doc_id")
+      },
+      Some {
+        val split = """(SELECT *,
+                        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 AS bucket
+                        FROM documents)"""
+        s"""WITH tr AS (SELECT doc_id, text, source, n_chars FROM $split WHERE bucket >= 20),
+            bm AS (SELECT doc_id, text FROM $split WHERE bucket < 20),
+            ${minhashSideCtes("a_", "tr")},
+            ${minhashSideCtes("b_", "bm")},
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM a_bands a JOIN b_bands b ON a.band = b.band),
+            contaminated AS (
+              SELECT DISTINCT c.id_a AS doc_id
+              FROM cand c
+              JOIN a_xb xa ON xa.doc_id = c.id_a
+              JOIN b_xb xb2 ON xb2.doc_id = c.id_b
+              WHERE CAST(len(list_intersect(xa.xs, xb2.xs)) AS DOUBLE)
+                    / (len(xa.xs) + len(xb2.xs) - len(list_intersect(xa.xs, xb2.xs))) >= 0.5)
+            SELECT doc_id, source, n_chars FROM tr
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
             ORDER BY doc_id"""
       }),
 

@@ -305,6 +305,32 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got.exists { case (id, c) => id != c })
   }
 
+  test("decontaminate scrubs exact and near copies of blocklist docs, keeps the rest") {
+    import spark.implicits._
+    // corpus: an exact copy of a blocklist doc, a near copy (one token
+    // appended), an unrelated doc, and a short gramless doc (never
+    // pairs -> always survives)
+    val bench = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val blocklist = Seq((100L, bench)).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, bench), // exact contamination
+      (2L, bench + " extra"), // near contamination (high jaccard)
+      (3L, "completely different words about industrial telemetry and spark engines"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val survivors = Dedup.decontaminate(docs, blocklist, "doc_id", $"text", 0.5)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(survivors == Seq(3L, 4L))
+    // asymmetric: docs similar to EACH OTHER but not to the blocklist
+    // are NOT removed (this is not self-dedup)
+    val selfish = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(selfish, blocklist, "doc_id", $"text", 0.5)
+      .count()
+    assert(kept == 2L)
+  }
+
   test("star contraction labels a long chain in O(log n) rounds where min-label cannot") {
     import spark.implicits._
     // path graph 0-1-2-...-199: diameter 199 >> any near-dup clique's.
