@@ -179,9 +179,12 @@ object ScaleSmoke {
       // the same amplified data. Both numbers are reported; the
       // isolated one is the plan's own scaling.
       val over = names.filter(n => ratioOf(n) > 10)
-      val iso =
-        if (over.isEmpty) Map.empty[String, (Double, Option[String])]
-        else { println(s"SCALE isolated recheck: ${over.mkString(", ")}"); sweep(ampDir, over) }
+      if (over.nonEmpty) println(s"SCALE isolated recheck: ${over.mkString(", ")}")
+      // one fresh session PER flagged query: a recheck session shared
+      // across flagged queries re-accumulates the very pressure it
+      // exists to exclude (measured: a query stable at 2s alone timed
+      // 23s when rechecked downstream of another flagged query)
+      val iso = over.map(n => n -> sweep(ampDir, Seq(n)).apply(n)).toMap
       val entries = names.map { n =>
         val (t1raw, e1) = base(n)
         val (tnraw, en) = amp(n)

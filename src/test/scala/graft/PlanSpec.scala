@@ -65,6 +65,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("dd_decontaminate: blocklist side broadcasts, corpus never cartesians") {
+    val p = plan("dd_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the candidate join and the verify join both read the benchmark
+    // side through a broadcast — the 100 TB corpus side streams
+    assert(count(p, "BroadcastHashJoin") >= 2, p)
+  }
+
   test("no operator sorts or exchanges on an interpreted lambda key (float-array normalization)") {
     // Keying a sort/shuffle on a raw array<float> makes
     // NormalizeFloatingNumbers wrap the key in an interpreted
