@@ -220,20 +220,34 @@ case class FloatVectorBytes(child: Expression)
       s"floatVectorBytes requires array<float>, got ${t.sql}")
   }
 
+  // 5 bytes per element: a presence marker then the 4 IEEE bytes
+  // (zeros under a null). An earlier version mapped any null ELEMENT to
+  // a null KEY, which silently merged distinct null-carrying vectors
+  // ([1.0, null] and [2.0, null] became one group) — grouping by the
+  // raw array keeps them apart (null elements compare equal only to
+  // null, in the SAME position), and this key must too. The marker
+  // byte keeps the encoding injective: equal bytes <=> same length,
+  // same null positions, same normalized floats elsewhere. All
+  // elements share the fixed 5-byte stride, so no cross-length
+  // prefix ambiguity exists.
   def compute(v: ArrayData): Array[Byte] = {
     val n = v.numElements()
-    val out = new Array[Byte](n * 4)
+    val out = new Array[Byte](n * 5)
     var i = 0
     while (i < n) {
-      if (v.isNullAt(i)) return null // null element -> null key, like the normalized form
-      var f = v.getFloat(i)
-      if (f == 0f) f = 0f // -0.0f == 0.0f, so this collapses the sign
-      val bits = java.lang.Float.floatToIntBits(f) // canonical NaN
-      val o = i * 4
-      out(o) = (bits >>> 24).toByte
-      out(o + 1) = (bits >>> 16).toByte
-      out(o + 2) = (bits >>> 8).toByte
-      out(o + 3) = bits.toByte
+      val o = i * 5
+      if (v.isNullAt(i)) {
+        out(o) = 0 // null marker; the 4 value bytes stay zero
+      } else {
+        var f = v.getFloat(i)
+        if (f == 0f) f = 0f // -0.0f == 0.0f, so this collapses the sign
+        val bits = java.lang.Float.floatToIntBits(f) // canonical NaN
+        out(o) = 1
+        out(o + 1) = (bits >>> 24).toByte
+        out(o + 2) = (bits >>> 16).toByte
+        out(o + 3) = (bits >>> 8).toByte
+        out(o + 4) = bits.toByte
+      }
       i += 1
     }
     out

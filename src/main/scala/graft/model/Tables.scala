@@ -45,6 +45,30 @@ object Tables {
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
 
+  /** THE session constructor for every measurement/CLI main (Bench,
+    * Verify, ScaleSmoke, DaqMain). Round 5's bench regression was this
+    * exact hygiene landing in one harness (ScaleSmoke) and missing
+    * another (Bench): a long measurement session accumulates shuffle /
+    * broadcast / localCheckpoint state that the ContextCleaner only
+    * releases after a driver GC, and with a mostly-idle heap that GC
+    * may never come (default periodicGC is 30 min) — numbers then
+    * degrade progressively (measured: dd_cluster 3.9 s → 26 s → 106 s
+    * across warm repeats). Pinning `spark.cleaner.periodicGC.interval`
+    * short bounds the accumulation; harnesses additionally build a
+    * FRESH session per sweep (ScaleSmoke) or per query (Bench) so no
+    * protocol fix can ever land in one main and miss the others. */
+  def buildLocalSession(
+      cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
+    val spark = withSessionDefaults(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.cleaner.periodicGC.interval", "2min")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       // ts arrives as raw int64 nanos (nanosAsLong, set at session

@@ -307,8 +307,30 @@ object Dedup {
     * long chains would swap this for the two-phase star contraction
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14) — same per-round plan shape. */
+  /** localCheckpoint blocks backing the LAST completed CC invocation's
+    * returned frame. A checkpointed result some caller still holds
+    * can't be unpersisted inside the producing call (the blocks are
+    * not recomputable), and no DataFrame exposes a consumed-now hook —
+    * so the release is deferred to the NEXT CC entry: repeated CC
+    * executions in one session (Bench runs each query 4×) hold a
+    * constant number of storage blocks instead of accumulating per
+    * run (round 5's bench-degradation trigger). Caller contract: a CC
+    * result is valid until the next CC call on this JVM — consume it
+    * (write/collect/derive) before re-invoking, which every queries()
+    * entry does by construction. */
+  private val ccLiveBlocks = new scala.collection.mutable.ArrayBuffer[DataFrame]
+  private def ccReleasePrior(): Unit = ccLiveBlocks.synchronized {
+    ccLiveBlocks.foreach { df => df.unpersist(); () }
+    ccLiveBlocks.clear()
+  }
+  private def ccRegister(finals: DataFrame*): Unit = ccLiveBlocks.synchronized {
+    ccLiveBlocks ++= finals
+    ()
+  }
+
   def connectedMinLabels(
       vertices: DataFrame, edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    ccReleasePrior()
     val e = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
@@ -337,6 +359,7 @@ object Dedup {
     }
     e.unpersist()
     require(converged, s"component labeling did not converge in $maxIters rounds")
+    ccRegister(labels)
     labels
   }
 
@@ -359,25 +382,40 @@ object Dedup {
     * not 10⁶. Near-dup cliques (diameter 1-2) don't need this; use it
     * when the pair graph's shape is unknown or chain-heavy.
     *
-    * Convergence = the canonical (hi, lo) edge set reaches a fixpoint:
-    * checked exactly (count + one-way except — both sides are
-    * distinct), at one extra distributed round each iteration, which
-    * the O(log n) round bound keeps cheap. At the fixpoint the edges
-    * form a star forest (child → component-min root); vertices with no
-    * edge label themselves. */
+    * Convergence = the canonical (hi, lo) edge set reaches a fixpoint,
+    * detected from a 1-ROW SET FINGERPRINT per round — (count,
+    * bit_xor of xxhash64(u, v)) over the distinct canonical edges: one
+    * cheap aggregate job, where the round-5 version paid a full
+    * count() PLUS a shuffle-compare exceptAll every round (two extra
+    * distributed jobs — it was the slowest bench entry). bit_xor is
+    * order-independent and overflow-free (sum would throw under ANSI),
+    * and over a DISTINCT edge set it is a proper set fingerprint. The
+    * moment the fingerprint repeats, the fixpoint is asserted EXACTLY
+    * once (one-way except — both sides distinct, counts already
+    * equal), so the output contract stays bit-exact; a 64-bit
+    * collision would fail loudly, never return a wrong labeling. At
+    * the fixpoint the edges form a star forest (child → component-min
+    * root); vertices with no edge label themselves. */
   def connectedStarContraction(
       vertices: DataFrame, edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    ccReleasePrior()
     def canon(e: DataFrame): DataFrame =
       e.select(greatest(col("u"), col("v")).as("u"),
           least(col("u"), col("v")).as("v"))
         .filter(col("u") =!= col("v")).distinct()
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
     // localCheckpoint (not persist) per round: truncates the logical
     // plan so Catalyst never re-optimizes the accumulated join tree —
     // see connectedMinLabels' doc
     var e = canon(edges.select(col("id_a").as("u"), col("id_b").as("v")))
       .localCheckpoint()
-    var eCount = e.count()
-    var converged = eCount == 0L
+    var eFp = fingerprint(e)
+    var converged = eFp._1 == 0L
     var iter = 0
     while (!converged && iter < maxIters) {
       // large-star around every center c (both edge directions)
@@ -394,19 +432,25 @@ object Dedup {
         withM.select(col("v").as("u"), col("m").as("v"))
           .unionByName(withM.select(col("u"), col("m").as("v"))))
         .localCheckpoint()
-      val nextCount = next.count()
-      // fixpoint test is exact: equal counts + empty one-way difference
-      converged = nextCount == eCount &&
-        next.exceptAll(e).isEmpty
+      val nFp = fingerprint(next)
+      if (nFp == eFp) {
+        // the once-at-exit exact assert (see doc): counts are equal, so
+        // an empty one-way difference proves set equality
+        require(next.exceptAll(e).isEmpty,
+          "star contraction: edge sets differ at equal fingerprint (64-bit collision)")
+        converged = true
+      }
       large.unpersist()
       e.unpersist()
       e = next
-      eCount = nextCount
+      eFp = nFp
       iter += 1
     }
     require(converged, s"star contraction did not converge in $maxIters rounds")
     // e stays checkpointed: the returned frame reads it, and a
-    // localCheckpoint's blocks are NOT recomputable once dropped
+    // localCheckpoint's blocks are NOT recomputable once dropped —
+    // released at the NEXT CC entry (see ccLiveBlocks)
+    ccRegister(e)
     vertices.select(col("id"))
       .join(e.select(col("u").as("id"), col("v").as("__root")), Seq("id"), "left")
       .select(col("id"), coalesce(col("__root"), col("id")).as("label"))
@@ -526,21 +570,39 @@ object Dedup {
     * shuffle (for the distinct + anti-join). Verification is exact
     * hash-set jaccard on candidate pairs only, against the same
     * portable hash family, so the whole pipeline replays in DuckDB.
+    *
+    * The broadcast is GUARDED, not assumed: the blocklist's dominant
+    * broadcast payload is its distinct gram-hash sets (`xs` —
+    * proportional to total blocklist TEXT, not document count), and a
+    * caller feeding a corpus-sized "blocklist" would otherwise die on
+    * Spark's 8 GB broadcast ceiling / driver heap at exactly the scale
+    * this operator advertises. One blocklist-side aggregate (cheap by
+    * the small-side contract; the corpus side is untouched) measures
+    * the payload; past `broadcastMaxGrams` (default 32M grams ≈ 256 MB
+    * of longs — comfortably inside executor and driver budgets) the
+    * hints are dropped and the join strategy is left to Catalyst +
+    * AQE, which re-plans from RUNTIME sizes: correct at any blocklist
+    * scale, merely slower than the map-side fast path.
     * Returns the surviving rows of `docs` (original schema). */
   def decontaminate(
       docs: DataFrame, blocklist: DataFrame, idCol: String, text: Column,
-      threshold: Double, h: Int = 32, b: Int = 16): DataFrame = {
+      threshold: Double, h: Int = 32, b: Int = 16,
+      broadcastMaxGrams: Long = 32L << 20): DataFrame = {
     val ds = minhashSignatures(docs, col(idCol), text, h)
     val bs = minhashSignatures(blocklist, col(idCol), text, h)
+    val blockGrams = bs.agg(coalesce(sum(size(col("xs"))), lit(0L)))
+      .head().getLong(0)
+    val hint: DataFrame => DataFrame =
+      if (blockGrams <= broadcastMaxGrams) broadcast else identity
     val dBands = ds.select(col("id"),
       explode(array(minhashBandKeys(h, b): _*)).as("band"))
     val bBands = bs.select(col("id").as("bid"),
       explode(array(minhashBandKeys(h, b): _*)).as("band"))
-    val cand = dBands.join(broadcast(bBands), Seq("band"))
+    val cand = dBands.join(hint(bBands), Seq("band"))
       .select(col("id"), col("bid")).distinct()
     val contaminated = cand
       .join(ds.select(col("id"), col("xs")), Seq("id"))
-      .join(broadcast(bs.select(col("id").as("bid"), col("xs").as("xs_b"))), Seq("bid"))
+      .join(hint(bs.select(col("id").as("bid"), col("xs").as("xs_b"))), Seq("bid"))
       .filter(jaccard(col("xs"), col("xs_b")) >= threshold)
       .select(col("id").as(idCol)).distinct()
     docs.join(contaminated, Seq(idCol), "left_anti")

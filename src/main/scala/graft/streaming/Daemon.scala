@@ -180,12 +180,16 @@ object Daemon {
     Ingest.compactFact(spark, factDir, channels)
   }
 
-  /** JDBC-sink twin of [[compactBeforePersist]], same replay guard:
-    * rows tagged with THIS trigger's batchId can only be the
-    * uncommitted leftover of a crashed attempt (no ledger row), and
-    * folding them into the kept set — followed by the replayed
-    * persist's scrub of that batchId — could evict committed history
-    * in their favor and then delete them. Scrub first, compact after. */
+  /** JDBC-sink twin of [[compactBeforePersist]]. Rows tagged with THIS
+    * trigger's batchId are in one of two states, distinguished by the
+    * ledger marker: no marker → a crashed attempt's partials (folding
+    * them into the kept set, followed by the replayed persist's scrub,
+    * could evict committed history in their favor and then delete
+    * them — so scrub first, compact after); marker present → the batch
+    * COMMITTED and only the checkpoint commit was lost, so the scrub
+    * must not touch it (the replayed persist will no-op and the rows
+    * compact like any other committed batch). scrubUncommittedBatch
+    * makes that distinction internally. */
   def compactBeforePersistJdbc(
       spark: SparkSession,
       url: String,

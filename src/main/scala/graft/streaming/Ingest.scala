@@ -188,10 +188,37 @@ object Ingest {
     try f(c) finally c.close()
   }
 
+  /** Table-existence probe that respects how THIS database stores
+    * unquoted identifiers (JDBC metadata is exact-match). Derby folds
+    * them upper; MySQL on Linux stores them case-sensitively as
+    * written — a hardcoded toUpperCase (the original Derby-ism) misses
+    * lowercase tables there, so every batch would retry CREATE TABLE
+    * and die on "table already exists". */
   private def jdbcTableExists(c: java.sql.Connection, t: String): Boolean = {
-    val rs = c.getMetaData.getTables(null, null, t.toUpperCase, null)
-    try rs.next() finally rs.close()
+    val md = c.getMetaData
+    val stored =
+      if (md.storesUpperCaseIdentifiers) t.toUpperCase
+      else if (md.storesLowerCaseIdentifiers) t.toLowerCase
+      else t
+    (Seq(stored, t).distinct: Seq[String]).exists { name =>
+      val rs = md.getTables(null, null, name, null)
+      try rs.next() finally rs.close()
+    }
   }
+
+  /** Has `batchId` been ledger-committed? The ledger row is the commit
+    * marker persistBatchJdbc writes LAST — its presence means the
+    * batch's data rows are fully landed and must never be scrubbed. */
+  private def ledgerHasBatch(
+      c: java.sql.Connection, ledger: String, batchId: Long): Boolean =
+    jdbcTableExists(c, ledger) && {
+      val ps = c.prepareStatement(s"SELECT 1 FROM $ledger WHERE batch_id = ?")
+      try {
+        ps.setLong(1, batchId)
+        val rs = ps.executeQuery()
+        try rs.next() finally rs.close()
+      } finally ps.close()
+    }
 
   /** Delete rows tagged with `batchId` — a crashed attempt's partials.
     * Spark's JDBC writer creates columns QUOTED (case-preserving), so
@@ -210,17 +237,13 @@ object Ingest {
     val committed = withJdbc(url) { c =>
       if (!jdbcTableExists(c, ledger)) {
         val st = c.createStatement()
-        try st.executeUpdate(s"CREATE TABLE $ledger (batch_id BIGINT PRIMARY KEY)")
+        // tolerate losing a create race (or a metadata probe that saw
+        // a different stored case): the table existing is the goal
+        try { st.executeUpdate(s"CREATE TABLE $ledger (batch_id BIGINT PRIMARY KEY)"); () }
+        catch { case e: java.sql.SQLException => if (!jdbcTableExists(c, ledger)) throw e }
         finally st.close()
-        false
-      } else {
-        val ps = c.prepareStatement(s"SELECT 1 FROM $ledger WHERE batch_id = ?")
-        try {
-          ps.setLong(1, batchId)
-          val rs = ps.executeQuery()
-          try rs.next() finally rs.close()
-        } finally ps.close()
       }
+      ledgerHasBatch(c, ledger, batchId)
     }
     if (committed) return
     withJdbc(url) { c =>
@@ -236,11 +259,20 @@ object Ingest {
 
   /** Public replay-guard entry for the daemon's in-loop JDBC
     * compaction (see Daemon.compactBeforePersistJdbc): delete rows of
-    * a batch that has NOT been ledger-committed. No-op when the fact
-    * table doesn't exist yet. */
+    * a batch that has NOT been ledger-committed. The ledger check is
+    * load-bearing, not an optimization: a trigger can crash AFTER
+    * persistBatchJdbc fully committed (data + ledger marker) but
+    * BEFORE the streaming checkpoint commit. The replayed trigger
+    * then re-enters the compaction path with the same batchId — an
+    * unconditional scrub would delete the committed rows, after which
+    * the replayed persist sees the marker and no-ops: the batch would
+    * be permanently lost. Rows tagged batchId are scrubbed ONLY while
+    * no marker exists (then they are provably a crashed attempt's
+    * partials). No-op when the fact table doesn't exist yet. */
   def scrubUncommittedBatch(url: String, table: String, batchId: Long): Unit =
     withJdbc(url) { c =>
-      if (jdbcTableExists(c, table)) scrubBatchJdbc(c, table, batchId)
+      if (!ledgerHasBatch(c, s"${table}_batches", batchId) &&
+        jdbcTableExists(c, table)) scrubBatchJdbc(c, table, batchId)
     }
 
   /** D9 over a JDBC fact sink: compute the kept set, stage it
@@ -470,13 +502,25 @@ object Ingest {
     * keep everything (left join, null guard). The unique `id`
     * tiebreaker makes the cutoff exact under duplicate timestamps —
     * same semantics as the reference's id-ordered delete
-    * (daq-3i.py:209-214). Returns the rewritten partition values. */
+    * (daq-3i.py:209-214). Returns the rewritten partition values.
+    *
+    * Each hot partition installs via the same two-rename + .bak
+    * protocol as [[compactFact]] (never delete data before its
+    * replacement is in place): the old partition moves aside into
+    * `<factDir>.pbak/<part>=<v>` — a SIBLING of factDir, so a crash
+    * can never leave a directory that partition discovery would read
+    * as a bogus partition value — then the compacted partition renames
+    * in, then the .bak drops. [[recoverFactPartitions]] is the startup
+    * sweep for the crash windows; it runs at the head of every
+    * compaction pass too, so an unswept crash self-heals on the next
+    * sweep even if the embedding process skips startup recovery. */
   def compactFactPartitioned(
       spark: SparkSession,
       factDir: String,
       channels: DataFrame,
       partCol: String = "day"): Seq[String] = {
     import org.apache.spark.sql.expressions.Window
+    recoverFactPartitions(spark, factDir)
     val fact = spark.read.parquet(factDir)
     val dataCols = fact.columns.filterNot(_ == partCol).map(col).toSeq
     val w = Window.partitionBy(col("channel_id"))
@@ -509,17 +553,52 @@ object Ingest {
     cutoffs.unpersist()
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(factDir).getFileSystem(conf)
+    val bakRoot = new org.apache.hadoop.fs.Path(factDir + ".pbak")
+    fs.mkdirs(bakRoot)
     hot.foreach { d =>
       val dst = new org.apache.hadoop.fs.Path(s"$factDir/$partCol=$d")
       val src = new org.apache.hadoop.fs.Path(s"$tmp/$partCol=$d")
-      fs.delete(dst, true)
+      val bak = new org.apache.hadoop.fs.Path(bakRoot, s"$partCol=$d")
+      // two-rename swap: the original data is ALWAYS recoverable from
+      // exactly one of {dst, bak} at every crash point
+      fs.delete(bak, true)
+      if (fs.exists(dst) && !fs.rename(dst, bak))
+        throw new java.io.IOException(s"compactFactPartitioned: cannot move $dst aside")
       // a hot partition whose kept set is empty has no swap dir — the
-      // delete above IS its compaction (all rows were victims)
-      if (fs.exists(src) && !fs.rename(src, dst))
+      // move-aside + bak drop IS its compaction (all rows were victims)
+      if (fs.exists(src) && !fs.rename(src, dst)) {
+        fs.rename(bak, dst) // roll back
         throw new java.io.IOException(s"compactFactPartitioned: cannot install $src")
+      }
+      fs.delete(bak, true)
     }
+    fs.delete(bakRoot, true)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     hot
+  }
+
+  /** Crash recovery for [[compactFactPartitioned]]'s per-partition
+    * swaps — the partitioned twin of [[recoverFactDir]]. A swap that
+    * died between its two renames leaves the partition's data under
+    * `<factDir>.pbak/` and no destination — restore it; a .bak whose
+    * destination EXISTS is a completed swap's leftover — drop it. Like
+    * recoverFactDir, run this before anything else writes the layout
+    * after a crash; every compaction pass also runs it first. */
+  def recoverFactPartitions(spark: SparkSession, factDir: String): Unit = {
+    val bakRoot = new org.apache.hadoop.fs.Path(factDir + ".pbak")
+    val fs = bakRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(bakRoot)) {
+      fs.listStatus(bakRoot).foreach { st =>
+        val dst = new org.apache.hadoop.fs.Path(factDir, st.getPath.getName)
+        if (!fs.exists(dst)) {
+          if (!fs.rename(st.getPath, dst))
+            throw new java.io.IOException(
+              s"recoverFactPartitions: cannot restore ${st.getPath}")
+        } else fs.delete(st.getPath, true)
+      }
+      fs.delete(bakRoot, true)
+      ()
+    }
   }
 
   /** D8: flush the status table at startup (daq_status.py:19-33). */

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 /** Dump a query's FINAL executed plan (post-AQE: after execution, so
   * runtime exchange reuse / skew handling are visible) for plan
@@ -9,14 +8,8 @@ object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
     val names = args.tail
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = graft.model.Tables.withSessionDefaults(SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.model.Tables.buildLocalSession(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     names.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       // execute THIS QueryExecution (a .write would build a fresh one,

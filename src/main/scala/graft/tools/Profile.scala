@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 /** Time individual queries warm (2 runs each) for plan iteration.
   * Usage: sbt "runMain graft.tools.Profile <sfDir> <query...>" */
@@ -8,14 +7,8 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
     val names = args.tail
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = graft.model.Tables.withSessionDefaults(SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.model.Tables.buildLocalSession(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       (1 to 2).foreach { i =>

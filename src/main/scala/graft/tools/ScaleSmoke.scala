@@ -45,21 +45,10 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
 
-  private def buildSession(): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = graft.model.Tables.withSessionDefaults(SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // long measurement sessions accumulate shuffle/broadcast state
-      // that only a driver GC lets the ContextCleaner release; with a
-      // large heap that GC may never come on its own (default 30min)
-      .config("spark.cleaner.periodicGC.interval", "2min")
-      .config("spark.ui.enabled", "false"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark
-  }
+  // shared with Bench/Verify — see Tables.buildLocalSession's doc for
+  // why the periodicGC pin and fresh-session discipline live THERE
+  private def buildSession(): SparkSession =
+    graft.model.Tables.buildLocalSession()
 
   def main(args: Array[String]): Unit = {
     args.headOption.getOrElse("dedup") match {
@@ -114,11 +103,16 @@ object ScaleSmoke {
   private def noopForce(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
-  /** Whole-query-set 1x vs Nx proof run → JSON. */
+  /** Whole-query-set 1x vs Nx proof run → JSON. Optional 4th arg: a
+    * comma-separated query subset (e.g. the aggregate family at
+    * copies=100, where amplifying and sweeping all 69 queries would
+    * dominate the run for four data points). */
   def fullSet(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = args.drop(1).headOption.map(_.toInt).getOrElse(10)
     val outJson = args.drop(2).headOption.getOrElse("SCALE_r05.json")
+    val subset: Seq[String] =
+      args.drop(3).headOption.toSeq.flatMap(_.split(",")).map(_.trim)
     val ampDir = java.nio.file.Files.createTempDirectory("graft_amp").toString
     val ampSession = buildSession()
     try {
@@ -163,8 +157,8 @@ object ScaleSmoke {
         } finally spark.stop()
       }
 
-      val base = sweep(sfDir)
-      val amp = sweep(ampDir)
+      val base = sweep(sfDir, subset)
+      val amp = sweep(ampDir, subset)
       val names = base.keys.toSeq.sorted
       def ratioOf(n: String): Double = {
         val (t1, tn) = (base(n)._1, amp(n)._1)
@@ -247,10 +241,30 @@ ${entries.mkString(",\n")}
         lit("en").as("lang"), lit("hot").as("source"),
         (length(lit(seedText)) + lit(12)).cast("long").as("n_chars"))
       bg.unionByName(hot).write.parquet(s"$dir/documents.parquet")
-      spark.read.parquet(s"$sfDir/embeddings.parquet")
-        .write.parquet(s"$dir/embeddings.parquet")
+      // embedding twin of the text hot band: `variants` DISTINCT
+      // vectors around one seed, each perturbed on coordinate 0 by a
+      // different tiny step — exact-vector collapse cannot absorb them
+      // (all distinct), yet the perturbation is far too small to flip
+      // a hyperplane sign, so every LSH band hashes them into the SAME
+      // bucket: the adversarial case for dd_embed_cos / s_ann_lsh's
+      // banded blocking
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val nE = emb.count()
+      val ebg = emb
+        .crossJoin(spark.range(2).select($"id".as("__copy")))
+        .select(($"vec_id" + $"__copy" * lit(1000000L)).as("vec_id"),
+          $"embedding", $"label")
+      val seedVec = emb.orderBy($"vec_id").select($"embedding")
+        .head().getSeq[Float](0)
+      val hotE = spark.range(variants).select(
+        ($"id" + lit(500000000L)).as("vec_id"),
+        array((lit(seedVec.head) + ($"id" + 1L).cast("float") * lit(1e-6f))
+            .cast("float") +: seedVec.tail.map(f => lit(f)): _*).as("embedding"),
+        lit("hot").as("label"))
+      ebg.unionByName(hotE).write.parquet(s"$dir/embeddings.parquet")
       val total = n * 2 + variants
       println(s"SKEW corpus: $total docs, hot band = $variants distinct near-identical texts (${100 * variants / total}%)")
+      println(s"SKEW embeddings: ${nE * 2 + variants} vectors, hot bucket = $variants distinct near-identical vectors")
 
       // task-level skew metrics: if the hot bucket serialized into one
       // task, max task time ≈ whole-stage time; AQE's skew-join split
@@ -264,7 +278,8 @@ ${entries.mkString(",\n")}
       }
       spark.sparkContext.addSparkListener(listener)
       try {
-        for (q <- Seq("dd_minhash_lsh", "dd_apply_lsh", "dd_simhash")) {
+        for (q <- Seq("dd_minhash_lsh", "dd_apply_lsh", "dd_simhash",
+            "dd_embed_cos", "s_ann_lsh")) {
           durations.clear()
           val t0 = System.nanoTime()
           val rows = graft.SparkEntry.queries(q)(spark, dir).count()

@@ -99,13 +99,30 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(byBytes.forall(_ >= 2)) // every vector has its twin
   }
 
-  test("floatVectorBytes: null element -> null key; null array -> null; non-float rejected") {
+  test("floatVectorBytes: null elements keyed injectively; null array -> null; non-float rejected") {
     import spark.implicits._
+    // distinct null-carrying vectors must stay distinct (the earlier
+    // null-element -> null-key shortcut merged them, contradicting raw
+    // array<float> grouping); equal ones must still collide, and null
+    // position matters
     val df = Seq(
       (1L, Option(Seq(Option(1.0f), None))),
-      (2L, Option.empty[Seq[Option[Float]]])).toDF("id", "v")
-    val r = df.select(VectorExpressions.floatVectorBytes($"v")).collect()
-    assert(r.forall(_.isNullAt(0)))
+      (2L, Option(Seq(Option(2.0f), None))),
+      (3L, Option(Seq(Option(1.0f), None))), // same group as 1
+      (4L, Option(Seq(None, Option(1.0f)))), // null in a different slot
+      (5L, Option.empty[Seq[Option[Float]]])).toDF("id", "v")
+    val keyed = df.select($"id", VectorExpressions.floatVectorBytes($"v").as("k"))
+    assert(keyed.filter($"id" === 5L).head().isNullAt(1)) // null ARRAY -> null key
+    val groups = keyed.filter($"k".isNotNull)
+      .groupBy($"k").agg(collect_list($"id").as("ids"))
+      .collect().map(_.getSeq[Long](1).sorted.toSeq).sortBy(_.head)
+    assert(groups.toSeq == Seq(Seq(1L, 3L), Seq(2L), Seq(4L)))
+    // and the key partitions EXACTLY like the raw array under grouping
+    val byArray = df.groupBy($"v").count().collect()
+      .map(_.getLong(1)).sorted.toSeq
+    val byBytes = df.groupBy(VectorExpressions.floatVectorBytes($"v")).count()
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(byBytes == byArray)
     val bad = Seq((1, Seq(1.0))).toDF("n", "d")
     val ex = intercept[AnalysisException] {
       bad.select(VectorExpressions.floatVectorBytes($"d")).queryExecution.analyzed

@@ -331,6 +331,26 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(kept == 2L)
   }
 
+  test("decontaminate past the broadcast cap keeps identical survivors (AQE path)") {
+    import spark.implicits._
+    // broadcastMaxGrams = 0 forces the no-hint strategy a corpus-sized
+    // blocklist would take (the force-broadcast would die on the 8 GB
+    // ceiling there) — survivors must not depend on the join strategy
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "completely unrelated content about something else"),
+      (4L, "short"))
+      .toDF("doc_id", "text")
+    val blocklist = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    def ids(cap: Long) =
+      Dedup.decontaminate(docs, blocklist, "doc_id", $"text", 0.5,
+          broadcastMaxGrams = cap)
+        .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(0L) == ids(Long.MaxValue) && ids(0L) == Seq(3L, 4L))
+  }
+
   test("star contraction labels a long chain in O(log n) rounds where min-label cannot") {
     import spark.implicits._
     // path graph 0-1-2-...-199: diameter 199 >> any near-dup clique's.
@@ -366,6 +386,26 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(a == b)
     // sanity: the bridge merged the cliques under label 0
     assert(a.toMap.apply(13L) == 0L && a.toMap.apply(25L) == 20L)
+  }
+
+  test("repeated CC executions in one session do not accumulate storage blocks") {
+    // round 5's bench degradation trigger: both CC functions returned
+    // localCheckpoint-backed frames nobody unpersisted, so executing a
+    // CC query 4x (exactly what Bench does) accumulated storage blocks
+    // session-wide. The deferred-release registry frees the previous
+    // invocation's blocks at the next CC entry — repeated executions
+    // must hold a CONSTANT number of blocks.
+    val sf = "/root/testdata/sf0.001"
+    def run(name: String): Unit =
+      graft.SparkEntry.queries(name)(spark, sf)
+        .write.format("noop").mode("overwrite").save()
+    run("dd_cluster_star")
+    run("dd_cluster_star")
+    val after2 = spark.sparkContext.getPersistentRDDs.size
+    run("dd_cluster_star")
+    run("dd_cluster") // registry is shared: min-label releases star's blocks too
+    assert(spark.sparkContext.getPersistentRDDs.size <= after2,
+      "storage blocks grew across repeated CC executions")
   }
 
   test("simhashChunksAgg handles book-length docs exactly (no packed-counter ceiling)") {

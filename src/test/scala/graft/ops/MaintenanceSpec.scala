@@ -157,4 +157,31 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
     val after = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
     assert(after == before)
   }
+
+  test("recoverFactPartitions restores a swap that died between its two renames") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pbak").toString + "/fact"
+    (1L to 4L).map(i => (i, 1L, i, s"2026-03-0${i}"))
+      .toDF("id", "channel_id", "ts", "day")
+      .write.partitionBy("day").parquet(dir)
+    val before = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the crash window: partition moved aside to .pbak, the
+    // replacement never renamed in (day=2026-03-02 is simply GONE from
+    // the live layout — the old delete+rename protocol lost it here)
+    val bakRoot = new org.apache.hadoop.fs.Path(dir + ".pbak")
+    fs.mkdirs(bakRoot)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$dir/day=2026-03-02"),
+      new org.apache.hadoop.fs.Path(bakRoot, "day=2026-03-02")))
+    assert(spark.read.parquet(dir).count() == 3)
+    // a completed swap's leftover .bak (destination exists) must be
+    // dropped, not restored over the new data
+    fs.mkdirs(new org.apache.hadoop.fs.Path(bakRoot, "day=2026-03-03"))
+    graft.streaming.Ingest.recoverFactPartitions(spark, dir)
+    val after = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    assert(after == before)
+    assert(!fs.exists(bakRoot))
+  }
 }

@@ -96,6 +96,37 @@ class RecoverySpec extends AnyFunSuite with SparkSpec {
     assert(got == want)
   }
 
+  test("JDBC replay of a COMMITTED batch with compaction due does not lose the batch") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftjdbccommitted;create=true"
+    val table = "fact_jdbc_c"
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    def mk(base: Long) = (0 until 3).map { i =>
+      (1L, ts(base + i), BigDecimal((base + i) * 10).setScale(6))
+    }.toDF("channel_id", "ts", "value")
+      .select($"channel_id", $"ts", $"value".cast("decimal(25,6)"))
+    val channels = Seq((1L, 100)).toDF("id", "history_len")
+
+    Ingest.persistBatchJdbc(mk(100), 0L, url, table)
+    Ingest.persistBatchJdbc(mk(200), 1L, url, table)
+    // trigger 2 crashes AFTER persistBatchJdbc fully committed (data +
+    // ledger marker) but BEFORE the streaming checkpoint commit
+    Ingest.persistBatchJdbc(mk(300), 2L, url, table)
+    // the replayed trigger 2 hits the compaction interval: the scrub
+    // must see the ledger marker and leave batch 2's rows alone — an
+    // unconditional scrub would delete them and the replayed persist
+    // below would then no-op, losing the batch permanently
+    Daemon.compactBeforePersistJdbc(spark, url, table, channels, 2L)
+    Ingest.persistBatchJdbc(mk(300), 2L, url, table)
+
+    val got = Ingest.readFactJdbc(spark, url, table)
+      .select($"ts".cast("long"), $"value".cast("double")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    val want = Seq(100L, 200L, 300L).flatMap(b => (0 until 3)
+      .map(i => (b + i, (b + i) * 10.0))).sorted
+    assert(got == want)
+  }
+
   test("replayed trigger's compaction does not fold its own uncommitted batch") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_fold").toString
