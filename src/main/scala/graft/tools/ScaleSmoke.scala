@@ -260,7 +260,7 @@ ${entries.mkString(",\n")}
         ($"id" + lit(500000000L)).as("vec_id"),
         array((lit(seedVec.head) + ($"id" + 1L).cast("float") * lit(1e-6f))
             .cast("float") +: seedVec.tail.map(f => lit(f)): _*).as("embedding"),
-        lit("hot").as("label"))
+        lit(999).cast("int").as("label")) // label is int32 in the driver schema
       ebg.unionByName(hotE).write.parquet(s"$dir/embeddings.parquet")
       val total = n * 2 + variants
       println(s"SKEW corpus: $total docs, hot band = $variants distinct near-identical texts (${100 * variants / total}%)")
