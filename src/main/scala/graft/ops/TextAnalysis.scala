@@ -127,7 +127,80 @@ object TextAnalysis {
   def shingleFingerprint(text: Column, k: Int = 8): Column =
     shingleFingerprintOf(lower(text), k)
 
+  /** Global token offsets + fixed-budget shard assignment — the
+    * "where does each document land in the training shards" step a
+    * pipeline runs after filtering/dedup: every document gets its
+    * starting offset in the doc_id-ordered token stream, and
+    * `shard = floor(offset / budget)` names the shard whose token
+    * budget it starts in.
+    *
+    * The naive plan is one GLOBAL window (`Window.orderBy(id)` with no
+    * partitioning) — a single-partition sort that serializes the whole
+    * corpus through one task. This is instead the classic two-phase
+    * prefix sum, bucketed on the key:
+    *
+    *  - phase 1: per id-bucket token totals (one hash aggregate), then
+    *    the running offset of each BUCKET via a window over the bucket
+    *    table — the only globally-ordered structure in the plan, and
+    *    it is BOUNDED (≈ rows / bucketWidth; pick bucketWidth so the
+    *    bucket table stays thousands of rows at any corpus size);
+    *  - phase 2: per-bucket LOCAL prefix sums — a window partitioned
+    *    by bucket, parallel across buckets — plus the broadcast bucket
+    *    offsets, summed per row.
+    *
+    * Tokenization runs twice (both phases scan the corpus,
+    * column-pruned); a 100 TB pipeline materializes the tiny
+    * (id, n_tokens) projection first and feeds it here. Offsets are
+    * exact longs; the budget division goes through double (exact to
+    * 2^53 — beyond any real token count). */
+  def packShards(
+      docs: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      budget: Long, bucketWidth: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(id.as("doc_id"),
+        size(tokens(text)).cast("long").as("n_tokens"))
+      .withColumn("__bucket", floor(col("doc_id") / lit(bucketWidth)))
+    val wB = Window.orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy(col("__bucket"))
+      .agg(sum(col("n_tokens")).as("__btotal"))
+      .withColumn("__boff", coalesce(sum(col("__btotal")).over(wB), lit(0L)))
+    val wL = Window.partitionBy(col("__bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .join(broadcast(offsets.select(col("__bucket"), col("__boff"))), Seq("__bucket"))
+      .withColumn("token_offset",
+        col("__boff") + coalesce(sum(col("n_tokens")).over(wL), lit(0L)))
+      .withColumn("shard",
+        floor(col("token_offset").cast("double") / lit(budget.toDouble)).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("token_offset"), col("shard"))
+  }
+
   val queries: Seq[QueryDef] = Seq(
+
+    // Training-shard packing: global token offset per document and the
+    // fixed-budget shard it starts in — distributed as a bucketed
+    // two-phase prefix sum (see packShards), never a global
+    // single-partition window.
+    QueryDef(
+      "t_pack",
+      (s, d) => {
+        import s.implicits._
+        packShards(table(s, d, "documents"), $"doc_id", $"text",
+            budget = 5000L, bucketWidth = 100L)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id,
+                       CAST(len([x for x in string_split_regex(lower(text), '\s+') if x != '']) AS BIGINT) AS n_tokens
+                FROM documents),
+              o AS (
+                SELECT doc_id, n_tokens,
+                       CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
+                FROM t)
+              SELECT doc_id, n_tokens, token_offset,
+                     CAST(floor(CAST(token_offset AS DOUBLE) / 5000.0) AS BIGINT) AS shard
+              FROM o ORDER BY doc_id""")),
 
     QueryDef(
       "t_text_stats",

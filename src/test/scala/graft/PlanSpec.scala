@@ -92,6 +92,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("t_pack: prefix sum is bucketed two-phase — corpus never crosses a single-partition exchange") {
+    val p = plan("t_pack")
+    // the only SinglePartition structure is the BOUNDED bucket-offset
+    // window (≈ rows / bucketWidth); the corpus-level prefix sum runs
+    // partitioned by bucket, and the offsets join back by broadcast
+    assert(count(p, "Exchange SinglePartition") == 1, p)
+    assert(p.contains("Exchange hashpartitioning(__bucket"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_rolling_range: RANGE frame ranks inside one key shuffle") {
     val p = plan("q_rolling_range")
     assert(p.contains("Window"), p)

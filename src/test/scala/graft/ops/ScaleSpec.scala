@@ -32,6 +32,31 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(maxGroup < 20000 * 0.9 / 4, s"salting failed to spread: $maxGroup")
   }
 
+  test("packShards: offsets equal the sequential scan; bucket width never changes the answer") {
+    import spark.implicits._
+    // sparse, shuffled doc_ids with a zero-token doc and a doc bigger
+    // than the whole budget — the offsets must equal a driver-side
+    // sequential scan over id order, for ANY bucketing
+    val docs = Seq(
+      (7L, "a b c"), (2L, "x y"), (40L, ""), (13L, "one two three four five"),
+      (100L, ("t " * 17).trim), (3L, "q"))
+      .toDF("doc_id", "text").repartition(5)
+    val expected = docs.select($"doc_id",
+        size(TextAnalysis.tokens($"text")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .foldLeft((0L, Vector.empty[(Long, Long, Long, Long)])) {
+        case ((off, acc), (id, n)) =>
+          (off + n, acc :+ ((id, n, off, off / 6L)))
+      }._2
+    for (width <- Seq(1L, 3L, 1000L)) {
+      val got = TextAnalysis.packShards(docs, $"doc_id", $"text",
+          budget = 6L, bucketWidth = width)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toVector
+      assert(got == expected, s"bucketWidth=$width")
+    }
+  }
+
   test("amplifyDatabase: FK-consistent replicas — no orphans, exact Nx join cardinality, saturated text") {
     import spark.implicits._
     // the 10x scale-proof corpus (SCALE_r05.json) is only meaningful if
