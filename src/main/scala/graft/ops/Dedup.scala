@@ -608,6 +608,99 @@ object Dedup {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** The embeddings table prepared for the embedding near-dup family:
+    * doubles, precomputed norm, and the grouping-safe exact-equality
+    * key. The group key is a codegen'd BINARY fingerprint of the
+    * vector, NOT the raw array<float>: keying on the float array makes
+    * NormalizeFloatingNumbers wrap it in an interpreted transform(...)
+    * that the window sort then evaluates per comparison
+    * (FloatVectorBytes doc has the full autopsy); bytes-equal <=>
+    * float-equal under grouping semantics, so the groups — and the
+    * oracle, which partitions by embedding — are unchanged. */
+  private def embedAll(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    table(s, d, "embeddings")
+      .select($"vec_id", $"embedding", Similarity.asDouble($"embedding").as("v"))
+      .withColumn("norm", Similarity.l2norm($"v"))
+      .withColumn("vkey",
+        graft.functions.VectorExpressions.floatVectorBytes($"embedding"))
+  }
+
+  /** Verified cosine pairs over exact-vector group REPRESENTATIVES:
+    * banded hyperplane-LSH candidates + exact dot-product verify —
+    * the pairwise stage shared by dd_embed_cos (which expands the
+    * pairs back to members) and dd_embed_cluster (which runs
+    * connected components over them). */
+  private def embedRepPairs(reps0: DataFrame): DataFrame = {
+    val reps = reps0.select(col("vec_id"), col("v"), col("norm"))
+    // empty-safe dim probe (LIMIT-1 scan) so the 64 plane
+    // evaluations compile to constant-vector DotProducts instead
+    // of interpreted HOFs — the corpus dimension is fixed per
+    // table; a mismatched row fails loudly instead of silently
+    // dropping from candidate generation
+    val banded = reps.select(col("vec_id"),
+      explode(Similarity.bandBucketsProbed(reps, col("v"), bands = 8, r = 8)).as("bkt"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(reps.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("norm").as("n_a")), Seq("id_a"))
+      .join(reps.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("norm").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cos"))
+      .filter(col("cos") >= 0.4)
+  }
+
+  /** Reps whose self-cosine reaches the threshold — the eligibility
+    * gate for within-group pairing (a zero-norm vector never pairs,
+    * not even with its exact twins: cosine is undefined for it). */
+  private def embedEligibleReps(reps: DataFrame): DataFrame =
+    reps.filter(
+      (Similarity.dot(col("v"), col("v")) / (col("norm") * col("norm"))) >= 0.4)
+
+  /** DuckDB replay of the embedding pair pipeline up to the verified
+    * rep pairs (`upairs`) and the eligible-rep self-cosines
+    * (`selfcos`) — shared by dd_embed_cos (appends the member-pair
+    * expansion) and dd_embed_cluster (appends the recursive component
+    * closure). CTE bodies are byte-for-byte the round-5 oracle. */
+  private lazy val embedOracleCtes: String =
+    """g AS (
+                SELECT vec_id, embedding,
+                       min(vec_id) OVER (PARTITION BY embedding) AS mn
+                FROM embeddings),
+              e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS nrm
+                FROM g WHERE vec_id = mn),
+              b AS (
+                SELECT vec_id,
+                       [bb * 256 + list_sum([CASE WHEN list_dot_product(v,
+                            [CAST(((1103515245::BIGINT * ((bb * 8 + q) * 1048576 + i) + 12345) % 2147483648) AS DOUBLE)
+                               / 2147483648.0 - 0.5
+                             for i in range(len(v))]) >= 0.0
+                          THEN (1 << (7 - q)) ELSE 0 END
+                          for q in range(8)])
+                        for bb in range(8)] AS bkts
+                FROM e),
+              cand AS (
+                SELECT a.vec_id AS id_a, c.vec_id AS id_b
+                FROM b a JOIN b c ON a.vec_id < c.vec_id
+                WHERE len(list_intersect(a.bkts, c.bkts)) > 0),
+              upairs AS (
+                SELECT cand.id_a, cand.id_b,
+                       list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cos
+                FROM cand
+                JOIN e x ON x.vec_id = cand.id_a
+                JOIN e y ON y.vec_id = cand.id_b
+                WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4),
+              selfcos AS (
+                SELECT vec_id AS mn, list_dot_product(v, v) / (nrm * nrm) AS cos
+                FROM e
+                WHERE list_dot_product(v, v) / (nrm * nrm) >= 0.4)"""
+
   /** Shared oracle CTE chain replaying [[minhashNearDups]] in DuckDB
     * up to the verified (id_a, id_b, sim) pair set; consumers append
     * their own threshold filter / anti-join. */
@@ -1129,78 +1222,20 @@ object Dedup {
         // bytes-equal <=> float-equal under grouping semantics, so the
         // groups — and the oracle, which partitions by embedding — are
         // unchanged
-        val embAll = table(s, d, "embeddings")
-          .select($"vec_id", $"embedding", Similarity.asDouble($"embedding").as("v"))
-          .withColumn("norm", Similarity.l2norm($"v"))
-          .withColumn("vkey",
-            graft.functions.VectorExpressions.floatVectorBytes($"embedding"))
-        collapseExpandPairs(embAll, "vec_id", Seq($"vkey")) { reps0 =>
-          val reps = reps0.select($"vec_id", $"v", $"norm")
-          // empty-safe dim probe (LIMIT-1 scan) so the 64 plane
-          // evaluations compile to constant-vector DotProducts instead
-          // of interpreted HOFs — the corpus dimension is fixed per
-          // table; a mismatched row fails loudly instead of silently
-          // dropping from candidate generation
-          val banded = reps.select($"vec_id",
-            explode(Similarity.bandBucketsProbed(reps, $"v", bands = 8, r = 8)).as("bkt"))
-          val cand = banded.as("a")
-            .join(banded.as("b"),
-              col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
-            .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-            .distinct()
-          cand
-            .join(reps.select($"vec_id".as("id_a"), $"v".as("v_a"), $"norm".as("n_a")), Seq("id_a"))
-            .join(reps.select($"vec_id".as("id_b"), $"v".as("v_b"), $"norm".as("n_b")), Seq("id_b"))
-            .select($"id_a", $"id_b",
-              (Similarity.dot($"v_a", $"v_b") / ($"n_a" * $"n_b")).as("cos"))
-            .filter($"cos" >= 0.4)
-        } { reps =>
-          reps
+        collapseExpandPairs(embedAll(s, d), "vec_id", Seq($"vkey"))(
+          embedRepPairs) { reps =>
+          embedEligibleReps(reps)
             .select($"vec_id".as("__min"),
               (Similarity.dot($"v", $"v") / ($"norm" * $"norm")).as("cos"))
-            .filter($"cos" >= 0.4)
         }
       },
-      Some("""WITH g AS (
-                SELECT vec_id, embedding,
-                       min(vec_id) OVER (PARTITION BY embedding) AS mn
-                FROM embeddings),
-              e AS (
-                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                             CAST(embedding AS DOUBLE[]))) AS nrm
-                FROM g WHERE vec_id = mn),
-              b AS (
-                SELECT vec_id,
-                       [bb * 256 + list_sum([CASE WHEN list_dot_product(v,
-                            [CAST(((1103515245::BIGINT * ((bb * 8 + q) * 1048576 + i) + 12345) % 2147483648) AS DOUBLE)
-                               / 2147483648.0 - 0.5
-                             for i in range(len(v))]) >= 0.0
-                          THEN (1 << (7 - q)) ELSE 0 END
-                          for q in range(8)])
-                        for bb in range(8)] AS bkts
-                FROM e),
-              cand AS (
-                SELECT a.vec_id AS id_a, c.vec_id AS id_b
-                FROM b a JOIN b c ON a.vec_id < c.vec_id
-                WHERE len(list_intersect(a.bkts, c.bkts)) > 0),
-              upairs AS (
-                SELECT cand.id_a, cand.id_b,
-                       list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cos
-                FROM cand
-                JOIN e x ON x.vec_id = cand.id_a
-                JOIN e y ON y.vec_id = cand.id_b
-                WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4),
+      Some(s"""WITH $embedOracleCtes,
               cross_pairs AS (
                 SELECT least(ma.vec_id, mb.vec_id) AS id_a,
                        greatest(ma.vec_id, mb.vec_id) AS id_b, u.cos
                 FROM upairs u
                 JOIN g ma ON ma.mn = u.id_a
                 JOIN g mb ON mb.mn = u.id_b),
-              selfcos AS (
-                SELECT vec_id AS mn, list_dot_product(v, v) / (nrm * nrm) AS cos
-                FROM e
-                WHERE list_dot_product(v, v) / (nrm * nrm) >= 0.4),
               within_pairs AS (
                 SELECT x.vec_id AS id_a, y.vec_id AS id_b, s.cos
                 FROM g x JOIN g y ON x.mn = y.mn AND x.vec_id < y.vec_id
@@ -1209,6 +1244,50 @@ object Dedup {
               UNION ALL
               SELECT id_a, id_b, cos FROM within_pairs
               ORDER BY id_a, id_b""")),
+
+    // Embedding near-dup CLUSTERS: connected components over the
+    // verified cosine pair graph — the canonicalization step an
+    // image/embedding dedup pipeline runs after pairing, exactly as
+    // dd_cluster does for text. Components run on exact-vector group
+    // REPRESENTATIVES only (twins share every band bucket and every
+    // cosine, so a member's component is its rep's component); members
+    // of eligible groups inherit the rep's cluster, zero-norm vectors
+    // (cosine undefined — never pair, not even with their twins) are
+    // singletons. Reuses connectedMinLabels round-for-round; the
+    // oracle replays banding + verify and closes the components with a
+    // recursive CTE, mirroring dd_cluster's.
+    QueryDef(
+      "dd_embed_cluster",
+      (s, d) => {
+        import s.implicits._
+        val grp = embedAll(s, d).withColumn("__min",
+          min($"vec_id").over(Window.partitionBy($"vkey")))
+        val reps = grp.filter($"vec_id" === $"__min")
+        val pairs = embedRepPairs(reps).select($"id_a", $"id_b")
+        val repLabels = connectedMinLabels(reps.select($"vec_id".as("id")), pairs)
+        val eligible = embedEligibleReps(reps).select($"vec_id".as("__min"))
+        val members = grp.select($"vec_id", $"__min")
+        val inherited = members.join(eligible, Seq("__min"))
+          .join(repLabels.select($"id".as("__min"), $"label".as("cluster")), Seq("__min"))
+          .select($"vec_id", $"cluster")
+        val singletons = members.join(eligible, Seq("__min"), "left_anti")
+          .select($"vec_id", $"vec_id".as("cluster"))
+        inherited.unionByName(singletons).orderBy($"vec_id")
+      },
+      Some(s"""WITH RECURSIVE $embedOracleCtes,
+              eg AS (SELECT id_a AS src, id_b AS dst FROM upairs
+                     UNION ALL SELECT id_b, id_a FROM upairs),
+              reach AS (
+                SELECT mn AS id, mn AS label FROM selfcos
+                UNION
+                SELECT eg.dst, r.label FROM reach r JOIN eg ON eg.src = r.id),
+              repl AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id)
+              SELECT g.vec_id, r.cluster
+              FROM g JOIN selfcos sc ON sc.mn = g.mn JOIN repl r ON r.id = g.mn
+              UNION ALL
+              SELECT g.vec_id, g.vec_id AS cluster
+              FROM g LEFT JOIN selfcos sn ON sn.mn = g.mn WHERE sn.mn IS NULL
+              ORDER BY vec_id""")),
 
     // Near-dup CLUSTERS: connected components over the verified
     // minhash pair graph, cluster id = minimum doc_id of the component

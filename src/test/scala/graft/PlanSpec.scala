@@ -58,7 +58,7 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
 
   test("pairwise dedup operators never plan a cartesian product") {
     for (q <- Seq("dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash",
-        "dd_embed_cos", "dd_apply_lsh", "dd_apply")) {
+        "dd_embed_cos", "dd_embed_cluster", "dd_apply_lsh", "dd_apply")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
@@ -83,9 +83,9 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // sanctioned key shape; this pins every query to it.
     val sortKey = "(?m)^\\s*[+:*\\-() 0-9]*Sort \\[[^\\n]*lambdafunction".r
     val exchKey = "(?m)^\\s*[+:*\\-() 0-9]*Exchange hashpartitioning\\([^\\n]*lambdafunction".r
-    for (q <- Seq("dd_embed_cos", "dd_minhash_lsh", "dd_apply_lsh",
-        "dd_cluster", "dd_cluster_star", "s_ann_lsh", "s_ann_ivf",
-        "s_ann_bruteforce")) {
+    for (q <- Seq("dd_embed_cos", "dd_embed_cluster", "dd_minhash_lsh",
+        "dd_apply_lsh", "dd_cluster", "dd_cluster_star", "s_ann_lsh",
+        "s_ann_ivf", "s_ann_bruteforce")) {
       val p = plan(q)
       assert(sortKey.findFirstIn(p).isEmpty, s"$q sorts on an interpreted lambda:\n$p")
       assert(exchKey.findFirstIn(p).isEmpty, s"$q shuffles on an interpreted lambda:\n$p")
