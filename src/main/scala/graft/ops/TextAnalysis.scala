@@ -142,8 +142,12 @@ object TextAnalysis {
     *  - phase 1: per id-bucket token totals (one hash aggregate), then
     *    the running offset of each BUCKET via a window over the bucket
     *    table — the only globally-ordered structure in the plan, and
-    *    it is BOUNDED (≈ rows / bucketWidth; pick bucketWidth so the
-    *    bucket table stays thousands of rows at any corpus size);
+    *    it is BOUNDED: the bucket count is min(distinct ids,
+    *    idRange / bucketWidth), so size bucketWidth from the ID RANGE,
+    *    not the row count — a sparse id space (e.g. post-dedup
+    *    survivors keeping 1 in 10 ids) with bucketWidth 1 would give
+    *    every doc its own bucket and quietly recreate the global
+    *    single-partition window this decomposition exists to avoid;
     *  - phase 2: per-bucket LOCAL prefix sums — a window partitioned
     *    by bucket, parallel across buckets — plus the broadcast bucket
     *    offsets, summed per row.
