@@ -307,26 +307,46 @@ object Dedup {
     * long chains would swap this for the two-phase star contraction
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14) — same per-round plan shape. */
-  /** localCheckpoint blocks backing the LAST completed CC invocation's
-    * returned frame. A checkpointed result some caller still holds
-    * can't be unpersisted inside the producing call (the blocks are
-    * not recomputable), and no DataFrame exposes a consumed-now hook —
-    * so the release is deferred to the NEXT CC entry: repeated CC
-    * executions in one session (Bench runs each query 4×) hold a
-    * constant number of storage blocks instead of accumulating per
-    * run (round 5's bench-degradation trigger). Caller contract: a CC
-    * result is valid until the next CC call on this JVM — consume it
+  /** localCheckpoint a frame and return it WITH the checkpointed
+    * RDD backing it. The RDD handle is the load-bearing part:
+    * `Dataset.unpersist()` consults the CacheManager, which never
+    * held a localCheckpoint's blocks, so on a checkpointed frame it
+    * is a silent NO-OP — the blocks otherwise live until a driver GC
+    * lets the ContextCleaner reclaim them (round 5's degradation
+    * mechanism). Releasing must go through `rdd.unpersist()`. */
+  private def checkpointedWithRdd(
+      df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+    val out = df.localCheckpoint()
+    val rdd = out.queryExecution.logical.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.getOrElse(sys.error("localCheckpoint did not produce a LogicalRDD"))
+    (out, rdd)
+  }
+
+  /** Checkpoint blocks backing the LAST CC invocation's returned
+    * frame (registered as RDDs — see [[checkpointedWithRdd]] for why
+    * Dataset-level unpersist cannot release them). A checkpointed
+    * result some caller still holds can't be unpersisted inside the
+    * producing call (the blocks are not recomputable), and no
+    * DataFrame exposes a consumed-now hook — so the release is
+    * deferred to the NEXT CC entry: repeated CC executions in one
+    * session (Bench runs each query 4×) hold a constant number of
+    * storage blocks instead of accumulating per run (round 5's
+    * bench-degradation trigger). Caller contract: a CC result is
+    * valid until the next CC call on this JVM — consume it
     * (write/collect/derive) before re-invoking, which every queries()
     * entry does by construction. */
-  private val ccLiveBlocks = new scala.collection.mutable.ArrayBuffer[DataFrame]
+  private val ccLiveBlocks =
+    new scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]
   private def ccReleasePrior(): Unit = ccLiveBlocks.synchronized {
-    ccLiveBlocks.foreach { df => df.unpersist(); () }
+    ccLiveBlocks.foreach { rdd => rdd.unpersist(blocking = false); () }
     ccLiveBlocks.clear()
   }
-  private def ccRegister(finals: DataFrame*): Unit = ccLiveBlocks.synchronized {
-    ccLiveBlocks ++= finals
-    ()
-  }
+  private def ccRegister(finals: org.apache.spark.rdd.RDD[_]*): Unit =
+    ccLiveBlocks.synchronized {
+      ccLiveBlocks ++= finals
+      ()
+    }
 
   def connectedMinLabels(
       vertices: DataFrame, edges: DataFrame, maxIters: Int = 50): DataFrame = {
@@ -334,8 +354,8 @@ object Dedup {
     val e = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    var labels = vertices.select(col("id"), col("id").as("label"))
-      .localCheckpoint()
+    var (labels, labelsRdd) =
+      checkpointedWithRdd(vertices.select(col("id"), col("id").as("label")))
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
@@ -345,21 +365,23 @@ object Dedup {
     while (!converged && iter < maxIters) {
       val prop = e.join(labels, e("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
-      val next = labels.as("l")
+      val (next, nextRdd) = checkpointedWithRdd(labels.as("l")
         .join(prop, col("l.id") === prop("dst"), "left")
         .select(col("l.id").as("id"),
-          least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label"))
-        .localCheckpoint()
+          least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label")))
       val sum1 = labelSum(next)
-      labels.unpersist()
+      labelsRdd.unpersist(blocking = false) // previous round's checkpoint blocks
       labels = next
+      labelsRdd = nextRdd
       converged = sum1.compareTo(sum0) == 0
       sum0 = sum1
       iter += 1
     }
     e.unpersist()
+    // register BEFORE the convergence require: a non-convergent run's
+    // last checkpoint must also be reclaimed at the next CC entry
+    ccRegister(labelsRdd)
     require(converged, s"component labeling did not converge in $maxIters rounds")
-    ccRegister(labels)
     labels
   }
 
@@ -412,8 +434,8 @@ object Dedup {
     // localCheckpoint (not persist) per round: truncates the logical
     // plan so Catalyst never re-optimizes the accumulated join tree —
     // see connectedMinLabels' doc
-    var e = canon(edges.select(col("id_a").as("u"), col("id_b").as("v")))
-      .localCheckpoint()
+    var (e, eRdd) =
+      checkpointedWithRdd(canon(edges.select(col("id_a").as("u"), col("id_b").as("v"))))
     var eFp = fingerprint(e)
     var converged = eFp._1 == 0L
     var iter = 0
@@ -428,10 +450,9 @@ object Dedup {
       // small-star over each u's (strictly smaller, post-canon) nbrs
       val umin = large.groupBy("u").agg(min(col("v")).as("m"))
       val withM = large.join(umin, "u")
-      val next = canon(
+      val (next, nextRdd) = checkpointedWithRdd(canon(
         withM.select(col("v").as("u"), col("m").as("v"))
-          .unionByName(withM.select(col("u"), col("m").as("v"))))
-        .localCheckpoint()
+          .unionByName(withM.select(col("u"), col("m").as("v")))))
       val nFp = fingerprint(next)
       if (nFp == eFp) {
         // the once-at-exit exact assert (see doc): counts are equal, so
@@ -441,16 +462,18 @@ object Dedup {
         converged = true
       }
       large.unpersist()
-      e.unpersist()
+      eRdd.unpersist(blocking = false) // previous round's checkpoint blocks
       e = next
+      eRdd = nextRdd
       eFp = nFp
       iter += 1
     }
-    require(converged, s"star contraction did not converge in $maxIters rounds")
     // e stays checkpointed: the returned frame reads it, and a
     // localCheckpoint's blocks are NOT recomputable once dropped —
-    // released at the NEXT CC entry (see ccLiveBlocks)
-    ccRegister(e)
+    // released at the NEXT CC entry (see ccLiveBlocks). Registered
+    // before the require so a non-convergent run is reclaimed too.
+    ccRegister(eRdd)
+    require(converged, s"star contraction did not converge in $maxIters rounds")
     vertices.select(col("id"))
       .join(e.select(col("u").as("id"), col("v").as("__root")), Seq("id"), "left")
       .select(col("id"), coalesce(col("__root"), col("id")).as("label"))

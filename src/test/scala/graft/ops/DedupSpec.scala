@@ -399,18 +399,20 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     def run(name: String): Unit =
       graft.SparkEntry.queries(name)(spark, sf)
         .write.format("noop").mode("overwrite").save()
+    // warm both CC paths once, then compare the SAME sequence against
+    // itself: the steady-state block census must not grow
     run("dd_cluster_star")
-    run("dd_cluster_star")
-    val after2 = spark.sparkContext.getPersistentRDDs.size
-    run("dd_cluster_star")
-    run("dd_cluster") // registry is shared: min-label releases star's blocks too
+    run("dd_cluster")
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    run("dd_cluster_star") // registry is shared: star releases min-label's blocks
+    run("dd_cluster")
     // unpersist is asynchronous (blocking=false): poll briefly instead
     // of asserting on one instantaneous snapshot
     val deadline = System.currentTimeMillis() + 30000
     def now() = spark.sparkContext.getPersistentRDDs.size
-    while (now() > after2 && System.currentTimeMillis() < deadline)
+    while (now() > baseline && System.currentTimeMillis() < deadline)
       Thread.sleep(200)
-    assert(now() <= after2,
+    assert(now() <= baseline,
       "storage blocks grew across repeated CC executions")
   }
 
