@@ -339,7 +339,16 @@ object Dedup {
   private val ccLiveBlocks =
     new scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]
   private def ccReleasePrior(): Unit = ccLiveBlocks.synchronized {
-    ccLiveBlocks.foreach { rdd => rdd.unpersist(blocking = false); () }
+    ccLiveBlocks.foreach { rdd =>
+      // the registry is JVM-global but blocks die with their
+      // SparkContext: a registered RDD from an already-stopped session
+      // (Bench builds one session per query) has nothing left to
+      // release, and touching it throws — skip it, never let a stale
+      // handle break the next session's CC run
+      try if (!rdd.sparkContext.isStopped) rdd.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+      ()
+    }
     ccLiveBlocks.clear()
   }
   private def ccRegister(finals: org.apache.spark.rdd.RDD[_]*): Unit =
