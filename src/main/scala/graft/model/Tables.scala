@@ -56,7 +56,15 @@ object Tables {
     * across warm repeats). Pinning `spark.cleaner.periodicGC.interval`
     * short bounds the accumulation; harnesses additionally build a
     * FRESH session per sweep (ScaleSmoke) or per query (Bench) so no
-    * protocol fix can ever land in one main and miss the others. */
+    * protocol fix can ever land in one main and miss the others.
+    *
+    * PROTOCOL NOTE (round 6 change): the default core count is 32
+    * (`SPARK_GRAFT_CPUS` overrides). Pre-r06 Bench/Verify defaulted to
+    * local[4]/shuffle=4, so BENCH artifacts before r06 are not
+    * comparable to later ones on the same default invocation; PlanDump
+    * and Profile deliberately keep 4 at their call sites for stable
+    * plan shapes. On machines with fewer cores set SPARK_GRAFT_CPUS
+    * explicitly — local[32] oversubscribes a small box. */
   def buildLocalSession(
       cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val spark = withSessionDefaults(SparkSession.builder()

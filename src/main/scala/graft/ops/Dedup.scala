@@ -324,42 +324,52 @@ object Dedup {
   }
 
   /** Checkpoint blocks backing the LAST CC invocation's returned
-    * frame (registered as RDDs — see [[checkpointedWithRdd]] for why
-    * Dataset-level unpersist cannot release them). A checkpointed
-    * result some caller still holds can't be unpersisted inside the
-    * producing call (the blocks are not recomputable), and no
-    * DataFrame exposes a consumed-now hook — so the release is
-    * deferred to the NEXT CC entry: repeated CC executions in one
-    * session (Bench runs each query 4×) hold a constant number of
-    * storage blocks instead of accumulating per run (round 5's
-    * bench-degradation trigger). Caller contract: a CC result is
-    * valid until the next CC call on this JVM — consume it
-    * (write/collect/derive) before re-invoking, which every queries()
-    * entry does by construction. */
-  private val ccLiveBlocks =
-    new scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]
-  private def ccReleasePrior(): Unit = ccLiveBlocks.synchronized {
-    ccLiveBlocks.foreach { rdd =>
-      // the registry is JVM-global but blocks die with their
-      // SparkContext: a registered RDD from an already-stopped session
-      // (Bench builds one session per query) has nothing left to
-      // release, and touching it throws — skip it, never let a stale
-      // handle break the next session's CC run
+    * frame, PER SparkContext (registered as RDDs — see
+    * [[checkpointedWithRdd]] for why Dataset-level unpersist cannot
+    * release them). A checkpointed result some caller still holds
+    * can't be unpersisted inside the producing call (the blocks are
+    * not recomputable), and no DataFrame exposes a consumed-now hook —
+    * so the release is deferred to the NEXT CC entry ON THE SAME
+    * CONTEXT: repeated CC executions in one session (Bench runs each
+    * query 4×) hold a constant number of storage blocks instead of
+    * accumulating per run (round 5's bench-degradation trigger), while
+    * a CC call on session B never touches blocks a result from
+    * session A still needs (the registries are disjoint). Entries
+    * whose context has stopped are dropped unreleased — their blocks
+    * died with the context. */
+  private val ccLiveBlocks = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.SparkContext,
+    scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]]
+  private def ccReleasePrior(sc: org.apache.spark.SparkContext): Unit = {
+    // sweep stopped contexts so the map never grows with Bench's
+    // session-per-query protocol (each stopped session leaves one key)
+    ccLiveBlocks.keySet.removeIf(_.isStopped)
+    val prior = ccLiveBlocks.remove(sc)
+    if (prior != null) prior.foreach { rdd =>
+      // blocks die with their SparkContext; a stale handle must never
+      // break the next CC run
       try if (!rdd.sparkContext.isStopped) rdd.unpersist(blocking = false)
       catch { case _: Throwable => () }
       ()
     }
-    ccLiveBlocks.clear()
   }
-  private def ccRegister(finals: org.apache.spark.rdd.RDD[_]*): Unit =
-    ccLiveBlocks.synchronized {
-      ccLiveBlocks ++= finals
-      ()
-    }
+  private def ccRegister(sc: org.apache.spark.SparkContext)(
+      finals: org.apache.spark.rdd.RDD[_]*): Unit = {
+    val buf = ccLiveBlocks.computeIfAbsent(sc,
+      _ => new scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]])
+    buf.synchronized { buf ++= finals; () }
+  }
 
+  /** Min-label-propagation connected components (see the execution
+    * notes above). RESULT LIFETIME CONTRACT: the returned frame is
+    * backed by localCheckpoint blocks that are released at the NEXT
+    * [[connectedMinLabels]]/[[connectedStarContraction]] call on the
+    * same SparkContext — consume the result (write/collect/derive)
+    * before re-invoking CC on that context, and do not run two CC
+    * computations concurrently on one session. */
   def connectedMinLabels(
       vertices: DataFrame, edges: DataFrame, maxIters: Int = 50): DataFrame = {
-    ccReleasePrior()
+    ccReleasePrior(vertices.sparkSession.sparkContext)
     val e = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
@@ -389,7 +399,7 @@ object Dedup {
     e.unpersist()
     // register BEFORE the convergence require: a non-convergent run's
     // last checkpoint must also be reclaimed at the next CC entry
-    ccRegister(labelsRdd)
+    ccRegister(vertices.sparkSession.sparkContext)(labelsRdd)
     require(converged, s"component labeling did not converge in $maxIters rounds")
     labels
   }
@@ -426,10 +436,15 @@ object Dedup {
     * equal), so the output contract stays bit-exact; a 64-bit
     * collision would fail loudly, never return a wrong labeling. At
     * the fixpoint the edges form a star forest (child → component-min
-    * root); vertices with no edge label themselves. */
+    * root); vertices with no edge label themselves.
+    *
+    * RESULT LIFETIME CONTRACT: same as [[connectedMinLabels]] — the
+    * returned frame's checkpoint blocks are released at the next CC
+    * call on the same SparkContext; consume before re-invoking, and
+    * do not run two CC computations concurrently on one session. */
   def connectedStarContraction(
       vertices: DataFrame, edges: DataFrame, maxIters: Int = 50): DataFrame = {
-    ccReleasePrior()
+    ccReleasePrior(vertices.sparkSession.sparkContext)
     def canon(e: DataFrame): DataFrame =
       e.select(greatest(col("u"), col("v")).as("u"),
           least(col("u"), col("v")).as("v"))
@@ -481,7 +496,7 @@ object Dedup {
     // localCheckpoint's blocks are NOT recomputable once dropped —
     // released at the NEXT CC entry (see ccLiveBlocks). Registered
     // before the require so a non-convergent run is reclaimed too.
-    ccRegister(eRdd)
+    ccRegister(vertices.sparkSession.sparkContext)(eRdd)
     require(converged, s"star contraction did not converge in $maxIters rounds")
     vertices.select(col("id"))
       .join(e.select(col("u").as("id"), col("v").as("__root")), Seq("id"), "left")
@@ -664,7 +679,13 @@ object Dedup {
     * pairs back to members) and dd_embed_cluster (which runs
     * connected components over them). */
   private def embedRepPairs(reps0: DataFrame): DataFrame = {
-    val reps = reps0.select(col("vec_id"), col("v"), col("norm"))
+    // norm > 0 is load-bearing, not an optimization: a zero-norm
+    // vector's cosine is 0/0 = NaN, and BOTH engines evaluate
+    // NaN >= 0.4 as TRUE (Spark's nan-safe ordering and DuckDB each
+    // place NaN above every value) — without the explicit gate,
+    // zero-norm reps would sail through the verify filter and pair
+    val reps = reps0.filter(col("norm") > 0)
+      .select(col("vec_id"), col("v"), col("norm"))
     // empty-safe dim probe (LIMIT-1 scan) so the 64 plane
     // evaluations compile to constant-vector DotProducts instead
     // of interpreted HOFs — the corpus dimension is fixed per
@@ -687,16 +708,22 @@ object Dedup {
 
   /** Reps whose self-cosine reaches the threshold — the eligibility
     * gate for within-group pairing (a zero-norm vector never pairs,
-    * not even with its exact twins: cosine is undefined for it). */
+    * not even with its exact twins: cosine is undefined for it).
+    * The norm > 0 conjunct enforces that: self-cosine of a zero-norm
+    * vector is 0/0 = NaN, which Spark's NaN-high ordering would pass
+    * through `>= 0.4` (the oracle's selfcos CTE carries the matching
+    * `nrm > 0`). */
   private def embedEligibleReps(reps: DataFrame): DataFrame =
-    reps.filter(
+    reps.filter(col("norm") > 0 &&
       (Similarity.dot(col("v"), col("v")) / (col("norm") * col("norm"))) >= 0.4)
 
   /** DuckDB replay of the embedding pair pipeline up to the verified
     * rep pairs (`upairs`) and the eligible-rep self-cosines
     * (`selfcos`) — shared by dd_embed_cos (appends the member-pair
     * expansion) and dd_embed_cluster (appends the recursive component
-    * closure). CTE bodies are byte-for-byte the round-5 oracle. */
+    * closure). The `nrm > 0` conjuncts mirror the Spark side's
+    * explicit zero-norm gates (NaN would otherwise pass `>= 0.4` in
+    * both engines — see [[embedEligibleReps]]). */
   private lazy val embedOracleCtes: String =
     """g AS (
                 SELECT vec_id, embedding,
@@ -727,11 +754,13 @@ object Dedup {
                 FROM cand
                 JOIN e x ON x.vec_id = cand.id_a
                 JOIN e y ON y.vec_id = cand.id_b
-                WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4),
+                WHERE x.nrm > 0 AND y.nrm > 0
+                  AND list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4),
               selfcos AS (
                 SELECT vec_id AS mn, list_dot_product(v, v) / (nrm * nrm) AS cos
                 FROM e
-                WHERE list_dot_product(v, v) / (nrm * nrm) >= 0.4)"""
+                WHERE nrm > 0
+                  AND list_dot_product(v, v) / (nrm * nrm) >= 0.4)"""
 
   /** Shared oracle CTE chain replaying [[minhashNearDups]] in DuckDB
     * up to the verified (id_a, id_b, sim) pair set; consumers append

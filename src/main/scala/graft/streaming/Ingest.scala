@@ -196,12 +196,25 @@ object Ingest {
     * and die on "table already exists". */
   private def jdbcTableExists(c: java.sql.Connection, t: String): Boolean = {
     val md = c.getMetaData
+    // getTables takes a metadata search PATTERN: '_' matches any one
+    // char, so an unescaped probe for fact_batches also matches
+    // factXbatches — and this probe guards the ledger replay check,
+    // where a false positive misroutes the commit marker. Escape the
+    // wildcards (and the escape char itself) with the driver's own
+    // escape string.
+    val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+    def pattern(name: String): String =
+      name.flatMap {
+        case c @ ('_' | '%') => esc + c
+        case c if esc.length == 1 && c == esc.head => esc + c
+        case c => c.toString
+      }
     val stored =
       if (md.storesUpperCaseIdentifiers) t.toUpperCase
       else if (md.storesLowerCaseIdentifiers) t.toLowerCase
       else t
     (Seq(stored, t).distinct: Seq[String]).exists { name =>
-      val rs = md.getTables(null, null, name, null)
+      val rs = md.getTables(null, null, pattern(name), null)
       try rs.next() finally rs.close()
     }
   }
