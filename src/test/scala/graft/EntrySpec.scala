@@ -22,4 +22,13 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
     val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"oracles without queries: $unknown")
   }
+
+  test("bench floors resource parses and stays in sync with the query set") {
+    assert(Bench.floors.nonEmpty, "bench_floors.txt missing or empty")
+    assert(Bench.floors.values.forall(_ > 0))
+    // every floor must name a live query — a renamed/dropped query whose
+    // floor lingers would silently lose its outlier defense partner
+    val stale = Bench.floors.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"floors for unknown queries: $stale")
+  }
 }
