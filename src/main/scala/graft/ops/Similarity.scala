@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.QueryDef
 import graft.model.Tables.table
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -160,6 +160,98 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF ANN, parameterized by probe width: coarse-quantize the corpus
+    * into per-label cells (quantized-mean centroids — the s_ann_ivf
+    * QueryDef notes say why the mean runs over exact integers), rank
+    * cells per query by centroid cosine, search the
+    * UNION of the `nprobe` nearest cells, return top-`k` per query.
+    *
+    * nprobe is the standard IVF recall knob: a query near a cell
+    * boundary has true neighbors in the runner-up cells, and probing
+    * only the winner misses them (SimilaritySpec measures recall@5
+    * against [[bruteForceTopK]] improving as nprobe grows). Cells are
+    * disjoint (a vector has exactly one label) and the probed cells
+    * are distinct per query, so the union join introduces no duplicate
+    * candidates; cost scales as nprobe/nlist of the corpus per query —
+    * the same knob a 100 TB deployment exposes, where cells are the
+    * partition layout and nprobe bounds partitions touched. */
+  def ivfTopK(s: SparkSession, d: String, nprobe: Int, k: Int): DataFrame = {
+    import s.implicits._
+    val emb = table(s, d, "embeddings")
+      .select($"vec_id", $"label", asDouble($"embedding").as("v"))
+      .withColumn("nrm", l2norm($"v"))
+    // centroid per label: element-wise quantized mean via posexplode
+    val centroids = emb
+      .select($"label", posexplode($"v").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos").agg(
+        (sum(floor($"x" * lit(1e6)).cast("long")).cast("double") /
+          (count(lit(1)) * lit(1e6))).as("cx"))
+      .groupBy($"label").agg(array_sort(collect_list(struct($"pos", $"cx"))).as("pc"))
+      .select($"label".as("c_label"),
+        transform($"pc", p => p.getField("cx")).as("cv"))
+      .withColumn("cn", l2norm($"cv"))
+    // probe: each query joins every centroid (nlist rows -> broadcast),
+    // keeps its nprobe nearest cells
+    val queriesDf = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val wProbe = Window.partitionBy($"query_id")
+      .orderBy($"c_cos".desc, $"c_label".asc)
+    val probed = queriesDf.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", dot($"qv", $"cv") / ($"qn" * $"cn"))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter($"rk" <= nprobe)
+      .select($"query_id", $"qv", $"qn", $"c_label".as("cell"))
+    // search the union of the probed cells (disjoint -> no dup candidates)
+    val wTop = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
+    broadcast(probed)
+      .join(emb.select($"label".as("cell"), $"vec_id".as("neighbor_id"),
+        $"v".as("cv2"), $"nrm".as("cn2")), Seq("cell"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"cell", $"neighbor_id",
+        (dot($"qv", $"cv2") / ($"qn" * $"cn2")).as("cos"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter($"rank" <= k)
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** DuckDB replay of [[ivfTopK]] at the same (nprobe, k). */
+  private def ivfOracle(nprobe: Int, k: Int): String =
+    s"""WITH e AS (
+                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS nrm
+                FROM embeddings),
+              px AS (
+                SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+              cagg AS (
+                SELECT label, pos,
+                       CAST(sum(CAST(floor(x * 1000000) AS BIGINT)) AS DOUBLE)
+                         / (count(*) * 1000000.0) AS cx
+                FROM px GROUP BY label, pos),
+              cent AS (
+                SELECT label AS c_label, list(cx ORDER BY pos) AS cv FROM cagg GROUP BY label),
+              centn AS (
+                SELECT c_label, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
+              q AS (
+                SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 20),
+              probe AS (
+                SELECT query_id, qv, qn, c_label AS cell,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY list_dot_product(qv, cv) / (qn * cn) DESC, c_label ASC) AS rk
+                FROM q CROSS JOIN centn),
+              p1 AS (SELECT query_id, qv, qn, cell FROM probe WHERE rk <= $nprobe),
+              sr AS (
+                SELECT p.query_id, p.cell, c.vec_id AS neighbor_id,
+                       list_dot_product(p.qv, c.v) / (p.qn * c.nrm) AS cos
+                FROM p1 p JOIN e c ON c.label = p.cell AND p.query_id <> c.vec_id),
+              rk AS (
+                SELECT query_id, cell, neighbor_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id ASC) AS rank
+                FROM sr)
+              SELECT query_id, cell, neighbor_id, cos, rank
+              FROM rk WHERE rank <= $k ORDER BY query_id, rank"""
+
   val queries: Seq[QueryDef] = Seq(
 
     // Exact ANN baseline: top-5 cosine neighbors for the 20 lowest
@@ -192,92 +284,30 @@ object Similarity {
               SELECT query_id, rank, neighbor_id, cos
               FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
 
-    // IVF ANN: coarse quantization by nearest centroid, search only
-    // the probed cell. Centroids here are per-label mean vectors (the
-    // labels stand in for a trained coarse codebook); at 100 TB the
-    // cells are the partition layout, so a query touches 1/nlist of
-    // the corpus. Centroid components are computed as
-    // sum(floor(x * 1e6)) / (n * 1e6): the cross-row sum runs on exact
-    // integers (order-insensitive, hence portable across engines and
-    // across partitionings), the single final division is
-    // deterministic double math — that converts the one
-    // non-bit-portable step of the plain float mean into an
+    // IVF ANN at nprobe=1 (fastest, lowest recall — see ivfTopK).
+    // Centroids are per-label mean vectors (the labels stand in for a
+    // trained coarse codebook); at 100 TB the cells are the partition
+    // layout, so a query touches nprobe/nlist of the corpus. Centroid
+    // components are computed as sum(floor(x * 1e6)) / (n * 1e6): the
+    // cross-row sum runs on exact integers (order-insensitive, hence
+    // portable across engines and across partitionings), the single
+    // final division is deterministic double math — that converts the
+    // one non-bit-portable step of the plain float mean into an
     // oracle-checkable quantized mean.
     QueryDef(
       "s_ann_ivf",
-      (s, d) => {
-        import s.implicits._
-        val emb = table(s, d, "embeddings")
-          .select($"vec_id", $"label", asDouble($"embedding").as("v"))
-          .withColumn("nrm", l2norm($"v"))
-        // centroid per label: element-wise quantized mean via posexplode
-        val centroids = emb
-          .select($"label", posexplode($"v").as(Seq("pos", "x")))
-          .groupBy($"label", $"pos").agg(
-            (sum(floor($"x" * lit(1e6)).cast("long")).cast("double") /
-              (count(lit(1)) * lit(1e6))).as("cx"))
-          .groupBy($"label").agg(array_sort(collect_list(struct($"pos", $"cx"))).as("pc"))
-          .select($"label".as("c_label"),
-            transform($"pc", p => p.getField("cx")).as("cv"))
-          .withColumn("cn", l2norm($"cv"))
-        // probe: each query joins every centroid (nlist rows -> broadcast),
-        // keeps its nearest cell
-        val queriesDf = emb.filter($"vec_id" < 20)
-          .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
-        val wProbe = Window.partitionBy($"query_id")
-          .orderBy($"c_cos".desc, $"c_label".asc)
-        val probed = queriesDf.crossJoin(broadcast(centroids))
-          .withColumn("c_cos", dot($"qv", $"cv") / ($"qn" * $"cn"))
-          .withColumn("rk", row_number().over(wProbe))
-          .filter($"rk" === 1)
-          .select($"query_id", $"qv", $"qn", $"c_label".as("cell"))
-        // search only the probed cell
-        val wTop = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
-        broadcast(probed)
-          .join(emb.select($"label".as("cell"), $"vec_id".as("neighbor_id"),
-            $"v".as("cv2"), $"nrm".as("cn2")), Seq("cell"))
-          .filter($"query_id" =!= $"neighbor_id")
-          .select($"query_id", $"cell", $"neighbor_id",
-            (dot($"qv", $"cv2") / ($"qn" * $"cn2")).as("cos"))
-          .withColumn("rank", row_number().over(wTop))
-          .filter($"rank" <= 3)
-          .orderBy($"query_id", $"rank")
-      },
-      Some("""WITH e AS (
-                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
-                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                             CAST(embedding AS DOUBLE[]))) AS nrm
-                FROM embeddings),
-              px AS (
-                SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
-              cagg AS (
-                SELECT label, pos,
-                       CAST(sum(CAST(floor(x * 1000000) AS BIGINT)) AS DOUBLE)
-                         / (count(*) * 1000000.0) AS cx
-                FROM px GROUP BY label, pos),
-              cent AS (
-                SELECT label AS c_label, list(cx ORDER BY pos) AS cv FROM cagg GROUP BY label),
-              centn AS (
-                SELECT c_label, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
-              q AS (
-                SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 20),
-              probe AS (
-                SELECT query_id, qv, qn, c_label AS cell,
-                       row_number() OVER (PARTITION BY query_id
-                         ORDER BY list_dot_product(qv, cv) / (qn * cn) DESC, c_label ASC) AS rk
-                FROM q CROSS JOIN centn),
-              p1 AS (SELECT query_id, qv, qn, cell FROM probe WHERE rk = 1),
-              sr AS (
-                SELECT p.query_id, p.cell, c.vec_id AS neighbor_id,
-                       list_dot_product(p.qv, c.v) / (p.qn * c.nrm) AS cos
-                FROM p1 p JOIN e c ON c.label = p.cell AND p.query_id <> c.vec_id),
-              rk AS (
-                SELECT query_id, cell, neighbor_id, cos,
-                       row_number() OVER (PARTITION BY query_id
-                         ORDER BY cos DESC, neighbor_id ASC) AS rank
-                FROM sr)
-              SELECT query_id, cell, neighbor_id, cos, rank
-              FROM rk WHERE rank <= 3 ORDER BY query_id, rank""")),
+      (s, d) => ivfTopK(s, d, nprobe = 1, k = 3),
+      Some(ivfOracle(nprobe = 1, k = 3))),
+
+    // Multi-probe IVF: same pipeline, nprobe = 2 of the 10 cells — the
+    // standard recall knob (a query near a cell boundary has true
+    // neighbors in the runner-up cell; nprobe=1 misses them). The
+    // oracle replays the identical nprobe-cell union; SimilaritySpec
+    // measures recall@5 vs brute force strictly improving with nprobe.
+    QueryDef(
+      "s_ann_ivf_mp",
+      (s, d) => ivfTopK(s, d, nprobe = 2, k = 3),
+      Some(ivfOracle(nprobe = 2, k = 3))),
 
     // LSH-bucketed ANN: hyperplane signature equi-join, top-3 within
     // bucket. The LCG-derived planes are exact integer math in both
