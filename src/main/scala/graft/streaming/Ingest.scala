@@ -79,16 +79,46 @@ object Ingest {
     * a transactional store via the same foreachBatch MERGE). */
   private val statusLock = new Object
 
-  /** Merge status updates into the keyed status table on disk.
-    * The status table is a CONTROL table bounded by channel count
-    * (db_model.py:57-62 — one row per unique `parameter`), so a
-    * driver-side materialization before the overwrite is safe and
-    * avoids read-overwrite races; the fact path never does this.
+  /** Deterministic dense id assignment in `parameter` order, fully
+    * distributed: `repartitionByRange` orders partitions by parameter,
+    * a per-partition sort orders rows within them, and
+    * `RDD.zipWithIndex` turns that global order into a dense 0-based
+    * index with ONE extra count job (it is exactly the two-phase
+    * prefix sum — per-partition sizes, then offset per partition) —
+    * no driver materialization, no single-partition global window.
+    * Where range-partition bounds fall cannot change the ids: bounds
+    * move rows between partitions but never reorder the global
+    * parameter sequence the index enumerates. Row i gets
+    * `startId + 1 + i`. */
+  private def withAssignedIds(df: DataFrame, startId: Long): DataFrame = {
+    val spark = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType,
+        nullable = false) +: df.schema.fields.toSeq)
+    val ranged = df.repartitionByRange(col("parameter"))
+      .sortWithinPartitions("parameter")
+    val rdd = ranged.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq((startId + 1 + i) +: r.toSeq)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Merge status updates into the keyed status table on disk — every
+    * stage distributed (the table is bounded by parameter count ≈
+    * channel count, db_model.py:57-62, but a 10M-channel deployment
+    * must not funnel it through the driver; the only driver-side
+    * values are the 1-row max-id probe and the swap renames). The
+    * merged table is computed lazily OVER the directory it replaces,
+    * so the write lands aside and installs via the same two-rename +
+    * .bak swap as [[compactFact]] — the data is never deleted before
+    * its replacement is in place, and a swap that dies between
+    * renames is restored at the next merge's entry probe.
     *
     * The persisted table carries the reference's surrogate `id`
     * (db_model.py:58 autoincrement PK): a parameter keeps its id
     * across upserts; parameters seen for the first time take the next
-    * ids in parameter order, which makes replays deterministic. */
+    * ids in parameter order ([[withAssignedIds]]), which makes
+    * replays deterministic. */
   def mergeStatus(spark: SparkSession, statusDir: String, updates: DataFrame): Unit = statusLock.synchronized {
     // First-run absence is the ONLY condition that substitutes an empty
     // current table — probed explicitly, so a genuine read failure
@@ -98,6 +128,10 @@ object Ingest {
     // other than fs.defaultFS).
     val statusPath = new org.apache.hadoop.fs.Path(statusDir)
     val fs = statusPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = new org.apache.hadoop.fs.Path(statusDir + ".bak")
+    // recover a swap that died between its two renames (data under
+    // .bak, no statusDir) — same protocol as recoverFactDir
+    if (!fs.exists(statusPath) && fs.exists(bak)) { fs.rename(bak, statusPath); () }
     val withIdSchema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType,
         nullable = false) +: updates.schema.fields.toSeq)
@@ -110,13 +144,8 @@ object Ingest {
         // parameter order instead, mirroring first-run id assignment.
         if (spark.read.parquet(statusDir).schema.fieldNames.contains("id"))
           spark.read.schema(withIdSchema).parquet(statusDir)
-        else {
-          val legacy = spark.read.schema(updates.schema).parquet(statusDir)
-          val pIdx = updates.schema.fieldIndex("parameter")
-          val rows = legacy.collect().sortBy(_.getString(pIdx))
-            .zipWithIndex.map { case (r, i) => Row.fromSeq((i + 1).toLong +: r.toSeq) }
-          spark.createDataFrame(java.util.Arrays.asList(rows: _*), withIdSchema)
-        }
+        else withAssignedIds(
+          spark.read.schema(updates.schema).parquet(statusDir), 0L)
       }
       else spark.createDataFrame(java.util.Collections.emptyList[Row](), withIdSchema)
     // tie-break equal timestamps in favor of the incoming update so a
@@ -126,16 +155,33 @@ object Ingest {
         updates.withColumn("__src", lit(1)),
         Seq("parameter"), Seq(col("ts"), col("__src")))
       .drop("__src")
-    val paramIdx = merged.schema.fieldIndex("parameter")
-    val ids = scala.collection.mutable.Map(currentFull.select("parameter", "id")
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq: _*)
-    var nextId = (ids.valuesIterator ++ Iterator(0L)).max
-    val out = merged.collect().sortBy(_.getString(paramIdx)).map { r =>
-      val id = ids.getOrElseUpdate(r.getString(paramIdx), { nextId += 1; nextId })
-      Row.fromSeq(id +: r.toSeq)
+    val dataCols = updates.schema.fieldNames.toSeq
+    val outCols = (col("id") +: dataCols.map(col)): Seq[org.apache.spark.sql.Column]
+    val curIds = currentFull.select(col("parameter"), col("id"))
+    // the one driver-side scalar: the current max id (column-pruned
+    // 1-row aggregate, never the table)
+    val maxId = currentFull.agg(coalesce(max(col("id")), lit(0L)))
+      .head().getLong(0)
+    val kept = merged.join(curIds, Seq("parameter")).select(outCols: _*)
+    val fresh = withAssignedIds(
+      merged.join(curIds, Seq("parameter"), "left_anti"), maxId)
+      .select(outCols: _*)
+    // single output file (repartition, not coalesce — a barrier keeps
+    // the merge itself parallel): the status table is a control table
+    // read whole by monitors; revisit if parameter count outgrows one
+    // file
+    val out = kept.unionByName(fresh).repartition(1)
+    val tmp = statusDir + ".tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    fs.delete(bak, true)
+    if (fs.exists(statusPath) && !fs.rename(statusPath, bak))
+      throw new java.io.IOException(s"mergeStatus: cannot move $statusPath aside")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), statusPath)) {
+      fs.rename(bak, statusPath) // roll back
+      throw new java.io.IOException(s"mergeStatus: cannot install $tmp")
     }
-    spark.createDataFrame(java.util.Arrays.asList(out: _*), withIdSchema)
-      .repartition(1).write.mode("overwrite").parquet(statusDir)
+    fs.delete(bak, true)
+    ()
   }
 
   /** Land one micro-batch: fact append + status upsert. The fact write

@@ -167,4 +167,34 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(_._1).distinct.length == got.length, s"duplicate ids: ${got.toSeq}")
     assert(got.toSeq == Seq((1L, "CHL: 1"), (2L, "CHL: 2"), (4L, "CHL: 3"), (3L, "daq-3i")))
   }
+
+  test("status upsert at 100k parameters: distributed merge, stable dense ids") {
+    // the scale case the driver-collect implementation would have
+    // funneled through the driver: every stage here is a distributed
+    // plan (range-partitioned zipWithIndex id assignment, join-based
+    // id retention, write-aside swap) — the only driver-side values in
+    // mergeStatus are a 1-row max(id) probe and the rename calls
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_status_100k").toString + "/status"
+    def updates(n: Int, tsSec: Int, prefix: String = "P") =
+      spark.range(n).select(
+        format_string(prefix + "%07d", $"id").as("parameter"),
+        lit(1).as("status"), lit(ts(tsSec)).as("ts"))
+    Ingest.mergeStatus(spark, dir, updates(100000, 10))
+    val first = spark.read.parquet(dir)
+    assert(first.count() == 100000)
+    // dense ids 1..100k in parameter order (zero-padded => numeric order)
+    val probe = first.filter($"parameter".isin("P0000000", "P0099999"))
+      .select($"parameter", $"id").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(probe == Map("P0000000" -> 1L, "P0099999" -> 100000L))
+    // second merge: same parameters keep their ids; new ones extend
+    Ingest.mergeStatus(spark, dir, updates(100, 20).unionAll(updates(10, 20, "Q")))
+    val second = spark.read.parquet(dir)
+    assert(second.count() == 100010)
+    val again = second.filter($"parameter".isin("P0000000", "P0099999", "Q0000000"))
+      .select($"parameter", $"id").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again("P0000000") == 1L && again("P0099999") == 100000L)
+    assert(again("Q0000000") == 100001L, s"new parameter id: ${again("Q0000000")}")
+    assert(second.select($"id").distinct().count() == 100010)
+  }
 }
