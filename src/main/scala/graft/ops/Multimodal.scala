@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus decode / feature-extract /
   * resize / frame-sample operators.
   *
-  * The actual media codecs are STUBBED (no image/audio libraries in
-  * this environment): `StubCodec` produces deterministic fake decodes
-  * derived from the bytes. Everything around the stub — the schema,
-  * the `Dataset[T]` encoders, the per-partition batch shape (decode
-  * amortized across a partition, mirroring `mapInPandas` batches), and
-  * the partitioning story — is real and tested, so swapping in a real
-  * codec is a one-function change.
+  * Two codecs ride the same per-partition plumbing: [[StubCodec]]
+  * produces deterministic fake decodes derived from the bytes (the
+  * arithmetic the DuckDB oracles can replay), and [[ImageIoCodec]]
+  * decodes REAL image bytes via JDK-public `javax.imageio`
+  * (spec-checked against synthesized PNG fixtures — DuckDB cannot
+  * decode PNGs, so no oracle entry). Everything around them — the
+  * schema, the `Dataset[T]` encoders, the per-partition batch shape
+  * (decode amortized across a partition, mirroring `mapInPandas`
+  * batches), and the partitioning story — is shared, so a production
+  * codec (ffmpeg, ONNX) swaps in as one more class.
   *
   * Scale: media rows are large (MBs); operators never shuffle the
   * binary payload — feature extraction projects fixed-width vectors
@@ -101,6 +104,80 @@ object Multimodal {
     /** JVM-local construction count (observable under local[*]; on a
       * cluster each executor counts its own). */
     val inits = new java.util.concurrent.atomic.AtomicLong
+  }
+
+  /** Decoded-image statistics: the real-codec twin of
+    * [[MediaFeatures]] (width/height read from the BYTES, not the
+    * metadata columns — the decode is the ground truth). */
+  case class ImageStats(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      n_pixels: Long,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double)
+
+  /** A REAL image codec behind the same per-partition amortization
+    * contract as [[CodecInstance]]: `javax.imageio` is JDK-public
+    * (zero added dependencies), so PNG/JPEG/BMP bytes genuinely
+    * decode — this is the drop-in the [[StubCodec]] doc promises,
+    * proving the mapPartitions plumbing carries real media, while the
+    * stub stays the arithmetic fixture the DuckDB oracles replay
+    * (DuckDB cannot decode PNGs, so real decodes are spec-checked
+    * against fixtures with known pixel stats instead of
+    * hash-compared). Construction is counted like the stub's so the
+    * one-instance-per-partition invariant stays observable. */
+  final class ImageIoCodec {
+    ImageIoCodec.inits.incrementAndGet()
+
+    /** Decode to (width, height, per-channel means). Returns None for
+      * bytes no registered reader accepts — a corrupt row must tag
+      * itself, never kill the partition (at 100 TB some rows WILL be
+      * truncated). */
+    def decodeStats(bytes: Array[Byte]): Option[(Int, Int, Double, Double, Double)] = {
+      val img =
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        catch { case _: java.io.IOException => None }
+      img.map { im =>
+        val (w, h) = (im.getWidth, im.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = im.getRGB(x, y)
+            sr += (rgb >> 16) & 0xFF
+            sg += (rgb >> 8) & 0xFF
+            sb += rgb & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        (w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+      }
+    }
+  }
+  object ImageIoCodec {
+    val inits = new java.util.concurrent.atomic.AtomicLong
+  }
+
+  /** Decode image payloads with the REAL codec — one [[ImageIoCodec]]
+    * per partition, rows streamed through it, exactly the
+    * [[extractFeatures]] batch shape. Undecodable payloads are
+    * dropped (flatMap), mirroring how a production pipeline quarantines
+    * corrupt media rather than failing the job. */
+  def decodeImageStats(media: Dataset[MediaFile]): Dataset[ImageStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val codec = new ImageIoCodec // once per partition, not per row
+      rows.flatMap { m =>
+        codec.decodeStats(m.content).map { case (w, h, r, g, b) =>
+          ImageStats(m.media_id, w, h, w.toLong * h, r, g, b)
+        }
+      }
+    }
   }
 
   /** Synthesize a deterministic media table from `documents` (text

@@ -50,6 +50,43 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(StubCodec.sampleFrames(bytes, 0, 2).isEmpty)
   }
 
+  test("real PNG bytes decode through the mapPartitions codec path") {
+    import spark.implicits._
+    // synthesized PNG fixtures with KNOWN pixel statistics: image k is
+    // w×h with rgb(x, y, k) = ((x + k) % 256, (y + k) % 256, k) —
+    // per-channel means are exact integer arithmetic we recompute here
+    def png(k: Int, w: Int, h: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        im.setRGB(x, y, (((x + k) % 256) << 16) | (((y + k) % 256) << 8) | (k & 0xFF))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(im, "png", bos), "no PNG writer registered")
+      bos.toByteArray
+    }
+    def meanMod(k: Int, n: Int): Double =
+      (0 until n).map(i => (i + k) % 256).sum.toDouble / n
+    val fixtures = Seq((1L, 17, 9), (2L, 64, 64), (3L, 300, 2))
+    val corrupt = MediaFile(99L, "image", Array[Byte](1, 2, 3), 0, 0, 0, 0)
+    val media = fixtures.map { case (id, w, h) =>
+      MediaFile(id, "image", png(id.toInt, w, h), w, h, 0, 0)
+    } :+ corrupt
+    val ds = spark.createDataset(media).repartition(2)
+    ImageIoCodec.inits.set(0L)
+    val got = decodeImageStats(ds).collect().map(s => s.media_id -> s).toMap
+    // one REAL codec per partition, corrupt row dropped not fatal
+    assert(ImageIoCodec.inits.get() == 2, s"inits: ${ImageIoCodec.inits.get()}")
+    assert(!got.contains(99L), "corrupt payload must be quarantined, not decoded")
+    fixtures.foreach { case (id, w, h) =>
+      val s = got(id)
+      assert(s.width == w && s.height == h && s.n_pixels == w.toLong * h,
+        s"image $id decoded ${s.width}x${s.height}")
+      assert(math.abs(s.mean_r - meanMod(id.toInt, w)) < 1e-9, s"image $id mean_r")
+      assert(math.abs(s.mean_g - meanMod(id.toInt, h)) < 1e-9, s"image $id mean_g")
+      assert(s.mean_b == (id.toInt & 0xFF).toDouble, s"image $id mean_b")
+    }
+  }
+
   test("codec initialized once per partition, not per row") {
     // real codecs are expensive to construct; the mapPartitions
     // operators must amortize one instance across the partition
