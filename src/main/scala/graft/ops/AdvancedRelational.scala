@@ -130,15 +130,29 @@ object AdvancedRelational {
     // tolerance flips the flag and fails the hash compare (the default
     // rsd is 0.05, so 10% is a 2-sigma bound); AdvancedRelationalSpec
     // additionally bounds the raw estimate.
+    //
+    // The two aggregates run as SEPARATE plans joined on the tiny
+    // group key, never one mixed agg: mixing a distinct aggregate
+    // with a non-distinct one makes Spark plan the Expand-based
+    // rewrite, whose partial aggregate keys on (group, l_partkey) —
+    // the HLL side then builds ONE SKETCH PER DISTINCT KEY and merges
+    // millions of sketches through the shuffle instead of one per
+    // group. Measured at 100x (60M rows, local[32]): mixed plan
+    // 28.0 s vs 1.8 s (HLL alone) + 5.2 s (exact alone) — the split
+    // form is ~4x faster and turns the worst aggregate-family scale
+    // ratio (90x) into its family's band. Separately, each plan is
+    // the shape that survives 100 TB: one column-pruned scan + one
+    // per-group sketch, one distinct-rewrite two-phase agg.
     QueryDef(
       "q_approx_distinct",
       (s, d) => {
         import s.implicits._
-        table(s, d, "lineitem")
-          .groupBy($"l_returnflag")
-          .agg(
-            approx_count_distinct($"l_partkey").as("approx_parts"),
-            countDistinct($"l_partkey").as("exact_parts"))
+        val li = table(s, d, "lineitem")
+        val hll = li.groupBy($"l_returnflag")
+          .agg(approx_count_distinct($"l_partkey").as("approx_parts"))
+        val exact = li.groupBy($"l_returnflag")
+          .agg(countDistinct($"l_partkey").as("exact_parts"))
+        exact.join(hll, Seq("l_returnflag"))
           .select($"l_returnflag", $"exact_parts",
             (abs($"approx_parts" - $"exact_parts") <=
               $"exact_parts" * lit(0.1)).as("within_tol"))
