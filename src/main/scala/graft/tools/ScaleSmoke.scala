@@ -53,13 +53,22 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     args.headOption.getOrElse("dedup") match {
       case "full"  => fullSet(args.drop(1))
+      // `fulld` = full with DISTINCT-document amplification: each
+      // copy's words carry a per-copy prefix, so copies share no
+      // shingles and the near-dup pair graph is `copies` disjoint
+      // replicas of the 1x graph — the amplification that keeps the
+      // dedup family's inherent output LINEAR in copies (verbatim
+      // text copies saturate it quadratically: every doc gains
+      // C(copies,2) true pairs, which measures output writing, not
+      // operator scaling)
+      case "fulld" => fullSet(args.drop(1), distinctDocs = true)
       case "amp"   => // materialize an amplified dir for ad-hoc profiling
         val spark = buildSession()
         try amplifyDatabase(spark, args(1), args(3), args(2).toInt)
         finally spark.stop()
       case "skew"  => hotBand(args.drop(1))
       case "dedup" => dedupSaturation(args.drop(1))
-      case other   => sys.error(s"unknown mode '$other' (full|dedup|skew)")
+      case other   => sys.error(s"unknown mode '$other' (full|fulld|dedup|skew)")
     }
   }
 
@@ -81,7 +90,7 @@ object ScaleSmoke {
     * Raw parquet in/out (no `table()` ts normalization) so the
     * amplified dir is schema-identical to the driver's. */
   def amplifyDatabase(spark: SparkSession, sfDir: String, outDir: String,
-      copies: Int): Unit = {
+      copies: Int, distinctDocs: Boolean = false): Unit = {
     import spark.implicits._
     val off = 1000000000L
     graft.model.Tables.driverTables.foreach { t =>
@@ -89,12 +98,28 @@ object ScaleSmoke {
       val out = shiftCols.get(t) match {
         case None => df // broadcast dim: unchanged
         case Some(keys) =>
-          df.crossJoin(spark.range(copies).select($"id".as("__copy")))
+          val shifted = df
+            .crossJoin(spark.range(copies).select($"id".as("__copy")))
             .select(df.schema.fields.toSeq.map { f =>
               if (keys.contains(f.name))
                 (col(f.name) + $"__copy" * lit(off)).cast(f.dataType).as(f.name)
               else col(f.name)
-            }: _*)
+            } :+ col("__copy"): _*)
+          val transformed =
+            if (distinctDocs && t == "documents")
+              // per-copy word prefix: copy c's "quick brown" becomes
+              // "c<c>_quick c<c>_brown" — every shingle/gram/token is
+              // copy-local, so cross-copy similarity is exactly zero
+              // and the pair graph is `copies` disjoint 1x replicas
+              // (copy 0 is prefixed too: all copies see identical
+              // per-token work, so tN/t1 still compares like to like
+              // up to the constant prefix cost)
+              shifted
+                .withColumn("text", regexp_replace($"text",
+                  lit("(\\S+)"), concat(lit("c"), $"__copy", lit("_$1"))))
+                .withColumn("n_chars", length($"text").cast("long"))
+            else shifted
+          transformed.drop("__copy")
       }
       out.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
@@ -107,7 +132,7 @@ object ScaleSmoke {
     * comma-separated query subset (e.g. the aggregate family at
     * copies=100, where amplifying and sweeping all 69 queries would
     * dominate the run for four data points). */
-  def fullSet(args: Array[String]): Unit = {
+  def fullSet(args: Array[String], distinctDocs: Boolean = false): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = args.drop(1).headOption.map(_.toInt).getOrElse(10)
     val outJson = args.drop(2).headOption.getOrElse("SCALE_r05.json")
@@ -116,9 +141,10 @@ object ScaleSmoke {
     val ampDir = java.nio.file.Files.createTempDirectory("graft_amp").toString
     val ampSession = buildSession()
     try {
-      amplifyDatabase(ampSession, sfDir, ampDir, copies)
+      amplifyDatabase(ampSession, sfDir, ampDir, copies, distinctDocs)
       ampSession.stop()
-      println(s"SCALE amplified ${copies}x database at $ampDir")
+      println(s"SCALE amplified ${copies}x database at $ampDir" +
+        (if (distinctDocs) " (distinct documents)" else ""))
 
       // Each sweep gets a FRESH SparkSession (the amplify writes and the
       // other sweep contribute zero session state — broadcast blocks,
@@ -130,8 +156,19 @@ object ScaleSmoke {
       // a 130-execution local sweep shows sporadic multi-second stalls
       // (GC / cleaner / IO), and a single sample let one stall print a
       // 90x "ratio" that in-isolation reruns put at ~4x.
-      def sweep(dir: String, only: Seq[String] = Nil): Map[String, (Double, Option[String])] = {
+      // Per query: (median of 3, straggler fraction = max task time /
+      // wall of the LAST timed run, error). The straggler fraction is
+      // the skew witness the 100x artifacts need: if a banded join
+      // serialized its hot bucket into one task, max-task/wall ≈ 1.
+      def sweep(dir: String, only: Seq[String] = Nil): Map[String, (Double, Double, Option[String])] = {
         val spark = buildSession()
+        val durations = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            durations.add(te.taskInfo.duration); ()
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
         try {
           // one-time session costs outside all timed runs (same as Bench)
           spark.range(1000).selectExpr("sum(id)").collect()
@@ -142,19 +179,29 @@ object ScaleSmoke {
               val r =
                 try {
                   noopForce(fn(spark, dir))
-                  val samples = (1 to 3).map { _ =>
+                  val samples = (1 to 3).map { i =>
+                    if (i == 3) durations.clear()
                     val t0 = System.nanoTime()
                     noopForce(fn(spark, dir))
                     (System.nanoTime() - t0) / 1e9
-                  }.sorted
-                  (samples(1), Option.empty[String])
+                  }
+                  val lastWall = samples.last
+                  val maxTask = { import scala.jdk.CollectionConverters._
+                    durations.iterator().asScala.foldLeft(0L)(math.max) / 1e3 }
+                  (samples.sorted.apply(1),
+                    if (lastWall > 0) maxTask / lastWall else 0.0,
+                    Option.empty[String])
                 } catch {
-                  case e: Throwable => (Double.NaN, Some(e.getClass.getSimpleName))
+                  case e: Throwable =>
+                    (Double.NaN, 0.0, Some(e.getClass.getSimpleName))
                 }
-              println(f"SCALE $dir%s $name%s: ${r._1}%.2f s${r._2.fold("")(" ERR " + _)}")
+              println(f"SCALE $dir%s $name%s: ${r._1}%.2f s (straggler ${r._2}%.2f)${r._3.fold("")(" ERR " + _)}")
               name -> r
             }.toMap
-        } finally spark.stop()
+        } finally {
+          spark.sparkContext.removeSparkListener(listener)
+          spark.stop()
+        }
       }
 
       val base = sweep(sfDir, subset)
@@ -164,6 +211,7 @@ object ScaleSmoke {
         val (t1, tn) = (base(n)._1, amp(n)._1)
         if (!t1.isNaN && !tn.isNaN && t1 > 0) tn / t1 else -1.0
       }
+      def straggler(n: String): Double = amp(n)._2
       // Queries whose sweep ratio exceeds 10 are re-measured ALONE in a
       // fresh session: the 130-execution sweep measures queries under
       // shared-session memory pressure (storage blocks, shuffle state,
@@ -180,14 +228,14 @@ object ScaleSmoke {
       // 23s when rechecked downstream of another flagged query)
       val iso = over.map(n => n -> sweep(ampDir, Seq(n)).apply(n)).toMap
       val entries = names.map { n =>
-        val (t1raw, e1) = base(n)
-        val (tnraw, en) = amp(n)
+        val (t1raw, _, e1) = base(n)
+        val (tnraw, frac, en) = amp(n)
         val (t1, tn) = (if (t1raw.isNaN) -1.0 else t1raw, if (tnraw.isNaN) -1.0 else tnraw)
         val ratio = if (t1 > 0 && tn >= 0) tn / t1 else -1.0
-        val isoPart = iso.get(n).filterNot(_._1.isNaN).fold("") { case (ti, _) =>
-          f""", "tN_iso": $ti%.3f, "ratio_iso": ${if (t1 > 0) ti / t1 else -1.0}%.2f"""
+        val isoPart = iso.get(n).filterNot(_._1.isNaN).fold("") { case (ti, fi, _) =>
+          f""", "tN_iso": $ti%.3f, "ratio_iso": ${if (t1 > 0) ti / t1 else -1.0}%.2f, "straggler_iso": $fi%.2f"""
         }
-        f"""    "$n": {"t1": $t1%.3f, "tN": $tn%.3f, "ratio": $ratio%.2f""" + isoPart +
+        f"""    "$n": {"t1": $t1%.3f, "tN": $tn%.3f, "ratio": $ratio%.2f, "straggler_N": $frac%.2f""" + isoPart +
           (e1.orElse(en).fold("")(e => s""", "err": "$e"""")) + "}"
       }
       val t1Total = base.values.map(_._1).filterNot(_.isNaN).sum
@@ -199,7 +247,7 @@ object ScaleSmoke {
   "total_t1": $t1Total%.1f,
   "total_tN": $tnTotal%.1f,
   "total_ratio": ${tnTotal / t1Total}%.2f,
-  "failed": ${(base.values ++ amp.values).count(_._2.isDefined)},
+  "failed": ${(base.values ++ amp.values).count(_._3.isDefined)},
   "queries": {
 ${entries.mkString(",\n")}
   }
