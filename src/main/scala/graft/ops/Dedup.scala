@@ -717,6 +717,58 @@ object Dedup {
     reps.filter(col("norm") > 0 &&
       (Similarity.dot(col("v"), col("v")) / (col("norm") * col("norm"))) >= 0.4)
 
+  /** Embedding-space decontamination — asymmetric near-dup scrub over
+    * vectors: remove from `docs` every row whose embedding's cosine to
+    * ANY `blocklist` vector reaches `threshold`. The semantic twin of
+    * [[decontaminate]] for leakage that survives paraphrase: n-gram
+    * minhash needs shared text, the embedding form only a nearby
+    * vector. Both sides carry (idCol, v, norm, vkey) as [[embedAll]]
+    * produces them; returns the surviving `docs` rows (input schema
+    * minus nothing — `__min` is internal).
+    *
+    * Scale shape mirrors the text form: each side collapses to
+    * exact-vector group REPRESENTATIVES first (twins share every band
+    * bucket and every cosine, so a member is contaminated iff its rep
+    * is); candidates are the family's shared hyperplane band equi-join
+    * (bands=8, r=8) with the blocklist side BROADCAST under the same
+    * guarded-hint discipline as the text form (one bounded
+    * blocklist-side aggregate measures the payload in vector doubles;
+    * past the cap the hints drop and Catalyst + AQE plan from runtime
+    * sizes); verification is the exact dot-product cosine on candidate
+    * pairs only. Zero-norm vectors never pair — cosine is 0/0 = NaN
+    * and BOTH engines evaluate NaN >= t as true, so the norm > 0 gates
+    * here (and the `nrm > 0` conjuncts in the oracle) are load-bearing:
+    * zero-norm rows always survive, on both engines, explicitly. */
+  def embedDecontaminate(
+      docs: DataFrame, blocklist: DataFrame, idCol: String,
+      threshold: Double,
+      broadcastMaxDoubles: Long = 8L << 20): DataFrame = {
+    val grp = docs.withColumn("__min",
+      min(col(idCol)).over(Window.partitionBy(col("vkey"))))
+    val reps = grp.filter(col(idCol) === col("__min") && col("norm") > 0)
+      .select(col(idCol).as("__tid"), col("v"), col("norm"))
+    val breps = blocklist
+      .withColumn("__bmin", min(col(idCol)).over(Window.partitionBy(col("vkey"))))
+      .filter(col(idCol) === col("__bmin") && col("norm") > 0)
+      .select(col(idCol).as("__bid"), col("v").as("bv"), col("norm").as("bn"))
+    val blockDoubles = breps.agg(coalesce(sum(size(col("bv"))), lit(0L)))
+      .head().getLong(0)
+    val hint: DataFrame => DataFrame =
+      if (blockDoubles <= broadcastMaxDoubles) broadcast else identity
+    val tBands = reps.select(col("__tid"),
+      explode(Similarity.bandBucketsProbed(reps, col("v"), bands = 8, r = 8)).as("bkt"))
+    val bBands = breps.select(col("__bid"),
+      explode(Similarity.bandBucketsProbed(breps, col("bv"), bands = 8, r = 8)).as("bkt"))
+    val cand = tBands.join(hint(bBands), Seq("bkt"))
+      .select(col("__tid"), col("__bid")).distinct()
+    val contaminated = cand
+      .join(reps, Seq("__tid"))
+      .join(hint(breps), Seq("__bid"))
+      .filter(Similarity.dot(col("v"), col("bv")) / (col("norm") * col("bn")) >= threshold)
+      .select(col("__tid").as("__min")).distinct()
+    grp.join(contaminated, Seq("__min"), "left_anti").drop("__min")
+  }
+
   /** DuckDB replay of the embedding pair pipeline up to the verified
     * rep pairs (`upairs`) and the eligible-rep self-cosines
     * (`selfcos`) — shared by dd_embed_cos (appends the member-pair
@@ -724,17 +776,25 @@ object Dedup {
     * closure). The `nrm > 0` conjuncts mirror the Spark side's
     * explicit zero-norm gates (NaN would otherwise pass `>= 0.4` in
     * both engines — see [[embedEligibleReps]]). */
-  private lazy val embedOracleCtes: String =
-    """g AS (
+  /** One side's exact-vector groups (`<p>g`), double-cast group
+    * representatives with norms (`<p>e`) and hyperplane band buckets
+    * (`<p>b`) as prefixed CTEs over `srcRel` — the building block the
+    * symmetric ([[embedOracleCtes]]) and asymmetric
+    * (dd_embed_decontaminate) embedding oracles assemble from,
+    * mirroring [[minhashSideCtes]]. The bucket comprehension is the
+    * exact integer LCG of [[Similarity.bandBucketsProbed]] (bands=8,
+    * r=8), so the candidate sets replay in DuckDB. */
+  private def embedSideCtes(p: String, srcRel: String): String =
+    s"""${p}g AS (
                 SELECT vec_id, embedding,
                        min(vec_id) OVER (PARTITION BY embedding) AS mn
-                FROM embeddings),
-              e AS (
+                FROM $srcRel),
+              ${p}e AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                              CAST(embedding AS DOUBLE[]))) AS nrm
-                FROM g WHERE vec_id = mn),
-              b AS (
+                FROM ${p}g WHERE vec_id = mn),
+              ${p}b AS (
                 SELECT vec_id,
                        [bb * 256 + list_sum([CASE WHEN list_dot_product(v,
                             [CAST(((1103515245::BIGINT * ((bb * 8 + q) * 1048576 + i) + 12345) % 2147483648) AS DOUBLE)
@@ -743,7 +803,10 @@ object Dedup {
                           THEN (1 << (7 - q)) ELSE 0 END
                           for q in range(8)])
                         for bb in range(8)] AS bkts
-                FROM e),
+                FROM ${p}e)"""
+
+  private lazy val embedOracleCtes: String =
+    s"""${embedSideCtes("", "embeddings")},
               cand AS (
                 SELECT a.vec_id AS id_a, c.vec_id AS id_b
                 FROM b a JOIN b c ON a.vec_id < c.vec_id
@@ -1349,6 +1412,58 @@ object Dedup {
               SELECT g.vec_id, g.vec_id AS cluster
               FROM g LEFT JOIN selfcos sn ON sn.mn = g.mn WHERE sn.mn IS NULL
               ORDER BY vec_id""")),
+
+    // Embedding-space decontamination: scrub the training split of
+    // vectors whose cosine to ANY benchmark-split vector reaches 0.4
+    // — the semantic complement of dd_decontaminate (same held-out 20%
+    // md5 id split, pure id arithmetic, so the split replays in the
+    // oracle) for leakage n-gram minhash cannot see: a paraphrased
+    // benchmark document shares no 3-grams but lands on a nearby
+    // embedding. Asymmetric: benchmark side broadcast (guarded),
+    // hyperplane band candidates, exact cosine verify, training
+    // anti-join — see [[embedDecontaminate]].
+    QueryDef(
+      "dd_embed_decontaminate",
+      (s, d) => {
+        import s.implicits._
+        val bucket = conv(substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
+          .cast("int") % 100
+        val all = table(s, d, "embeddings")
+          .select($"vec_id", $"label", $"embedding",
+            Similarity.asDouble($"embedding").as("v"))
+          .withColumn("norm", Similarity.l2norm($"v"))
+          .withColumn("vkey",
+            graft.functions.VectorExpressions.floatVectorBytes($"embedding"))
+          .withColumn("__bucket", bucket)
+        val training = all.filter($"__bucket" >= 20).drop("__bucket")
+        val benchmark = all.filter($"__bucket" < 20).drop("__bucket")
+        embedDecontaminate(training, benchmark, "vec_id", 0.4)
+          .select($"vec_id", $"label")
+          .orderBy($"vec_id")
+      },
+      Some {
+        val split = """(SELECT vec_id, embedding, label,
+                        CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS INT) % 100 AS bucket
+                        FROM embeddings)"""
+        s"""WITH tr AS (SELECT vec_id, embedding, label FROM $split WHERE bucket >= 20),
+            bm AS (SELECT vec_id, embedding FROM $split WHERE bucket < 20),
+            ${embedSideCtes("t_", "tr")},
+            ${embedSideCtes("b_", "bm")},
+            cand AS (
+              SELECT DISTINCT a.vec_id AS tid, c.vec_id AS bid
+              FROM t_b a JOIN b_b c ON len(list_intersect(a.bkts, c.bkts)) > 0),
+            contam AS (
+              SELECT DISTINCT cand.tid
+              FROM cand
+              JOIN t_e x ON x.vec_id = cand.tid
+              JOIN b_e y ON y.vec_id = cand.bid
+              WHERE x.nrm > 0 AND y.nrm > 0
+                AND list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4)
+            SELECT t.vec_id, t.label
+            FROM tr t JOIN t_g g ON g.vec_id = t.vec_id
+            WHERE g.mn NOT IN (SELECT tid FROM contam)
+            ORDER BY t.vec_id"""
+      }),
 
     // Near-dup CLUSTERS: connected components over the verified
     // minhash pair graph, cluster id = minimum doc_id of the component

@@ -180,6 +180,35 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("token_offset"), col("shard"))
   }
 
+  /** Within-document repetition signals (the Gopher-style repetition
+    * filter): appends per-document duplicated token / bigram / trigram
+    * fractions and the keep decision a pipeline derives from them
+    * (`kept` = 1 iff dup_token_ratio <= 0.6, dup_bigram_ratio <= 0.1,
+    * dup_trigram_ratio <= 0.02). All three ratios fall out of ONE
+    * already-fused primitive: wordShingles(text, n) is the DISTINCT
+    * n-gram set (first-occurrence order), so
+    * dup ratio = (total - distinct) / total with
+    * total = max(n_tokens - n + 1, 0) — no explode, no groupBy, no new
+    * expression; per-document column algebra that rides whole-stage
+    * codegen and needs no shuffle at all. Texts shorter than n tokens
+    * have 0 total n-grams and report ratio 0. */
+  def withRepetitionStats(df: org.apache.spark.sql.DataFrame, text: Column): org.apache.spark.sql.DataFrame = {
+    def ratio(total: Column, distinct: Column): Column =
+      (total - distinct).cast("double") /
+        greatest(total, lit(1)).cast("double")
+    val sh = graft.functions.TextShingles.wordShingles(_: Column, _: Int)
+    df.withColumn("n_tokens", size(tokens(text)).cast("long"))
+      .withColumn("dup_token_ratio",
+        ratio(col("n_tokens"), size(sh(text, 1))))
+      .withColumn("dup_bigram_ratio",
+        ratio(greatest(col("n_tokens") - 1, lit(0L)), size(sh(text, 2))))
+      .withColumn("dup_trigram_ratio",
+        ratio(greatest(col("n_tokens") - 2, lit(0L)), size(sh(text, 3))))
+      .withColumn("kept",
+        (col("dup_token_ratio") <= 0.6 && col("dup_bigram_ratio") <= 0.1 &&
+          col("dup_trigram_ratio") <= 0.02).cast("int"))
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // Training-shard packing: global token offset per document and the
@@ -205,6 +234,44 @@ object TextAnalysis {
               SELECT doc_id, n_tokens, token_offset,
                      CAST(floor(CAST(token_offset AS DOUBLE) / 5000.0) AS BIGINT) AS shard
               FROM o ORDER BY doc_id""")),
+
+    QueryDef(
+      "t_rep_ngrams",
+      (s, d) => {
+        import s.implicits._
+        withRepetitionStats(table(s, d, "documents"), $"text")
+          .select($"doc_id", $"n_tokens", $"dup_token_ratio",
+            $"dup_bigram_ratio", $"dup_trigram_ratio", $"kept")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id,
+                       [x for x in string_split_regex(lower(text), '\s+') if x != ''] AS toks
+                FROM documents),
+              r AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS n_tokens,
+                       CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+                         / greatest(len(toks), 1) AS dup_token_ratio,
+                       CAST(greatest(len(toks) - 1, 0)
+                            - CASE WHEN len(toks) >= 2
+                                THEN len(list_distinct([array_to_string(toks[i:i+1], ' ')
+                                                        for i in range(1, len(toks))]))
+                                ELSE 0 END AS DOUBLE)
+                         / greatest(len(toks) - 1, 1) AS dup_bigram_ratio,
+                       CAST(greatest(len(toks) - 2, 0)
+                            - CASE WHEN len(toks) >= 3
+                                THEN len(list_distinct([array_to_string(toks[i:i+2], ' ')
+                                                        for i in range(1, len(toks) - 1)]))
+                                ELSE 0 END AS DOUBLE)
+                         / greatest(len(toks) - 2, 1) AS dup_trigram_ratio
+                FROM t)
+              SELECT doc_id, n_tokens, dup_token_ratio, dup_bigram_ratio,
+                     dup_trigram_ratio,
+                     CASE WHEN dup_token_ratio <= 0.6 AND dup_bigram_ratio <= 0.1
+                               AND dup_trigram_ratio <= 0.02
+                          THEN 1 ELSE 0 END AS kept
+              FROM r ORDER BY doc_id""")),
 
     QueryDef(
       "t_text_stats",

@@ -351,6 +351,70 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(ids(0L) == ids(Long.MaxValue) && ids(0L) == Seq(3L, 4L))
   }
 
+  test("embedDecontaminate scrubs exact twins and near copies of blocklist vectors; zero-norm and orthogonal survive") {
+    import spark.implicits._
+    def prep(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("v", Similarity.asDouble($"embedding"))
+      .withColumn("norm", Similarity.l2norm($"v"))
+      .withColumn("vkey",
+        graft.functions.VectorExpressions.floatVectorBytes($"embedding"))
+    val e1 = Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val e1near = Array(0.999f, 0.01f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val e2 = Array(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val zero = Array.fill(8)(0f)
+    val training = prep(Seq(
+      (10L, e1),     // exact copy of a blocklist vector -> removed
+      (11L, e1),     // exact twin of 10 -> removed through its rep
+      (12L, e1near), // near copy (cos ~1) -> removed
+      (13L, e2),     // orthogonal (cos 0) -> survives
+      (14L, zero)    // zero-norm: cosine undefined -> always survives
+    ).toDF("vec_id", "embedding"))
+    // zero-norm BLOCKLIST vector contaminates nothing either
+    val blocklist = prep(Seq((100L, e1), (101L, zero)).toDF("vec_id", "embedding"))
+    def ids(cap: Long) =
+      Dedup.embedDecontaminate(training, blocklist, "vec_id", 0.4,
+          broadcastMaxDoubles = cap)
+        .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids(Long.MaxValue) == Set(13L, 14L))
+    // past the broadcast cap (AQE path) survivors are identical
+    assert(ids(0L) == Set(13L, 14L))
+  }
+
+  test("dd_embed_decontaminate removals are sound and exact-twin recall is total on the real corpus") {
+    import spark.implicits._
+    // replay the query's split on sf0.001, then check the LSH pipeline
+    // against brute force: every removed vector must have a true
+    // benchmark cosine >= 0.4 (no false removals), and every training
+    // vector with a benchmark cosine >= 0.9 must be removed (banding
+    // recall is guaranteed for near-identical vectors, which share
+    // every bucket)
+    val bucket = conv(substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100
+    val all = graft.model.Tables.table(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding", Similarity.asDouble($"embedding").as("v"))
+      .withColumn("norm", Similarity.l2norm($"v"))
+      .withColumn("vkey",
+        graft.functions.VectorExpressions.floatVectorBytes($"embedding"))
+      .withColumn("__bucket", bucket)
+    val training = all.filter($"__bucket" >= 20).drop("__bucket")
+    val benchmark = all.filter($"__bucket" < 20).drop("__bucket")
+    val survivors = Dedup.embedDecontaminate(training, benchmark, "vec_id", 0.4)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val trainingIds = training.select($"vec_id").collect().map(_.getLong(0)).toSet
+    val removed = trainingIds -- survivors
+    val bf = training.filter($"norm" > 0).as("t")
+      .crossJoin(benchmark.filter($"norm" > 0).as("b"))
+      .select($"t.vec_id".as("tid"),
+        (Similarity.dot($"t.v", $"b.v") / ($"t.norm" * $"b.norm")).as("cos"))
+      .groupBy($"tid").agg(max($"cos").as("maxcos"))
+    val bfContaminated = bf.filter($"maxcos" >= 0.4)
+      .select($"tid").collect().map(_.getLong(0)).toSet
+    val bfStrong = bf.filter($"maxcos" >= 0.9)
+      .select($"tid").collect().map(_.getLong(0)).toSet
+    assert(removed.subsetOf(bfContaminated), s"false removals: ${removed -- bfContaminated}")
+    assert(bfStrong.subsetOf(removed), s"missed strong contamination: ${bfStrong -- removed}")
+  }
+
   test("star contraction labels a long chain in O(log n) rounds where min-label cannot") {
     import spark.implicits._
     // path graph 0-1-2-...-199: diameter 199 >> any near-dup clique's.
