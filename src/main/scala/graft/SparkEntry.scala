@@ -18,7 +18,7 @@ object SparkEntry {
       ops.TimeSeries.queries ++ ops.ReferenceOps.queries ++
       ops.TextAnalysis.queries ++ ops.Dedup.queries ++
       ops.Similarity.queries ++ ops.Multimodal.queries ++
-      streaming.Windows.queries
+      streaming.Windows.queries ++ streaming.NearDup.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Latest-sample-per-channel — the engine idiom that replaces the

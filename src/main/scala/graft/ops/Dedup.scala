@@ -558,7 +558,7 @@ object Dedup {
   /** The in-row signature stage shared by the symmetric and asymmetric
     * minhash operators: (id, xs = deduped 30-bit gram-hash set,
     * __sig = h-slot signature), gramless docs dropped. */
-  private def minhashSignatures(
+  private[graft] def minhashSignatures(
       docs: DataFrame, id: Column, text: Column, h: Int): DataFrame =
     docs
       .select(id.as("id"),
@@ -567,7 +567,7 @@ object Dedup {
       .withColumn("__sig", graft.functions.MinhashSlots.minhashSlots(col("xs"), h))
 
   /** Band bucket keys over a `__sig` column: b keys of r slots each. */
-  private def minhashBandKeys(h: Int, b: Int): Seq[Column] = {
+  private[graft] def minhashBandKeys(h: Int, b: Int): Seq[Column] = {
     val r = h / b
     (0 until b).map { i =>
       md5(concat_ws(",", lit(i.toString) +:
@@ -865,7 +865,7 @@ object Dedup {
   /** [[minhashOracleCtes]] with the doc source parameterized —
     * dd_apply_lsh feeds exact-content group representatives instead of
     * the full corpus. */
-  private def minhashOracleCtesFrom(docsRel: String): String =
+  private[graft] def minhashOracleCtesFrom(docsRel: String): String =
     s"""WITH ${minhashSideCtes("", docsRel)},
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                  FROM bands a JOIN bands b

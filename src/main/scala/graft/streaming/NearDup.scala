@@ -1,0 +1,142 @@
+package graft.streaming
+
+import graft.QueryDef
+import graft.model.Tables.table
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** ONLINE near-duplicate detection — streaming MinHash-LSH.
+  *
+  * The batch dedup family (graft.ops.Dedup) answers "which documents
+  * in this corpus are near-dups of each other"; an ingest pipeline
+  * needs the ONLINE form: as each document arrives, which
+  * already-ingested documents is it a near-dup of? This module keeps
+  * the LSH index AS STREAMING STATE: documents explode to their
+  * minhash band keys (the same in-row signature stage as the batch
+  * family — one compiled pass, no exchange), and a
+  * `flatMapGroupsWithState` keyed by band holds the gram-hash sets of
+  * previously-arrived documents in that band. A new arrival verifies
+  * (exact hash-set jaccard, the batch family's verify) against its
+  * band's state only — the stream-side twin of the banded candidate
+  * equi-join — and emits a pair per verified partner.
+  *
+  * stream == batch by construction: the transform is one
+  * DataFrame-in/Dataset-out function running identically under batch
+  * execution (state starts empty, one "micro-batch") and under
+  * Structured Streaming (state persists across micro-batches). The
+  * batch run IS the oracle-checked `w_neardup_pairs` query below, and
+  * StreamNearDupSpec replays the same corpus through a MemoryStream in
+  * several micro-batches asserting the emitted pair set is identical
+  * when arrival order follows doc_id order.
+  *
+  * Scale shape: per-band state is the inherent cost of an online LSH
+  * index — bounded by `maxPerBand` (a production deployment also ages
+  * entries out with a timeout; unbounded here only for the
+  * batch-equivalence contract). The shuffle is one exchange on the
+  * band key per micro-batch; near-dup bands are small by construction
+  * (a band shared by many documents means those documents minhash-
+  * collide, i.e. they ARE near-dups and the emitted pairs are true
+  * output), so state skew follows true-duplicate skew, exactly like
+  * the batch family's banded joins. A pair sharing k bands is emitted
+  * k times (once per band — the per-band processors are independent);
+  * consumers dedupe, as `w_neardup_pairs` does with one `distinct()`.
+  *
+  * Semantics note (arrival vs id order): pairs are (earlier arrival,
+  * later arrival). Under streaming, "earlier" is micro-batch order
+  * with doc_id order inside a batch (arrivals are sorted before
+  * processing, making replays deterministic); under batch execution
+  * everything is one batch, so pairs come out (lower id, higher id) —
+  * the batch family's orientation. */
+object NearDup {
+
+  case class BandDoc(band: String, doc_id: Long, xs: Array[Long])
+  case class DocSig(id: Long, xs: Array[Long])
+  case class BandState(docs: List[DocSig])
+  case class NearPair(id_a: Long, id_b: Long, sim: Double)
+
+  /** Exact jaccard of two SORTED distinct hash arrays (two-pointer
+    * merge) — the executor-side twin of [[graft.ops.Dedup.jaccard]]'s
+    * column form, same value on the same sets. */
+  private[streaming] def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** Documents prepared for the online index: in-row minhash
+    * signatures (gramless docs dropped, exactly as the batch family
+    * drops them — they can never pair), gram-hash sets sorted for the
+    * two-pointer verify, one row per (band key, doc). */
+  def bandedDocs(
+      docs: DataFrame, id: Column, text: Column,
+      h: Int = 32, b: Int = 16): Dataset[BandDoc] = {
+    import docs.sparkSession.implicits._
+    graft.ops.Dedup.minhashSignatures(docs, id, text, h)
+      .withColumn("xs", sort_array(col("xs")))
+      .select(
+        explode(array(graft.ops.Dedup.minhashBandKeys(h, b): _*)).as("band"),
+        col("id").as("doc_id"), col("xs"))
+      .as[BandDoc]
+  }
+
+  private def processBand(threshold: Double, maxPerBand: Int)(
+      band: String, rows: Iterator[BandDoc],
+      state: GroupState[BandState]): Iterator[NearPair] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[NearPair]
+    var seen = state.getOption.map(_.docs).getOrElse(Nil)
+    var nSeen = seen.size
+    rows.toArray.sortBy(_.doc_id).foreach { d =>
+      var cur = seen
+      while (cur.nonEmpty) {
+        val p = cur.head
+        val sim = jaccardSorted(p.xs, d.xs)
+        if (sim >= threshold) out += NearPair(p.id, d.doc_id, sim)
+        cur = cur.tail
+      }
+      if (nSeen < maxPerBand) { seen = DocSig(d.doc_id, d.xs) :: seen; nSeen += 1 }
+    }
+    state.update(BandState(seen))
+    out.iterator
+  }
+
+  /** Verified near-dup pairs of `docs` against everything that arrived
+    * before them (and earlier rows of the same micro-batch) — one
+    * emission per SHARED BAND; dedupe downstream. Runs on a streaming
+    * OR batch DataFrame unchanged. */
+  def nearDupPairs(
+      docs: DataFrame, id: Column, text: Column, threshold: Double,
+      maxPerBand: Int = Int.MaxValue, h: Int = 32, b: Int = 16): Dataset[NearPair] = {
+    import docs.sparkSession.implicits._
+    bandedDocs(docs, id, text, h, b)
+      .groupByKey(_.band)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        processBand(threshold, maxPerBand))
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // The online LSH index under batch execution: all documents in one
+    // "micro-batch", pairs oriented (lower id, higher id) — which must
+    // equal the batch family's verified pair set over the SAME raw
+    // corpus (no rep collapse here: the online form sees every member,
+    // so the oracle is the uncollapsed pipeline). StreamNearDupSpec
+    // asserts the multi-batch streaming run emits this same set.
+    QueryDef(
+      "w_neardup_pairs",
+      (s, d) => {
+        import s.implicits._
+        nearDupPairs(table(s, d, "documents"), $"doc_id", $"text", 0.5)
+          .toDF().distinct()
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""${graft.ops.Dedup.minhashOracleCtesFrom("documents")}
+              SELECT id_a, id_b, sim FROM verified
+              WHERE sim >= 0.5 ORDER BY id_a, id_b"""))
+  )
+}

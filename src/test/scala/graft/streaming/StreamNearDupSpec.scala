@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+case class Doc(doc_id: Long, text: String)
+
+/** The online MinHash-LSH index: streaming (multi-micro-batch) emits
+  * the same verified pair set as batch execution, which in turn equals
+  * the batch family's minhashNearDups on the same corpus. */
+class StreamNearDupSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def pairSet(rows: Seq[(Long, Long, Double)]): Set[(Long, Long)] =
+    rows.map(r => (r._1, r._2)).toSet
+
+  test("jaccardSorted: two-pointer merge equals the column-form jaccard on doc gram pairs") {
+    import spark.implicits._
+    val docs = graft.model.Tables.table(spark, sf, "documents").limit(50)
+    val sigs = graft.ops.Dedup
+      .minhashSignatures(docs, $"doc_id", $"text", 32)
+      .withColumn("xs", sort_array($"xs"))
+      .select($"id", $"xs")
+    val pairs = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter($"a.id" < $"b.id")
+      .select($"a.xs".as("xsa"), $"b.xs".as("xsb"),
+        graft.ops.Dedup.jaccard($"a.xs", $"b.xs").as("sim"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val scala2p = NearDup.jaccardSorted(
+        r.getSeq[Long](0).toArray, r.getSeq[Long](1).toArray)
+      assert(scala2p == r.getDouble(2), s"two-pointer != column jaccard")
+    }
+  }
+
+  test("streaming near-dup pairs across 3 micro-batches == batch run == minhashNearDups") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = graft.model.Tables.table(spark, sf, "documents")
+      .select($"doc_id", $"text").as[Doc].collect().toSeq.sortBy(_.doc_id)
+    // id-ordered arrival in 3 micro-batches -> pair orientation matches batch
+    val chunks = docs.grouped((docs.size + 2) / 3).toSeq
+    val mem = MemoryStream[Doc]
+    val q = NearDup.nearDupPairs(mem.toDF(), $"doc_id", $"text", 0.5)
+      .toDF()
+      .writeStream.format("memory").queryName("wnd").outputMode("append").start()
+    try {
+      chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      val streamed = spark.table("wnd")
+        .select($"id_a", $"id_b", $"sim").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val batched = NearDup.nearDupPairs(docs.toDF(), $"doc_id", $"text", 0.5)
+        .toDF().distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val reference = graft.ops.Dedup.minhashNearDups(
+          docs.toDF(), $"doc_id", $"text", 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(batched.nonEmpty, "corpus has no near-dup pairs at 0.5")
+      assert(pairSet(streamed) == pairSet(batched))
+      assert(pairSet(batched) == pairSet(reference))
+      // sims agree exactly too (same sets, same arithmetic)
+      assert(streamed.toSet == batched.toSet)
+    } finally q.stop()
+  }
+
+  test("maxPerBand caps state: capped run's pairs are a subset of the uncapped run") {
+    import spark.implicits._
+    val docs = graft.model.Tables.table(spark, sf, "documents")
+    val uncapped = NearDup.nearDupPairs(docs, $"doc_id", $"text", 0.5)
+      .toDF().distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = NearDup.nearDupPairs(docs, $"doc_id", $"text", 0.5, maxPerBand = 1)
+      .toDF().distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped))
+  }
+}
