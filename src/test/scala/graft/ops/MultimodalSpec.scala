@@ -87,6 +87,49 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("real WAV bytes decode through the mapPartitions codec path") {
+    import spark.implicits._
+    // synthesized 16-bit PCM WAV fixtures with KNOWN signal statistics:
+    // a constant DC signal at amplitude a has rms == peak == a exactly;
+    // a full-period square wave at amplitude a likewise. Durations and
+    // frame counts come from the synthesized sample count.
+    def wav(samples: Array[Short], sampleRate: Float, channels: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, channels, true, false)
+      val data = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        data(2 * i) = (s & 0xFF).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length / channels)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val half = (0.5 * 32768).toShort // amplitude 0.5 exactly (16384/32768)
+    val quarter = (0.25 * 32768).toShort
+    val dcMono = wav(Array.fill(8000)(half), 8000f, 1) // 1 s @ 8 kHz mono
+    val sqStereo = wav( // 0.5 s @ 16 kHz stereo alternating +/- 0.25
+      Array.tabulate(16000)(i => if (i % 2 == 0) quarter else (-quarter).toShort),
+      16000f, 2)
+    val corrupt = MediaFile(99L, "audio", Array[Byte](9, 9, 9), 0, 0, 0, 0)
+    val media = Seq(
+      MediaFile(1L, "audio", dcMono, 0, 0, 8000, 0),
+      MediaFile(2L, "audio", sqStereo, 0, 0, 16000, 0)) :+ corrupt
+    val ds = spark.createDataset(media).repartition(2)
+    WavCodec.inits.set(0L)
+    val got = decodeAudioStats(ds).collect().map(s => s.media_id -> s).toMap
+    assert(WavCodec.inits.get() == 2, s"inits: ${WavCodec.inits.get()}")
+    assert(!got.contains(99L), "corrupt payload must be quarantined, not decoded")
+    val a = got(1L)
+    assert(a.sample_rate_hz == 8000 && a.n_channels == 1 && a.n_samples == 8000L)
+    assert(a.duration_s == 1.0 && a.rms == 0.5 && a.peak == 0.5)
+    val b = got(2L)
+    assert(b.sample_rate_hz == 16000 && b.n_channels == 2 && b.n_samples == 8000L)
+    assert(b.duration_s == 0.5 && b.rms == 0.25 && b.peak == 0.25)
+  }
+
   test("codec initialized once per partition, not per row") {
     // real codecs are expensive to construct; the mapPartitions
     // operators must amortize one instance across the partition
