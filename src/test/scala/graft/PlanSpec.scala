@@ -73,6 +73,34 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(count(p, "BroadcastHashJoin") >= 2, p)
   }
 
+  test("dd_embed_decontaminate: blocklist side broadcasts, corpus never cartesians") {
+    val p = plan("dd_embed_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // band candidates, the verify join's benchmark side, and the final
+    // anti-join all read the small side through a broadcast
+    assert(count(p, "BroadcastHashJoin") >= 3, p)
+  }
+
+  test("t_rep_ngrams: shuffle-free column algebra — only the output sort exchanges") {
+    val p = plan("t_rep_ngrams")
+    // no aggregation, no join, no window: the ratios are per-row
+    // expressions, so the ONLY exchange is the final orderBy's range
+    // partitioning (plus AQE's reader)
+    assert(count(p, "Exchange hash") == 0, p)
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), p)
+    assert(count(p, "Exchange range") == 1, p)
+  }
+
+  test("w_neardup_pairs: one band-key exchange feeds the stateful index, no pair explosion joins") {
+    val p = plan("w_neardup_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // batch execution of the online index: signatures are in-row, so
+    // the only hash exchanges are the groupByKey(band) and the final
+    // distinct — never a per-gram postings shuffle
+    assert(p.contains("FlatMapGroupsWithState") || p.contains("MapGroups"), p)
+    assert(count(p, "Exchange hash") <= 2, p)
+  }
+
   test("no operator sorts or exchanges on an interpreted lambda key (float-array normalization)") {
     // Keying a sort/shuffle on a raw array<float> makes
     // NormalizeFloatingNumbers wrap the key in an interpreted
