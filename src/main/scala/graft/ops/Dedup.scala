@@ -784,6 +784,19 @@ object Dedup {
     * mirroring [[minhashSideCtes]]. The bucket comprehension is the
     * exact integer LCG of [[Similarity.bandBucketsProbed]] (bands=8,
     * r=8), so the candidate sets replay in DuckDB. */
+  /** The DuckDB list comprehension computing a row's 8 hyperplane band
+    * buckets from its double vector `v` — the exact integer LCG of
+    * [[Similarity.bandBucketsProbed]] (bands=8, r=8), shared by every
+    * embedding-family oracle. */
+  private[graft] val embedBucketListSql: String =
+    """[bb * 256 + list_sum([CASE WHEN list_dot_product(v,
+                            [CAST(((1103515245::BIGINT * ((bb * 8 + q) * 1048576 + i) + 12345) % 2147483648) AS DOUBLE)
+                               / 2147483648.0 - 0.5
+                             for i in range(len(v))]) >= 0.0
+                          THEN (1 << (7 - q)) ELSE 0 END
+                          for q in range(8)])
+                        for bb in range(8)]"""
+
   private def embedSideCtes(p: String, srcRel: String): String =
     s"""${p}g AS (
                 SELECT vec_id, embedding,
@@ -796,13 +809,7 @@ object Dedup {
                 FROM ${p}g WHERE vec_id = mn),
               ${p}b AS (
                 SELECT vec_id,
-                       [bb * 256 + list_sum([CASE WHEN list_dot_product(v,
-                            [CAST(((1103515245::BIGINT * ((bb * 8 + q) * 1048576 + i) + 12345) % 2147483648) AS DOUBLE)
-                               / 2147483648.0 - 0.5
-                             for i in range(len(v))]) >= 0.0
-                          THEN (1 << (7 - q)) ELSE 0 END
-                          for q in range(8)])
-                        for bb in range(8)] AS bkts
+                       $embedBucketListSql AS bkts
                 FROM ${p}e)"""
 
   private lazy val embedOracleCtes: String =

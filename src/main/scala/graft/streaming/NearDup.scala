@@ -119,6 +119,88 @@ object NearDup {
         processBand(threshold, maxPerBand))
   }
 
+  // ---- Embedding form: the online hyperplane-LSH index ------------
+
+  case class BandVec(bucket: Int, vec_id: Long, v: Array[Double], norm: Double)
+  case class VecSig(id: Long, v: Array[Double], norm: Double)
+  case class VecBandState(vecs: List[VecSig])
+  case class VecPair(id_a: Long, id_b: Long, cos: Double)
+
+  /** Sequential dot product in index order — the executor-side twin of
+    * the codegen DotProduct expression AND DuckDB's list_dot_product
+    * (all three accumulate left-to-right, so the doubles agree
+    * bitwise). */
+  private[streaming] def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Embeddings prepared for the online index: double vectors with
+    * precomputed norms, zero-norm rows dropped (cosine is 0/0 = NaN —
+    * they never pair, the batch family's explicit gate), one row per
+    * (hyperplane band bucket, vector) over the family's shared LSH
+    * (bands=8, r=8). Pass `dim` when known (production: the corpus
+    * dimension is fixed) to get the fused constant-plane expression; a
+    * STREAMING input without `dim` takes the probe-free declarative
+    * form instead — `bandBucketsProbed`'s limit-1 dimension probe is a
+    * batch job, which a streaming plan must not run at construction —
+    * bit-identical buckets by the fused expression's equivalence spec. */
+  def bandedVecs(
+      embeddings: DataFrame, id: Column, vec: Column,
+      dim: Option[Int] = None): Dataset[BandVec] = {
+    import embeddings.sparkSession.implicits._
+    val prepped = embeddings
+      .select(id.as("vec_id"), graft.ops.Similarity.asDouble(vec).as("v"))
+      .withColumn("norm", graft.ops.Similarity.l2norm(col("v")))
+      .filter(col("norm") > 0)
+    val buckets = dim match {
+      case Some(k) =>
+        graft.ops.Similarity.hyperplaneBandBucketsFixed(col("v"), k, bands = 8, r = 8)
+      case None if embeddings.isStreaming =>
+        graft.ops.Similarity.hyperplaneBandBuckets(col("v"), bands = 8, r = 8)
+      case None =>
+        graft.ops.Similarity.bandBucketsProbed(prepped, col("v"), bands = 8, r = 8)
+    }
+    prepped.select(explode(buckets).as("bucket"),
+        col("vec_id"), col("v"), col("norm"))
+      .as[BandVec]
+  }
+
+  private def processVecBand(threshold: Double, maxPerBand: Int)(
+      bucket: Int, rows: Iterator[BandVec],
+      state: GroupState[VecBandState]): Iterator[VecPair] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[VecPair]
+    var seen = state.getOption.map(_.vecs).getOrElse(Nil)
+    var nSeen = seen.size
+    rows.toArray.sortBy(_.vec_id).foreach { d =>
+      var cur = seen
+      while (cur.nonEmpty) {
+        val p = cur.head
+        val cos = dotSeq(p.v, d.v) / (p.norm * d.norm)
+        if (cos >= threshold) out += VecPair(p.id, d.vec_id, cos)
+        cur = cur.tail
+      }
+      if (nSeen < maxPerBand) { seen = VecSig(d.vec_id, d.v, d.norm) :: seen; nSeen += 1 }
+    }
+    state.update(VecBandState(seen))
+    out.iterator
+  }
+
+  /** Verified cosine near-dup pairs of arriving embeddings against
+    * everything that arrived before them — the vector twin of
+    * [[nearDupPairs]], one emission per shared band bucket. Runs on a
+    * streaming OR batch DataFrame unchanged. */
+  def embedNearDupPairs(
+      embeddings: DataFrame, id: Column, vec: Column, threshold: Double,
+      maxPerBand: Int = Int.MaxValue, dim: Option[Int] = None): Dataset[VecPair] = {
+    import embeddings.sparkSession.implicits._
+    bandedVecs(embeddings, id, vec, dim)
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        processVecBand(threshold, maxPerBand))
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // The online LSH index under batch execution: all documents in one
@@ -137,6 +219,41 @@ object NearDup {
       },
       Some(s"""${graft.ops.Dedup.minhashOracleCtesFrom("documents")}
               SELECT id_a, id_b, sim FROM verified
-              WHERE sim >= 0.5 ORDER BY id_a, id_b"""))
+              WHERE sim >= 0.5 ORDER BY id_a, id_b""")),
+
+    // The online hyperplane-LSH index under batch execution: the
+    // UNCOLLAPSED verified cosine pair set (the online form sees every
+    // member as it arrives — exact twins pair like any neighbor), which
+    // DuckDB replays band-for-band via the family's shared bucket
+    // comprehension. StreamNearDupSpec asserts the multi-batch
+    // streaming run emits this same set.
+    QueryDef(
+      "w_embed_neardup",
+      (s, d) => {
+        import s.implicits._
+        embedNearDupPairs(table(s, d, "embeddings"), $"vec_id", $"embedding", 0.4)
+          .toDF().distinct()
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS nrm
+                FROM embeddings),
+              b AS (
+                SELECT vec_id, ${graft.ops.Dedup.embedBucketListSql} AS bkts
+                FROM e),
+              cand AS (
+                SELECT a.vec_id AS id_a, c.vec_id AS id_b
+                FROM b a JOIN b c ON a.vec_id < c.vec_id
+                WHERE len(list_intersect(a.bkts, c.bkts)) > 0)
+              SELECT cand.id_a, cand.id_b,
+                     list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cos
+              FROM cand
+              JOIN e x ON x.vec_id = cand.id_a
+              JOIN e y ON y.vec_id = cand.id_b
+              WHERE x.nrm > 0 AND y.nrm > 0
+                AND list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4
+              ORDER BY id_a, id_b"""))
   )
 }

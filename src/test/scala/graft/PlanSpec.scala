@@ -92,13 +92,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("w_neardup_pairs: one band-key exchange feeds the stateful index, no pair explosion joins") {
-    val p = plan("w_neardup_pairs")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    // batch execution of the online index: signatures are in-row, so
-    // the only hash exchanges are the groupByKey(band) and the final
-    // distinct — never a per-gram postings shuffle
-    assert(p.contains("FlatMapGroupsWithState") || p.contains("MapGroups"), p)
-    assert(count(p, "Exchange hash") <= 2, p)
+    for (q <- Seq("w_neardup_pairs", "w_embed_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      // batch execution of the online index: signatures/buckets are
+      // in-row, so the only hash exchanges are the groupByKey(band)
+      // and the final distinct — never a per-gram postings shuffle
+      assert(p.contains("FlatMapGroupsWithState") || p.contains("MapGroups"), s"$q:\n$p")
+      assert(count(p, "Exchange hash") <= 2, s"$q:\n$p")
+    }
   }
 
   test("no operator sorts or exchanges on an interpreted lambda key (float-array normalization)") {

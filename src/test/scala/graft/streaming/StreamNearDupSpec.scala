@@ -67,6 +67,50 @@ class StreamNearDupSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming embedding near-dup across 3 micro-batches == batch run == banded DataFrame reference") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    case class Vec(vec_id: Long, embedding: Array[Float])
+    val vecs = graft.model.Tables.table(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => Vec(r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_.vec_id).toSeq
+    val chunks = vecs.grouped((vecs.size + 2) / 3).toSeq
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = NearDup.embedNearDupPairs(
+        mem.toDF().toDF("vec_id", "embedding"), $"vec_id", $"embedding", 0.4)
+      .toDF()
+      .writeStream.format("memory").queryName("wen").outputMode("append").start()
+    try {
+      chunks.foreach { c => mem.addData(c.map(v => (v.vec_id, v.embedding)): _*); q.processAllAvailable() }
+      val streamed = spark.table("wen").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val df = vecs.map(v => (v.vec_id, v.embedding)).toDF("vec_id", "embedding")
+      val batched = NearDup.embedNearDupPairs(df, $"vec_id", $"embedding", 0.4)
+        .toDF().distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // independent reference: a plain DataFrame band join + cosine verify
+      val prepped = df
+        .select($"vec_id", graft.ops.Similarity.asDouble($"embedding").as("v"))
+        .withColumn("norm", graft.ops.Similarity.l2norm($"v"))
+        .filter($"norm" > 0)
+      val banded = prepped.select($"vec_id",
+        explode(graft.ops.Similarity.bandBucketsProbed(prepped, $"v", 8, 8)).as("bkt"))
+      val reference = banded.as("a")
+        .join(banded.as("b"), $"a.bkt" === $"b.bkt" && $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b")).distinct()
+        .join(prepped.select($"vec_id".as("id_a"), $"v".as("va"), $"norm".as("na")), Seq("id_a"))
+        .join(prepped.select($"vec_id".as("id_b"), $"v".as("vb"), $"norm".as("nb")), Seq("id_b"))
+        .select($"id_a", $"id_b",
+          (graft.ops.Similarity.dot($"va", $"vb") / ($"na" * $"nb")).as("cos"))
+        .filter($"cos" >= 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(batched.nonEmpty, "corpus has no embedding near-dup pairs at 0.4")
+      assert(streamed == batched)
+      assert(batched == reference)
+    } finally q.stop()
+  }
+
   test("maxPerBand caps state: capped run's pairs are a subset of the uncapped run") {
     import spark.implicits._
     val docs = graft.model.Tables.table(spark, sf, "documents")
