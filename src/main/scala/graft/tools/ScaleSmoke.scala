@@ -326,8 +326,17 @@ ${entries.mkString(",\n")}
       }
       spark.sparkContext.addSparkListener(listener)
       try {
+        // The two online indexes (w_neardup_pairs, w_embed_neardup)
+        // are EXPECTED to show max/wall near 1 here: a hot band is one
+        // flatMapGroupsWithState group, and stateful groups cannot be
+        // AQE-split — the serial verify inside the group is the
+        // inherent cost of an ONLINE per-band index under a true-dup
+        // flood (every emitted pair is true output; production bounds
+        // it with maxPerBand). The batch family's banded JOINS are the
+        // ones that must stay under the straggler bound.
         for (q <- Seq("dd_minhash_lsh", "dd_apply_lsh", "dd_simhash",
-            "dd_embed_cos", "s_ann_lsh")) {
+            "dd_embed_cos", "s_ann_lsh", "dd_decontaminate",
+            "dd_embed_decontaminate", "w_neardup_pairs", "w_embed_neardup")) {
           durations.clear()
           val t0 = System.nanoTime()
           val rows = graft.SparkEntry.queries(q)(spark, dir).count()
