@@ -869,6 +869,34 @@ object Dedup {
                   FROM ${p}sig)"""
   }
 
+  /** The dd_decontaminate oracle: the 20/80 md5 id split, both sides'
+    * minhash pipelines, banded candidates, exact-jaccard contamination
+    * at t = 0.5, training anti-join. SHARED with w_decontaminate (the
+    * broadcast-index online form): identical semantics by
+    * construction, so the driver's hash-compare holds the two plans to
+    * bit-equality. */
+  private[graft] lazy val decontaminateOracleSql: String = {
+    val split = """(SELECT *,
+                    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 AS bucket
+                    FROM documents)"""
+    s"""WITH tr AS (SELECT doc_id, text, source, n_chars FROM $split WHERE bucket >= 20),
+        bm AS (SELECT doc_id, text FROM $split WHERE bucket < 20),
+        ${minhashSideCtes("a_", "tr")},
+        ${minhashSideCtes("b_", "bm")},
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM a_bands a JOIN b_bands b ON a.band = b.band),
+        contaminated AS (
+          SELECT DISTINCT c.id_a AS doc_id
+          FROM cand c
+          JOIN a_xb xa ON xa.doc_id = c.id_a
+          JOIN b_xb xb2 ON xb2.doc_id = c.id_b
+          WHERE CAST(len(list_intersect(xa.xs, xb2.xs)) AS DOUBLE)
+                / (len(xa.xs) + len(xb2.xs) - len(list_intersect(xa.xs, xb2.xs))) >= 0.5)
+        SELECT doc_id, source, n_chars FROM tr
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ORDER BY doc_id"""
+  }
+
   /** [[minhashOracleCtes]] with the doc source parameterized —
     * dd_apply_lsh feeds exact-content group representatives instead of
     * the full corpus. */
@@ -1098,27 +1126,7 @@ object Dedup {
           .select($"doc_id", $"source", $"n_chars")
           .orderBy($"doc_id")
       },
-      Some {
-        val split = """(SELECT *,
-                        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 AS bucket
-                        FROM documents)"""
-        s"""WITH tr AS (SELECT doc_id, text, source, n_chars FROM $split WHERE bucket >= 20),
-            bm AS (SELECT doc_id, text FROM $split WHERE bucket < 20),
-            ${minhashSideCtes("a_", "tr")},
-            ${minhashSideCtes("b_", "bm")},
-            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                     FROM a_bands a JOIN b_bands b ON a.band = b.band),
-            contaminated AS (
-              SELECT DISTINCT c.id_a AS doc_id
-              FROM cand c
-              JOIN a_xb xa ON xa.doc_id = c.id_a
-              JOIN b_xb xb2 ON xb2.doc_id = c.id_b
-              WHERE CAST(len(list_intersect(xa.xs, xb2.xs)) AS DOUBLE)
-                    / (len(xa.xs) + len(xb2.xs) - len(list_intersect(xa.xs, xb2.xs))) >= 0.5)
-            SELECT doc_id, source, n_chars FROM tr
-            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
-            ORDER BY doc_id"""
-      }),
+      Some(decontaminateOracleSql)),
 
     // SimHash signatures + hamming-banded near-dup pairs (<= 3 bits
     // apart; with four equal chunks the pigeonhole guarantee of a

@@ -201,6 +201,89 @@ object NearDup {
         processVecBand(threshold, maxPerBand))
   }
 
+  // ---- Online decontamination: broadcast blocklist index -----------
+
+  /** A driver-built LSH index of a benchmark/blocklist corpus:
+    * band key -> the gram-hash sets of the blocklist docs in that
+    * band. Bounded by blocklist size (benchmarks are thousands of
+    * documents; the guard enforces the same payload cap as the batch
+    * form's broadcast hint), shipped to executors once, probed per
+    * arriving row with ZERO stateful operators — which is what makes
+    * online decontamination watermark-free: unlike the near-dup index,
+    * the reference set never grows with the stream. */
+  case class BlocklistIndex(
+      bands: Map[String, Array[DocSig]], threshold: Double) extends Serializable {
+    def contaminated(xs: Array[Long], bandKeys: scala.collection.Seq[String]): Boolean =
+      bandKeys.exists { b =>
+        bands.get(b).exists(_.exists(p => jaccardSorted(p.xs, xs) >= threshold))
+      }
+  }
+
+  /** Build the [[BlocklistIndex]] from a BATCH blocklist corpus — the
+    * same signature/band stage as the batch family (portable
+    * universal-hash grams, 32 slots, 16 bands), collected to the
+    * driver. `maxGrams` mirrors [[graft.ops.Dedup.decontaminate]]'s
+    * broadcast guard: a corpus-sized "blocklist" must fail loudly here,
+    * not OOM the driver. */
+  def buildBlocklistIndex(
+      blocklist: DataFrame, id: Column, text: Column, threshold: Double,
+      maxGrams: Long = 32L << 20): BlocklistIndex = {
+    val sigs = graft.ops.Dedup.minhashSignatures(blocklist, id, text, 32)
+      .withColumn("xs", sort_array(col("xs")))
+      .select(col("id"), col("xs"),
+        array(graft.ops.Dedup.minhashBandKeys(32, 16): _*).as("bands"))
+    val totalGrams = sigs.agg(coalesce(sum(size(col("xs"))), lit(0L)))
+      .head().getLong(0)
+    require(totalGrams <= maxGrams,
+      s"blocklist too large to index on the driver: $totalGrams gram hashes > $maxGrams")
+    val rows = sigs.collect()
+    val byBand = scala.collection.mutable.HashMap.empty[String, List[DocSig]]
+    rows.foreach { r =>
+      val sig = DocSig(r.getAs[Long]("id"),
+        r.getSeq[Long](r.fieldIndex("xs")).toArray)
+      r.getSeq[String](r.fieldIndex("bands")).foreach { b =>
+        byBand(b) = sig :: byBand.getOrElse(b, Nil)
+      }
+    }
+    BlocklistIndex(byBand.view.mapValues(_.toArray).toMap, threshold)
+  }
+
+  /** Append a boolean `out` column — true iff the row's text verifies
+    * at the index threshold against NO blocklist document — to a batch
+    * OR streaming DataFrame, schema otherwise preserved. The whole
+    * check is per-row against the broadcast index: no join, no
+    * shuffle, no state — the plan stays a single map stage, so this
+    * drops into any streaming ingest pipeline before the sink.
+    * Gramless docs (under 3 tokens) have no bands and are always
+    * clean, exactly like the batch form (they can never pair). */
+  def withOnlineDecontamination(
+      docs: DataFrame, text: Column, out: String,
+      index: BlocklistIndex): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.BooleanType
+    val bIndex = docs.sparkSession.sparkContext.broadcast(index)
+    val withSig = docs
+      .withColumn("__xs",
+        sort_array(graft.functions.TextShingles.hashedWordShingles(text, 3, "uh30")))
+      .withColumn("__sig",
+        when(size(col("__xs")) > 0,
+          graft.functions.MinhashSlots.minhashSlots(col("__xs"), 32)))
+      .withColumn("__bands",
+        when(size(col("__xs")) > 0,
+          array(graft.ops.Dedup.minhashBandKeys(32, 16): _*))
+          .otherwise(array()))
+    val outSchema = withSig.schema.add(out, BooleanType, nullable = false)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    withSig.mapPartitions { rows =>
+      val idx = bIndex.value
+      rows.map { r =>
+        val xs = r.getSeq[Long](r.fieldIndex("__xs")).toArray
+        val bands = r.getSeq[String](r.fieldIndex("__bands"))
+        Row.fromSeq(r.toSeq :+ !idx.contaminated(xs, bands))
+      }
+    }(enc).drop("__xs", "__sig", "__bands")
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // The online LSH index under batch execution: all documents in one
@@ -254,6 +337,29 @@ object NearDup {
               JOIN e y ON y.vec_id = cand.id_b
               WHERE x.nrm > 0 AND y.nrm > 0
                 AND list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4
-              ORDER BY id_a, id_b"""))
+              ORDER BY id_a, id_b""")),
+
+    // Online decontamination under batch execution: the broadcast
+    // blocklist index probed per row must reproduce the batch form's
+    // survivor set EXACTLY — the oracle IS dd_decontaminate's (same
+    // split, same signatures, same bands, same verify), so the
+    // driver's hash-compare holds the join-based and index-based
+    // plans to bit-equality.
+    QueryDef(
+      "w_decontaminate",
+      (s, d) => {
+        import s.implicits._
+        val bucket = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+          .cast("int") % 100
+        val docs = table(s, d, "documents").withColumn("__bucket", bucket)
+        val training = docs.filter($"__bucket" >= 20).drop("__bucket")
+        val benchmark = docs.filter($"__bucket" < 20).drop("__bucket")
+        val idx = buildBlocklistIndex(benchmark, $"doc_id", $"text", 0.5)
+        withOnlineDecontamination(training, $"text", "__clean", idx)
+          .filter($"__clean")
+          .select($"doc_id", $"source", $"n_chars")
+          .orderBy($"doc_id")
+      },
+      Some(graft.ops.Dedup.decontaminateOracleSql))
   )
 }

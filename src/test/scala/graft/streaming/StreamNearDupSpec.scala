@@ -111,6 +111,45 @@ class StreamNearDupSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("online decontamination == the batch join form; stream flags == batch flags; guard trips") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val bucket = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100
+    val docs = graft.model.Tables.table(spark, sf, "documents")
+      .withColumn("__bucket", bucket)
+    val training = docs.filter($"__bucket" >= 20).drop("__bucket")
+    val benchmark = docs.filter($"__bucket" < 20).drop("__bucket")
+    val idx = NearDup.buildBlocklistIndex(benchmark, $"doc_id", $"text", 0.5)
+    // batch: index-probed survivors == join-based survivors, exactly
+    val online = NearDup.withOnlineDecontamination(training, $"text", "__clean", idx)
+      .filter($"__clean").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val joined = graft.ops.Dedup.decontaminate(training, benchmark, "doc_id", $"text", 0.5)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(online == joined)
+    assert(online.size < training.count(), "nothing was decontaminated — vacuous corpus")
+    // streaming: the same rows through a MemoryStream get the same flags
+    val batchFlags = NearDup.withOnlineDecontamination(training, $"text", "f", idx)
+      .select($"doc_id", $"f").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val mem = MemoryStream[Doc]
+    val q = NearDup.withOnlineDecontamination(mem.toDF(), $"text", "f", idx)
+      .select($"doc_id", $"f")
+      .writeStream.format("memory").queryName("wdc").outputMode("append").start()
+    try {
+      val rows = training.select($"doc_id", $"text").as[Doc].collect().toSeq
+      rows.grouped((rows.size + 1) / 2).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      val streamFlags = spark.table("wdc")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(streamFlags == batchFlags)
+    } finally q.stop()
+    // the driver-memory guard refuses a corpus-sized "blocklist"
+    val e = intercept[IllegalArgumentException] {
+      NearDup.buildBlocklistIndex(benchmark, $"doc_id", $"text", 0.5, maxGrams = 1L)
+    }
+    assert(e.getMessage.contains("blocklist too large"))
+  }
+
   test("maxPerBand caps state: capped run's pairs are a subset of the uncapped run") {
     import spark.implicits._
     val docs = graft.model.Tables.table(spark, sf, "documents")
