@@ -180,6 +180,96 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("token_offset"), col("shard"))
   }
 
+  /** The fixed t_bm25 query: five mid-frequency corpus terms, so tf,
+    * df and n_hit all vary across documents. */
+  private[graft] val bm25Terms: Seq[String] =
+    Seq("spark", "query", "vector", "merge", "window")
+
+  /** BM25 relevance of every document against a FIXED query-term set —
+    * the "score the corpus against a topic / filter by relevance" step
+    * a targeted-crawl or domain-upsampling pipeline runs. Uses the
+    * RATIONAL idf `(N - df + 0.5) / (df + 0.5)` instead of its
+    * logarithm: `ln` is not correctly-rounded in IEEE 754, so
+    * Java's `Math.log` and a C libm may differ in the last bit and
+    * break the cross-engine hash-compare; the rational form keeps the
+    * score a composition of exactly-rounded ops (+, -, *, /) that is
+    * bit-identical on any engine, at the cost of steeper (monotone
+    * per-term) idf weighting — documented as a variant, not classic
+    * BM25. All other constants are decimal literals on both sides
+    * (never runtime-computed), so both engines parse identical bits.
+    *
+    * Scale shape: NO explode and no per-term join — each term's tf is
+    * one fused in-row counter ([[stopwordHits]]) over the token array,
+    * so the per-document stage is a single column-pruned map pass.
+    * The only global structure is a ONE-ROW aggregate (N, Σdl, per-term
+    * df) cross-joined back by broadcast; Σdl is an exact BIGINT sum
+    * (order-independent), divided once — no non-deterministic double
+    * accumulation anywhere. At 100 TB the corpus streams twice over
+    * the narrow (id, dl, tf…) projection; a production run would
+    * materialize that tiny projection first, as t_pack documents. */
+  def bm25Scores(
+      docs: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val perDoc = docs
+      .withColumn("__toks", tokens(text))
+      .select(
+        id.as("doc_id") +:
+          size(col("__toks")).cast("long").as("dl") +:
+          terms.indices.map(i =>
+            stopwordHits(col("__toks"), Seq(terms(i))).cast("long").as(s"__tf_$i")): _*)
+    val stats = perDoc.agg(
+      count(lit(1)).as("__n"),
+      sum(col("dl")).as("__sl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"__tf_$i") > 0, 1L).otherwise(0L)).as(s"__df_$i")): _*)
+    // k1 = 1.2, b = 0.75; 2.2 = k1+1 and 0.25 = 1-b are spelled as
+    // literals so both engines decimal->binary round identically.
+    val avgdl = col("__sl").cast("double") / col("__n").cast("double")
+    val score = terms.indices.map { i =>
+      val tf = col(s"__tf_$i").cast("double")
+      val df = col(s"__df_$i").cast("double")
+      ((col("__n").cast("double") - df + lit(0.5)) / (df + lit(0.5))) *
+        (tf * lit(2.2) /
+          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl)))
+    }.reduce(_ + _)
+    val nHit = terms.indices.map(i =>
+      when(col(s"__tf_$i") > 0, 1).otherwise(0)).reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("score", score)
+      .withColumn("n_hit", nHit)
+      .select(col("doc_id"), col("dl").as("n_tokens"), col("n_hit"), col("score"))
+  }
+
+  /** The t_bm25 oracle: the same fixed terms, same rational-idf score,
+    * same literal constants, arithmetic parenthesized to the identical
+    * IEEE evaluation order as [[bm25Scores]]. */
+  private[graft] def bm25OracleSql(terms: Seq[String]): String = {
+    val tfCols = terms.indices.map(i =>
+      s"CAST(len([x for x in toks if x = '${terms(i)}']) AS BIGINT) AS tf_$i")
+      .mkString(",\n                       ")
+    val dfCols = terms.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i")
+      .mkString(", ")
+    val scoreExpr = terms.indices.map { i =>
+      s"""((CAST(n AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))
+           * (CAST(tf_$i AS DOUBLE) * 2.2
+              / (CAST(tf_$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sl AS DOUBLE) / CAST(n AS DOUBLE)))))"""
+    }.mkString("\n           + ")
+    val hitExpr = terms.indices.map(i =>
+      s"CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id,
+                          [x for x in string_split_regex(lower(text), '\\s+') if x != ''] AS toks
+                   FROM documents),
+            p AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                       $tfCols
+                  FROM t),
+            s AS (SELECT count(*) AS n, sum(dl) AS sl, $dfCols FROM p)
+        SELECT doc_id, dl AS n_tokens, $hitExpr AS n_hit,
+           $scoreExpr AS score
+        FROM p, s
+        ORDER BY score DESC, doc_id LIMIT 100"""
+  }
+
   /** Within-document repetition signals (the Gopher-style repetition
     * filter): appends per-document duplicated token / bigram / trigram
     * fractions and the keep decision a pipeline derives from them
@@ -234,6 +324,21 @@ object TextAnalysis {
               SELECT doc_id, n_tokens, token_offset,
                      CAST(floor(CAST(token_offset AS DOUBLE) / 5000.0) AS BIGINT) AS shard
               FROM o ORDER BY doc_id""")),
+
+    // BM25 relevance vs a fixed 5-term query (rational-idf variant —
+    // see bm25Scores for why the log is not bit-safe cross-engine):
+    // top 100 most relevant documents. Per-doc stage is explode-free
+    // in-row counting; the only global structure is a 1-row stats
+    // aggregate broadcast back.
+    QueryDef(
+      "t_bm25",
+      (s, d) => {
+        import s.implicits._
+        bm25Scores(table(s, d, "documents"), $"doc_id", $"text", bm25Terms)
+          .orderBy($"score".desc, $"doc_id")
+          .limit(100)
+      },
+      Some(bm25OracleSql(bm25Terms))),
 
     QueryDef(
       "t_rep_ngrams",

@@ -91,6 +91,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(count(p, "Exchange range") == 1, p)
   }
 
+  test("t_bm25: explode-free scoring, 1-row stats broadcast, top-K without a global sort") {
+    val p = plan("t_bm25")
+    // per-term tf is in-row counting — a per-gram postings explode
+    // would show up as Generate
+    assert(!p.contains("Generate"), p)
+    // the one-row stats side joins back via broadcast (a nested-loop
+    // join against a single-row build side is the right plan; there
+    // is no key to hash on)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the only hash exchange is the global stats aggregate's
+    assert(count(p, "Exchange hash") <= 1, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("w_neardup_pairs: one band-key exchange feeds the stateful index, no pair explosion joins") {
     for (q <- Seq("w_neardup_pairs", "w_embed_neardup")) {
       val p = plan(q)

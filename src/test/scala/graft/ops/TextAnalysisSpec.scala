@@ -28,6 +28,32 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(r(4) == ((4L, 0.0, 0.0, 0.0, 1)))
   }
 
+  test("bm25Scores: hand-computed tiny corpus, zero-hit docs score 0, partition-invariant") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark query spark window"),
+      (2L, "alpha beta gamma"),
+      (3L, "query merge vector spark window")
+    ).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bm25Scores(d, $"doc_id", $"text", TextAnalysis.bm25Terms)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val rows = run(df)
+    val byId = rows.map(t => t._1 -> t).toMap
+    assert(byId(2L)._3 == 0 && byId(2L)._4 == 0.0, "no query term -> n_hit 0, score 0")
+    assert(byId(1L)._3 == 3 && byId(3L)._3 == 5)
+    // doc 1 expected score, same double arithmetic as the operator:
+    // terms spark(tf 2, df 2), query(1, 2), vector(0, 1), merge(0, 1),
+    // window(1, 2); N = 3, sl = 12, dl = 4.
+    val n = 3.0; val avgdl = 12.0 / n
+    def term(tf: Double, df: Double, dl: Double) =
+      ((n - df + 0.5) / (df + 0.5)) *
+        (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+    val exp1 = term(2, 2, 4) + term(1, 2, 4) + term(0, 1, 4) + term(0, 1, 4) + term(1, 2, 4)
+    assert(byId(1L)._4 == exp1, s"got ${byId(1L)._4}, want $exp1")
+    assert(run(df.repartition(7)) == rows, "scores must not depend on partitioning")
+  }
+
   test("withRepetitionStats kept thresholds admit both classes on the real corpus") {
     import spark.implicits._
     val docs = graft.model.Tables.table(spark, "/root/testdata/sf0.001", "documents")
