@@ -913,6 +913,51 @@ object Dedup {
           JOIN xb xa ON xa.doc_id = c.id_a
           JOIN xb xb2 ON xb2.doc_id = c.id_b)"""
 
+  /** The dd_minhash_lsh pair set — (id_a, id_b, sim) at t = 0.5 —
+    * factored out so dd_cross_source can aggregate over the SAME
+    * pairs. collapseExpandPairs' contract holds because identical
+    * texts share signatures, bands, and exact hash-set Jaccard, so
+    * rep pairs reproduce every cross-group pair's sim, and
+    * within-group member pairs have sim = 1.0 exactly (n/n) — gated
+    * by rep eligibility (nonempty shingles). */
+  private[graft] def minhashLshPairs(docs: DataFrame): DataFrame =
+    collapseExpandPairs(docs, "doc_id", Seq(md5(lower(col("text"))))) { reps =>
+      minhashNearDups(
+        reps.select(col("doc_id"), col("text")), col("doc_id"), col("text"), 0.5)
+    } { reps =>
+      reps.filter(size(graft.functions.TextShingles.wordShingles(col("text"), 3)) > 0)
+        .select(col("doc_id").as("__min"), lit(1.0).as("sim"))
+    }
+
+  /** [[minhashLshPairs]] replayed in DuckDB — shared verbatim between
+    * dd_minhash_lsh and dd_cross_source (which wraps it as a
+    * subquery), so both queries pin the same pair set. */
+  private[graft] lazy val minhashLshPairsOracleSql: String = {
+    val reps = """(SELECT doc_id, text FROM (
+                    SELECT doc_id, text,
+                           min(doc_id) OVER (PARTITION BY md5(lower(text))) AS mn
+                    FROM documents) WHERE doc_id = mn)"""
+    s"""${minhashOracleCtesFrom(reps)},
+        gm AS (
+          SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(lower(text))) AS mn
+          FROM documents),
+        upairs AS (SELECT id_a, id_b, sim FROM verified WHERE sim >= 0.5),
+        cross_pairs AS (
+          SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+                 greatest(ma.doc_id, mb.doc_id) AS id_b, u.sim
+          FROM upairs u
+          JOIN gm ma ON ma.mn = u.id_a
+          JOIN gm mb ON mb.mn = u.id_b),
+        within_pairs AS (
+          SELECT x.doc_id AS id_a, y.doc_id AS id_b, 1.0 AS sim
+          FROM gm x JOIN gm y ON x.mn = y.mn AND x.doc_id < y.doc_id
+          JOIN ne ON ne.doc_id = x.mn)
+        SELECT id_a, id_b, sim FROM cross_pairs
+        UNION ALL
+        SELECT id_a, id_b, sim FROM within_pairs
+        ORDER BY id_a, id_b"""
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // Exact dedup groups over the content hash; every group here has
@@ -1015,47 +1060,38 @@ object Dedup {
     // probabilistic operator is hash-checked end to end, not rows-only.
     QueryDef(
       "dd_minhash_lsh",
+      (s, d) => minhashLshPairs(table(s, d, "documents")),
+      Some(minhashLshPairsOracleSql)),
+
+    // Cross-source duplication matrix: the dd_minhash_lsh pair set
+    // labeled by each side's source and counted per (unordered)
+    // source pair — the provenance view a corpus audit runs to see
+    // which sources copy from which (and how much self-duplication
+    // each carries). Pairs are pair-bound (never all-pairs); the two
+    // label joins key the SMALL pair side against the corpus-sized
+    // (doc_id, source) projection, and the final aggregate has at
+    // most |sources|^2 groups.
+    QueryDef(
+      "dd_cross_source",
       (s, d) => {
         import s.implicits._
-        // collapseExpandPairs contract holds because identical texts
-        // share signatures, bands, and exact hash-set Jaccard, so rep
-        // pairs reproduce every cross-group pair's sim, and
-        // within-group member pairs have sim = 1.0 exactly (n/n) —
-        // gated by rep eligibility (nonempty shingles).
-        collapseExpandPairs(table(s, d, "documents"), "doc_id",
-            Seq(md5(lower($"text")))) { reps =>
-          minhashNearDups(
-            reps.select($"doc_id", $"text"), $"doc_id", $"text", 0.5)
-        } { reps =>
-          reps.filter(size(graft.functions.TextShingles.wordShingles($"text", 3)) > 0)
-            .select($"doc_id".as("__min"), lit(1.0).as("sim"))
-        }
+        val src = table(s, d, "documents").select($"doc_id", $"source")
+        minhashLshPairs(table(s, d, "documents"))
+          .join(src.select($"doc_id".as("id_a"), $"source".as("src_a")), Seq("id_a"))
+          .join(src.select($"doc_id".as("id_b"), $"source".as("src_b")), Seq("id_b"))
+          .groupBy(
+            least($"src_a", $"src_b").as("source_a"),
+            greatest($"src_a", $"src_b").as("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy($"source_a", $"source_b")
       },
-      Some {
-        val reps = """(SELECT doc_id, text FROM (
-                        SELECT doc_id, text,
-                               min(doc_id) OVER (PARTITION BY md5(lower(text))) AS mn
-                        FROM documents) WHERE doc_id = mn)"""
-        s"""${minhashOracleCtesFrom(reps)},
-            gm AS (
-              SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(lower(text))) AS mn
-              FROM documents),
-            upairs AS (SELECT id_a, id_b, sim FROM verified WHERE sim >= 0.5),
-            cross_pairs AS (
-              SELECT least(ma.doc_id, mb.doc_id) AS id_a,
-                     greatest(ma.doc_id, mb.doc_id) AS id_b, u.sim
-              FROM upairs u
-              JOIN gm ma ON ma.mn = u.id_a
-              JOIN gm mb ON mb.mn = u.id_b),
-            within_pairs AS (
-              SELECT x.doc_id AS id_a, y.doc_id AS id_b, 1.0 AS sim
-              FROM gm x JOIN gm y ON x.mn = y.mn AND x.doc_id < y.doc_id
-              JOIN ne ON ne.doc_id = x.mn)
-            SELECT id_a, id_b, sim FROM cross_pairs
-            UNION ALL
-            SELECT id_a, id_b, sim FROM within_pairs
-            ORDER BY id_a, id_b"""
-      }),
+      Some(s"""SELECT least(da.source, db.source) AS source_a,
+                      greatest(da.source, db.source) AS source_b,
+                      count(*) AS n_pairs
+               FROM ($minhashLshPairsOracleSql) p
+               JOIN documents da ON da.doc_id = p.id_a
+               JOIN documents db ON db.doc_id = p.id_b
+               GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // Applied dedup AT SCALE: the corpus minus docs dominated by a
     // lower-id minhash near-dup partner — the production form of

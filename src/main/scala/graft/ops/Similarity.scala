@@ -252,7 +252,82 @@ object Similarity {
               SELECT query_id, cell, neighbor_id, cos, rank
               FROM rk WHERE rank <= $k ORDER BY query_id, rank"""
 
+  /** Symmetric int8 quantization of an embedding column — the
+    * compression step a 10^9-vector ANN corpus runs before indexing
+    * (4x smaller than float32, SIMD-friendly codes; the scalar-quant
+    * half of an IVF-PQ layout). Per vector: `scale = 127 / max|x|`
+    * (zero vectors quantize to all-zero codes with scale 0), code_i =
+    * `floor(x_i * scale + 0.5)` — floor of an exact double, not a
+    * round(), because round's half-even/half-up convention differs
+    * across engines while floor is bit-defined — and the max absolute
+    * reconstruction error `max|code/scale - x|` is reported per row.
+    * Every step is exactly-rounded double math over the value-exact
+    * float->double widening, so codes AND error replay bit-identically
+    * in DuckDB.
+    *
+    * Scale shape: pure per-row column algebra — no shuffle, no state;
+    * the corpus streams once. The lambdas are higher-order functions
+    * (CodegenFallback), acceptable here because each binds to a real
+    * column evaluated ONCE per row (multi-referenced aliases block
+    * CollapseProject from re-inlining them into consumers) — unlike
+    * the banded-LSH hot path, there is no per-plane fan-out to
+    * amortize, so a fused expression would buy little. */
+  def quantizeInt8(df: DataFrame, id: Column, vec: Column): DataFrame = {
+    val out = df
+      .withColumn("__xd", asDouble(vec))
+      .withColumn("__maxabs", array_max(transform(col("__xd"), x => abs(x))))
+      .withColumn("scale",
+        when(col("__maxabs") > 0, lit(127.0) / col("__maxabs")).otherwise(lit(0.0)))
+      .withColumn("__codes",
+        transform(col("__xd"), x => floor(x * col("scale") + lit(0.5)).cast("int")))
+      .withColumn("max_err",
+        when(col("__maxabs") > 0,
+          array_max(transform(col("__xd"), x =>
+            abs(floor(x * col("scale") + lit(0.5)).cast("double") / col("scale") - x))))
+          .otherwise(lit(0.0)))
+    out.select(
+      id.as("vec_id"),
+      size(col("__codes")).as("dim"),
+      col("scale"),
+      size(filter(col("__codes"), c => c =!= 0)).cast("long").as("n_nonzero"),
+      array_join(transform(col("__codes"), _.cast("string")), ",").as("codes_str"),
+      col("max_err"))
+  }
+
   val queries: Seq[QueryDef] = Seq(
+
+    // Int8 scalar quantization of the whole embedding table: codes,
+    // scale, and max reconstruction error per vector, all bit-exact
+    // vs the oracle (floor-based rounding and exactly-rounded double
+    // ops only — see quantizeInt8).
+    QueryDef(
+      "s_quantize",
+      (s, d) => {
+        import s.implicits._
+        quantizeInt8(table(s, d, "embeddings"), $"vec_id", $"embedding")
+          .orderBy($"vec_id")
+      },
+      Some("""WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS xd
+                FROM embeddings),
+              m AS (
+                SELECT vec_id, xd, list_max([abs(x) for x in xd]) AS maxabs
+                FROM e),
+              s AS (
+                SELECT vec_id, xd, maxabs,
+                       CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale
+                FROM m),
+              c AS (
+                SELECT vec_id, scale,
+                       [CAST(floor(x * scale + 0.5) AS INTEGER) for x in xd] AS codes,
+                       CASE WHEN maxabs > 0
+                            THEN list_max([abs(floor(x * scale + 0.5) / scale - x) for x in xd])
+                            ELSE 0.0 END AS max_err
+                FROM s)
+              SELECT vec_id, CAST(len(codes) AS INTEGER) AS dim, scale,
+                     CAST(len([c for c in codes if c != 0]) AS BIGINT) AS n_nonzero,
+                     array_to_string(codes, ',') AS codes_str, max_err
+              FROM c ORDER BY vec_id""")),
 
     // Exact ANN baseline: top-5 cosine neighbors for the 20 lowest
     // vec_ids. DuckDB replays the identical fold with list_dot_product

@@ -23,6 +23,36 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(!got.map(_.getLong(1)).contains(1L)) // self excluded
   }
 
+  test("quantizeInt8: hand-checked codes, zero-vector edge, reconstruction error bound") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f)),
+      (3L, Seq(2.0f))).toDF("vec_id", "embedding")
+    val rows = quantizeInt8(df, $"vec_id", $"embedding")
+      .orderBy($"vec_id").collect()
+    // maxabs 1.0 -> scale 127; floor(63.5+0.5)=64, floor(-126.5)=-127,
+    // floor(32.25)=32; worst reconstruction is the first component
+    assert(rows(0).getAs[String]("codes_str") == "64,-127,32")
+    assert(rows(0).getAs[Double]("scale") == 127.0)
+    assert(rows(0).getAs[Double]("max_err") == (64.0 / 127.0 - 0.5))
+    // zero vector: scale 0, all-zero codes, zero error — never NaN/Inf
+    assert(rows(1).getAs[Double]("scale") == 0.0)
+    assert(rows(1).getAs[String]("codes_str") == "0,0")
+    assert(rows(1).getAs[Double]("max_err") == 0.0)
+    // the max element always lands exactly on +-127
+    assert(rows(2).getAs[String]("codes_str") == "127")
+    assert(rows(2).getAs[Double]("max_err") == 0.0)
+    // corpus-wide: the error bound |code/scale - x| <= 0.5/scale holds
+    // on every real vector (floor(y+0.5) is within 0.5 of y)
+    val bad = quantizeInt8(
+        graft.model.Tables.table(spark, "/root/testdata/sf0.001", "embeddings"),
+        $"vec_id", $"embedding")
+      .filter($"scale" > 0 && $"max_err" > lit(0.5) / $"scale")
+      .count()
+    assert(bad == 0L)
+  }
+
   test("native DotProduct == aggregate(zip_with) fold, bit for bit, interpreted and codegen") {
     import spark.implicits._
     val emb = graft.model.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
