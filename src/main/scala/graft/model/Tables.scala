@@ -22,11 +22,13 @@ object Tables {
   /** Session configs every graft session needs, applied ONCE at build
     * time (never mutated mid-query):
     *
-    *  - events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    *    reader rejects unless the legacy flag maps it to a raw int64 —
-    *    a session-level schema decision, deliberately not flipped
-    *    per-read (a mid-session flip would silently change how
-    *    concurrent plans see NANOS columns);
+    *  - events.ts has shipped as parquet TIMESTAMP(NANOS) (pre-r7
+    *    driver data), which Spark's vectorized reader rejects unless
+    *    the legacy flag maps it to a raw int64 — a session-level
+    *    schema decision, deliberately not flipped per-read (a
+    *    mid-session flip would silently change how concurrent plans
+    *    see NANOS columns); kept even though round-7 data is plain
+    *    MICROS, so the engine reads either vintage (see [[table]]);
     *  - InferFiltersFromGenerate is excluded: it plants a
     *    `size(e) > 0` filter under every explode, and predicate
     *    pushdown then substitutes the generator's WHOLE expression
@@ -79,17 +81,26 @@ object Tables {
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // ts arrives as raw int64 nanos (nanosAsLong, set at session
-      // construction via withSessionDefaults); floor-divide to micros —
-      // exactly DuckDB's ns→us conversion — as TIMESTAMP_NTZ (all
-      // driver tables are naive/UTC wall-clock).
-      require(
-        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-        "build the session via Tables.withSessionDefaults (nanosAsLong unset)")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
-            .cast("timestamp_ntz"))
+      // The driver has shipped events.ts under two parquet encodings:
+      // TIMESTAMP(NANOS) (pre-round-7 data; Spark's vectorized reader
+      // rejects it unless nanosAsLong maps it to a raw int64, set at
+      // session construction via withSessionDefaults) and plain
+      // TIMESTAMP(MICROS) (round-7 refresh). Branch on the OBSERVED
+      // read type, not an assumed encoding: int64 nanos floor-divide
+      // to micros — exactly DuckDB's ns→us conversion — and a native
+      // timestamp just pins to TIMESTAMP_NTZ (all driver tables are
+      // naive/UTC wall-clock, and the session TZ is pinned UTC so the
+      // NTZ cast is value-exact either way).
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
+              .cast("timestamp_ntz"))
+        case _ =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast("timestamp_ntz"))
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
