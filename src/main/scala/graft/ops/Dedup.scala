@@ -143,6 +143,48 @@ object Dedup {
     df.groupBy(md5(lower(text)).as("content_hash"))
       .agg(min(id).as("keeper"), count(lit(1)).as("n_docs"))
 
+  /** Cross-document duplicated n-gram spans — the distributed
+    * approximation of exact-substring training-data dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * ACL'22, which builds a suffix array; the MapReduce-shaped
+    * equivalent is exactly this n-gram multiset pass): a word n-gram
+    * occurring in >= 2 documents marks a memorized/boilerplate span.
+    * Returns one row per document: its distinct n-gram count, how many
+    * of those n-grams also occur in at least one OTHER document, and
+    * the duplicated fraction (the "how much of this doc is copied"
+    * signal a pipeline thresholds on).
+    *
+    * Scale shape: the distinct n-gram set is computed IN-ROW by the
+    * fused WordShingles expression (no explode-then-dedupe shuffle);
+    * postings then shuffle ONCE on a 60-bit portable gram hash (8-byte
+    * keys, partial-count map-side combine — never the gram strings),
+    * the duplicated-gram side is filtered to nd >= 2 BEFORE the
+    * back-join, and the per-doc rollup is a second count aggregate.
+    * Nothing is ever pairwise: cost is bounded by total posting count,
+    * not doc². A viral gram (site boilerplate shared by millions of
+    * docs) makes one hot reducer key in the back-join — the standard
+    * AQE skew-join split handles it, and the count aggregate itself is
+    * immune (map-side partials). Distinct-per-doc grams mean count(*)
+    * per hash IS the document frequency. The same md5-derived hash is
+    * replayed by the DuckDB oracle, so hash collisions (~(#grams)²/2^61)
+    * cannot cause a compare mismatch — both engines see them. */
+  def dupNgramStats(docs: DataFrame, id: Column, text: Column, n: Int = 8): DataFrame = {
+    val g = docs.select(id.as("doc_id"),
+      graft.functions.TextShingles.wordShingles(text, n).as("grams"))
+    val x = g.select(col("doc_id"), explode(col("grams")).as("__gram"))
+      .select(col("doc_id"),
+        graft.functions.PortableHash.md5Hash60(col("__gram")).as("h"))
+    val dup = x.groupBy(col("h")).agg(count(lit(1)).as("nd")).filter(col("nd") >= 2)
+    val perDoc = x.join(dup, Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("__nd"))
+    g.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("__nd"), lit(0L)).as("n_dup_grams"),
+        (coalesce(col("__nd"), lit(0L)).cast("double") /
+          greatest(col("n_grams"), lit(1L)).cast("double")).as("dup_ratio"))
+  }
+
   /** Prefix-filtered candidate pairs for EXACT Jaccard >= tn/td over
     * hashed shingle sets (Bayardo et al., WWW'07): each doc indexes
     * only the first |x| - ceil(t*|x|) + 1 grams of its set in the
@@ -973,6 +1015,43 @@ object Dedup {
       Some("""SELECT md5(lower(text)) AS content_hash,
                      min(doc_id) AS keeper, count(*) AS n_docs
               FROM documents GROUP BY 1 ORDER BY content_hash""")),
+
+    // Cross-document duplicated 8-gram spans (exact-substring dedup,
+    // n-gram form — see dupNgramStats): per doc, how much of it occurs
+    // verbatim elsewhere in the corpus. The oracle replays the same
+    // 60-bit portable gram hash, so the whole posting pipeline — not
+    // just the output shape — is hash-compared.
+    QueryDef(
+      "dd_dup_ngrams",
+      (s, d) => {
+        import s.implicits._
+        dupNgramStats(table(s, d, "documents"), $"doc_id", $"text", n = 8)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id,
+                       [x for x in string_split_regex(lower(text), '\s+') if x != ''] AS toks
+                FROM documents),
+              g AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 8
+                            THEN list_distinct([array_to_string(toks[i:i+7], ' ')
+                                                for i in range(1, len(toks) - 6)])
+                            ELSE [] END AS grams
+                FROM t),
+              x AS (
+                SELECT doc_id, ('0x' || substring(md5(gram), 1, 15))::BIGINT AS h
+                FROM (SELECT doc_id, unnest(grams) AS gram FROM g)),
+              c AS (SELECT h, count(*) AS nd FROM x GROUP BY h HAVING count(*) >= 2),
+              p AS (
+                SELECT x.doc_id, count(*) AS n_dup
+                FROM x JOIN c USING (h) GROUP BY x.doc_id)
+              SELECT g.doc_id, CAST(len(g.grams) AS BIGINT) AS n_grams,
+                     CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_grams,
+                     CAST(coalesce(p.n_dup, 0) AS DOUBLE)
+                       / greatest(len(g.grams), 1) AS dup_ratio
+              FROM g LEFT JOIN p USING (doc_id)
+              ORDER BY g.doc_id""")),
 
     // Banded brute-force n-gram Jaccard: candidate pairs restricted to
     // adjacent length bands (near-dups have near-equal lengths) — the

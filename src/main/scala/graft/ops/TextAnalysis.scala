@@ -299,7 +299,133 @@ object TextAnalysis {
           col("dup_trigram_ratio") <= 0.02).cast("int"))
   }
 
+  /** Fixed-width token-window chunking with stride — the "split long
+    * documents into training windows" step that feeds context-length-
+    * bounded tokenization (width tokens per chunk, stride < width
+    * gives the overlap that keeps spans crossing a boundary learnable).
+    * One chunk row per (doc, start) with the token offset, actual
+    * chunk length (the tail chunk is short), and an md5 of the
+    * space-rejoined chunk text pinning the exact token content.
+    *
+    * Scale shape: pure per-row fan-out (sequence + posexplode of
+    * ~n/stride starts per doc) — no shuffle, no state; chunk text is
+    * re-sliced from the one bound token array, so the tokenizer runs
+    * once per document, not once per chunk. Empty documents emit one
+    * empty chunk (start 0, length 0) rather than vanishing — a
+    * pipeline that drops empties does so in its quality gate, not
+    * silently here. */
+  def chunkWindows(
+      docs: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      width: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(stride >= 1 && width >= stride,
+      s"need 1 <= stride <= width, got width=$width stride=$stride")
+    docs
+      .select(id.as("doc_id"), tokens(text).as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("__toks"),
+        posexplode(sequence(lit(0L),
+          greatest(col("n_tokens") - 1L, lit(0L)), lit(stride.toLong)))
+          .as(Seq("chunk_idx", "chunk_start")))
+      .select(col("doc_id"), col("n_tokens"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_start"),
+        least(lit(width.toLong), col("n_tokens") - col("chunk_start"))
+          .as("n_chunk_tokens"),
+        md5(array_join(
+          slice(col("__toks"), (col("chunk_start") + 1L).cast("int"), lit(width)), " "))
+          .as("chunk_md5"))
+  }
+
+  /** Temperature-flattened domain mixture sampling (the multilingual /
+    * multi-source rebalancing step: sample group g with probability
+    * ∝ n_g^τ instead of n_g, so dominant groups are downweighted —
+    * τ = 1/2 here, computed as `p = min(1, k / sqrt(n_g))` so the
+    * whole per-group rate is a composition of exactly-rounded double
+    * ops (sqrt and divide are IEEE-exact; a general pow is not) and
+    * the oracle replays it bit-identically. Membership is decided by
+    * the portable 60-bit hash of the doc id against
+    * `floor(p * 10^6)` — the same engine-independent,
+    * partitioning-invariant membership rule as t_sample_stratified.
+    * Returns per-group totals, the applied rate, kept counts, and the
+    * kept-id checksum that pins the exact membership set.
+    *
+    * Scale shape: two passes — a tiny per-group count aggregate
+    * (broadcast back: group count = languages/domains, never rows)
+    * and one map-side filter + partial-agg rollup. No row-level
+    * global structure at all. */
+  def mixtureSample(
+      docs: org.apache.spark.sql.DataFrame, id: Column, group: Column,
+      k: Double): org.apache.spark.sql.DataFrame = {
+    val counts = docs.groupBy(group.as("grp"))
+      .agg(count(lit(1)).as("n_total"))
+      .withColumn("p_keep",
+        least(lit(1.0), lit(k) / sqrt(col("n_total").cast("double"))))
+      .withColumn("__thr", floor(col("p_keep") * lit(1000000.0)).cast("long"))
+    docs.select(group.as("grp"), id.as("doc_id"))
+      .join(broadcast(counts), Seq("grp"))
+      .withColumn("__keep",
+        graft.functions.PortableHash.md5Hash60(col("doc_id").cast("string"))
+          % 1000000L < col("__thr"))
+      .groupBy(col("grp"), col("n_total"), col("p_keep"))
+      .agg(
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__keep"), col("doc_id")).otherwise(0L)).as("kept_id_sum"))
+  }
+
   val queries: Seq[QueryDef] = Seq(
+
+    // Token-window chunking (width 32, stride 24): every document cut
+    // into overlapping training windows, chunk content pinned by md5.
+    QueryDef(
+      "t_chunk",
+      (s, d) => {
+        import s.implicits._
+        chunkWindows(table(s, d, "documents"), $"doc_id", $"text",
+            width = 32, stride = 24)
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id,
+                       [x for x in string_split_regex(lower(text), '\s+') if x != ''] AS toks
+                FROM documents),
+              c AS (
+                SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                       unnest(range(0, greatest(len(toks), 1), 24)) AS chunk_start,
+                       toks
+                FROM t)
+              SELECT doc_id, n_tokens,
+                     CAST(chunk_start / 24 AS BIGINT) AS chunk_idx,
+                     CAST(chunk_start AS BIGINT) AS chunk_start,
+                     CAST(least(32, n_tokens - chunk_start) AS BIGINT) AS n_chunk_tokens,
+                     md5(array_to_string(toks[chunk_start+1:chunk_start+32], ' ')) AS chunk_md5
+              FROM c ORDER BY doc_id, chunk_idx""")),
+
+    // Temperature-flattened language mixture (tau = 1/2, k = 8): the
+    // dominant language (en, ~43% of the corpus) is downsampled ~2x
+    // harder than the tail languages; kept_id_sum pins the exact
+    // hash-derived membership set in the compare.
+    QueryDef(
+      "t_mix_sample",
+      (s, d) => {
+        import s.implicits._
+        mixtureSample(table(s, d, "documents"), $"doc_id", $"lang", k = 8.0)
+          .withColumnRenamed("grp", "lang")
+          .orderBy($"lang")
+      },
+      Some("""WITH n AS (
+                SELECT lang, count(*) AS n_total FROM documents GROUP BY lang),
+              p AS (
+                SELECT lang, n_total,
+                       least(1.0, 8.0 / sqrt(CAST(n_total AS DOUBLE))) AS p_keep,
+                       CAST(floor(least(1.0, 8.0 / sqrt(CAST(n_total AS DOUBLE))) * 1000000.0) AS BIGINT) AS thr
+                FROM n)
+              SELECT d.lang, p.n_total, p.p_keep,
+                     CAST(sum(CASE WHEN (('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000) < p.thr
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                     CAST(sum(CASE WHEN (('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000) < p.thr
+                              THEN d.doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+              FROM documents d JOIN p USING (lang)
+              GROUP BY d.lang, p.n_total, p.p_keep ORDER BY d.lang""")),
 
     // Training-shard packing: global token offset per document and the
     // fixed-budget shard it starts in — distributed as a bucketed

@@ -218,6 +218,44 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("s_ann_adc: code pass broadcasts queries; re-rank joins are hash joins, never a second pair scan") {
+    val p = plan("s_ann_adc")
+    // the ADC scan is the one intended broadcast fan-out (tiny query
+    // side); the float re-rank must come back as equi-joins on ids —
+    // a second nested-loop would be a second full pair enumeration
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1, p)
+    assert(count(p, "BroadcastHashJoin") >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dd_dup_ngrams: postings shuffle on the 8-byte gram hash with map-side combine, no pair join") {
+    val p = plan("dd_dup_ngrams")
+    // counts aggregate partially before the exchange (viral grams
+    // cannot flood one reducer with raw postings)...
+    assert(p.contains("partial_"), p)
+    // ...the shuffle key is the hash h, never the gram string...
+    assert(p.contains("Exchange hashpartitioning(h#"), p)
+    assert(!p.contains("Exchange hashpartitioning(__gram"), p)
+    // ...and nothing is pairwise
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("t_chunk: per-row fan-out only — no hash exchange anywhere in the plan") {
+    val p = plan("t_chunk")
+    assert(p.contains("Generate"), p) // the posexplode fan-out
+    assert(count(p, "Exchange hashpartitioning") == 0, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t_mix_sample: group rates broadcast back, membership filtered map-side") {
+    val p = plan("t_mix_sample")
+    // per-group counts come back as a broadcast (group count, not rows)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the kept rollup combines map-side
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
+  }
+
   test("whole-stage codegen covers the scan->project hot path (no UDFs)") {
     for (q <- Seq("q1_agg", "d3_decode", "d4_conversion", "t_text_stats")) {
       val df = SparkEntry.queries(q)(spark, sf)

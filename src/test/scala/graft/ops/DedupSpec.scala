@@ -36,6 +36,34 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(groups(1).getLong(1) == 3L && groups(1).getLong(2) == 1L)
   }
 
+  test("dupNgramStats: hand-built shared spans, symmetry, short docs, partition-invariant") {
+    import spark.implicits._
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 tail-a unique-a"
+    val b = "head-b w1 w2 w3 w4 w5 w6 w7 w8 unique-b"
+    val df = Seq(
+      (1L, a),            // shares the 8-gram w1..w8 with doc 2
+      (2L, b),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9"), // unique 8-grams only
+      (4L, "too short"),  // < 8 tokens -> 0 grams, 0 dup, ratio 0
+      (5L, a)             // exact copy of doc 1: ALL grams duplicated
+    ).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      dupNgramStats(d, $"doc_id", $"text", n = 8)
+        .orderBy($"doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val rows = run(df)
+    // doc1: 3 grams (w1..w8, w2..tail-a, w3..unique-a); w1..w8 in docs
+    // 2 and 5, and the other two grams recur verbatim in doc 5
+    assert(rows(0) == ((1L, 3L, 3L, 1.0)))
+    assert(rows(1) == ((2L, 3L, 1L, 1.0 / 3))) // only the shared span
+    assert(rows(2) == ((3L, 2L, 0L, 0.0)))
+    assert(rows(3) == ((4L, 0L, 0L, 0.0)))
+    assert(rows(4) == ((5L, 3L, 3L, 1.0)))
+    // duplication is symmetric across exact copies and invariant to
+    // input partitioning (hash-aggregated, no order dependence)
+    assert(run(df.repartition(7)).toSeq == rows.toSeq)
+  }
+
   test("minhash candidates are a subset of brute-force ground truth, full recall on strong pairs") {
     import spark.implicits._
     val docs = graft.model.Tables.table(spark, sf, "documents")

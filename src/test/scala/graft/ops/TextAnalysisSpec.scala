@@ -6,6 +6,52 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
 
+  test("chunkWindows: full token coverage, overlap, tail chunk, empty-doc edge") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6"), // 7 tokens, width 4 stride 3 -> starts 0,3,6
+      (2L, "a b"),                  // shorter than width -> one short chunk
+      (3L, "")                      // empty -> one empty chunk, not dropped
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.chunkWindows(df, $"doc_id", $"text", width = 4, stride = 3)
+      .orderBy($"doc_id", $"chunk_idx").collect()
+    val d1 = rows.filter(_.getLong(0) == 1L)
+    assert(d1.map(r => (r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((0L, 4L), (3L, 4L), (6L, 1L))) // (start, len): tail chunk short
+    // every token index is covered by at least one chunk
+    val covered = d1.flatMap(r => r.getLong(3) until (r.getLong(3) + r.getLong(4))).toSet
+    assert(covered == (0L until 7L).toSet)
+    // chunk content md5 is the md5 of the rejoined slice
+    val firstMd5 = d1.head.getString(5)
+    assert(firstMd5 == java.security.MessageDigest.getInstance("MD5")
+      .digest("t0 t1 t2 t3".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString)
+    assert(rows.filter(_.getLong(0) == 2L).map(r => (r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((0L, 2L)))
+    assert(rows.filter(_.getLong(0) == 3L).map(r => (r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((0L, 0L)))
+  }
+
+  test("mixtureSample: dominant group flattened harder, membership partition-invariant") {
+    import spark.implicits._
+    val docs = graft.model.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val got = TextAnalysis.mixtureSample(docs, $"doc_id", $"lang", k = 3.0)
+      .orderBy($"grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // tau = 1/2: applied rate is monotonically DECREASING in group size
+    val bySize = got.sortBy(_._2)
+    assert(bySize.zip(bySize.tail).forall { case (a, b) => a._3 >= b._3 })
+    // rate formula holds exactly: min(1, 3/sqrt(n))
+    got.foreach { case (_, n, p, _) =>
+      assert(p == math.min(1.0, 3.0 / math.sqrt(n.toDouble))) }
+    // membership is hash-derived -> identical on any partitioning
+    val repartitioned = TextAnalysis.mixtureSample(
+        docs.repartition(13), $"doc_id", $"lang", k = 3.0)
+      .orderBy($"grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq == repartitioned.toSeq)
+  }
+
   test("withRepetitionStats: hand-computed duplicate n-gram fractions, short-text edges") {
     import spark.implicits._
     val df = Seq(
