@@ -175,11 +175,24 @@ object Similarity {
     * candidates; cost scales as nprobe/nlist of the corpus per query —
     * the same knob a 100 TB deployment exposes, where cells are the
     * partition layout and nprobe bounds partitions touched. */
-  def ivfTopK(s: SparkSession, d: String, nprobe: Int, k: Int): DataFrame = {
+  /** Shared IVF front half: the embedding table with norms + int8
+    * codes, and the per-query probed-cell set (query columns carried
+    * through, `nprobe` nearest centroids by cosine). Both IVF variants
+    * consume this; unused columns (codes for the float-scored variant,
+    * floats for the ADC scan) are pruned by Catalyst, so each caller
+    * pays only for what it reads. */
+  private def ivfProbed(
+      s: SparkSession, d: String, nprobe: Int): (DataFrame, DataFrame) = {
     import s.implicits._
     val emb = table(s, d, "embeddings")
       .select($"vec_id", $"label", asDouble($"embedding").as("v"))
       .withColumn("nrm", l2norm($"v"))
+      .withColumn("__maxabs", array_max(transform($"v", x => abs(x))))
+      .withColumn("__scale",
+        when($"__maxabs" > 0, lit(127.0) / $"__maxabs").otherwise(lit(0.0)))
+      .withColumn("codes",
+        transform($"v", x => floor(x * $"__scale" + lit(0.5)).cast("double")))
+      .withColumn("cc", dot($"codes", $"codes"))
     // centroid per label: element-wise quantized mean via posexplode
     val centroids = emb
       .select($"label", posexplode($"v").as(Seq("pos", "x")))
@@ -193,17 +206,24 @@ object Similarity {
     // probe: each query joins every centroid (nlist rows -> broadcast),
     // keeps its nprobe nearest cells
     val queriesDf = emb.filter($"vec_id" < 20)
-      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"),
+        $"codes".as("qc"), $"cc".as("qcc"))
     val wProbe = Window.partitionBy($"query_id")
       .orderBy($"c_cos".desc, $"c_label".asc)
     val probed = queriesDf.crossJoin(broadcast(centroids))
       .withColumn("c_cos", dot($"qv", $"cv") / ($"qn" * $"cn"))
       .withColumn("rk", row_number().over(wProbe))
       .filter($"rk" <= nprobe)
-      .select($"query_id", $"qv", $"qn", $"c_label".as("cell"))
+      .select($"query_id", $"qv", $"qn", $"qc", $"qcc", $"c_label".as("cell"))
+    (emb, probed)
+  }
+
+  def ivfTopK(s: SparkSession, d: String, nprobe: Int, k: Int): DataFrame = {
+    import s.implicits._
+    val (emb, probed) = ivfProbed(s, d, nprobe)
     // search the union of the probed cells (disjoint -> no dup candidates)
     val wTop = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
-    broadcast(probed)
+    broadcast(probed.select($"query_id", $"qv", $"qn", $"cell"))
       .join(emb.select($"label".as("cell"), $"vec_id".as("neighbor_id"),
         $"v".as("cv2"), $"nrm".as("cn2")), Seq("cell"))
       .filter($"query_id" =!= $"neighbor_id")
@@ -211,6 +231,56 @@ object Similarity {
         (dot($"qv", $"cv2") / ($"qn" * $"cn2")).as("cos"))
       .withColumn("rank", row_number().over(wTop))
       .filter($"rank" <= k)
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** IVF + ADC: the full serving shape of a scalar-quantized inverted
+    * index (cells bound partitions touched, codes bound bytes read,
+    * exact math only on the tiny re-rank set). Probe `nprobe` cells
+    * per query as [[ivfTopK]], score the probed cells' members from
+    * int8 codes only ([[adcTopK]]'s bit-portable integer cosine),
+    * keep the top-`m` per query, re-rank those with the exact float
+    * cosine fetched by id equi-join, return the top-`k`.
+    *
+    * At 100 TB this plan reads: centroids (tiny, broadcast), the
+    * (id, codes) projection of nprobe/nlist of the corpus, and the
+    * float vectors of m rows per query — never the full float corpus.
+    * Zero vectors are gated out of both sides via `nrm/qn > 0` — the
+    * same row set as cc > 0, chosen for the pushdown reason
+    * [[adcTopK]] documents (a cc gate inlines the interpreted
+    * quantization tree into every scan filter). */
+  def ivfAdcTopK(
+      s: SparkSession, d: String, nprobe: Int, m: Int, k: Int): DataFrame = {
+    import s.implicits._
+    val (emb, probed) = ivfProbed(s, d, nprobe)
+    val wAdc = Window.partitionBy($"query_id")
+      .orderBy($"cos_adc".desc, $"neighbor_id".asc)
+    val cand = broadcast(
+        probed.filter($"qn" > 0).select($"query_id", $"qc", $"qcc", $"cell"))
+      .join(emb.filter($"nrm" > 0)
+        .select($"label".as("cell"), $"vec_id".as("neighbor_id"),
+          $"codes".as("nc"), $"cc".as("ncc")), Seq("cell"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"cell", $"neighbor_id",
+        (dot($"qc", $"nc") / sqrt($"qcc" * $"ncc")).as("cos_adc"))
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter($"adc_rank" <= m)
+    val wTop = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
+    broadcast(cand)
+      .join(emb.select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cn")),
+        Seq("neighbor_id"))
+      // query floats come straight from the table projection — going
+      // through `probed` would re-instantiate the whole centroid-probe
+      // subtree a second time in the plan
+      .join(broadcast(emb.filter($"vec_id" < 20)
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))),
+        Seq("query_id"))
+      .select($"query_id", $"cell", $"neighbor_id", $"cos_adc", $"adc_rank",
+        (dot($"qv", $"cv") / ($"qn" * $"cn")).as("cos"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", $"cell",
+        $"cos", $"cos_adc", $"adc_rank")
       .orderBy($"query_id", $"rank")
   }
 
@@ -251,6 +321,60 @@ object Similarity {
                 FROM sr)
               SELECT query_id, cell, neighbor_id, cos, rank
               FROM rk WHERE rank <= $k ORDER BY query_id, rank"""
+
+  /** DuckDB replay of [[ivfAdcTopK]] at the same (nprobe, m, k). */
+  private def ivfAdcOracle(nprobe: Int, m: Int, k: Int): String =
+    s"""WITH e AS (
+                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              en AS (
+                SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm,
+                       list_max([abs(x) for x in v]) AS maxabs
+                FROM e),
+              cn AS (
+                SELECT vec_id, label, v, nrm, codes,
+                       list_dot_product(codes, codes) AS cc
+                FROM (SELECT vec_id, label, v, nrm,
+                             [floor(x * (CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END) + 0.5)
+                              for x in v] AS codes
+                      FROM en)),
+              px AS (
+                SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+              cagg AS (
+                SELECT label, pos,
+                       CAST(sum(CAST(floor(x * 1000000) AS BIGINT)) AS DOUBLE)
+                         / (count(*) * 1000000.0) AS cx
+                FROM px GROUP BY label, pos),
+              cent AS (
+                SELECT label AS c_label, list(cx ORDER BY pos) AS cv FROM cagg GROUP BY label),
+              centn AS (
+                SELECT c_label, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
+              q AS (
+                SELECT vec_id AS query_id, v AS qv, nrm AS qn, codes AS qc, cc AS qcc
+                FROM cn WHERE vec_id < 20 AND cc > 0),
+              probe AS (
+                SELECT query_id, qv, qn, qc, qcc, c_label AS cell,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY list_dot_product(qv, cv) / (qn * cn) DESC, c_label ASC) AS rk
+                FROM q CROSS JOIN centn),
+              p1 AS (SELECT * FROM probe WHERE rk <= $nprobe),
+              adc AS (
+                SELECT p.query_id, p.cell, c.vec_id AS neighbor_id,
+                       list_dot_product(p.qc, c.codes) / sqrt(p.qcc * c.cc) AS cos_adc,
+                       list_dot_product(p.qv, c.v) / (p.qn * c.nrm) AS cos
+                FROM p1 p JOIN cn c
+                  ON c.label = p.cell AND p.query_id <> c.vec_id AND c.cc > 0),
+              r1 AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_adc DESC, neighbor_id ASC) AS adc_rank
+                FROM adc),
+              cand AS (SELECT * FROM r1 WHERE adc_rank <= $m),
+              r2 AS (
+                SELECT query_id, cell, neighbor_id, cos, cos_adc, adc_rank,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id ASC) AS rank
+                FROM cand)
+              SELECT query_id, rank, neighbor_id, cell, cos, cos_adc, adc_rank
+              FROM r2 WHERE rank <= $k ORDER BY query_id, rank"""
 
   /** Symmetric int8 quantization of an embedding column — the
     * compression step a 10^9-vector ANN corpus runs before indexing
@@ -314,8 +438,16 @@ object Similarity {
     * (the candidate set is broadcast back against the corpus as a
     * second id equi-join, never a second full scan of pair space).
     * Zero vectors quantize to all-zero codes and are excluded from
-    * BOTH sides by the cc > 0 gate (cos undefined), mirroring the
-    * norm > 0 gates of the embedding dedup family. */
+    * BOTH sides (cos undefined), mirroring the norm > 0 gates of the
+    * embedding dedup family. The gate is written `nrm > 0` — the SAME
+    * row set as cc > 0 (any nonzero component makes the norm and the
+    * max |code| both nonzero) — because a filter on a derived column
+    * is pushed into the parquet scan with the alias SUBSTITUTED:
+    * gating on cc inlined the whole interpreted transform-quantization
+    * tree into every scan's filter (evaluated twice per row inside
+    * its dot product, on every scan of the table — measured ~6x the
+    * whole query), while nrm inlines as one fused codegen DotProduct
+    * pass. The oracle keeps the equivalent `cc > 0` spelling. */
   def adcTopK(s: SparkSession, d: String, m: Int, k: Int): DataFrame = {
     import s.implicits._
     val emb = table(s, d, "embeddings")
@@ -330,7 +462,7 @@ object Similarity {
       .withColumn("codes",
         transform($"v", x => floor(x * $"__scale" + lit(0.5)).cast("double")))
       .withColumn("cc", dot($"codes", $"codes"))
-      .filter($"cc" > 0)
+      .filter($"nrm" > 0)
     val q = emb.filter($"vec_id" < 20)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"),
         $"codes".as("qc"), $"cc".as("qcc"))
@@ -489,6 +621,14 @@ object Similarity {
       "s_ann_ivf_mp",
       (s, d) => ivfTopK(s, d, nprobe = 2, k = 3),
       Some(ivfOracle(nprobe = 2, k = 3))),
+
+    // IVF + ADC: probe 2 cells, score members from int8 codes only,
+    // exact float re-rank of the top-8, top-3 out — the full
+    // scalar-quantized inverted-index serving shape (see ivfAdcTopK).
+    QueryDef(
+      "s_ann_ivf_adc",
+      (s, d) => ivfAdcTopK(s, d, nprobe = 2, m = 8, k = 3),
+      Some(ivfAdcOracle(nprobe = 2, m = 8, k = 3))),
 
     // LSH-bucketed ANN: hyperplane signature equi-join, top-3 within
     // bucket. The LCG-derived planes are exact integer math in both

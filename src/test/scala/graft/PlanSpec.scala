@@ -228,6 +228,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("s_ann_ivf_adc: cell-bounded code scan, hash-join re-ranks, no cartesian anywhere") {
+    val p = plan("s_ann_ivf_adc")
+    // the centroid probe is the one intended nested-loop (queries x
+    // nlist centroids, both broadcast-tiny); the cell scan and both
+    // re-rank fetches must be equi-joins
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1, p)
+    assert(count(p, "BroadcastHashJoin") >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("dd_dup_ngrams: postings shuffle on the 8-byte gram hash with map-side combine, no pair join") {
     val p = plan("dd_dup_ngrams")
     // counts aggregate partially before the exchange (viral grams

@@ -204,6 +204,21 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(adc.forall(r => !r.getDouble(3).isNaN && !r.getDouble(4).isNaN))
   }
 
+  test("IVF+ADC: same cells as float-scored IVF, re-rank recovers its top-3, scores tight") {
+    val d = "/root/testdata/sf0.001"
+    val flt = ivfTopK(spark, d, nprobe = 2, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val adc = ivfAdcTopK(spark, d, nprobe = 2, m = 8, k = 3).collect()
+    val adcPairs = adc.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // the ADC pass scans the SAME probed cells, so with a top-8 re-rank
+    // buffer the exact top-3 should be recovered almost always
+    val recall = (flt & adcPairs).size.toDouble / flt.size
+    assert(recall >= 0.9, s"IVF+ADC recall@3 vs float IVF = $recall")
+    // quantized score tracks the exact score on every returned row
+    assert(adc.forall(r => math.abs(r.getDouble(5) - r.getDouble(4)) < 0.02))
+    assert(adc.forall(r => !r.getDouble(4).isNaN && !r.getDouble(5).isNaN))
+  }
+
   test("LSH buckets: identical vectors always collide") {
     import spark.implicits._
     val df = Seq((1L, Seq(0.5f, -0.25f, 0.125f)), (2L, Seq(0.5f, -0.25f, 0.125f)))
