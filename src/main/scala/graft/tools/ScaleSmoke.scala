@@ -334,9 +334,14 @@ ${entries.mkString(",\n")}
         // flood (every emitted pair is true output; production bounds
         // it with maxPerBand). The batch family's banded JOINS are the
         // ones that must stay under the straggler bound.
+        // dd_dup_ngrams: the hot band makes every seed gram's document
+        // frequency ≈ variants, so the postings back-join concentrates
+        // `variants` rows per gram hash — the viral-gram case its
+        // scaladoc promises AQE handles
         for (q <- Seq("dd_minhash_lsh", "dd_apply_lsh", "dd_simhash",
             "dd_embed_cos", "s_ann_lsh", "dd_decontaminate",
-            "dd_embed_decontaminate", "w_neardup_pairs", "w_embed_neardup")) {
+            "dd_embed_decontaminate", "dd_dup_ngrams",
+            "w_neardup_pairs", "w_embed_neardup")) {
           durations.clear()
           val t0 = System.nanoTime()
           val rows = graft.SparkEntry.queries(q)(spark, dir).count()
