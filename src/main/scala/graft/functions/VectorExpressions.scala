@@ -270,11 +270,81 @@ case class FloatVectorBytes(child: Expression)
     copy(child = newChild)
 }
 
+/** Symmetric int8 quantization codes of an array<double> vector in ONE
+  * fused expression: `scale = maxabs > 0 ? 127 / maxabs : 0`,
+  * `code_i = floor(x_i * scale + 0.5)` (int-valued doubles, so the
+  * downstream [[DotProduct]] consumes them unchanged and the code dot
+  * stays exact).
+  *
+  * Why it exists: the declarative form is three chained higher-order
+  * transforms (abs-max, code mapping) — each CodegenFallback, each an
+  * interpreted per-element lambda — sitting in the FIRST-PASS scan of
+  * the ADC ANN path, i.e. the one stage that touches every corpus row.
+  * This expression is two tight primitive loops behind one virtual
+  * call, JIT-compiled like the other fused vector ops.
+  *
+  * Bit-compatibility: same maxabs comparison, same exactly-rounded
+  * divide / multiply / add / floor sequence as the HOF form, so codes
+  * are bit-identical (SimilaritySpec asserts it) and the DuckDB oracle
+  * replays unchanged. Null element or null array -> null, matching the
+  * null propagation of the transform pipeline it replaces. */
+case class Int8QuantCodes(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"int8QuantCodes requires array<double>, got ${t.sql}")
+  }
+
+  def compute(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var maxabs = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val a = Math.abs(v.getDouble(i))
+      if (a > maxabs) maxabs = a
+      i += 1
+    }
+    val scale = if (maxabs > 0) 127.0 / maxabs else 0.0
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      out(i) = Math.floor(v.getDouble(i) * scale + 0.5)
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("i8qc", this, classOf[Int8QuantCodes].getName)
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |${ev.value} = $self.compute($v);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Int8QuantCodes =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Fused dot product over two array<double> columns. */
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Fused int8 quantization codes (see [[Int8QuantCodes]]). */
+  def int8QuantCodes(v: Column): Column =
+    ColumnBridge.column(Int8QuantCodes(ColumnBridge.expression(v)))
 
   /** Bitwise binary fingerprint of an array<float> column — the
     * grouping-safe exact-equality key (see [[FloatVectorBytes]]). */

@@ -187,11 +187,10 @@ object Similarity {
     val emb = table(s, d, "embeddings")
       .select($"vec_id", $"label", asDouble($"embedding").as("v"))
       .withColumn("nrm", l2norm($"v"))
-      .withColumn("__maxabs", array_max(transform($"v", x => abs(x))))
-      .withColumn("__scale",
-        when($"__maxabs" > 0, lit(127.0) / $"__maxabs").otherwise(lit(0.0)))
-      .withColumn("codes",
-        transform($"v", x => floor(x * $"__scale" + lit(0.5)).cast("double")))
+      // fused codegen quantization — the declarative HOF chain ran
+      // interpreted in the one stage that touches every corpus row
+      // (SimilaritySpec asserts bit-equality of the two forms)
+      .withColumn("codes", graft.functions.VectorExpressions.int8QuantCodes($"v"))
       .withColumn("cc", dot($"codes", $"codes"))
     // centroid per label: element-wise quantized mean via posexplode
     val centroids = emb
@@ -453,14 +452,12 @@ object Similarity {
     val emb = table(s, d, "embeddings")
       .select($"vec_id", asDouble($"embedding").as("v"))
       .withColumn("nrm", l2norm($"v"))
-      .withColumn("__maxabs", array_max(transform($"v", x => abs(x))))
-      .withColumn("__scale",
-        when($"__maxabs" > 0, lit(127.0) / $"__maxabs").otherwise(lit(0.0)))
-      // int-valued doubles: floor keeps the dot products exact, and
-      // array<double> codes feed the same fused DotProduct the float
-      // path uses (no second expression to maintain)
-      .withColumn("codes",
-        transform($"v", x => floor(x * $"__scale" + lit(0.5)).cast("double")))
+      // fused codegen quantization (int-valued doubles, so the same
+      // fused DotProduct the float path uses consumes the codes and
+      // the code dot stays exact); the declarative HOF chain this
+      // replaces ran interpreted in the stage that touches every
+      // corpus row — SimilaritySpec asserts the two forms bit-equal
+      .withColumn("codes", graft.functions.VectorExpressions.int8QuantCodes($"v"))
       .withColumn("cc", dot($"codes", $"codes"))
       .filter($"nrm" > 0)
     val q = emb.filter($"vec_id" < 20)

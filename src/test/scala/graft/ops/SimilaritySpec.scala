@@ -204,6 +204,30 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(adc.forall(r => !r.getDouble(3).isNaN && !r.getDouble(4).isNaN))
   }
 
+  test("fused Int8QuantCodes == HOF quantization chain, bit for bit, incl. zero and empty vectors") {
+    import spark.implicits._
+    val corpus = graft.model.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select($"vec_id", asDouble($"embedding").as("v"))
+    val edge = Seq(
+      (9000001L, Seq(0.0, 0.0, 0.0)), // zero vector -> all-zero codes
+      (9000002L, Seq.empty[Double]),  // empty -> empty codes
+      (9000003L, Seq(-2.5, 2.5))      // symmetric: floor(-126.5)= -127, floor(127.5)=127
+    ).toDF("vec_id", "v")
+    val both = corpus.unionByName(edge)
+      .withColumn("fused", graft.functions.VectorExpressions.int8QuantCodes($"v"))
+      .withColumn("__maxabs", array_max(transform($"v", x => abs(x))))
+      .withColumn("__scale",
+        when($"__maxabs" > 0, lit(127.0) / $"__maxabs").otherwise(lit(0.0)))
+      .withColumn("hof",
+        transform($"v", x => floor(x * $"__scale" + lit(0.5)).cast("double")))
+    assert(both.filter(not($"fused" <=> $"hof")).count() == 0L)
+    val edgeRows = both.filter($"vec_id" >= 9000000L).orderBy($"vec_id")
+      .select($"fused").collect().map(_.getSeq[Double](0))
+    assert(edgeRows(0) == Seq(0.0, 0.0, 0.0))
+    assert(edgeRows(1).isEmpty)
+    assert(edgeRows(2) == Seq(-127.0, 127.0))
+  }
+
   test("IVF+ADC: same cells as float-scored IVF, re-rank recovers its top-3, scores tight") {
     val d = "/root/testdata/sf0.001"
     val flt = ivfTopK(spark, d, nprobe = 2, k = 3).collect()
