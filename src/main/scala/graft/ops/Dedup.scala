@@ -185,6 +185,62 @@ object Dedup {
           greatest(col("n_grams"), lit(1L)).cast("double")).as("dup_ratio"))
   }
 
+  /** Longest verbatim duplicated run per document — the positional
+    * refinement of [[dupNgramStats]] and the signal the
+    * exact-substring dedup literature actually thresholds on ("drop
+    * documents sharing a >= 50-token verbatim span"): a distinct
+    * n-gram COUNT cannot distinguish fifty scattered boilerplate
+    * grams from one fifty-gram copied paragraph, while the longest
+    * consecutive run of cross-document-duplicated gram POSITIONS is
+    * exactly the length of the longest copied span (r consecutive
+    * duplicated grams cover r + n - 1 tokens).
+    *
+    * Scale shape, per stage: (1) duplicated-gram set = the
+    * [[dupNgramStats]] posting pipeline verbatim (in-row distinct
+    * grams, one 8-byte-hash shuffle, map-side combine); (2) positional
+    * grams = per-row fan-out (explode of start positions re-slicing
+    * the ONE bound token array — t_chunk's shape, no shuffle);
+    * (3) flagged positions = equi-join on the gram hash (pair-bound:
+    * output <= positional postings); (4) runs = the classic
+    * islands-and-gaps trick, pos - row_number() constant within a
+    * consecutive run — ONE window keyed by doc (a doc's positions fit
+    * a partition by construction: documents are bounded, corpora are
+    * not) and two count aggregates. Nothing global, nothing pairwise.
+    * The oracle replays every stage including the hash. */
+  def dupNgramSpans(docs: DataFrame, id: Column, text: Column, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(id.as("doc_id"),
+        graft.functions.TextShingles.wordTokens(text).as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+    val positional = base.filter(col("n_tokens") >= n)
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(lit(1L), col("n_tokens") - (n - 1).toLong)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        graft.functions.PortableHash.md5Hash60(
+          array_join(slice(col("__toks"), col("pos").cast("int"), lit(n)), " ")).as("h"))
+    val g = docs.select(id.as("doc_id"),
+      graft.functions.TextShingles.wordShingles(text, n).as("grams"))
+    val dup = g.select(col("doc_id"), explode(col("grams")).as("__gram"))
+      .select(col("doc_id"),
+        graft.functions.PortableHash.md5Hash60(col("__gram")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val wRn = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = positional.join(dup, Seq("h"))
+      .withColumn("island", col("pos") - row_number().over(wRn))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(count(lit(1)).as("run_len"))
+    val perDoc = runs.groupBy(col("doc_id")).agg(
+      sum(col("run_len")).as("__ndp"), max(col("run_len")).as("__lr"))
+    base.select(col("doc_id"),
+        greatest(col("n_tokens") - (n - 1), lit(0L)).as("n_gram_pos"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_gram_pos"),
+        coalesce(col("__ndp"), lit(0L)).as("n_dup_pos"),
+        when(col("__lr").isNull, lit(0L))
+          .otherwise(col("__lr") + (n - 1)).as("longest_dup_tokens"))
+  }
+
   /** Prefix-filtered candidate pairs for EXACT Jaccard >= tn/td over
     * hashed shingle sets (Bayardo et al., WWW'07): each doc indexes
     * only the first |x| - ceil(t*|x|) + 1 grams of its set in the
@@ -1052,6 +1108,49 @@ object Dedup {
                        / greatest(len(g.grams), 1) AS dup_ratio
               FROM g LEFT JOIN p USING (doc_id)
               ORDER BY g.doc_id""")),
+
+    // Longest verbatim duplicated span per document (positional
+    // refinement of dd_dup_ngrams — see dupNgramSpans): r consecutive
+    // duplicated 8-gram positions = an (r+7)-token copied span. The
+    // islands-and-gaps window replays exactly in the oracle.
+    QueryDef(
+      "dd_dup_spans",
+      (s, d) => {
+        import s.implicits._
+        dupNgramSpans(table(s, d, "documents"), $"doc_id", $"text", n = 8)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id,
+                       [x for x in string_split_regex(lower(text), '\s+') if x != ''] AS toks
+                FROM documents),
+              p AS (
+                SELECT doc_id, u.g['pos'] AS pos,
+                       ('0x' || substring(md5(u.g['gram']), 1, 15))::BIGINT AS h
+                FROM (
+                  SELECT doc_id,
+                         unnest([{'pos': i, 'gram': array_to_string(toks[i:i+7], ' ')}
+                                 for i in range(1, len(toks) - 6)]) AS g
+                  FROM t WHERE len(toks) >= 8) u),
+              x AS (SELECT DISTINCT doc_id, h FROM p),
+              c AS (SELECT h FROM x GROUP BY h HAVING count(*) >= 2),
+              d AS (
+                SELECT p.doc_id, p.pos,
+                       p.pos - row_number() OVER (PARTITION BY p.doc_id ORDER BY p.pos) AS island
+                FROM p JOIN c USING (h)),
+              runs AS (
+                SELECT doc_id, count(*) AS run_len
+                FROM d GROUP BY doc_id, island),
+              agg AS (
+                SELECT doc_id, sum(run_len) AS n_dup_pos, max(run_len) AS longest_run
+                FROM runs GROUP BY doc_id)
+              SELECT t.doc_id,
+                     CAST(greatest(len(t.toks) - 7, 0) AS BIGINT) AS n_gram_pos,
+                     CAST(coalesce(a.n_dup_pos, 0) AS BIGINT) AS n_dup_pos,
+                     CAST(CASE WHEN a.longest_run IS NULL THEN 0
+                               ELSE a.longest_run + 7 END AS BIGINT) AS longest_dup_tokens
+              FROM t LEFT JOIN agg a USING (doc_id)
+              ORDER BY t.doc_id""")),
 
     // Banded brute-force n-gram Jaccard: candidate pairs restricted to
     // adjacent length bands (near-dups have near-equal lengths) — the

@@ -340,7 +340,7 @@ ${entries.mkString(",\n")}
         // scaladoc promises AQE handles
         for (q <- Seq("dd_minhash_lsh", "dd_apply_lsh", "dd_simhash",
             "dd_embed_cos", "s_ann_lsh", "dd_decontaminate",
-            "dd_embed_decontaminate", "dd_dup_ngrams",
+            "dd_embed_decontaminate", "dd_dup_ngrams", "dd_dup_spans",
             "w_neardup_pairs", "w_embed_neardup")) {
           durations.clear()
           val t0 = System.nanoTime()

@@ -250,6 +250,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("dd_dup_spans: hash-keyed postings, one doc-keyed window, nothing pairwise") {
+    val p = plan("dd_dup_spans")
+    assert(p.contains("partial_"), p) // df counts combine map-side
+    assert(p.contains("Exchange hashpartitioning(h#"), p)
+    assert(p.contains("row_number"), p) // the islands window
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("t_chunk: per-row fan-out only — no hash exchange anywhere in the plan") {
     val p = plan("t_chunk")
     assert(p.contains("Generate"), p) // the posexplode fan-out

@@ -64,6 +64,34 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(run(df.repartition(7)).toSeq == rows.toSeq)
   }
 
+  test("dupNgramSpans: run lengths in tokens, scattered vs consecutive, short docs, partition-invariant") {
+    import spark.implicits._
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 tail-a unique-a"
+    val df = Seq(
+      (1L, a),                                    // whole doc copied by doc 5
+      (2L, "head-b w1 w2 w3 w4 w5 w6 w7 w8 unique-b"), // one embedded 8-token span
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9"),        // unique -> no spans
+      (4L, "too short"),                          // < 8 tokens -> 0 positions
+      (5L, a)
+    ).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      dupNgramSpans(d, $"doc_id", $"text", n = 8)
+        .orderBy($"doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val rows = run(df)
+    // doc1: all 3 gram positions duplicated consecutively -> the full
+    // 10-token doc is one copied span (3 grams cover 3 + 7 tokens)
+    assert(rows(0) == ((1L, 3L, 3L, 10L)))
+    // doc2: only the middle position (w1..w8) is duplicated -> an
+    // 8-token span, NOT 3 scattered grams (the count-based signal
+    // cannot make this distinction; the positional one must)
+    assert(rows(1) == ((2L, 3L, 1L, 8L)))
+    assert(rows(2) == ((3L, 2L, 0L, 0L)))
+    assert(rows(3) == ((4L, 0L, 0L, 0L)))
+    assert(rows(4) == ((5L, 3L, 3L, 10L)))
+    assert(run(df.repartition(7)).toSeq == rows.toSeq)
+  }
+
   test("minhash candidates are a subset of brute-force ground truth, full recall on strong pairs") {
     import spark.implicits._
     val docs = graft.model.Tables.table(spark, sf, "documents")
