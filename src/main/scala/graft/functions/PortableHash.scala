@@ -29,6 +29,19 @@ object PortableHash {
   def duckdbHash60(expr: String): String =
     s"('0x' || substring(md5($expr), 1, 15))::BIGINT"
 
+  /** JVM-side twin of [[md5Hash60]] for fused expressions: the first
+    * 15 hex chars of md5 as a long = 7 full bytes then the high
+    * nibble of the 8th (bit-identical to `conv(substring(md5, 1, 15),
+    * 16, 10)` — asserted in DedupSpec parity tests). */
+  def md5Hash60Jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xFF); i += 1 }
+    (v << 4) | ((d(7) & 0xFF) >>> 4)
+  }
+
   // ---- universal-hash family over a 30-bit base hash ----------------
   // One md5 per value, then h_i(x) = (a_i * x + b_i) mod (2^31 - 1):
   // with x < 2^30 and a_i, b_i < 2^31 the product stays under 2^61, so

@@ -288,6 +288,80 @@ case class HashedWordShingles(child: Expression, n: Int, hashKind: String)
     copy(child = newChild)
 }
 
+/** POSITIONAL 60-bit gram hashes of a text column in one compiled
+  * pass: element i (0-based) is `PortableHash.md5Hash60` of the
+  * space-joined n-gram starting at token i — NOT distinct, one entry
+  * per start position, `max(m - n + 1, 0)` entries for m tokens.
+  *
+  * Why it exists: the positional stage of the duplicated-span
+  * operator (dd_dup_spans) needs (position, gram hash) rows. The
+  * declarative form explodes start positions while CARRYING the full
+  * token array through the generator so each output row can re-slice
+  * it — the per-row bytes are amplified by the position count, which
+  * at corpus scale turns a narrow fan-out into an array-copy storm
+  * (t_chunk tolerates this because chunks are ~n/stride per doc;
+  * grams are ~n per doc). This expression emits the 8-byte hashes
+  * directly, so the explode fans out longs and the token array never
+  * leaves the row it was parsed in.
+  *
+  * Tokenization and hashing are bit-identical to the pipeline it
+  * replaces ([[WordTokens]] semantics + md5Hash60 of the same joined
+  * string — DedupSpec asserts parity against the slice/array_join/
+  * conv(md5) column form on the real corpus). Null text -> null. */
+case class PositionalGramHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"gram size must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"positionalGramHashes requires string, got ${t.sql}")
+  }
+
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+
+  def compute(text: UTF8String): ArrayData = {
+    val toks0 = ws.split(text.toLowerCase.toString, -1)
+    var m = 0
+    var k = 0
+    while (k < toks0.length) { if (toks0(k).nonEmpty) m += 1; k += 1 }
+    if (m < n) return ArrayData.toArrayData(Array.empty[Long])
+    val toks = new Array[String](m)
+    m = 0; k = 0
+    while (k < toks0.length) {
+      if (toks0(k).nonEmpty) { toks(m) = toks0(k); m += 1 }
+      k += 1
+    }
+    val out = new Array[Long](m - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= m - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = PortableHash.md5Hash60Jvm(sb.toString)
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("posGramHasher", this, classOf[PositionalGramHashes].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $self.compute($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PositionalGramHashes =
+    copy(child = newChild)
+}
+
 /** Occurrence count of array elements belonging to a constant word
   * set, in one compiled pass — the fused form of
   * `size(filter(toks, t => t.isin(words)))`, whose filter HOF is
@@ -393,6 +467,10 @@ object TextShingles {
   /** Fused distinct hashed shingles (see [[HashedWordShingles]]). */
   def hashedWordShingles(text: Column, n: Int, hashKind: String): Column =
     ColumnBridge.column(HashedWordShingles(ColumnBridge.expression(text), n, hashKind))
+
+  /** Fused positional gram hashes (see [[PositionalGramHashes]]). */
+  def positionalGramHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(PositionalGramHashes(ColumnBridge.expression(text), n))
 
   /** Fused lowercase whitespace tokenizer (see [[WordTokens]]). */
   def wordTokens(text: Column): Column =

@@ -198,26 +198,30 @@ object Dedup {
     * Scale shape, per stage: (1) duplicated-gram set = the
     * [[dupNgramStats]] posting pipeline verbatim (in-row distinct
     * grams, one 8-byte-hash shuffle, map-side combine); (2) positional
-    * grams = per-row fan-out (explode of start positions re-slicing
-    * the ONE bound token array — t_chunk's shape, no shuffle);
-    * (3) flagged positions = equi-join on the gram hash (pair-bound:
-    * output <= positional postings); (4) runs = the classic
-    * islands-and-gaps trick, pos - row_number() constant within a
-    * consecutive run — ONE window keyed by doc (a doc's positions fit
-    * a partition by construction: documents are bounded, corpora are
-    * not) and two count aggregates. Nothing global, nothing pairwise.
-    * The oracle replays every stage including the hash. */
+    * grams = per-row fan-out of the fused
+    * [[graft.functions.PositionalGramHashes]] array — the explode
+    * emits 8-byte hashes directly, so the token array never leaves
+    * the row it was parsed in (the slice-per-position column form
+    * would carry the whole array through the generator, amplifying
+    * per-row bytes by the position count); (3) flagged positions =
+    * equi-join on the gram hash (pair-bound: output <= positional
+    * postings); (4) runs = the classic islands-and-gaps trick,
+    * pos - row_number() constant within a consecutive run — ONE
+    * window keyed by doc (a doc's positions fit a partition by
+    * construction: documents are bounded, corpora are not) and two
+    * count aggregates. Nothing global, nothing pairwise. The oracle
+    * replays every stage including the hash. */
   def dupNgramSpans(docs: DataFrame, id: Column, text: Column, n: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = docs.select(id.as("doc_id"),
         graft.functions.TextShingles.wordTokens(text).as("__toks"))
       .withColumn("n_tokens", size(col("__toks")).cast("long"))
-    val positional = base.filter(col("n_tokens") >= n)
-      .select(col("doc_id"), col("__toks"),
-        explode(sequence(lit(1L), col("n_tokens") - (n - 1).toLong)).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        graft.functions.PortableHash.md5Hash60(
-          array_join(slice(col("__toks"), col("pos").cast("int"), lit(n)), " ")).as("h"))
+    val positional = docs
+      .select(id.as("doc_id"),
+        graft.functions.TextShingles.positionalGramHashes(text, n).as("__ph"))
+      .select(col("doc_id"),
+        posexplode(col("__ph")).as(Seq("__pos0", "h")))
+      .select(col("doc_id"), (col("__pos0") + 1L).as("pos"), col("h"))
     val g = docs.select(id.as("doc_id"),
       graft.functions.TextShingles.wordShingles(text, n).as("grams"))
     val dup = g.select(col("doc_id"), explode(col("grams")).as("__gram"))

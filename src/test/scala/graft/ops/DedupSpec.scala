@@ -64,6 +64,26 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(run(df.repartition(7)).toSeq == rows.toSeq)
   }
 
+  test("fused PositionalGramHashes == slice/array_join/md5 column form, bit for bit") {
+    import spark.implicits._
+    val docs = graft.model.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val bound = docs.select($"doc_id",
+        graft.functions.TextShingles.positionalGramHashes($"text", 8).as("fused"),
+        graft.functions.TextShingles.wordTokens($"text").as("__toks"))
+      .withColumn("n_tokens", size($"__toks").cast("long"))
+    // fused array length = max(m - 7, 0), and every element equals the
+    // md5Hash60 of the re-sliced space-joined gram at that position
+    assert(bound.filter(
+      size($"fused") =!= greatest($"n_tokens" - 7L, lit(0L)).cast("int")).count() == 0L)
+    val perPos = bound.filter($"n_tokens" >= 8)
+      .select($"doc_id", $"__toks", $"fused",
+        explode(sequence(lit(1L), $"n_tokens" - 7L)).as("pos"))
+      .withColumn("h_hof", graft.functions.PortableHash.md5Hash60(
+        array_join(slice($"__toks", $"pos".cast("int"), lit(8)), " ")))
+      .withColumn("h_fused", element_at($"fused", $"pos".cast("int")))
+    assert(perPos.filter($"h_hof" =!= $"h_fused").count() == 0L)
+  }
+
   test("dupNgramSpans: run lengths in tokens, scattered vs consecutive, short docs, partition-invariant") {
     import spark.implicits._
     val a = "w1 w2 w3 w4 w5 w6 w7 w8 tail-a unique-a"
