@@ -245,6 +245,76 @@ object Dedup {
           .otherwise(col("__lr") + (n - 1)).as("longest_dup_tokens"))
   }
 
+  /** EXACT containment-similarity pairs — the asymmetric near-dup
+    * case Jaccard structurally misses: a short document fully quoted
+    * inside a long one has J = |A|/|B| (small for |B| >> |A|) but
+    * containment C(A,B) = |G_A ∩ G_B| / |G_A| = 1. Returns every
+    * DIRECTIONAL pair (a, b) with C(a,b) >= tn/td over distinct
+    * 3-gram hash sets, with the exact intersection and both set
+    * sizes — the "find quoted/subsumed documents" pass a dedup
+    * pipeline runs beside its symmetric Jaccard pass.
+    *
+    * Candidate generation is the containment prefix filter (the
+    * asymmetric sibling of the Bayardo WWW'07 prefix this file's
+    * [[prefixCandidates]] uses): order grams globally by (df ASC,
+    * hash ASC); if C(a,b) >= t then b must contain one of a's first
+    * `|G_a| - ceil(t*|G_a|) + 1` grams (if it missed ALL of them, the
+    * shared set would fit in a's suffix: |A∩B| <= ceil(t*|G_a|) - 1 <
+    * t*|G_a|) — so the join is a's PREFIX postings against the FULL
+    * index, complete by construction. Because the indexed side posts
+    * everything, the PPJoin positional filter degenerates (any shared
+    * prefix gram IS a collision), so pruning rests on (1) df-ascending
+    * prefixes — a viral gram has maximal df, sorts to every suffix,
+    * and never generates candidates; (2) the containment length
+    * filter n_b * td >= n_a * tn (|A∩B| <= min(n_a, n_b)). Verify is
+    * the codegen'd two-pointer merge over one sorted in-row gram
+    * array per doc ([[graft.functions.SortedLongIntersectCount]]) —
+    * candidate pairs move as two narrow id equi-joins, never a
+    * per-gram row explosion. The uh30 gram hashes replay in the
+    * oracle, which checks the NAIVE all-pairs containment over the
+    * same hash sets — a stronger check than mirroring the prefix
+    * pipeline, since completeness itself is what it exercises. */
+  def containmentPairs(
+      docs: DataFrame, tn: Int = 9, td: Int = 10,
+      minGrams: Int = 5): DataFrame = {
+    val withSets = docs
+      .withColumn("hs",
+        graft.functions.TextShingles.hashedWordShingles(col("text"), 3, "uh30"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
+      .filter(col("n") >= minGrams)
+    val posts = withSets
+      .select(col("doc_id"), col("n"), explode(col("hs")).as("x"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("x").asc)
+    val ranked = posts
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("x"))))
+      .withColumn("rk", row_number().over(wDoc))
+    // contained-side prefix length n - ceil(t*n) + 1, exact integers
+    val pref = ranked.filter(col("rk") <=
+      col("n") - floor((col("n") * tn + lit(td - 1)) / lit(td)) + 1)
+    val cand = pref.as("a")
+      .join(ranked.as("b"),
+        col("a.x") === col("b.x") && col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.n") * td >= col("a.n") * tn)
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("__c"))
+      .select(col("id_a"), col("id_b"))
+    val arrays = withSets.select(col("doc_id"),
+      sort_array(col("hs")).as("xs"), col("n"))
+    val inter = graft.functions.TextShingles
+      .sortedLongIntersectCount(col("xsa"), col("xsb"))
+    cand
+      .join(arrays.select(col("doc_id").as("id_a"),
+        col("xs").as("xsa"), col("n").as("n_a")), Seq("id_a"))
+      .join(arrays.select(col("doc_id").as("id_b"),
+        col("xs").as("xsb"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("inter", inter.cast("long"))
+      .filter(col("inter") * td >= col("n_a") * tn)
+      .select(col("id_a"), col("id_b"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        col("inter"),
+        (col("inter").cast("double") / col("n_a").cast("double")).as("containment"))
+  }
+
   /** Prefix-filtered candidate pairs for EXACT Jaccard >= tn/td over
     * hashed shingle sets (Bayardo et al., WWW'07): each doc indexes
     * only the first |x| - ceil(t*|x|) + 1 grams of its set in the
@@ -1155,6 +1225,44 @@ object Dedup {
                                ELSE a.longest_run + 7 END AS BIGINT) AS longest_dup_tokens
               FROM t LEFT JOIN agg a USING (doc_id)
               ORDER BY t.doc_id""")),
+
+    // Directional containment pairs at C >= 0.9 (see containmentPairs
+    // — the asymmetric case Jaccard misses). The oracle is the NAIVE
+    // all-pairs containment over the same portable uh30 gram sets:
+    // the engine's prefix-filtered plan must reproduce it exactly,
+    // so candidate COMPLETENESS itself is what the compare checks.
+    QueryDef(
+      "dd_containment",
+      (s, d) => {
+        import s.implicits._
+        containmentPairs(table(s, d, "documents"), tn = 9, td = 10)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, [x for x in string_split_regex(lower(text), '\s+') if x != ''] AS toks
+                FROM documents),
+              g AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+                                                for i in range(1, len(toks) - 1)])
+                            ELSE [] END AS grams
+                FROM t),
+              h AS (
+                SELECT doc_id,
+                       list_distinct([(('0x' || substring(md5(x), 1, 15))::BIGINT % 1073741824)
+                                      for x in grams]) AS hs
+                FROM g),
+              n AS (SELECT doc_id, hs, len(hs) AS n FROM h WHERE len(hs) >= 5),
+              pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+                       CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS inter
+                FROM n a JOIN n b ON a.doc_id <> b.doc_id)
+              SELECT id_a, id_b, n_a, n_b, inter,
+                     CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment
+              FROM pairs WHERE inter * 10 >= n_a * 9
+              ORDER BY id_a, id_b""")),
 
     // Banded brute-force n-gram Jaccard: candidate pairs restricted to
     // adjacent length bands (near-dups have near-equal lengths) — the

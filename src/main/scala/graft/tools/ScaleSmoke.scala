@@ -338,10 +338,15 @@ ${entries.mkString(",\n")}
         // frequency ≈ variants, so the postings back-join concentrates
         // `variants` rows per gram hash — the viral-gram case its
         // scaladoc promises AQE handles
+        // dd_containment under the hot band: every hot doc's prefix
+        // ends with one shared seed gram, so the candidate join
+        // surfaces ALL ~variants² true containment pairs — the
+        // inherent quadratic output of containment on a
+        // duplicate-saturated corpus, like the other pair queries
         for (q <- Seq("dd_minhash_lsh", "dd_apply_lsh", "dd_simhash",
             "dd_embed_cos", "s_ann_lsh", "dd_decontaminate",
             "dd_embed_decontaminate", "dd_dup_ngrams", "dd_dup_spans",
-            "w_neardup_pairs", "w_embed_neardup")) {
+            "dd_containment", "w_neardup_pairs", "w_embed_neardup")) {
           durations.clear()
           val t0 = System.nanoTime()
           val rows = graft.SparkEntry.queries(q)(spark, dir).count()

@@ -250,6 +250,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("dd_containment: prefix-vs-full-index equi-join on the gram hash, verify by id joins, no cartesian") {
+    val p = plan("dd_containment")
+    // the candidate join must key on the gram hash x (prefix postings
+    // against the full index), never enumerate pairs
+    assert("""(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin) \[x#""".r
+      .findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // verify joins move candidate PAIRS against one array row per doc
+    assert(count(p, """(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin) \[id_""") >= 2, p)
+  }
+
   test("dd_dup_spans: hash-keyed postings, one doc-keyed window, nothing pairwise") {
     val p = plan("dd_dup_spans")
     assert(p.contains("partial_"), p) // df counts combine map-side

@@ -64,6 +64,28 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(run(df.repartition(7)).toSeq == rows.toSeq)
   }
 
+  test("containmentPairs: quoted short doc found in both directions correctly, Jaccard would miss it") {
+    import spark.implicits._
+    val quoted = "q1 q2 q3 q4 q5 q6 q7 q8"                       // 6 distinct 3-grams
+    val long = quoted + " f1 f2 f3 f4 f5 f6 f7 f8 f9 f10 f11 f12 f13 f14 f15 f16"
+    val df = Seq(
+      (1L, quoted),                 // fully contained in doc 2
+      (2L, long),                   // contains doc 1 (22 grams)
+      (3L, "z1 z2 z3 z4 z5 z6 z7")  // unrelated
+    ).toDF("doc_id", "text")
+    val got = containmentPairs(df, tn = 9, td = 10, minGrams = 5)
+      .orderBy($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getDouble(5)))
+    // C(1 -> 2) = 6/6 = 1.0; C(2 -> 1) = 6/22 < 0.9 (directional!);
+    // the symmetric Jaccard of the pair is 6/22 ~ 0.27 — a 0.9-Jaccard
+    // pass would never surface this pair
+    assert(got.toSeq == Seq((1L, 2L, 6L, 1.0)))
+    // lowering the threshold to 1/4 surfaces the reverse direction too
+    val both = containmentPairs(df, tn = 1, td = 4, minGrams = 5)
+      .orderBy($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(both.toSeq == Seq((1L, 2L), (2L, 1L)))
+  }
+
   test("fused PositionalGramHashes == slice/array_join/md5 column form, bit for bit") {
     import spark.implicits._
     val docs = graft.model.Tables.table(spark, "/root/testdata/sf0.001", "documents")
