@@ -286,8 +286,14 @@ case class FloatVectorBytes(child: Expression)
   * Bit-compatibility: same maxabs comparison, same exactly-rounded
   * divide / multiply / add / floor sequence as the HOF form, so codes
   * are bit-identical (SimilaritySpec asserts it) and the DuckDB oracle
-  * replays unchanged. Null element or null array -> null, matching the
-  * null propagation of the transform pipeline it replaces. */
+  * replays unchanged — for inputs without null ELEMENTS, which is all
+  * the parity spec covers. Null array -> null like the HOF form; a
+  * null ELEMENT nulls the ENTIRE output array, deliberately diverging
+  * from the HOF chain (transform maps null -> null element, array_max
+  * skips nulls, so the HOF form yields an array CONTAINING null): a
+  * vector with a missing component has no meaningful code array, and
+  * containsNull = false lets downstream DotProduct skip per-element
+  * null checks in its hot loop. */
 case class Int8QuantCodes(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)

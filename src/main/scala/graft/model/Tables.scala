@@ -91,6 +91,16 @@ object Tables {
       // timestamp just pins to TIMESTAMP_NTZ (all driver tables are
       // naive/UTC wall-clock, and the session TZ is pinned UTC so the
       // NTZ cast is value-exact either way).
+      // Both vintage branches below are only value-exact when the
+      // session resolves timestamps in UTC: the MICROS branch's
+      // timestamp -> TIMESTAMP_NTZ cast reads the wall-clock through
+      // the session zone, and the NANOS branch's timestamp_micros
+      // literal comparison semantics assume it too. A library embedder
+      // on a non-UTC session would get silently shifted values, so
+      // fail loudly instead (withSessionDefaults pins the zone).
+      require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+        "events.ts conversion requires spark.sql.session.timeZone=UTC — " +
+          "build the session via Tables.withSessionDefaults")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
       raw.schema("ts").dataType match {
         case LongType =>

@@ -195,38 +195,37 @@ object Dedup {
     * exactly the length of the longest copied span (r consecutive
     * duplicated grams cover r + n - 1 tokens).
     *
-    * Scale shape, per stage: (1) duplicated-gram set = the
-    * [[dupNgramStats]] posting pipeline verbatim (in-row distinct
-    * grams, one 8-byte-hash shuffle, map-side combine); (2) positional
-    * grams = per-row fan-out of the fused
-    * [[graft.functions.PositionalGramHashes]] array — the explode
-    * emits 8-byte hashes directly, so the token array never leaves
-    * the row it was parsed in (the slice-per-position column form
-    * would carry the whole array through the generator, amplifying
-    * per-row bytes by the position count); (3) flagged positions =
-    * equi-join on the gram hash (pair-bound: output <= positional
-    * postings); (4) runs = the classic islands-and-gaps trick,
-    * pos - row_number() constant within a consecutive run — ONE
-    * window keyed by doc (a doc's positions fit a partition by
+    * Scale shape, per stage: every stage derives from ONE tokenizing
+    * pass — the fused [[graft.functions.PositionalGramHashes]] array:
+    * (1) duplicated-gram set = per-doc DISTINCT hashes
+    * (`array_distinct` in-row — so two distinct grams colliding into
+    * one 60-bit hash count as one posting per doc, exactly mirroring
+    * the oracle's `SELECT DISTINCT doc_id, h`; hashing gram STRINGS
+    * first and deduping those would diverge on that astronomically
+    * rare collision), one 8-byte-hash shuffle, map-side combine;
+    * (2) positional grams = per-row fan-out of the same array — the
+    * explode emits 8-byte hashes directly, so the token array never
+    * leaves the row it was parsed in (the slice-per-position column
+    * form would carry the whole array through the generator,
+    * amplifying per-row bytes by the position count); (3) flagged
+    * positions = equi-join on the gram hash (pair-bound: output <=
+    * positional postings); (4) runs = the classic islands-and-gaps
+    * trick, pos - row_number() constant within a consecutive run —
+    * ONE window keyed by doc (a doc's positions fit a partition by
     * construction: documents are bounded, corpora are not) and two
     * count aggregates. Nothing global, nothing pairwise. The oracle
-    * replays every stage including the hash. */
+    * replays every stage including the hash; n_gram_pos is
+    * size(positional array) — by construction max(m - n + 1, 0). */
   def dupNgramSpans(docs: DataFrame, id: Column, text: Column, n: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = docs.select(id.as("doc_id"),
-        graft.functions.TextShingles.wordTokens(text).as("__toks"))
-      .withColumn("n_tokens", size(col("__toks")).cast("long"))
-    val positional = docs
-      .select(id.as("doc_id"),
-        graft.functions.TextShingles.positionalGramHashes(text, n).as("__ph"))
+    val ph = docs.select(id.as("doc_id"),
+      graft.functions.TextShingles.positionalGramHashes(text, n).as("__ph"))
+    val positional = ph
       .select(col("doc_id"),
         posexplode(col("__ph")).as(Seq("__pos0", "h")))
       .select(col("doc_id"), (col("__pos0") + 1L).as("pos"), col("h"))
-    val g = docs.select(id.as("doc_id"),
-      graft.functions.TextShingles.wordShingles(text, n).as("grams"))
-    val dup = g.select(col("doc_id"), explode(col("grams")).as("__gram"))
-      .select(col("doc_id"),
-        graft.functions.PortableHash.md5Hash60(col("__gram")).as("h"))
+    val dup = ph
+      .select(col("doc_id"), explode(array_distinct(col("__ph"))).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select(col("h"))
     val wRn = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -236,8 +235,7 @@ object Dedup {
       .agg(count(lit(1)).as("run_len"))
     val perDoc = runs.groupBy(col("doc_id")).agg(
       sum(col("run_len")).as("__ndp"), max(col("run_len")).as("__lr"))
-    base.select(col("doc_id"),
-        greatest(col("n_tokens") - (n - 1), lit(0L)).as("n_gram_pos"))
+    ph.select(col("doc_id"), size(col("__ph")).cast("long").as("n_gram_pos"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_gram_pos"),
         coalesce(col("__ndp"), lit(0L)).as("n_dup_pos"),
