@@ -114,6 +114,20 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val failed = results.count(_._2._2.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"errors":$errs,"flagged":$flaggedJson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"errors":$errs,"flagged":$flaggedJson,"sf":"$sfDir"}"""
+    println(json)
+    // The driver captures stdout through a bounded tail buffer — the
+    // round-7 artifact lost 21 of 87 per-query entries to truncation
+    // (BENCH_r07.json parsed: null). Persist the complete line to a
+    // file at the working directory (= repo root under sbt) so the
+    // official record never depends on how much console output
+    // survives. Best-effort: a read-only cwd must not fail the bench.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH.out.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write BENCH.out.json: $e")
+    }
   }
 }

@@ -276,6 +276,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("t_pii_redact: pure per-row column algebra — no hash exchange, no UDF") {
+    val p = plan("t_pii_redact")
+    assert(count(p, "Exchange hashpartitioning") == 0, p)
+    assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"), p)
+  }
+
   test("t_mix_sample: group rates broadcast back, membership filtered map-side") {
     val p = plan("t_mix_sample")
     // per-group counts come back as a broadcast (group count, not rows)
