@@ -160,10 +160,89 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF cell count and Lloyd iteration count — FIXED constants, part
+    * of the oracle contract (the DuckDB replay unrolls exactly
+    * [[IvfIters]] assignment rounds). 4 iterations measured best on
+    * the fixture corpora (recall@5 at nprobe=1/2/4: 0.18/0.40/0.63 at
+    * sf0.001 vs 0.14/0.28/0.48 for the untrained label cells —
+    * SimilaritySpec holds the trained >= untrained inequality). */
+  val IvfNlist = 10
+  val IvfIters = 4
+
+  /** Deterministic Lloyd's k-means over (vec_id, v): returns the
+    * trained cell assignment (vec_id, cell) — the coarse quantizer an
+    * IVF index is built on. Every step is portable arithmetic so the
+    * DuckDB oracle replays training EXACTLY, not just the result
+    * shape:
+    *
+    *  - init: portable-hash partition, `md5Hash60(vec_id) % nlist` —
+    *    the random-partition init of the k-means literature with the
+    *    engine's cross-engine hash as the randomness;
+    *  - centroid step: elementwise QUANTIZED mean
+    *    (`sum(floor(x*1e6) as long) / (n*1e6)` — the cross-row sum is
+    *    exact-integer and order-insensitive, so partitioning cannot
+    *    change it; the one division is deterministic double math);
+    *    degenerate all-zero centroids are dropped (`cn > 0`);
+    *  - assignment step: argmax of `dot(v, cv) / cn` (same argmax as
+    *    cosine for each fixed vector — the vector's own norm is a
+    *    positive constant across cells — and, unlike cosine, defined
+    *    for zero vectors: all scores 0, the tie-break assigns cell
+    *    min); ties break by cell ascending via row_number, exactly as
+    *    the probe stage breaks centroid ties;
+    *  - FIXED iteration count, not convergence detection: a
+    *    convergence test is a driver-side scalar per round, and at
+    *    100 TB each round is a full corpus pass — a fixed small count
+    *    is both the replayable and the scalable choice.
+    *
+    * Scale shape per round: one (cell, pos)-keyed aggregate with
+    * map-side combine (centroids: nlist x dim rows) + one broadcast
+    * of the tiny centroid table against the corpus + one vec_id
+    * window for the argmax — no pairwise stage anywhere. Training is
+    * an index-BUILD cost: a deployment materializes the assignment
+    * once and serves from it; these queries recompute it inline so
+    * the oracle can see the whole pipeline. */
+  private[ops] def kmeansCells(
+      emb: DataFrame, nlist: Int = IvfNlist, iters: Int = IvfIters): DataFrame = {
+    var assign = emb.select(col("vec_id"),
+      pmod(graft.functions.PortableHash.md5Hash60(col("vec_id").cast("string")),
+        lit(nlist.toLong)).as("cell"))
+    for (_ <- 1 to iters) {
+      val cents = emb.join(assign, Seq("vec_id"))
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(
+          (sum(floor(col("x") * lit(1e6)).cast("long")).cast("double") /
+            (count(lit(1)) * lit(1e6))).as("cx"))
+        .groupBy(col("cell")).agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pc"))
+        .select(col("cell").as("c_label"),
+          transform(col("pc"), p => p.getField("cx")).as("cv"))
+        .withColumn("cn", l2norm(col("cv")))
+        .filter(col("cn") > 0)
+      val wA = Window.partitionBy(col("vec_id"))
+        .orderBy(col("score").desc, col("c_label").asc)
+      assign = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("c_label"),
+          (dot(col("v"), col("cv")) / col("cn")).as("score"))
+        .withColumn("rk", row_number().over(wA))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("c_label").as("cell"))
+    }
+    assign
+  }
+
+  /** The trained coarse-quantizer assignment for the `embeddings`
+    * table at `d` — what the IVF queries index on (exposed for specs:
+    * cell-membership checks and the trained-vs-untrained recall
+    * comparison). */
+  private[ops] def trainedCells(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    kmeansCells(table(s, d, "embeddings")
+      .select($"vec_id", asDouble($"embedding").as("v")))
+  }
+
   /** IVF ANN, parameterized by probe width: coarse-quantize the corpus
-    * into per-label cells (quantized-mean centroids — the s_ann_ivf
-    * QueryDef notes say why the mean runs over exact integers), rank
-    * cells per query by centroid cosine, search the
+    * into TRAINED cells ([[kmeansCells]] — quantized-mean centroids;
+    * the s_ann_ivf QueryDef notes say why the mean runs over exact
+    * integers), rank cells per query by centroid cosine, search the
     * UNION of the `nprobe` nearest cells, return top-`k` per query.
     *
     * nprobe is the standard IVF recall knob: a query near a cell
@@ -182,9 +261,16 @@ object Similarity {
     * floats for the ADC scan) are pruned by Catalyst, so each caller
     * pays only for what it reads. */
   private def ivfProbed(
-      s: SparkSession, d: String, nprobe: Int): (DataFrame, DataFrame) = {
+      s: SparkSession, d: String, nprobe: Int): (DataFrame, DataFrame) =
+    ivfProbedWith(s, d, nprobe, cells => kmeansCells(cells))
+
+  /** [[ivfProbed]] with a pluggable cell assignment (specs swap in the
+    * untrained label cells to measure what training buys). */
+  private[ops] def ivfProbedWith(
+      s: SparkSession, d: String, nprobe: Int,
+      assignCells: DataFrame => DataFrame): (DataFrame, DataFrame) = {
     import s.implicits._
-    val emb = table(s, d, "embeddings")
+    val embBase = table(s, d, "embeddings")
       .select($"vec_id", $"label", asDouble($"embedding").as("v"))
       .withColumn("nrm", l2norm($"v"))
       // fused codegen quantization — the declarative HOF chain ran
@@ -192,14 +278,17 @@ object Similarity {
       // (SimilaritySpec asserts bit-equality of the two forms)
       .withColumn("codes", graft.functions.VectorExpressions.int8QuantCodes($"v"))
       .withColumn("cc", dot($"codes", $"codes"))
-    // centroid per label: element-wise quantized mean via posexplode
+    val emb = embBase.join(
+      assignCells(embBase.select($"vec_id", $"v", $"label")), Seq("vec_id"))
+    // centroid per trained cell: element-wise quantized mean via
+    // posexplode (the same exact-integer mean the training rounds use)
     val centroids = emb
-      .select($"label", posexplode($"v").as(Seq("pos", "x")))
-      .groupBy($"label", $"pos").agg(
+      .select($"cell", posexplode($"v").as(Seq("pos", "x")))
+      .groupBy($"cell", $"pos").agg(
         (sum(floor($"x" * lit(1e6)).cast("long")).cast("double") /
           (count(lit(1)) * lit(1e6))).as("cx"))
-      .groupBy($"label").agg(array_sort(collect_list(struct($"pos", $"cx"))).as("pc"))
-      .select($"label".as("c_label"),
+      .groupBy($"cell").agg(array_sort(collect_list(struct($"pos", $"cx"))).as("pc"))
+      .select($"cell".as("c_label"),
         transform($"pc", p => p.getField("cx")).as("cv"))
       .withColumn("cn", l2norm($"cv"))
     // probe: each query joins every centroid (nlist rows -> broadcast),
@@ -217,13 +306,14 @@ object Similarity {
     (emb, probed)
   }
 
-  def ivfTopK(s: SparkSession, d: String, nprobe: Int, k: Int): DataFrame = {
+  def ivfTopK(s: SparkSession, d: String, nprobe: Int, k: Int,
+      assignCells: DataFrame => DataFrame = cells => kmeansCells(cells)): DataFrame = {
     import s.implicits._
-    val (emb, probed) = ivfProbed(s, d, nprobe)
+    val (emb, probed) = ivfProbedWith(s, d, nprobe, assignCells)
     // search the union of the probed cells (disjoint -> no dup candidates)
     val wTop = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
     broadcast(probed.select($"query_id", $"qv", $"qn", $"cell"))
-      .join(emb.select($"label".as("cell"), $"vec_id".as("neighbor_id"),
+      .join(emb.select($"cell", $"vec_id".as("neighbor_id"),
         $"v".as("cv2"), $"nrm".as("cn2")), Seq("cell"))
       .filter($"query_id" =!= $"neighbor_id")
       .select($"query_id", $"cell", $"neighbor_id",
@@ -257,7 +347,7 @@ object Similarity {
     val cand = broadcast(
         probed.filter($"qn" > 0).select($"query_id", $"qc", $"qcc", $"cell"))
       .join(emb.filter($"nrm" > 0)
-        .select($"label".as("cell"), $"vec_id".as("neighbor_id"),
+        .select($"cell", $"vec_id".as("neighbor_id"),
           $"codes".as("nc"), $"cc".as("ncc")), Seq("cell"))
       .filter($"query_id" =!= $"neighbor_id")
       .select($"query_id", $"cell", $"neighbor_id",
