@@ -83,9 +83,15 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val sweep = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> measure(fn, sfDir)
-    }
+    // optional 1st arg: comma-separated query-name filter (local plan
+    // iteration; the driver always runs the full sweep with no args)
+    val only: Set[String] =
+      if (args.nonEmpty) args(0).split(",").map(_.trim).toSet else Set.empty
+    val sweep = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
+        name -> measure(fn, sfDir)
+      }
     // outlier defense: flagged queries re-measure alone, AFTER the whole
     // sweep (one more fresh session each — a shared recheck session
     // would re-accumulate the pressure it exists to exclude)
@@ -123,11 +129,14 @@ object Bench {
     // file at the working directory (= repo root under sbt) so the
     // official record never depends on how much console output
     // survives. Best-effort: a read-only cwd must not fail the bench.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH.out.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: java.io.IOException =>
-      System.err.println(s"[bench] could not write BENCH.out.json: $e")
-    }
+    // ... but never let a FILTERED local run clobber the full-sweep
+    // artifact the judge reads
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH.out.json"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write BENCH.out.json: $e")
+      }
   }
 }

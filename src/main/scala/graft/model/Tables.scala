@@ -98,8 +98,17 @@ object Tables {
       // literal comparison semantics assume it too. A library embedder
       // on a non-UTC session would get silently shifted values, so
       // fail loudly instead (withSessionDefaults pins the zone).
-      require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
-        "events.ts conversion requires spark.sql.session.timeZone=UTC — " +
+      // Accept any SPELLING of UTC ("UTC", "Etc/UTC", "+00:00", "Z",
+      // "GMT"): compare the resolved zone's normalized offset, not the
+      // literal string — an embedder pinning a value-identical zone id
+      // must not trip the guard.
+      val sessionZone = java.time.ZoneId
+        .of(spark.conf.get("spark.sql.session.timeZone"),
+          java.time.ZoneId.SHORT_IDS)
+        .normalized()
+      require(sessionZone == java.time.ZoneOffset.UTC,
+        "events.ts conversion requires a UTC session timezone " +
+          s"(spark.sql.session.timeZone resolves to $sessionZone) — " +
           "build the session via Tables.withSessionDefaults")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
       raw.schema("ts").dataType match {

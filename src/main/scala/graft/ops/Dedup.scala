@@ -477,58 +477,22 @@ object Dedup {
     * long chains would swap this for the two-phase star contraction
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14) — same per-round plan shape. */
-  /** localCheckpoint a frame and return it WITH the checkpointed
-    * RDD backing it. The RDD handle is the load-bearing part:
-    * `Dataset.unpersist()` consults the CacheManager, which never
-    * held a localCheckpoint's blocks, so on a checkpointed frame it
-    * is a silent NO-OP — the blocks otherwise live until a driver GC
-    * lets the ContextCleaner reclaim them (round 5's degradation
-    * mechanism). Releasing must go through `rdd.unpersist()`. */
+  /** Shared localCheckpoint lease machinery ([[Checkpoints]]) under
+    * the "cc" tag: each CC invocation releases the PRIOR invocation's
+    * result blocks, checkpoints per round (truncating the per-round
+    * plan growth), and registers its own result blocks for the next
+    * entry. See [[Checkpoints]] for the full lifetime contract.
+    */
   private def checkpointedWithRdd(
-      df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
-    val out = df.localCheckpoint()
-    val rdd = out.queryExecution.logical.collectFirst {
-      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
-    }.getOrElse(sys.error("localCheckpoint did not produce a LogicalRDD"))
-    (out, rdd)
-  }
+      df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) =
+    Checkpoints.checkpointedWithRdd(df)
 
-  /** Checkpoint blocks backing the LAST CC invocation's returned
-    * frame, PER SparkContext (registered as RDDs — see
-    * [[checkpointedWithRdd]] for why Dataset-level unpersist cannot
-    * release them). A checkpointed result some caller still holds
-    * can't be unpersisted inside the producing call (the blocks are
-    * not recomputable), and no DataFrame exposes a consumed-now hook —
-    * so the release is deferred to the NEXT CC entry ON THE SAME
-    * CONTEXT: repeated CC executions in one session (Bench runs each
-    * query 4×) hold a constant number of storage blocks instead of
-    * accumulating per run (round 5's bench-degradation trigger), while
-    * a CC call on session B never touches blocks a result from
-    * session A still needs (the registries are disjoint). Entries
-    * whose context has stopped are dropped unreleased — their blocks
-    * died with the context. */
-  private val ccLiveBlocks = new java.util.concurrent.ConcurrentHashMap[
-    org.apache.spark.SparkContext,
-    scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]]
-  private def ccReleasePrior(sc: org.apache.spark.SparkContext): Unit = {
-    // sweep stopped contexts so the map never grows with Bench's
-    // session-per-query protocol (each stopped session leaves one key)
-    ccLiveBlocks.keySet.removeIf(_.isStopped)
-    val prior = ccLiveBlocks.remove(sc)
-    if (prior != null) prior.foreach { rdd =>
-      // blocks die with their SparkContext; a stale handle must never
-      // break the next CC run
-      try if (!rdd.sparkContext.isStopped) rdd.unpersist(blocking = false)
-      catch { case _: Throwable => () }
-      ()
-    }
-  }
+  private def ccReleasePrior(sc: org.apache.spark.SparkContext): Unit =
+    Checkpoints.releasePrior("cc", sc)
+
   private def ccRegister(sc: org.apache.spark.SparkContext)(
-      finals: org.apache.spark.rdd.RDD[_]*): Unit = {
-    val buf = ccLiveBlocks.computeIfAbsent(sc,
-      _ => new scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]])
-    buf.synchronized { buf ++= finals; () }
-  }
+      finals: org.apache.spark.rdd.RDD[_]*): Unit =
+    Checkpoints.register("cc", sc)(finals: _*)
 
   /** Min-label-propagation connected components (see the execution
     * notes above). RESULT LIFETIME CONTRACT: the returned frame is

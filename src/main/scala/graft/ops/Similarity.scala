@@ -196,18 +196,31 @@ object Similarity {
     *
     * Scale shape per round: one (cell, pos)-keyed aggregate with
     * map-side combine (centroids: nlist x dim rows) + one broadcast
-    * of the tiny centroid table against the corpus + one vec_id
-    * window for the argmax — no pairwise stage anywhere. Training is
-    * an index-BUILD cost: a deployment materializes the assignment
-    * once and serves from it; these queries recompute it inline so
-    * the oracle can see the whole pipeline. */
+    * of the 1-row centroid array against the corpus with the argmax
+    * folded IN-ROW (see the loop comment) — per round the ONLY
+    * shuffle is the centroid aggregate, and nothing is pairwise.
+    * Training is an index-BUILD cost: a deployment materializes the
+    * assignment once and serves from it; the serving queries run it
+    * once per build behind a [[Checkpoints]] lease so the oracle can
+    * see the whole pipeline without the plan re-instantiating it. */
   private[ops] def kmeansCells(
       emb: DataFrame, nlist: Int = IvfNlist, iters: Int = IvfIters): DataFrame = {
     var assign = emb.select(col("vec_id"),
       pmod(graft.functions.PortableHash.md5Hash60(col("vec_id").cast("string")),
         lit(nlist.toLong)).as("cell"))
     for (_ <- 1 to iters) {
-      val cents = emb.join(assign, Seq("vec_id"))
+      // centroids rolled into ONE row (nlist entries, cell-ascending —
+      // array_sort on struct(c_label, …) orders by the leading field),
+      // broadcast against the corpus so the argmax runs IN-ROW: a fold
+      // over ≤ nlist candidates replaces the crossJoin fan-out + vec_id
+      // window shuffle a row_number argmax costs — per round that is
+      // one shuffle instead of two, and at 100 TB the assignment step
+      // becomes a pure map over the corpus. Value-identical to the
+      // window form the oracle replays: the fold keeps a candidate only
+      // on a STRICTLY greater score, so among tied maxima the first
+      // (= lowest cell, by the sort) wins — exactly row_number over
+      // (score DESC, cell ASC).
+      val cents1 = emb.join(assign, Seq("vec_id"))
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos")).agg(
           (sum(floor(col("x") * lit(1e6)).cast("long")).cast("double") /
@@ -217,14 +230,23 @@ object Similarity {
           transform(col("pc"), p => p.getField("cx")).as("cv"))
         .withColumn("cn", l2norm(col("cv")))
         .filter(col("cn") > 0)
-      val wA = Window.partitionBy(col("vec_id"))
-        .orderBy(col("score").desc, col("c_label").asc)
-      assign = emb.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("c_label"),
-          (dot(col("v"), col("cv")) / col("cn")).as("score"))
-        .withColumn("rk", row_number().over(wA))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("c_label").as("cell"))
+        .groupBy().agg(array_sort(collect_list(
+          struct(col("c_label"), col("cv"), col("cn")))).as("cents"))
+      assign = emb.crossJoin(broadcast(cents1))
+        // degenerate guard: an all-zero corpus drops every centroid;
+        // the window form yields an EMPTY assignment there (crossJoin
+        // against zero centroid rows) — mirror it, not a sentinel cell
+        .filter(size(col("cents")) > 0)
+        .select(col("vec_id"),
+          aggregate(col("cents"),
+            struct(lit(Long.MaxValue).as("cell"),
+              lit(Double.NegativeInfinity).as("best")),
+            (acc, c) => {
+              val score = dot(col("v"), c.getField("cv")) / c.getField("cn")
+              when(score > acc.getField("best"),
+                struct(c.getField("c_label").as("cell"), score.as("best")))
+                .otherwise(acc)
+            }).getField("cell").as("cell"))
     }
     assign
   }
@@ -278,8 +300,21 @@ object Similarity {
       // (SimilaritySpec asserts bit-equality of the two forms)
       .withColumn("codes", graft.functions.VectorExpressions.int8QuantCodes($"v"))
       .withColumn("cc", dot($"codes", $"codes"))
-    val emb = embBase.join(
-      assignCells(embBase.select($"vec_id", $"v", $"label")), Seq("vec_id"))
+    // INDEX BUILD, materialized ONCE: the assignment-joined corpus is
+    // localCheckpointed before any serving stage references it. The
+    // serving plan references `emb` 3-4 times (centroids, query
+    // projection, cell scan, re-rank fetches); without the checkpoint
+    // each reference re-instantiates the whole iterative k-means
+    // subtree — measured ~12 corpus-wide training passes and 21
+    // nested-loop joins in one s_ann_ivf_adc plan (round-8 regression;
+    // PlanSpec now gates it at 1). This is also the honest deployment
+    // shape the kmeansCells scaladoc promises: train/assign once,
+    // serve from the materialized index. Blocks are leased per query
+    // build and released at the next IVF build on the same context
+    // (see [[Checkpoints]] — Bench's 4 runs per query hold a constant
+    // block count).
+    val emb = Checkpoints.lease("ivf", embBase.join(
+      assignCells(embBase.select($"vec_id", $"v", $"label")), Seq("vec_id")))
     // centroid per trained cell: element-wise quantized mean via
     // posexplode (the same exact-integer mean the training rounds use)
     val centroids = emb
@@ -373,36 +408,93 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
-  /** DuckDB replay of [[ivfTopK]] at the same (nprobe, k). */
+  /** DuckDB CTE chain replaying [[kmeansCells]] over a CTE `e` that
+    * carries (vec_id, v DOUBLE[]): defines `asn$iters` (vec_id, cell),
+    * the trained assignment both IVF oracles join the corpus on.
+    * Every step mirrors the Spark side exactly — md5Hash60-mod init,
+    * exact-integer quantized centroid means, `cn > 0` drop of
+    * degenerate centroids, argmax with the (score DESC, cell ASC)
+    * row_number tie-break — so the replay is value-identical, not
+    * merely shape-identical. */
+  private def kmeansOracleCtes(nlist: Int, iters: Int): String = {
+    val init =
+      s"""asn0 AS (
+                SELECT vec_id,
+                       ${graft.functions.PortableHash.duckdbHash60("CAST(vec_id AS VARCHAR)")}
+                         % $nlist AS cell
+                FROM e)"""
+    val rounds = (1 to iters).map { r =>
+      s"""px$r AS (
+                SELECT a.cell, unnest(e.v) AS x, generate_subscripts(e.v, 1) AS pos
+                FROM e JOIN asn${r - 1} a ON a.vec_id = e.vec_id),
+              cg$r AS (
+                SELECT cell, pos,
+                       CAST(sum(CAST(floor(x * 1000000) AS BIGINT)) AS DOUBLE)
+                         / (count(*) * 1000000.0) AS cx
+                FROM px$r GROUP BY cell, pos),
+              ct$r AS (
+                SELECT cell AS c_label, list(cx ORDER BY pos) AS cv
+                FROM cg$r GROUP BY cell),
+              cnn$r AS (
+                SELECT c_label, cv, sqrt(list_dot_product(cv, cv)) AS cn
+                FROM ct$r WHERE sqrt(list_dot_product(cv, cv)) > 0),
+              sc$r AS (
+                SELECT e.vec_id, c.c_label,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_dot_product(e.v, c.cv) / c.cn DESC,
+                                  c.c_label ASC) AS rk
+                FROM e CROSS JOIN cnn$r c),
+              asn$r AS (SELECT vec_id, c_label AS cell FROM sc$r WHERE rk = 1)"""
+    }
+    (init +: rounds).mkString(",\n              ")
+  }
+
+  /** The serving-side centroid CTEs both IVF oracles share: recompute
+    * the quantized-mean centroid of each TRAINED cell from the final
+    * assignment `asn$iters` (mirrors [[ivfProbedWith]]'s centroid
+    * stage, which — unlike the training rounds — does NOT drop
+    * zero-norm centroids). Defines `fcn` (c_label, cv, cn). */
+  private def ivfCentroidCtes(iters: Int): String =
+    s"""fpx AS (
+                SELECT a.cell, unnest(e.v) AS x, generate_subscripts(e.v, 1) AS pos
+                FROM e JOIN asn$iters a ON a.vec_id = e.vec_id),
+              fcg AS (
+                SELECT cell, pos,
+                       CAST(sum(CAST(floor(x * 1000000) AS BIGINT)) AS DOUBLE)
+                         / (count(*) * 1000000.0) AS cx
+                FROM fpx GROUP BY cell, pos),
+              fct AS (
+                SELECT cell AS c_label, list(cx ORDER BY pos) AS cv
+                FROM fcg GROUP BY cell),
+              fcn AS (
+                SELECT c_label, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM fct)"""
+
+  /** DuckDB replay of [[ivfTopK]] at the same (nprobe, k): k-means
+    * training unrolled as [[IvfIters]] CTE rounds, then the identical
+    * probe + cell-bounded search. */
   private def ivfOracle(nprobe: Int, k: Int): String =
     s"""WITH e AS (
-                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                              CAST(embedding AS DOUBLE[]))) AS nrm
                 FROM embeddings),
-              px AS (
-                SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
-              cagg AS (
-                SELECT label, pos,
-                       CAST(sum(CAST(floor(x * 1000000) AS BIGINT)) AS DOUBLE)
-                         / (count(*) * 1000000.0) AS cx
-                FROM px GROUP BY label, pos),
-              cent AS (
-                SELECT label AS c_label, list(cx ORDER BY pos) AS cv FROM cagg GROUP BY label),
-              centn AS (
-                SELECT c_label, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
+              ${kmeansOracleCtes(IvfNlist, IvfIters)},
+              ${ivfCentroidCtes(IvfIters)},
               q AS (
                 SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 20),
               probe AS (
                 SELECT query_id, qv, qn, c_label AS cell,
                        row_number() OVER (PARTITION BY query_id
                          ORDER BY list_dot_product(qv, cv) / (qn * cn) DESC, c_label ASC) AS rk
-                FROM q CROSS JOIN centn),
+                FROM q CROSS JOIN fcn),
               p1 AS (SELECT query_id, qv, qn, cell FROM probe WHERE rk <= $nprobe),
+              ec AS (
+                SELECT e.vec_id, a.cell, e.v, e.nrm
+                FROM e JOIN asn$IvfIters a ON a.vec_id = e.vec_id),
               sr AS (
                 SELECT p.query_id, p.cell, c.vec_id AS neighbor_id,
                        list_dot_product(p.qv, c.v) / (p.qn * c.nrm) AS cos
-                FROM p1 p JOIN e c ON c.label = p.cell AND p.query_id <> c.vec_id),
+                FROM p1 p JOIN ec c ON c.cell = p.cell AND p.query_id <> c.vec_id),
               rk AS (
                 SELECT query_id, cell, neighbor_id, cos,
                        row_number() OVER (PARTITION BY query_id
@@ -411,47 +503,46 @@ object Similarity {
               SELECT query_id, cell, neighbor_id, cos, rank
               FROM rk WHERE rank <= $k ORDER BY query_id, rank"""
 
-  /** DuckDB replay of [[ivfAdcTopK]] at the same (nprobe, m, k). */
+  /** DuckDB replay of [[ivfAdcTopK]] at the same (nprobe, m, k):
+    * trained cells ([[kmeansOracleCtes]]) + int8-code ADC scan of the
+    * probed cells + exact re-rank. */
   private def ivfAdcOracle(nprobe: Int, m: Int, k: Int): String =
     s"""WITH e AS (
-                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS nrm
+                FROM embeddings),
               en AS (
-                SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm,
-                       list_max([abs(x) for x in v]) AS maxabs
+                SELECT vec_id, v, nrm, list_max([abs(x) for x in v]) AS maxabs
                 FROM e),
-              cn AS (
-                SELECT vec_id, label, v, nrm, codes,
+              ec AS (
+                SELECT vec_id, v, nrm, codes,
                        list_dot_product(codes, codes) AS cc
-                FROM (SELECT vec_id, label, v, nrm,
+                FROM (SELECT vec_id, v, nrm,
                              [floor(x * (CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END) + 0.5)
                               for x in v] AS codes
                       FROM en)),
-              px AS (
-                SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
-              cagg AS (
-                SELECT label, pos,
-                       CAST(sum(CAST(floor(x * 1000000) AS BIGINT)) AS DOUBLE)
-                         / (count(*) * 1000000.0) AS cx
-                FROM px GROUP BY label, pos),
-              cent AS (
-                SELECT label AS c_label, list(cx ORDER BY pos) AS cv FROM cagg GROUP BY label),
-              centn AS (
-                SELECT c_label, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
+              ${kmeansOracleCtes(IvfNlist, IvfIters)},
+              ${ivfCentroidCtes(IvfIters)},
               q AS (
                 SELECT vec_id AS query_id, v AS qv, nrm AS qn, codes AS qc, cc AS qcc
-                FROM cn WHERE vec_id < 20 AND cc > 0),
+                FROM ec WHERE vec_id < 20 AND cc > 0),
               probe AS (
                 SELECT query_id, qv, qn, qc, qcc, c_label AS cell,
                        row_number() OVER (PARTITION BY query_id
                          ORDER BY list_dot_product(qv, cv) / (qn * cn) DESC, c_label ASC) AS rk
-                FROM q CROSS JOIN centn),
+                FROM q CROSS JOIN fcn),
               p1 AS (SELECT * FROM probe WHERE rk <= $nprobe),
+              corp AS (
+                SELECT c.vec_id, a.cell, c.v, c.nrm, c.codes, c.cc
+                FROM ec c JOIN asn$IvfIters a ON a.vec_id = c.vec_id
+                WHERE c.cc > 0),
               adc AS (
                 SELECT p.query_id, p.cell, c.vec_id AS neighbor_id,
                        list_dot_product(p.qc, c.codes) / sqrt(p.qcc * c.cc) AS cos_adc,
                        list_dot_product(p.qv, c.v) / (p.qn * c.nrm) AS cos
-                FROM p1 p JOIN cn c
-                  ON c.label = p.cell AND p.query_id <> c.vec_id AND c.cc > 0),
+                FROM p1 p JOIN corp c
+                  ON c.cell = p.cell AND p.query_id <> c.vec_id),
               r1 AS (
                 SELECT *, row_number() OVER (PARTITION BY query_id
                   ORDER BY cos_adc DESC, neighbor_id ASC) AS adc_rank
@@ -685,15 +776,16 @@ object Similarity {
               FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
 
     // IVF ANN at nprobe=1 (fastest, lowest recall — see ivfTopK).
-    // Centroids are per-label mean vectors (the labels stand in for a
-    // trained coarse codebook); at 100 TB the cells are the partition
-    // layout, so a query touches nprobe/nlist of the corpus. Centroid
-    // components are computed as sum(floor(x * 1e6)) / (n * 1e6): the
-    // cross-row sum runs on exact integers (order-insensitive, hence
-    // portable across engines and across partitionings), the single
-    // final division is deterministic double math — that converts the
-    // one non-bit-portable step of the plain float mean into an
-    // oracle-checkable quantized mean.
+    // Cells come from a TRAINED coarse quantizer (kmeansCells — 4
+    // deterministic Lloyd rounds the oracle unrolls as CTEs); at
+    // 100 TB the cells are the partition layout, so a query touches
+    // nprobe/nlist of the corpus. Centroid components are computed as
+    // sum(floor(x * 1e6)) / (n * 1e6): the cross-row sum runs on
+    // exact integers (order-insensitive, hence portable across
+    // engines and across partitionings), the single final division is
+    // deterministic double math — that converts the one
+    // non-bit-portable step of the plain float mean into an
+    // oracle-checkable quantized mean, in training and serving alike.
     QueryDef(
       "s_ann_ivf",
       (s, d) => ivfTopK(s, d, nprobe = 1, k = 3),
