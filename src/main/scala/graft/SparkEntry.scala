@@ -17,7 +17,8 @@ object SparkEntry {
       ops.Breadth.queries ++ ops.Scale.queries ++
       ops.TimeSeries.queries ++ ops.ReferenceOps.queries ++
       ops.TextAnalysis.queries ++ ops.Pii.queries ++ ops.Dedup.queries ++
-      ops.Similarity.queries ++ ops.Multimodal.queries ++
+      ops.Similarity.queries ++ ops.ProductQuant.queries ++
+      ops.Multimodal.queries ++
       streaming.Windows.queries ++ streaming.NearDup.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -228,6 +228,21 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("s_ann_pq: one-shot index build (checkpoint truncates training), hash-join re-ranks, no cartesian") {
+    val p = plan("s_ann_pq")
+    // the ADC scan over the checkpointed reconstruction index is the
+    // one intended broadcast fan-out; the 4-round training subtree
+    // must NOT appear in the serving plan (the lease materializes it
+    // once — a recurrence of round 8's IVF inline-training blowup
+    // would put posexplode aggregates here), and the float re-rank
+    // comes back as id equi-joins
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1, p)
+    assert(count(p, "BroadcastHashJoin") >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Generate posexplode"), p)
+    assert(count(p, "Exchange hashpartitioning") <= 2, p)
+  }
+
   test("s_ann_ivf_adc: cell-bounded code scan, hash-join re-ranks, no cartesian anywhere") {
     val p = plan("s_ann_ivf_adc")
     // the centroid probe is the one intended nested-loop (queries x
