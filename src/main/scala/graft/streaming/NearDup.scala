@@ -105,15 +105,53 @@ object NearDup {
     out.iterator
   }
 
+  /** Default batch-mode index-size cap: 32 GB of estimated state on a
+    * 128 GiB local heap leaves the executor threads their working
+    * memory; past it the run was headed for an opaque OOM/GC collapse
+    * anyway — fail with the actionable message instead. */
+  val DefaultMaxIndexBytes: Long = 32L << 30
+
+  /** Loud heap guard for BATCH execution of the online indexes: under
+    * batch, every band's state is simultaneously live in ONE JVM
+    * (streaming holds it in the per-executor state store — the
+    * deployment this operator exists for), so an unbounded corpus
+    * turns into an opaque OOM. Estimate the stored bytes (each doc's
+    * payload is kept once per band, plus per-entry object overhead)
+    * and refuse loudly over the cap, mirroring the blocklist guard in
+    * [[buildBlocklistIndex]]. Streaming inputs skip the check — the
+    * estimate is a batch aggregate, and bounded state is the state
+    * store's + `maxPerBand`'s job there. */
+  private def requireIndexFits(
+      kind: String, payloadUnits: Column, banded: DataFrame,
+      maxIndexBytes: Long): Unit = if (!banded.isStreaming) {
+    // one state entry per (band, doc) row of the banded frame: its
+    // payload array (8 B/element) plus ~64 B of per-entry object +
+    // cons-cell overhead
+    val est = banded.agg(
+        coalesce(sum(payloadUnits), lit(0L)).cast("long"),
+        count(lit(1))).head()
+    val bytes = 8L * est.getLong(0) + 64L * est.getLong(1)
+    require(bytes <= maxIndexBytes,
+      s"batch-mode online $kind index would hold ~$bytes bytes of band state " +
+        s"in one JVM (> $maxIndexBytes): bound it with maxPerBand, raise " +
+        "maxIndexBytes explicitly, or run the corpus through the batch dedup " +
+        "family / a streaming deployment with a state store")
+  }
+
   /** Verified near-dup pairs of `docs` against everything that arrived
     * before them (and earlier rows of the same micro-batch) — one
     * emission per SHARED BAND; dedupe downstream. Runs on a streaming
-    * OR batch DataFrame unchanged. */
+    * OR batch DataFrame unchanged; batch runs are heap-guarded (see
+    * [[requireIndexFits]]). */
   def nearDupPairs(
       docs: DataFrame, id: Column, text: Column, threshold: Double,
-      maxPerBand: Int = Int.MaxValue, h: Int = 32, b: Int = 16): Dataset[NearPair] = {
+      maxPerBand: Int = Int.MaxValue, h: Int = 32, b: Int = 16,
+      maxIndexBytes: Long = DefaultMaxIndexBytes): Dataset[NearPair] = {
     import docs.sparkSession.implicits._
-    bandedDocs(docs, id, text, h, b)
+    val banded = bandedDocs(docs, id, text, h, b)
+    requireIndexFits("near-dup",
+      size(col("xs")).cast("long"), banded.toDF(), maxIndexBytes)
+    banded
       .groupByKey(_.band)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         processBand(threshold, maxPerBand))
@@ -193,9 +231,13 @@ object NearDup {
     * streaming OR batch DataFrame unchanged. */
   def embedNearDupPairs(
       embeddings: DataFrame, id: Column, vec: Column, threshold: Double,
-      maxPerBand: Int = Int.MaxValue, dim: Option[Int] = None): Dataset[VecPair] = {
+      maxPerBand: Int = Int.MaxValue, dim: Option[Int] = None,
+      maxIndexBytes: Long = DefaultMaxIndexBytes): Dataset[VecPair] = {
     import embeddings.sparkSession.implicits._
-    bandedVecs(embeddings, id, vec, dim)
+    val banded = bandedVecs(embeddings, id, vec, dim)
+    requireIndexFits("embedding near-dup",
+      size(col("v")).cast("long"), banded.toDF(), maxIndexBytes)
+    banded
       .groupByKey(_.bucket)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         processVecBand(threshold, maxPerBand))

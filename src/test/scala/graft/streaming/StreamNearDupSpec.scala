@@ -67,6 +67,38 @@ class StreamNearDupSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("batch-mode heap guard: an over-cap corpus fails loudly with the actionable message, both index kinds") {
+    import spark.implicits._
+    val docs = graft.model.Tables.table(spark, sf, "documents")
+    // text index: ~160k gram hashes x 16 bands at sf0.001 — any tiny
+    // cap must trip at CONSTRUCTION, never an opaque mid-run OOM
+    val eText = intercept[IllegalArgumentException] {
+      NearDup.nearDupPairs(docs, $"doc_id", $"text", 0.5, maxIndexBytes = 1024L)
+    }
+    assert(eText.getMessage.contains("maxPerBand"), eText.getMessage)
+    assert(eText.getMessage.contains("near-dup index"), eText.getMessage)
+    val emb = graft.model.Tables.table(spark, sf, "embeddings")
+    val eVec = intercept[IllegalArgumentException] {
+      NearDup.embedNearDupPairs(emb, $"vec_id", $"embedding", 0.4, maxIndexBytes = 1024L)
+    }
+    assert(eVec.getMessage.contains("embedding near-dup"), eVec.getMessage)
+    // the fixture corpora sit far under the default cap — the
+    // registered queries keep constructing (and the equality specs
+    // above keep exercising) the guarded path unchanged
+    NearDup.nearDupPairs(docs, $"doc_id", $"text", 0.5)
+    NearDup.embedNearDupPairs(emb, $"vec_id", $"embedding", 0.4)
+  }
+
+  test("heap guard skips streaming inputs: the estimate is a batch aggregate, state store owns the bound") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    // construction with an absurdly small cap must NOT throw on a
+    // streaming frame (a batch aggregate cannot run here; bounding is
+    // maxPerBand + the state store's job)
+    NearDup.nearDupPairs(mem.toDF(), $"doc_id", $"text", 0.5, maxIndexBytes = 1L)
+  }
+
   test("streaming embedding near-dup across 3 micro-batches == batch run == banded DataFrame reference") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
