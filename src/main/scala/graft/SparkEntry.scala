@@ -16,7 +16,8 @@ object SparkEntry {
     ops.Relational.queries ++ ops.AdvancedRelational.queries ++
       ops.Breadth.queries ++ ops.Scale.queries ++
       ops.TimeSeries.queries ++ ops.ReferenceOps.queries ++
-      ops.TextAnalysis.queries ++ ops.Pii.queries ++ ops.Dedup.queries ++
+      ops.TextAnalysis.queries ++ ops.Tokenize.queries ++
+      ops.Pii.queries ++ ops.Dedup.queries ++
       ops.Similarity.queries ++ ops.ProductQuant.queries ++
       ops.Multimodal.queries ++
       streaming.Windows.queries ++ streaming.NearDup.queries

@@ -159,10 +159,11 @@ object TextAnalysis {
     * 2^53 — beyond any real token count). */
   def packShards(
       docs: org.apache.spark.sql.DataFrame, id: Column, text: Column,
-      budget: Long, bucketWidth: Long): org.apache.spark.sql.DataFrame = {
+      budget: Long, bucketWidth: Long,
+      tok: Column => Column = tokens): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(id.as("doc_id"),
-        size(tokens(text)).cast("long").as("n_tokens"))
+        size(tok(text)).cast("long").as("n_tokens"))
       .withColumn("__bucket", floor(col("doc_id") / lit(bucketWidth)))
     val wB = Window.orderBy(col("__bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -316,11 +317,12 @@ object TextAnalysis {
     * silently here. */
   def chunkWindows(
       docs: org.apache.spark.sql.DataFrame, id: Column, text: Column,
-      width: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+      width: Int, stride: Int,
+      tok: Column => Column = tokens): org.apache.spark.sql.DataFrame = {
     require(stride >= 1 && width >= stride,
       s"need 1 <= stride <= width, got width=$width stride=$stride")
     docs
-      .select(id.as("doc_id"), tokens(text).as("__toks"))
+      .select(id.as("doc_id"), tok(text).as("__toks"))
       .withColumn("n_tokens", size(col("__toks")).cast("long"))
       .select(col("doc_id"), col("n_tokens"), col("__toks"),
         posexplode(sequence(lit(0L),

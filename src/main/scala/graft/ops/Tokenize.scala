@@ -1,0 +1,177 @@
+package graft.ops
+
+import graft.QueryDef
+import graft.functions.Bpe
+import graft.model.Tables.table
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Subword (BPE) tokenization queries: real token budgets for the
+  * chunk / pack pipeline steps instead of whitespace-word counts.
+  *
+  * The tokenizer itself is [[graft.functions.Bpe]] — a fused
+  * expression applying the committed 64-merge table
+  * (`src/main/resources/graft/bpe_merges.txt`, trained offline by
+  * `tools/train_bpe.py` with the classic Sennrich et al. 2016
+  * algorithm over the sf0.001 corpus).
+  *
+  * The correctness oracle replays BPE application IN FULL inside
+  * DuckDB: merge k is one chained CTE running a `list_reduce` left
+  * fold that merges adjacent (a, b) symbol pairs. The fold form is
+  * equivalent to the trainer's left-to-right scan — a freshly merged
+  * symbol `ab` can never start another (a, b) occurrence because
+  * `ab != a` — and BpeSpec asserts scan == fold on the corpus, so the
+  * cross-engine hash-compare covers the tokenizer's exact output, not
+  * just row counts.
+  *
+  * Scale shape: all three queries are per-row compute (the tokenizer
+  * rides whole-stage codegen, word results memoized per thread) with
+  * the same shuffle shapes as their whitespace twins — t_tokenize is
+  * shuffle-free, t_chunk_bpe is pure fan-out, t_pack_bpe is the
+  * bucketed two-phase prefix sum. A 100 TB corpus tokenizes in one
+  * scan-bound map pass.
+  */
+object Tokenize {
+
+  /** BPE token stream of a text column (array<string>). */
+  def bpeTokens(text: Column): Column = Bpe.bpeTokens(text)
+
+  /** Exact BPE token count of a text column. */
+  def bpeTokenCount(text: Column): Column =
+    size(bpeTokens(text)).cast("long")
+
+  private def esc(s: String) = s.replace("'", "''")
+
+  /** Shared oracle fragment: per-(doc, word) BPE symbol sequences as
+    * chained CTEs `w, s0, m0 … m{n-1}` over `documents`; the caller
+    * appends its own final select over [[lastCte]]. */
+  private[graft] lazy val bpeCtes: String = {
+    val split =
+      """[x for x in string_split_regex(trim(replace(replace(lower(text), '␟', ''), '▁', '')), '\s+') if x != '']"""
+    val head =
+      s"""w AS (
+         |  SELECT doc_id, unnest($split) AS word,
+         |         generate_subscripts($split, 1) AS word_idx
+         |  FROM documents),
+         |s0 AS (
+         |  SELECT doc_id, word_idx,
+         |         ['▁'] || [word[i:i] for i in range(1, len(word)+1)] AS seq
+         |  FROM w)""".stripMargin
+    val steps = Bpe.merges.zipWithIndex.map { case ((a, b), k) =>
+      val prev = if (k == 0) "s0" else s"m${k - 1}"
+      s"""m$k AS (SELECT doc_id, word_idx, list_reduce(list_transform(seq, x -> [x]),
+         |  (acc, e) -> CASE WHEN acc[-1] = '${esc(a)}' AND e[1] = '${esc(b)}'
+         |                   THEN acc[:-2] || ['${esc(a + b)}'] ELSE acc || e END) AS seq FROM $prev)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
+  private[graft] lazy val lastCte: String = s"m${Bpe.merges.length - 1}"
+
+  /** Per-doc flattened token list (empty docs kept with []). */
+  private lazy val docToksCte: String =
+    s"""dt AS (
+       |  SELECT doc_id, flatten(list(seq ORDER BY word_idx)) AS toks
+       |  FROM $lastCte GROUP BY doc_id),
+       |t AS (
+       |  SELECT a.doc_id, coalesce(dt.toks, CAST([] AS VARCHAR[])) AS toks
+       |  FROM (SELECT doc_id FROM documents) a LEFT JOIN dt USING (doc_id))""".stripMargin
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // Full tokenizer output pinned per document: the exact token
+    // stream (md5 of the space-join — tokens never contain
+    // whitespace, so the join is unambiguous), the subword count, the
+    // word count (each word carries exactly one ▁ boundary glyph, so
+    // words = ▁ occurrences in the join), and the exact-division
+    // fertility stat (tokens per word; IEEE division is
+    // correctly-rounded, so the double is bit-identical cross-engine).
+    QueryDef(
+      "t_tokenize",
+      (s, d) => {
+        import s.implicits._
+        // ONE tokenizer evaluation per row: count and word count both
+        // derive from the joined stream (tokens never contain spaces;
+        // each word carries exactly one boundary glyph)
+        table(s, d, "documents")
+          .select($"doc_id", array_join(bpeTokens($"text"), " ").as("__j"))
+          .select($"doc_id", $"__j",
+            when(length($"__j") === 0, lit(0L))
+              .otherwise(length($"__j") - length(translate($"__j", " ", "")) + 1L)
+              .cast("long").as("n_bpe_tokens"),
+            (length($"__j") - length(translate($"__j", Bpe.Boundary, "")))
+              .cast("long").as("n_words"))
+          .select($"doc_id", $"n_words", $"n_bpe_tokens",
+            ($"n_bpe_tokens".cast("double") /
+              greatest($"n_words", lit(1L)).cast("double")).as("tokens_per_word"),
+            md5($"__j").as("bpe_md5"))
+          .orderBy($"doc_id")
+      },
+      Some(
+        s"""WITH $bpeCtes,
+           |$docToksCte,
+           |j AS (
+           |  SELECT doc_id, array_to_string(toks, ' ') AS joined,
+           |         CAST(len(toks) AS BIGINT) AS n_bpe_tokens
+           |  FROM t)
+           |SELECT doc_id,
+           |       CAST(len(joined) - len(replace(joined, '▁', '')) AS BIGINT) AS n_words,
+           |       n_bpe_tokens,
+           |       CAST(n_bpe_tokens AS DOUBLE) /
+           |         CAST(greatest(len(joined) - len(replace(joined, '▁', '')), 1) AS DOUBLE)
+           |         AS tokens_per_word,
+           |       md5(joined) AS bpe_md5
+           |FROM j ORDER BY doc_id""".stripMargin)),
+
+    // Token-window chunking over REAL subword budgets (width 64,
+    // stride 48): the BPE twin of t_chunk — same fan-out shape, chunk
+    // content pinned by md5 over the exact subword stream.
+    QueryDef(
+      "t_chunk_bpe",
+      (s, d) => {
+        import s.implicits._
+        TextAnalysis.chunkWindows(table(s, d, "documents"), $"doc_id", $"text",
+            width = 64, stride = 48, tok = bpeTokens)
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some(
+        s"""WITH $bpeCtes,
+           |$docToksCte,
+           |c AS (
+           |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           |         unnest(range(0, greatest(len(toks), 1), 48)) AS chunk_start,
+           |         toks
+           |  FROM t)
+           |SELECT doc_id, n_tokens,
+           |       CAST(chunk_start / 48 AS BIGINT) AS chunk_idx,
+           |       CAST(chunk_start AS BIGINT) AS chunk_start,
+           |       CAST(least(64, n_tokens - chunk_start) AS BIGINT) AS n_chunk_tokens,
+           |       md5(array_to_string(toks[chunk_start+1:chunk_start+64], ' ')) AS chunk_md5
+           |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Training-shard packing over real subword budgets: the BPE twin
+    // of t_pack (same bucketed two-phase prefix sum — see
+    // TextAnalysis.packShards), budget 5000 subwords per shard.
+    QueryDef(
+      "t_pack_bpe",
+      (s, d) => {
+        import s.implicits._
+        TextAnalysis.packShards(table(s, d, "documents"), $"doc_id", $"text",
+            budget = 5000L, bucketWidth = 100L, tok = bpeTokens)
+          .orderBy($"doc_id")
+      },
+      Some(
+        s"""WITH $bpeCtes,
+           |cnt AS (
+           |  SELECT doc_id, CAST(sum(len(seq)) AS BIGINT) AS n FROM $lastCte GROUP BY doc_id),
+           |t AS (
+           |  SELECT a.doc_id, coalesce(cnt.n, 0) AS n_tokens
+           |  FROM (SELECT doc_id FROM documents) a LEFT JOIN cnt USING (doc_id)),
+           |o AS (
+           |  SELECT doc_id, n_tokens,
+           |         CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
+           |  FROM t)
+           |SELECT doc_id, n_tokens, token_offset,
+           |       CAST(floor(CAST(token_offset AS DOUBLE) / 5000.0) AS BIGINT) AS shard
+           |FROM o ORDER BY doc_id""".stripMargin)))
+}

@@ -291,6 +291,29 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("t_tokenize: BPE is per-row compiled compute — no hash exchange, no UDF, ONE tokenizer call per row") {
+    val p = plan("t_tokenize")
+    // only the presentation orderBy ranges; the compute is map-only
+    assert(count(p, "Exchange hashpartitioning") == 0, p)
+    assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"), p)
+    // count and md5 both derive from the one joined token stream
+    assert(count(p, "bpetokens") == 1, p)
+  }
+
+  test("t_chunk_bpe: same fan-out shape as t_chunk — no hash exchange") {
+    val p = plan("t_chunk_bpe")
+    assert(p.contains("Generate"), p)
+    assert(count(p, "Exchange hashpartitioning") == 0, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t_pack_bpe: bucketed two-phase prefix sum like t_pack") {
+    val p = plan("t_pack_bpe")
+    assert(count(p, "Exchange SinglePartition") == 1, p)
+    assert(p.contains("Exchange hashpartitioning(__bucket"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("t_pii_redact: pure per-row column algebra — no hash exchange, no UDF") {
     val p = plan("t_pii_redact")
     assert(count(p, "Exchange hashpartitioning") == 0, p)
