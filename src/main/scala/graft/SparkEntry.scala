@@ -19,7 +19,7 @@ object SparkEntry {
       ops.TextAnalysis.queries ++ ops.Tokenize.queries ++
       ops.Pii.queries ++ ops.Dedup.queries ++
       ops.Similarity.queries ++ ops.ProductQuant.queries ++
-      ops.Multimodal.queries ++
+      ops.Multimodal.queries ++ ops.Pipeline.queries ++
       streaming.Windows.queries ++ streaming.NearDup.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -664,6 +664,26 @@ object Dedup {
     docs.join(dominated, Seq(idCol), "left_anti")
   }
 
+  /** The dd_apply_lsh pipeline as a reusable stage over ANY doc set
+    * carrying `doc_id` + `text` (original schema preserved): applied
+    * minhash-LSH dedup at t = 0.5 through the exact-content collapse.
+    * collapseApplySurvivors' contract holds exactly as in
+    * dd_minhash_lsh: identical texts share signatures, bands, AND
+    * exact hash-set Jaccard, so the rep pair reproduces every
+    * cross-group domination and the group minimum dominates its
+    * eligible twins directly (shingles computed once per unique
+    * content). Shingle-less reps emit no postings/bands and can never
+    * pair, so running the pipeline on eligible reps only is
+    * output-identical. */
+  def applyLshSurvivors(docs: DataFrame): DataFrame =
+    collapseApplySurvivors(docs, "doc_id", Seq(md5(lower(col("text"))))) { reps =>
+      reps.filter(size(graft.functions.TextShingles.wordShingles(col("text"), 3)) > 0)
+    } { el =>
+      minhashNearDups(
+          el.select(col("doc_id"), col("text")), col("doc_id"), col("text"), 0.5)
+        .select(col("id_b").as("doc_id")).distinct()
+    }
+
   /** MinHash+LSH near-dup pairs, columnar form: shingles exploded to
     * (id, gram-hash) postings; the h-wide signature is h `min`
     * aggregates over permuted hashes (one hash-aggregate pass, no
@@ -975,7 +995,7 @@ object Dedup {
     * (`<p>t`/`<p>ne`/`<p>xb`/`<p>sig`/`<p>bands`) over `docsRel` — the
     * building block both the symmetric ([[minhashOracleCtesFrom]]) and
     * asymmetric (dd_decontaminate) oracles assemble from. */
-  private def minhashSideCtes(p: String, docsRel: String): String = {
+  private[graft] def minhashSideCtes(p: String, docsRel: String): String = {
     import graft.functions.PortableHash.{duckdbUhApply, duckdbUhBase}
     val slots = (0 until 32).map(i =>
       s"list_min([${duckdbUhApply(i, "x")} for x in xs])")
@@ -1355,22 +1375,7 @@ object Dedup {
       "dd_apply_lsh",
       (s, d) => {
         import s.implicits._
-        // collapseApplySurvivors contract holds exactly as in
-        // dd_minhash_lsh: identical texts share signatures, bands, AND
-        // exact hash-set Jaccard, so the rep pair reproduces every
-        // cross-group domination and the group minimum dominates its
-        // eligible twins directly (shingles computed once per unique
-        // content). Shingle-less reps emit no postings/bands and can
-        // never pair, so running the pipeline on eligible reps only is
-        // output-identical.
-        collapseApplySurvivors(table(s, d, "documents"), "doc_id",
-            Seq(md5(lower($"text")))) { reps =>
-          reps.filter(size(graft.functions.TextShingles.wordShingles($"text", 3)) > 0)
-        } { el =>
-          minhashNearDups(
-              el.select($"doc_id", $"text"), $"doc_id", $"text", 0.5)
-            .select($"id_b".as("doc_id")).distinct()
-        }
+        applyLshSurvivors(table(s, d, "documents"))
           .select($"doc_id", $"source", $"n_chars")
           .orderBy($"doc_id")
       },

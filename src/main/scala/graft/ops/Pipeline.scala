@@ -1,0 +1,248 @@
+package graft.ops
+
+import graft.QueryDef
+import graft.model.Tables.table
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus pipeline composition — the proof that
+  * the engine's operators are a PIPELINE, not a zoo. One query chains
+  * the real stages a pretraining data build runs, each reusing the
+  * exact operator the standalone query ships:
+  *
+  *   1. held-out split   — deterministic md5 bucket (q_hash_split
+  *                         arithmetic): benchmark = buckets 0-19,
+  *                         training = buckets 20-99;
+  *   2. PII redaction    — the t_pii_redact regex chain
+  *                         (email → IP → phone, sequential staging);
+  *   3. quality gate     — the t_quality_filter composite score at a
+  *                         pipeline-config threshold (>= 0.6, >= 30
+  *                         tokens);
+  *   4. repetition gate  — t_rep_ngrams bigram/trigram dup-ratio
+  *                         thresholds (the token-dup gate measures
+  *                         vocabulary, not boilerplate — see below);
+  *   5. near-dup dedup   — dd_apply_lsh (minhash-LSH at t = 0.5
+  *                         through the exact-content collapse);
+  *   6. decontamination  — dd_decontaminate vs the RAW benchmark
+  *                         split (the eval set is external — it is
+  *                         never cleaned);
+  *   7. subword budgets  — t_tokenize BPE counts + t_chunk_bpe
+  *                         window count (pure arithmetic — the chunk
+  *                         fan-out itself is covered by t_chunk_bpe);
+  *   8. shard packing    — t_pack's bucketed two-phase prefix sum
+  *                         over the BPE budgets;
+  *   9. mixture flag     — t_mix_sample temperature membership
+  *                         (τ = 1/2, k = 8) per language over the
+  *                         SURVIVORS.
+  *
+  * The oracle replays the whole composition in one DuckDB statement
+  * assembled from the SAME fragment builders the standalone oracles
+  * use (minhashSideCtes twice — dedup + decontamination — and the
+  * 64-merge BPE CTE chain re-rooted at the survivor set), so the
+  * cross-engine hash-compare pins every stage boundary, not just the
+  * final row count.
+  *
+  * Scale shape: stages 1-4 and 7 are map-only column algebra over the
+  * scan; 5-6 are the banded equi-join pipelines already
+  * 100×-profiled by their standalone queries; 8 is the bucketed
+  * prefix sum whose single-partition exchange sees rows/bucketWidth
+  * bucket totals; 9 broadcasts a languages-sized dim. No new shuffle
+  * shape is introduced by composing them — PlanSpec gates the
+  * composition for cartesians, UDFs, and the one bounded
+  * SinglePartition exchange.
+  */
+object Pipeline {
+
+  private val ChunkStride = 48L
+  private val PackBudget = 5000L
+
+  def pipeCorpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = table(s, d, "documents")
+
+    // 1. held-out split (same arithmetic as dd_decontaminate)
+    val bucket = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100
+    val split = docs.withColumn("__bucket", bucket)
+    val benchmark = split.filter($"__bucket" < 20).select($"doc_id", $"text")
+    val training = split.filter($"__bucket" >= 20).drop("__bucket")
+
+    // 2. PII redaction (t_pii_redact chain; sequential staging order)
+    val red = training.withColumn("text",
+      regexp_replace(
+        regexp_replace(
+          regexp_replace($"text", Pii.EmailRe, Pii.token("EMAIL")),
+          Pii.IpRe, Pii.token("IP")),
+        Pii.PhoneRe, Pii.token("PHONE")))
+
+    // 3 + 4. quality + repetition gates over the redacted text.
+    // Pipeline gate config: quality >= 0.6 with >= 30 tokens, bigram/
+    // trigram dup ratios at the t_rep_ngrams thresholds. The
+    // dup_token_ratio gate is deliberately NOT part of this config:
+    // it measures vocabulary size, and on a small-vocabulary corpus
+    // (this fixture draws from ~30 words) it is mutually exclusive
+    // with the length half of the quality score — any doc long enough
+    // to saturate quality repeats tokens. Phrase-level (bigram/
+    // trigram) repetition is the boilerplate signal a corpus build
+    // actually gates on.
+    val rs = TextAnalysis.withRepetitionStats(red, $"text")
+    val clean = rs
+      .withColumn("__toks", TextAnalysis.tokens($"text"))
+      .withColumn("quality", TextAnalysis.qualityScoreOf($"text", $"__toks"))
+      .filter($"dup_bigram_ratio" <= 0.1 && $"dup_trigram_ratio" <= 0.02 &&
+        $"quality" >= 0.6 && $"n_tokens" >= 30L)
+      .select($"doc_id", $"lang", $"text",
+        $"n_tokens".as("n_ws_tokens"), $"quality")
+
+    // 5. applied near-dup dedup
+    val deduped = Dedup.applyLshSurvivors(clean)
+
+    // 6. decontamination vs the raw benchmark side
+    val decon = Dedup.decontaminate(deduped, benchmark, "doc_id", $"text", 0.5)
+
+    // 7. real subword budgets + chunk-window count
+    val counted = decon
+      .withColumn("n_bpe_tokens", Tokenize.bpeTokenCount($"text"))
+      .withColumn("n_chunks",
+        (floor(greatest($"n_bpe_tokens" - 1L, lit(0L)).cast("double") /
+          lit(ChunkStride.toDouble)) + 1L).cast("long"))
+      .select($"doc_id", $"lang", $"quality", $"n_ws_tokens",
+        $"n_bpe_tokens", $"n_chunks")
+
+    // 8. shard packing over the BPE budgets
+    val packed = TextAnalysis.packShardsByCount(
+        counted.withColumn("n_tokens", $"n_bpe_tokens"),
+        budget = PackBudget, bucketWidth = 100L)
+      .drop("n_tokens")
+
+    // 9. temperature-mixture membership flag per language
+    val langCounts = packed.groupBy($"lang")
+      .agg(count(lit(1)).as("n_lang"))
+      .withColumn("__thr",
+        floor(least(lit(1.0), lit(8.0) / sqrt($"n_lang".cast("double"))) *
+          lit(1000000.0)).cast("long"))
+    packed
+      .join(broadcast(langCounts.select($"lang", $"n_lang", $"__thr")), Seq("lang"))
+      .select($"doc_id", $"lang", $"quality", $"n_ws_tokens", $"n_bpe_tokens",
+        $"n_chunks", $"token_offset", $"shard", $"n_lang",
+        (graft.functions.PortableHash.md5Hash60($"doc_id".cast("string"))
+          % 1000000L < $"__thr").cast("int").as("mix_kept"))
+      .orderBy($"doc_id")
+  }
+
+  /** The full composition replayed in one DuckDB statement. */
+  private[graft] lazy val pipeCorpusOracleSql: String = {
+    import graft.functions.PortableHash.duckdbHash60
+    val toksExpr =
+      """[x for x in string_split_regex(lower(text), '\s+') if x != '']"""
+    val repsFromClean =
+      """(SELECT doc_id, text FROM (
+           SELECT doc_id, text,
+                  min(doc_id) OVER (PARTITION BY md5(lower(text))) AS mn
+           FROM clean) WHERE doc_id = mn)"""
+    s"""WITH split AS (
+          SELECT *, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 AS bucket
+          FROM documents),
+        bench AS (SELECT doc_id, text FROM split WHERE bucket < 20),
+        red AS (
+          SELECT doc_id, lang,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text, '${Pii.EmailRe}', '<EMAIL>', 'g'),
+                     '${Pii.IpRe}', '<IP>', 'g'),
+                   '${Pii.PhoneRe}', '<PHONE>', 'g') AS text
+          FROM split WHERE bucket >= 20),
+        ct AS (SELECT doc_id, lang, text, $toksExpr AS toks FROM red),
+        gates AS (
+          SELECT doc_id, lang, text, CAST(len(toks) AS BIGINT) AS n_tokens,
+                 least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+                   + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+                   + least(CAST(len([x for x in toks if list_contains(['the','and','of','to','in','is','that','it','was','for'], x)]) AS DOUBLE)
+                           / CAST(greatest(len(toks), 1) AS DOUBLE) * 4.0, 1.0) * 0.3 AS quality,
+                 CAST(greatest(len(toks) - 1, 0)
+                      - CASE WHEN len(toks) >= 2
+                          THEN len(list_distinct([array_to_string(toks[i:i+1], ' ')
+                                                  for i in range(1, len(toks))]))
+                          ELSE 0 END AS DOUBLE)
+                   / greatest(len(toks) - 1, 1) AS dup_bigram_ratio,
+                 CAST(greatest(len(toks) - 2, 0)
+                      - CASE WHEN len(toks) >= 3
+                          THEN len(list_distinct([array_to_string(toks[i:i+2], ' ')
+                                                  for i in range(1, len(toks) - 1)]))
+                          ELSE 0 END AS DOUBLE)
+                   / greatest(len(toks) - 2, 1) AS dup_trigram_ratio
+          FROM ct),
+        clean AS (
+          SELECT doc_id, lang, text, n_tokens AS n_ws_tokens, quality
+          FROM gates
+          WHERE dup_bigram_ratio <= 0.1 AND dup_trigram_ratio <= 0.02
+            AND quality >= 0.6 AND n_tokens >= 30),
+        ${Dedup.minhashSideCtes("d_", repsFromClean)},
+        dcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM d_bands a JOIN d_bands b
+                    ON a.band = b.band AND a.doc_id < b.doc_id),
+        dver AS (
+          SELECT c.id_a, c.id_b,
+                 CAST(len(list_intersect(xa.xs, xb2.xs)) AS DOUBLE)
+                   / (len(xa.xs) + len(xb2.xs) - len(list_intersect(xa.xs, xb2.xs))) AS sim
+          FROM dcand c
+          JOIN d_xb xa ON xa.doc_id = c.id_a
+          JOIN d_xb xb2 ON xb2.doc_id = c.id_b),
+        gm AS (
+          SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(lower(text))) AS mn
+          FROM clean),
+        twin AS (
+          SELECT g.doc_id FROM gm g JOIN d_ne ON d_ne.doc_id = g.mn
+          WHERE g.doc_id != g.mn),
+        dominated AS (
+          SELECT DISTINCT id_b AS doc_id FROM dver WHERE sim >= 0.5
+          UNION SELECT doc_id FROM twin),
+        surv AS (
+          SELECT * FROM clean
+          WHERE doc_id NOT IN (SELECT doc_id FROM dominated)),
+        ${Dedup.minhashSideCtes("a_", "surv")},
+        ${Dedup.minhashSideCtes("b_", "bench")},
+        ccand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM a_bands a JOIN b_bands b ON a.band = b.band),
+        contaminated AS (
+          SELECT DISTINCT c.id_a AS doc_id
+          FROM ccand c
+          JOIN a_xb xa ON xa.doc_id = c.id_a
+          JOIN b_xb xb2 ON xb2.doc_id = c.id_b
+          WHERE CAST(len(list_intersect(xa.xs, xb2.xs)) AS DOUBLE)
+                / (len(xa.xs) + len(xb2.xs) - len(list_intersect(xa.xs, xb2.xs))) >= 0.5),
+        fin AS (
+          SELECT * FROM surv
+          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        ${Tokenize.bpeCtesFrom("fin")},
+        cnt AS (
+          SELECT doc_id, CAST(sum(len(seq)) AS BIGINT) AS n
+          FROM ${Tokenize.lastCte} GROUP BY doc_id),
+        tok AS (
+          SELECT f.doc_id, f.lang, f.quality, f.n_ws_tokens,
+                 coalesce(cnt.n, 0) AS n_bpe_tokens
+          FROM fin f LEFT JOIN cnt USING (doc_id)),
+        chn AS (
+          SELECT *, CAST(floor(CAST(greatest(n_bpe_tokens - 1, 0) AS DOUBLE) / $ChunkStride.0) + 1 AS BIGINT) AS n_chunks
+          FROM tok),
+        pk AS (
+          SELECT *, CAST(coalesce(SUM(n_bpe_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
+          FROM chn),
+        sh AS (
+          SELECT *, CAST(floor(CAST(token_offset AS DOUBLE) / $PackBudget.0) AS BIGINT) AS shard
+          FROM pk),
+        lc AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_lang,
+                 CAST(floor(least(1.0, 8.0 / sqrt(CAST(count(*) AS DOUBLE))) * 1000000.0) AS BIGINT) AS thr
+          FROM sh GROUP BY lang)
+        SELECT s.doc_id, s.lang, s.quality, s.n_ws_tokens, s.n_bpe_tokens,
+               s.n_chunks, s.token_offset, s.shard, lc.n_lang,
+               CAST(CASE WHEN (${duckdbHash60("CAST(s.doc_id AS VARCHAR)")} % 1000000) < lc.thr
+                    THEN 1 ELSE 0 END AS INT) AS mix_kept
+        FROM sh s JOIN lc USING (lang) ORDER BY s.doc_id"""
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+    QueryDef("pipe_corpus", (s, d) => pipeCorpus(s, d),
+      Some(pipeCorpusOracleSql)))
+}

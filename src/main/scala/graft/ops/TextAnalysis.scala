@@ -160,10 +160,21 @@ object TextAnalysis {
   def packShards(
       docs: org.apache.spark.sql.DataFrame, id: Column, text: Column,
       budget: Long, bucketWidth: Long,
-      tok: Column => Column = tokens): org.apache.spark.sql.DataFrame = {
+      tok: Column => Column = tokens): org.apache.spark.sql.DataFrame =
+    packShardsByCount(
+      docs.select(id.as("doc_id"), size(tok(text)).cast("long").as("n_tokens")),
+      budget, bucketWidth)
+
+  /** [[packShards]] over an ALREADY-COUNTED `(doc_id, n_tokens)`
+    * relation — the form pipeline compositions feed (their token
+    * counts come out of earlier stages). Same bucketed two-phase
+    * prefix sum; the single-partition exchange only ever sees
+    * rows / bucketWidth bucket totals. */
+  def packShardsByCount(
+      counts: org.apache.spark.sql.DataFrame,
+      budget: Long, bucketWidth: Long): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(id.as("doc_id"),
-        size(tok(text)).cast("long").as("n_tokens"))
+    val toks = counts
       .withColumn("__bucket", floor(col("doc_id") / lit(bucketWidth)))
     val wB = Window.orderBy(col("__bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -178,7 +189,7 @@ object TextAnalysis {
         col("__boff") + coalesce(sum(col("n_tokens")).over(wL), lit(0L)))
       .withColumn("shard",
         floor(col("token_offset").cast("double") / lit(budget.toDouble)).cast("long"))
-      .select(col("doc_id"), col("n_tokens"), col("token_offset"), col("shard"))
+      .drop("__bucket", "__boff") // carry any extra input columns through
   }
 
   /** The fixed t_bm25 query: five mid-frequency corpus terms, so tf,

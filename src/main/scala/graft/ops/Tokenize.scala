@@ -45,14 +45,14 @@ object Tokenize {
   /** Shared oracle fragment: per-(doc, word) BPE symbol sequences as
     * chained CTEs `w, s0, m0 … m{n-1}` over `documents`; the caller
     * appends its own final select over [[lastCte]]. */
-  private[graft] lazy val bpeCtes: String = {
+  private[graft] def bpeCtesFrom(docsRel: String): String = {
     val split =
       """[x for x in string_split_regex(trim(replace(replace(lower(text), '␟', ''), '▁', '')), '\s+') if x != '']"""
     val head =
       s"""w AS (
          |  SELECT doc_id, unnest($split) AS word,
          |         generate_subscripts($split, 1) AS word_idx
-         |  FROM documents),
+         |  FROM $docsRel),
          |s0 AS (
          |  SELECT doc_id, word_idx,
          |         ['▁'] || [word[i:i] for i in range(1, len(word)+1)] AS seq
@@ -65,6 +65,8 @@ object Tokenize {
     }
     (head +: steps).mkString(",\n")
   }
+
+  private[graft] lazy val bpeCtes: String = bpeCtesFrom("documents")
 
   private[graft] lazy val lastCte: String = s"m${Bpe.merges.length - 1}"
 

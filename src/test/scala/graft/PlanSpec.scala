@@ -314,6 +314,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("pipe_corpus: composition has no plan pathologies — no cartesian, no UDF, ONE bounded single-partition exchange") {
+    val p = plan("pipe_corpus")
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
+    // the only SinglePartition structure is the pack stage's bucket-
+    // offset window (rows / bucketWidth); every other stage keeps the
+    // banded equi-join / broadcast shapes its standalone query gates
+    assert(count(p, "Exchange SinglePartition") == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("t_pii_redact: pure per-row column algebra — no hash exchange, no UDF") {
     val p = plan("t_pii_redact")
     assert(count(p, "Exchange hashpartitioning") == 0, p)

@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val out = Pipeline.pipeCorpus(spark, sf).collect()
+
+  test("every stage of the composition does real work on the corpus") {
+    import spark.implicits._
+    val docs = graft.model.Tables.table(spark, sf, "documents")
+    val bucket = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100
+    val nTraining = docs.withColumn("b", bucket).filter($"b" >= 20).count()
+    val nBench = docs.withColumn("b", bucket).filter($"b" < 20).count()
+    assert(nBench > 0 && nTraining > 0)
+    // gates dropped some docs, dedup+decon dropped more, result nonempty
+    assert(out.length > 0)
+    assert(out.length < nTraining, "the quality/repetition gates must filter")
+  }
+
+  test("packing invariants: offsets are the exact prefix sum in doc order, shards respect the budget") {
+    val rows = out.sortBy(_.getAs[Long]("doc_id"))
+    var acc = 0L
+    for (r <- rows) {
+      assert(r.getAs[Long]("token_offset") == acc,
+        s"offset mismatch at doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Long]("shard") == acc / 5000L)
+      acc += r.getAs[Long]("n_bpe_tokens")
+    }
+  }
+
+  test("chunk counts match the window arithmetic; BPE fertility > 1") {
+    for (r <- out) {
+      val n = r.getAs[Long]("n_bpe_tokens")
+      val expect = math.max(n - 1, 0L) / 48L + 1L
+      assert(r.getAs[Long]("n_chunks") == expect)
+      assert(n >= r.getAs[Long]("n_ws_tokens"),
+        "subword count must be >= word count")
+    }
+  }
+
+  test("mixture flag: membership is the portable-hash rule against the per-lang survivor count") {
+    val byLang = out.groupBy(_.getAs[String]("lang"))
+    for ((lang, rows) <- byLang) {
+      val nLang = rows.head.getAs[Long]("n_lang")
+      assert(nLang == rows.length.toLong, s"n_lang must count survivors of $lang")
+      val thr = math.floor(math.min(1.0, 8.0 / math.sqrt(nLang.toDouble)) * 1e6).toLong
+      for (r <- rows) {
+        val h = graft.functions.PortableHash
+          .md5Hash60Jvm(r.getAs[Long]("doc_id").toString) % 1000000L
+        assert(r.getAs[Int]("mix_kept") == (if (h < thr) 1 else 0))
+      }
+    }
+  }
+
+  test("quality floor holds on every surviving row") {
+    assert(out.forall(_.getAs[Double]("quality") >= 0.6))
+    assert(out.forall(_.getAs[Long]("n_ws_tokens") >= 30L))
+  }
+}
