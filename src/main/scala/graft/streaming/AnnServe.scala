@@ -1,0 +1,177 @@
+package graft.streaming
+
+import graft.QueryDef
+import graft.model.Tables.table
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
+
+/** Streaming ANN serving: a stream of query vectors scored per row
+  * against a broadcast int8-quantized corpus index — the serving half
+  * of the s_ann_adc layout, in the same watermark-free broadcast-index
+  * shape as [[NearDup.withOnlineDecontamination]]:
+  *
+  *  - the INDEX is the s_ann_adc first-pass artifact (int8 codes +
+  *    their integer self-dot), built once from the batch corpus by
+  *    the SAME fused quantization expression the batch query runs,
+  *    collected behind a loud size guard and broadcast to executors;
+  *  - each arriving query row quantizes (Spark-side, the same fused
+  *    expression — no JVM re-derivation to drift) and brute-scores
+  *    the code table with the exact-integer ADC cosine, keeping a
+  *    k-bounded heap. No join, no shuffle, no state: the plan is a
+  *    single map stage, so it drops into any readStream pipeline
+  *    unchanged, and stream == batch by construction (StreamAnnSpec
+  *    replays the query set in micro-batches and asserts equality).
+  *
+  * Every arithmetic step is the s_ann_adc contract: codes are
+  * int-valued (≤ 127), code dots are exact integers ≪ 2^53, the ADC
+  * cosine is a composition of exactly-rounded double ops — so the
+  * DuckDB oracle replays the streamed scores bit-identically.
+  *
+  * Scale shape: the broadcast index is the 4x-compressed code table —
+  * the guard caps it at the same order as the decontamination
+  * blocklist guard (serving 10^9 vectors from one broadcast is not
+  * the design; that deployment shards the corpus and feeds each
+  * shard's top-k into a tournament merge, or bounds the scan with the
+  * batch family's IVF cells — both already shipped batch-side). Query
+  * throughput scales linearly with executors: rows never meet each
+  * other.
+  */
+object AnnServe {
+
+  /** One indexed corpus vector: id, int-valued codes, integer
+    * self-dot (kept as Long — exact). */
+  case class CodeEntry(id: Long, codes: Array[Double], cc: Double)
+
+  case class AnnIndex(entries: Array[CodeEntry]) extends Serializable
+
+  /** Build the broadcast index from a batch corpus: fused int8
+    * quantization + integer self-dot in Spark (bit-identical to the
+    * s_ann_adc corpus pass), zero-vectors dropped (cos undefined),
+    * collected behind a loud cap — an unbounded corpus must fail
+    * here, not OOM the driver. */
+  def buildAnnIndex(
+      corpus: DataFrame, id: Column, vec: Column,
+      maxCodes: Long = 256L << 20): AnnIndex = {
+    import graft.ops.Similarity.{asDouble, dot}
+    val coded = corpus
+      .select(id.as("id"),
+        graft.functions.VectorExpressions.int8QuantCodes(asDouble(vec)).as("codes"))
+      .withColumn("cc", dot(col("codes"), col("codes")))
+      .filter(col("cc") > 0)
+    val totalCodes = coded
+      .agg(coalesce(sum(size(col("codes"))), lit(0L))).head().getLong(0)
+    require(totalCodes <= maxCodes,
+      s"corpus too large to serve from one broadcast index: " +
+        s"$totalCodes codes > $maxCodes — shard the corpus or serve IVF cells")
+    val entries = coded.collect().map { r =>
+      CodeEntry(r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+    }
+    AnnIndex(entries)
+  }
+
+  private val outSchema = StructType(Seq(
+    StructField("query_id", LongType, nullable = false),
+    StructField("rank", IntegerType, nullable = false),
+    StructField("neighbor_id", LongType, nullable = false),
+    StructField("cos_adc", DoubleType, nullable = false)))
+
+  /** Score each row of a batch OR streaming query DataFrame against
+    * the broadcast index: top-k by the exact-integer ADC cosine
+    * (ties broken by ascending neighbor id, matching the batch
+    * family's row_number ordering), self-matches and zero queries
+    * dropped. Emits (query_id, rank, neighbor_id, cos_adc). */
+  def withOnlineAnn(
+      queries: DataFrame, id: Column, vec: Column,
+      index: AnnIndex, k: Int): DataFrame = {
+    import graft.ops.Similarity.{asDouble, dot}
+    val bIndex = queries.sparkSession.sparkContext.broadcast(index)
+    val prepped = queries
+      .select(id.as("__qid"),
+        graft.functions.VectorExpressions.int8QuantCodes(asDouble(vec)).as("__qc"))
+      .withColumn("__qcc", dot(col("__qc"), col("__qc")))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    prepped.mapPartitions { rows =>
+      val idx = bIndex.value.entries
+      rows.flatMap { r =>
+        val qid = r.getLong(0)
+        val qcc = r.getDouble(2)
+        if (qcc <= 0) Iterator.empty
+        else {
+          val qc = r.getSeq[Double](1).toArray
+          // k-bounded selection: keep the k best (cos desc, id asc)
+          // seen so far — O(N log k) per query, never O(N log N)
+          val ord = Ordering.by[(Double, Long), (Double, Long)] {
+            case (cos, nid) => (-cos, nid)
+          }
+          val heap = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(ord)
+          var i = 0
+          while (i < idx.length) {
+            val e = idx(i)
+            if (e.id != qid) {
+              var d = 0.0
+              var j = 0
+              val ec = e.codes
+              while (j < qc.length) { d += qc(j) * ec(j); j += 1 }
+              val cos = d / math.sqrt(qcc * e.cc)
+              if (heap.size < k) heap.enqueue((cos, e.id))
+              else {
+                // heap head = current WORST kept (lowest cos, then
+                // highest id); replace when strictly better
+                val (wc, wi) = heap.head
+                if (cos > wc || (cos == wc && e.id < wi)) {
+                  heap.dequeue(); heap.enqueue((cos, e.id))
+                }
+              }
+            }
+            i += 1
+          }
+          heap.toArray.sortBy { case (cos, nid) => (-cos, nid) }
+            .iterator.zipWithIndex.map { case ((cos, nid), rk) =>
+              Row(qid, rk + 1, nid, cos)
+            }
+        }
+      }
+    }(enc)
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // Streaming ANN serving under batch execution: the first 20
+    // vectors replayed as queries against the full quantized corpus,
+    // top-5 by ADC cosine each. The oracle replays quantization and
+    // scoring in DuckDB; StreamAnnSpec asserts the multi-micro-batch
+    // streaming run emits exactly these rows.
+    QueryDef(
+      "w_ann",
+      (s, d) => {
+        import s.implicits._
+        val emb = table(s, d, "embeddings")
+        val idx = buildAnnIndex(emb, $"vec_id", $"embedding")
+        withOnlineAnn(emb.filter($"vec_id" < 20), $"vec_id", $"embedding",
+            idx, k = 5)
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              q8 AS (
+                SELECT vec_id, v, list_max([abs(x) for x in v]) AS maxabs FROM e),
+              c8 AS (
+                SELECT vec_id,
+                       [floor(x * (CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END) + 0.5)
+                        for x in v] AS codes
+                FROM q8),
+              cn AS (
+                SELECT vec_id, codes, list_dot_product(codes, codes) AS cc
+                FROM c8 WHERE list_dot_product(codes, codes) > 0),
+              pairs AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_dot_product(q.codes, c.codes) / sqrt(q.cc * c.cc) AS cos_adc
+                FROM cn q JOIN cn c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+              r AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_adc DESC, neighbor_id ASC) AS rank
+                FROM pairs)
+              SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_adc
+              FROM r WHERE rank <= 5 ORDER BY query_id, rank""")))
+}
