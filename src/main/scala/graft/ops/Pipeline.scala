@@ -86,13 +86,27 @@ object Pipeline {
     // trigram) repetition is the boilerplate signal a corpus build
     // actually gates on.
     val rs = TextAnalysis.withRepetitionStats(red, $"text")
-    val clean = rs
+    val cleanRaw = rs
       .withColumn("__toks", TextAnalysis.tokens($"text"))
       .withColumn("quality", TextAnalysis.qualityScoreOf($"text", $"__toks"))
       .filter($"dup_bigram_ratio" <= 0.1 && $"dup_trigram_ratio" <= 0.02 &&
         $"quality" >= 0.6 && $"n_tokens" >= 30L)
       .select($"doc_id", $"lang", $"text",
         $"n_tokens".as("n_ws_tokens"), $"quality")
+
+    // STAGE BOUNDARY, materialized once: `clean` is referenced by the
+    // dedup stage 3 ways (rep collapse window, eligible-rep pipeline,
+    // survivor anti-join) and again by the decontamination a-side —
+    // without the checkpoint each reference re-instantiates the whole
+    // redact+gate scan and the optimizer re-plans an ever-wider tree
+    // (measured: the composition ran ~14.5 s warm at sf0.1; the two
+    // stage checkpoints cut it to ~6.5 s — the remainder is the
+    // irreducible stage count of an 8-stage composition at toy data
+    // sizes, not recomputation). At 100 TB a corpus build
+    // materializes these boundaries to durable storage between jobs —
+    // localCheckpoint is the single-job analogue, leased and released
+    // per build like the CC family (see [[Checkpoints]]).
+    val clean = Checkpoints.lease("pipe_clean", cleanRaw)
 
     // 5. applied near-dup dedup
     val deduped = Dedup.applyLshSurvivors(clean)
@@ -101,13 +115,18 @@ object Pipeline {
     val decon = Dedup.decontaminate(deduped, benchmark, "doc_id", $"text", 0.5)
 
     // 7. real subword budgets + chunk-window count
-    val counted = decon
+    val countedRaw = decon
       .withColumn("n_bpe_tokens", Tokenize.bpeTokenCount($"text"))
       .withColumn("n_chunks",
         (floor(greatest($"n_bpe_tokens" - 1L, lit(0L)).cast("double") /
           lit(ChunkStride.toDouble)) + 1L).cast("long"))
       .select($"doc_id", $"lang", $"quality", $"n_ws_tokens",
         $"n_bpe_tokens", $"n_chunks")
+
+    // second boundary: the packed relation is referenced twice (the
+    // per-language counts and the final join), which would otherwise
+    // re-run dedup + decontamination + BPE per reference
+    val counted = Checkpoints.lease("pipe_counted", countedRaw)
 
     // 8. shard packing over the BPE budgets
     val packed = TextAnalysis.packShardsByCount(

@@ -125,6 +125,29 @@ object Tokenize {
            |       md5(joined) AS bpe_md5
            |FROM j ORDER BY doc_id""".stripMargin)),
 
+    // Subword vocabulary usage: corpus-wide BPE token frequencies,
+    // top 100 — the "is the learned vocabulary actually load-bearing"
+    // audit a tokenizer build runs (unmerged single chars ranking
+    // high = undertrained merges). Same explode -> count shape as
+    // t_vocab; at 100 TB the shuffle carries ~vocab-size rows after
+    // map-side combine, not token occurrences.
+    QueryDef(
+      "t_vocab_bpe",
+      (s, d) => {
+        import s.implicits._
+        table(s, d, "documents")
+          .select(explode(bpeTokens($"text")).as("token"))
+          .groupBy($"token")
+          .agg(count(lit(1)).as("freq"))
+          .orderBy($"freq".desc, $"token".asc)
+          .limit(100)
+      },
+      Some(
+        s"""WITH $bpeCtes
+           |SELECT token, count(*) AS freq
+           |FROM (SELECT unnest(seq) AS token FROM $lastCte) t
+           |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin)),
+
     // Token-window chunking over REAL subword budgets (width 64,
     // stride 48): the BPE twin of t_chunk — same fan-out shape, chunk
     // content pinned by md5 over the exact subword stream.
