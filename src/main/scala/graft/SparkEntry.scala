@@ -17,6 +17,7 @@ object SparkEntry {
       ops.Breadth.queries ++ ops.Scale.queries ++
       ops.TimeSeries.queries ++ ops.ReferenceOps.queries ++
       ops.TextAnalysis.queries ++ ops.Tokenize.queries ++
+      ops.LmScore.queries ++
       ops.Pii.queries ++ ops.Dedup.queries ++
       ops.Similarity.queries ++ ops.ProductQuant.queries ++
       ops.Multimodal.queries ++ ops.Pipeline.queries ++

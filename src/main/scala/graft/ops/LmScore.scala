@@ -1,0 +1,124 @@
+package graft.ops
+
+import graft.QueryDef
+import graft.model.Tables.table
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model perplexity scoring — the quality filter a
+  * training corpus runs after the cheap heuristics (`t_quality_filter`):
+  * train a bigram LM with add-one smoothing on the corpus, then score
+  * every document by its mean per-token surprisal. High mean surprisal
+  * = the document's word sequences are improbable under the corpus LM
+  * (boilerplate soup, OCR noise, wrong language); CCNet-style pipelines
+  * drop or down-weight the tail.
+  *
+  * Cross-engine exactness: a float `ln()` never appears. Each token's
+  * probability under add-one smoothing is the exact rational
+  * `n/d = (c(w1,w2)+1) / (c(w1)+V)`, and the surprisal is quantized to
+  * INTEGER bits — `floor(log2(d/n))` — computed purely in integer
+  * arithmetic: the candidate bit count is `bitlen(d) - bitlen(n)`
+  * (binary-string lengths, minimal in both engines), corrected by one
+  * exact shift-compare `(n << k0) <= d`. This is the same move real LM
+  * filters make (KenLM stores 8-bit-quantized logprobs); whole bits are
+  * a coarser grid, but the decision variable (mean bits/token) still
+  * separates repetitive from improbable text, and the DuckDB oracle
+  * replays it bit-for-bit — no tolerance, no transcendentals.
+  *
+  * Scale shape (100 TB): the tokenized corpus is leased once
+  * ([[Checkpoints.lease]]) and fans out to three consumers (unigram
+  * counts, bigram counts, the scoring explode) without re-reading the
+  * source. Both count tables are map-side-combined hash aggregates;
+  * scoring is one equi-join per table keyed on the n-gram — the bigram
+  * model table grows with the corpus but the join stays a keyed shuffle
+  * (never broadcast-forced), and the vocabulary-size scalar rides a
+  * 1-row broadcast. A production deployment would additionally prune
+  * the model (count >= minCount) — that is a strict filter on `cnt`
+  * and changes nothing structural.
+  */
+object LmScore {
+  import TextAnalysis.tokens
+
+  /** (doc_id, w1, w2) — one row per adjacent token pair, in-document
+    * order irrelevant (scoring sums a per-pair integer). Empty and
+    * 1-token documents produce no rows (slice length clamps to 0). */
+  private def bigramPairs(toksDf: DataFrame): DataFrame = {
+    import toksDf.sparkSession.implicits._
+    val m = greatest(size($"toks") - 1, lit(0))
+    toksDf
+      .select($"doc_id", explode(arrays_zip(
+        slice($"toks", lit(1), m).as("w1"),
+        slice($"toks", lit(2), m).as("w2"))).as("b"))
+      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+  }
+
+  /** Score `docs` under a bigram add-one LM trained on `docs` itself.
+    * Output: (doc_id, n_bigrams, sum_bits, avg_bits) for every document
+    * with at least one bigram; `avg_bits` is the single IEEE division
+    * `sum_bits / n_bigrams` (both engines divide the same two integers,
+    * so the double is identical). */
+  def lmScore(docs: DataFrame, docId: Column, text: Column): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toksL = Checkpoints.lease("lm_toks",
+      docs.select(docId.as("doc_id"), tokens(text).as("toks")))
+    val bg = bigramPairs(toksL)
+    val uni = Checkpoints.lease("lm_uni",
+      toksL.select(explode($"toks").as("w1"))
+        .groupBy($"w1").agg(count(lit(1)).as("cw")))
+    val vocab = uni.agg(count(lit(1)).as("vs"))
+    val cnt = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+    bg.join(cnt, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("n", $"cb" + lit(1L))
+      .withColumn("d", $"cw" + $"vs")
+      .withColumn("k0", length(bin($"d")) - length(bin($"n")))
+      .withColumn("bits",
+        when(expr("shiftleft(n, k0)") <= $"d", $"k0").otherwise($"k0" - 1))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum($"bits").cast("long").as("sum_bits"))
+      .withColumn("avg_bits", $"sum_bits".cast("double") / $"n_bigrams")
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "t_lm_score",
+      (s, d) => {
+        import s.implicits._
+        lmScore(table(s, d, "documents"), $"doc_id", $"text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id,
+                       [x for x in string_split_regex(lower(text), '\s+') if x != ''] AS toks
+                FROM documents),
+              uni AS (
+                SELECT w1, count(*) AS cw
+                FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY w1),
+              v AS (SELECT count(*) AS vs FROM uni),
+              bg AS (
+                SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+                FROM (SELECT doc_id,
+                             unnest([{'w1': toks[i], 'w2': toks[i+1]}
+                                     for i in range(1, len(toks))]) AS b
+                      FROM t)),
+              cnt AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+              sc AS (
+                SELECT bg.doc_id,
+                       CAST(cnt.cb + 1 AS BIGINT) AS n,
+                       CAST(uni.cw + v.vs AS BIGINT) AS d
+                FROM bg JOIN cnt USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v),
+              k AS (
+                SELECT doc_id,
+                       CASE WHEN (n << (length(bin(d)) - length(bin(n)))) <= d
+                            THEN length(bin(d)) - length(bin(n))
+                            ELSE length(bin(d)) - length(bin(n)) - 1 END AS bits
+                FROM sc)
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                     CAST(sum(bits) AS BIGINT) AS sum_bits,
+                     CAST(sum(bits) AS DOUBLE) / count(*) AS avg_bits
+              FROM k GROUP BY doc_id ORDER BY doc_id"""))
+  )
+}

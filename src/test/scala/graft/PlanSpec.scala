@@ -330,6 +330,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"), p)
   }
 
+  test("t_lm_score: leased fan-out, keyed model joins, ONE bounded scalar exchange") {
+    val p = plan("t_lm_score")
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
+    // the tokenized corpus is leased (LogicalRDD scans), so training is
+    // NOT re-derived from the source per consumer
+    assert(p.contains("Scan ExistingRDD"), p)
+    // both count tables combine map-side before their shuffle
+    assert(count(p, "partial_count") >= 2, p)
+    // key-hash exchanges: bigram-count agg + final doc agg, nothing else
+    assert(count(p, "Exchange hashpartitioning") <= 2, p)
+    // the only single-partition structure is the 1-row vocabulary scalar
+    assert(count(p, "Exchange SinglePartition") == 1, p)
+  }
+
   test("t_mix_sample: group rates broadcast back, membership filtered map-side") {
     val p = plan("t_mix_sample")
     // per-group counts come back as a broadcast (group count, not rows)
