@@ -243,6 +243,64 @@ object Dedup {
           .otherwise(col("__lr") + (n - 1)).as("longest_dup_tokens"))
   }
 
+  /** Exact-substring dedup APPLIED — the transform the duplicated-span
+    * literature actually ships (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better": excise every duplicated
+    * >= n-token span, keeping one occurrence): a token position is
+    * removed when it is covered by a duplicated n-gram occurrence
+    * that is not that gram's globally-first (canonical) occurrence.
+    * Canonical = min (doc_id, pos) lexicographically — deterministic,
+    * partitioning-independent, and identical in the oracle (struct
+    * min is field-lexicographic in both engines). Within-document
+    * repeats count: a doc that repeats its own 8-gram keeps only the
+    * first copy. Output pins the surviving text by md5 of the
+    * rejoined kept tokens (the `t_chunk` convention) plus kept /
+    * removed counts.
+    *
+    * Scale shape: one tokenize pass computes both the token array and
+    * the fused positional gram hashes, leased once and fanned out to
+    * the occurrence explode and the reconstruction join. Occurrence
+    * counting + canonical selection is ONE hash-keyed aggregate with
+    * map-side combine (min(struct) partials — a window per gram hash
+    * would serialize viral grams; the agg does not). Flagged
+    * occurrences move by gram-hash equi-join (fan-out = occurrence
+    * count, linear), collapse to one `qs` row per doc (bounded:
+    * documents are bounded, corpora are not), and the per-row
+    * interval-coverage filter runs in-row over (token, qs) — the HOF
+    * lambda is interpreted, but it executes once per surviving row,
+    * not per fan-out, and never shuffles. */
+  def applySpanDedup(docs: DataFrame, id: Column, text: Column, n: Int = 8): DataFrame = {
+    val base = Checkpoints.lease("dd_apply_spans", docs.select(
+      id.as("doc_id"),
+      graft.functions.TextShingles.wordTokens(text).as("toks"),
+      graft.functions.TextShingles.positionalGramHashes(text, n).as("__ph")))
+    val occ = base
+      .select(col("doc_id"), posexplode(col("__ph")).as(Seq("__p0", "h")))
+      .select(col("doc_id"), (col("__p0") + lit(1L)).as("q"), col("h"))
+    val dup = occ.groupBy(col("h"))
+      .agg(count(lit(1)).as("__no"),
+        min(struct(col("doc_id"), col("q"))).as("__canon"))
+      .filter(col("__no") >= 2)
+      .select(col("h"),
+        col("__canon").getField("doc_id").as("c_doc"),
+        col("__canon").getField("q").as("c_q"))
+    val flagged = occ.join(dup, Seq("h"))
+      .filter(!(col("doc_id") === col("c_doc") && col("q") === col("c_q")))
+      .groupBy(col("doc_id")).agg(collect_list(col("q")).as("qs"))
+    base.join(flagged, Seq("doc_id"), "left")
+      .withColumn("qs", coalesce(col("qs"), array().cast("array<bigint>")))
+      .withColumn("__kept", filter(
+        transform(col("toks"), (t, i0) =>
+          struct(t.as("t"), (i0 + 1).cast("long").as("p"))),
+        s => !exists(col("qs"), q =>
+          q <= s.getField("p") && s.getField("p") <= q + lit((n - 1).toLong))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("__kept"))).cast("long").as("n_removed"),
+        md5(concat_ws(" ",
+          transform(col("__kept"), s => s.getField("t")))).as("kept_md5"))
+  }
+
   /** EXACT containment-similarity pairs — the asymmetric near-dup
     * case Jaccard structurally misses: a short document fully quoted
     * inside a long one has J = |A|/|B| (small for |B| >> |A|) but
@@ -1207,6 +1265,48 @@ object Dedup {
                                ELSE a.longest_run + 7 END AS BIGINT) AS longest_dup_tokens
               FROM t LEFT JOIN agg a USING (doc_id)
               ORDER BY t.doc_id""")),
+
+    // Exact-substring dedup APPLIED (see applySpanDedup): excise every
+    // token covered by a non-canonical duplicated-8-gram occurrence,
+    // keep the globally-first copy. The oracle replays occurrence
+    // hashing, canonical struct-min selection, and the per-token
+    // interval-coverage filter, then md5-pins the surviving text.
+    QueryDef(
+      "dd_apply_spans",
+      (s, d) => {
+        import s.implicits._
+        applySpanDedup(table(s, d, "documents"), $"doc_id", $"text", n = 8)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id,
+                       [x for x in string_split_regex(lower(text), '\s+') if x != ''] AS toks
+                FROM documents),
+              p AS (
+                SELECT doc_id, u.g['pos'] AS q,
+                       ('0x' || substring(md5(u.g['gram']), 1, 15))::BIGINT AS h
+                FROM (
+                  SELECT doc_id,
+                         unnest([{'pos': i, 'gram': array_to_string(toks[i:i+7], ' ')}
+                                 for i in range(1, len(toks) - 6)]) AS g
+                  FROM t WHERE len(toks) >= 8) u),
+              d AS (
+                SELECT h, min({'d': doc_id, 'q': q}) AS canon
+                FROM p GROUP BY h HAVING count(*) >= 2),
+              f AS (
+                SELECT p.doc_id, list(p.q) AS qs
+                FROM p JOIN d USING (h)
+                WHERE NOT (p.doc_id = d.canon['d'] AND p.q = d.canon['q'])
+                GROUP BY p.doc_id),
+              r AS (
+                SELECT t.doc_id, len(t.toks) AS n_tokens,
+                       [t.toks[pp] for pp in range(1, len(t.toks) + 1)
+                        if len([q for q in coalesce(f.qs, []) if q <= pp and pp <= q + 7]) = 0] AS kept
+                FROM t LEFT JOIN f USING (doc_id))
+              SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                     CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+                     md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
+              FROM r ORDER BY doc_id""")),
 
     // Directional containment pairs at C >= 0.9 (see containmentPairs
     // — the asymmetric case Jaccard misses). The oracle is the NAIVE

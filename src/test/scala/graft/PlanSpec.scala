@@ -330,6 +330,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"), p)
   }
 
+  test("dd_apply_spans: hash-keyed canonical agg (no per-gram window), leased fan-out, nothing pairwise") {
+    val p = plan("dd_apply_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
+    // canonical selection is min(struct) with map-side partials — a
+    // window partitioned by gram hash would serialize viral grams
+    assert(count(p, "Window") == 0, p)
+    assert(p.contains("partial_min"), p)
+    // the tokenize pass is leased, not re-derived per consumer
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
+
   test("t_lm_score: leased fan-out, keyed model joins, ONE bounded scalar exchange") {
     val p = plan("t_lm_score")
     assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)

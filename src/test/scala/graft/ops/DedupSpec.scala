@@ -134,6 +134,32 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(run(df.repartition(7)).toSeq == rows.toSeq)
   }
 
+  test("applySpanDedup: first occurrence survives, coverage excision, self-repeats, partition-invariant") {
+    import spark.implicits._
+    def md5Of(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),           // canonical copy (lowest id)
+      (2L, "z1 z2 w1 w2 w3 w4 w5 w6 w7 w8"),     // embeds doc1's gram at q=3
+      (3L, "r r r r r r r r r r"),               // within-doc self-repeat
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")         // unique -> untouched
+    ).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      applySpanDedup(d, $"doc_id", $"text", n = 8)
+        .orderBy($"doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val rows = run(df)
+    // doc1 is the canonical occurrence -> fully kept
+    assert(rows(0) == ((1L, 8L, 0L, md5Of("w1 w2 w3 w4 w5 w6 w7 w8"))))
+    // doc2's occurrence at q=3 is non-canonical -> positions 3..10 cut
+    assert(rows(1) == ((2L, 10L, 8L, md5Of("z1 z2"))))
+    // doc3 repeats its own 8-gram (q=1,2,3; q=1 canonical) -> q=2,3
+    // cover positions 2..10, ONE token survives
+    assert(rows(2) == ((3L, 10L, 9L, md5Of("r"))))
+    assert(rows(3) == ((4L, 9L, 0L, md5Of("u1 u2 u3 u4 u5 u6 u7 u8 u9"))))
+    assert(run(df.repartition(7)).toSeq == rows.toSeq)
+  }
+
   test("minhash candidates are a subset of brute-force ground truth, full recall on strong pairs") {
     import spark.implicits._
     val docs = graft.model.Tables.table(spark, sf, "documents")
