@@ -929,6 +929,30 @@ object Dedup {
     reps.filter(col("norm") > 0 &&
       (Similarity.dot(col("v"), col("v")) / (col("norm") * col("norm"))) >= 0.4)
 
+  /** Full (vec_id, cluster) membership over the verified embedding
+    * near-dup graph — the shared core of dd_embed_cluster (which emits
+    * it directly) and dd_embed_apply (which keeps one representative
+    * per cluster). Components run on exact-vector reps, members
+    * inherit, zero-norm vectors are singletons; cluster id is the
+    * component-minimum vec_id across ALL members (the rep minimum,
+    * and reps are their groups' minima). */
+  private def embedMembership(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grp = embedAll(s, d).withColumn("__min",
+      min($"vec_id").over(Window.partitionBy($"vkey")))
+    val reps = grp.filter($"vec_id" === $"__min")
+    val pairs = embedRepPairs(reps).select($"id_a", $"id_b")
+    val repLabels = connectedMinLabels(reps.select($"vec_id".as("id")), pairs)
+    val eligible = embedEligibleReps(reps).select($"vec_id".as("__min"))
+    val members = grp.select($"vec_id", $"__min")
+    val inherited = members.join(eligible, Seq("__min"))
+      .join(repLabels.select($"id".as("__min"), $"label".as("cluster")), Seq("__min"))
+      .select($"vec_id", $"cluster")
+    val singletons = members.join(eligible, Seq("__min"), "left_anti")
+      .select($"vec_id", $"vec_id".as("cluster"))
+    inherited.unionByName(singletons)
+  }
+
   /** Embedding-space decontamination — asymmetric near-dup scrub over
     * vectors: remove from `docs` every row whose embedding's cosine to
     * ANY `blocklist` vector reaches `threshold`. The semantic twin of
@@ -1792,19 +1816,7 @@ object Dedup {
       "dd_embed_cluster",
       (s, d) => {
         import s.implicits._
-        val grp = embedAll(s, d).withColumn("__min",
-          min($"vec_id").over(Window.partitionBy($"vkey")))
-        val reps = grp.filter($"vec_id" === $"__min")
-        val pairs = embedRepPairs(reps).select($"id_a", $"id_b")
-        val repLabels = connectedMinLabels(reps.select($"vec_id".as("id")), pairs)
-        val eligible = embedEligibleReps(reps).select($"vec_id".as("__min"))
-        val members = grp.select($"vec_id", $"__min")
-        val inherited = members.join(eligible, Seq("__min"))
-          .join(repLabels.select($"id".as("__min"), $"label".as("cluster")), Seq("__min"))
-          .select($"vec_id", $"cluster")
-        val singletons = members.join(eligible, Seq("__min"), "left_anti")
-          .select($"vec_id", $"vec_id".as("cluster"))
-        inherited.unionByName(singletons).orderBy($"vec_id")
+        embedMembership(s, d).orderBy($"vec_id")
       },
       Some(s"""WITH RECURSIVE $embedOracleCtes,
               eg AS (SELECT id_a AS src, id_b AS dst FROM upairs
@@ -1820,6 +1832,40 @@ object Dedup {
               SELECT g.vec_id, g.vec_id AS cluster
               FROM g LEFT JOIN selfcos sn ON sn.mn = g.mn WHERE sn.mn IS NULL
               ORDER BY vec_id""")),
+
+    // Semantic dedup APPLIED (SemDeDup's keep-one-per-cluster): the
+    // survivor set is one representative per embedding near-dup
+    // cluster — the cluster id itself, which IS the component-minimum
+    // member — with the member count it stands for. Deterministic,
+    // partitioning-independent, and a pure GROUP BY over the
+    // dd_embed_cluster membership, so the oracle wraps the shared
+    // recursive-CTE replay in one aggregate.
+    QueryDef(
+      "dd_embed_apply",
+      (s, d) => {
+        import s.implicits._
+        embedMembership(s, d)
+          .groupBy($"cluster")
+          .agg(count(lit(1)).as("n_members"))
+          .select($"cluster".as("vec_id"), $"n_members")
+          .orderBy($"vec_id")
+      },
+      Some(s"""WITH RECURSIVE $embedOracleCtes,
+              eg AS (SELECT id_a AS src, id_b AS dst FROM upairs
+                     UNION ALL SELECT id_b, id_a FROM upairs),
+              reach AS (
+                SELECT mn AS id, mn AS label FROM selfcos
+                UNION
+                SELECT eg.dst, r.label FROM reach r JOIN eg ON eg.src = r.id),
+              repl AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id),
+              mem AS (
+                SELECT g.vec_id, r.cluster
+                FROM g JOIN selfcos sc ON sc.mn = g.mn JOIN repl r ON r.id = g.mn
+                UNION ALL
+                SELECT g.vec_id, g.vec_id AS cluster
+                FROM g LEFT JOIN selfcos sn ON sn.mn = g.mn WHERE sn.mn IS NULL)
+              SELECT cluster AS vec_id, CAST(count(*) AS BIGINT) AS n_members
+              FROM mem GROUP BY cluster ORDER BY vec_id""")),
 
     // Embedding-space decontamination: scrub the training split of
     // vectors whose cosine to ANY benchmark-split vector reaches 0.4

@@ -160,6 +160,22 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(run(df.repartition(7)).toSeq == rows.toSeq)
   }
 
+  test("dd_embed_apply: one survivor per cluster, member counts partition the corpus") {
+    val d = "/root/testdata/sf0.001"
+    val clusters = graft.SparkEntry.queries("dd_embed_cluster")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val survivors = graft.SparkEntry.queries("dd_embed_apply")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // survivor ids are exactly the distinct cluster labels
+    assert(survivors.map(_._1).toSet == clusters.map(_._2).toSet)
+    // every survivor is a member of its own cluster (label = min member)
+    assert(survivors.map(_._1).toSet.subsetOf(clusters.map(_._1).toSet))
+    // member counts partition the corpus
+    assert(survivors.map(_._2).sum == clusters.length)
+    val bySize = clusters.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    survivors.foreach { case (id, n) => assert(bySize(id) == n) }
+  }
+
   test("minhash candidates are a subset of brute-force ground truth, full recall on strong pairs") {
     import spark.implicits._
     val docs = graft.model.Tables.table(spark, sf, "documents")
