@@ -40,7 +40,7 @@ import org.apache.spark.sql.DataFrame
   * family concurrently on one session. Distinct tags are independent
   * (an IVF build never releases a CC result).
   */
-private[ops] object Checkpoints {
+private[graft] object Checkpoints {
 
   /** localCheckpoint a frame and return it WITH the checkpointed RDD
     * backing it (the handle release must go through — see above). */
