@@ -192,6 +192,48 @@ object TextAnalysis {
       .drop("__bucket", "__boff") // carry any extra input columns through
   }
 
+  /** [[packShardsByCount]] in deterministic SHUFFLED order — the
+    * shuffle-before-pack every training run needs: documents are laid
+    * out by the portable 60-bit hash of their id (total order
+    * `(h, doc_id)` — the id tie-break makes a hash collision
+    * deterministic instead of partitioning-dependent), so the
+    * training-order permutation is reproducible on any cluster and in
+    * the oracle, with no RNG state to ship. Same bucketed two-phase
+    * prefix sum as [[packShardsByCount]], except the bucket is the
+    * hash's HIGH BITS (`h >> bucketShift`): the hash is uniform, so
+    * buckets are balanced by construction — unlike the id-bucket
+    * variant there is no sparse-id-space trap, and the single
+    * bounded global structure sees at most `2^(60 - bucketShift)`
+    * bucket totals (size the shift from the corpus count; a 100 TB
+    * corpus at shift 40 gives ~2^20 totals, still one executor's
+    * work). */
+  def packShardsShuffled(
+      docs: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      budget: Long, bucketShift: Int,
+      tok: Column => Column = tokens): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(id.as("doc_id"),
+        size(tok(text)).cast("long").as("n_tokens"))
+      .withColumn("__h",
+        graft.functions.PortableHash.md5Hash60(col("doc_id").cast("string")))
+      .withColumn("__bucket", expr(s"shiftright(__h, $bucketShift)"))
+    val wB = Window.orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.groupBy(col("__bucket"))
+      .agg(sum(col("n_tokens")).as("__btotal"))
+      .withColumn("__boff", coalesce(sum(col("__btotal")).over(wB), lit(0L)))
+    val wL = Window.partitionBy(col("__bucket"))
+      .orderBy(col("__h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counts
+      .join(broadcast(offsets.select(col("__bucket"), col("__boff"))), Seq("__bucket"))
+      .withColumn("token_offset",
+        col("__boff") + coalesce(sum(col("n_tokens")).over(wL), lit(0L)))
+      .withColumn("shard",
+        floor(col("token_offset").cast("double") / lit(budget.toDouble)).cast("long"))
+      .drop("__bucket", "__boff", "__h")
+  }
+
   /** The fixed t_bm25 query: five mid-frequency corpus terms, so tf,
     * df and n_hit all vary across documents. */
   private[graft] val bm25Terms: Seq[String] =
@@ -459,6 +501,33 @@ object TextAnalysis {
               o AS (
                 SELECT doc_id, n_tokens,
                        CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
+                FROM t)
+              SELECT doc_id, n_tokens, token_offset,
+                     CAST(floor(CAST(token_offset AS DOUBLE) / 5000.0) AS BIGINT) AS shard
+              FROM o ORDER BY doc_id""")),
+
+    // Shard packing in deterministic SHUFFLED order (see
+    // packShardsShuffled): training-order permutation by the portable
+    // id hash, offsets via the hash-high-bits bucketed prefix sum.
+    // The oracle replays the permutation with one global window — the
+    // bucketed decomposition must equal it exactly because the bucket
+    // is the hash's monotone prefix.
+    QueryDef(
+      "t_pack_shuffled",
+      (s, d) => {
+        import s.implicits._
+        packShardsShuffled(table(s, d, "documents"), $"doc_id", $"text",
+            budget = 5000L, bucketShift = 50)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id,
+                       CAST(len([x for x in string_split_regex(lower(text), '\s+') if x != '']) AS BIGINT) AS n_tokens,
+                       ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+                FROM documents),
+              o AS (
+                SELECT doc_id, n_tokens,
+                       CAST(coalesce(SUM(n_tokens) OVER (ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
                 FROM t)
               SELECT doc_id, n_tokens, token_offset,
                      CAST(floor(CAST(token_offset AS DOUBLE) / 5000.0) AS BIGINT) AS shard

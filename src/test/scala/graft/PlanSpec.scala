@@ -330,6 +330,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"), p)
   }
 
+  test("t_pack_shuffled: bucketed two-phase prefix sum, bounded single-partition structure") {
+    val p = plan("t_pack_shuffled")
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
+    // the only global structure is the bucket-offset window over
+    // hash-high-bit bucket TOTALS, never rows
+    assert(count(p, "Exchange SinglePartition") == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("dd_apply_spans: hash-keyed canonical agg (no per-gram window), leased fan-out, nothing pairwise") {
     val p = plan("dd_apply_spans")
     assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)

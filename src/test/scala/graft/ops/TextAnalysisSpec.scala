@@ -32,6 +32,36 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       Seq((0L, 0L)))
   }
 
+  test("packShardsShuffled: exact permutation prefix sum, shift-invariant, actually shuffled") {
+    import spark.implicits._
+    val docs = graft.model.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    def run(d: org.apache.spark.sql.DataFrame, shift: Int) =
+      TextAnalysis.packShardsShuffled(d, $"doc_id", $"text",
+          budget = 5000L, bucketShift = shift)
+        .orderBy($"doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val rows = run(docs, 50)
+    // offsets are the prefix sums of SOME permutation: sorted by
+    // offset, each doc starts exactly where the previous ended
+    val byOff = rows.sortBy(_._3)
+    assert(byOff.head._3 == 0L)
+    byOff.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 + a._2 == b._3, s"gap between ${a._1} and ${b._1}") }
+    // the permutation is the portable-hash order, NOT the id order
+    val idOrderOffsets = rows.scanLeft(0L)(_ + _._2).init
+    assert(rows.map(_._3).toSeq != idOrderOffsets.toSeq)
+    def h60(id: Long) = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    assert(byOff.map(_._1).toSeq == rows.map(_._1).sortBy(id => (h60(id), id)).toSeq)
+    // the bucketed decomposition is exact: any shift gives the same offsets
+    assert(run(docs, 45).toSeq == rows.toSeq)
+    assert(run(docs, 55).toSeq == rows.toSeq)
+    // and partitioning-invariant
+    assert(run(docs.repartition(13), 50).toSeq == rows.toSeq)
+  }
+
   test("mixtureSample: dominant group flattened harder, membership partition-invariant") {
     import spark.implicits._
     val docs = graft.model.Tables.table(spark, "/root/testdata/sf0.001", "documents")
