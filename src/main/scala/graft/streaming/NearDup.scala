@@ -157,6 +157,52 @@ object NearDup {
         processBand(threshold, maxPerBand))
   }
 
+  /** An arrival that near-dup'd something earlier. */
+  case class DroppedDoc(doc_id: Long)
+
+  private def processBandFirstWins(threshold: Double, maxPerBand: Int)(
+      band: String, rows: Iterator[BandDoc],
+      state: GroupState[BandState]): Iterator[DroppedDoc] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[DroppedDoc]
+    var seen = state.getOption.map(_.docs).getOrElse(Nil)
+    var nSeen = seen.size
+    rows.toArray.sortBy(_.doc_id).foreach { d =>
+      if (seen.exists(p => jaccardSorted(p.xs, d.xs) >= threshold))
+        out += DroppedDoc(d.doc_id)
+      // insert REGARDLESS of the verdict: "earlier" means any prior
+      // arrival, so a dropped doc still shadows its own later dups —
+      // the decision needs no survivorship recursion and replays in
+      // one SQL pass (dropped = ids appearing as the later element of
+      // any verified pair)
+      if (nSeen < maxPerBand) { seen = DocSig(d.doc_id, d.xs) :: seen; nSeen += 1 }
+    }
+    state.update(BandState(seen))
+    out.iterator
+  }
+
+  /** Online DEDUP-KEEP-FIRST evidence: the ids of arrivals that verify
+    * as near-dups of ANY earlier arrival (per shared band — dedupe
+    * downstream), over the same banded index as [[nearDupPairs]].
+    * Survivors = arrivals minus these ids: under batch execution
+    * that's one anti-join (`w_corpus`); a streaming deployment
+    * subtracts at the sink, since the keep/drop verdict must AND
+    * across a doc's bands and a second stateful aggregation in the
+    * same query is not the streaming engine's contract. Batch runs
+    * are heap-guarded like the pair form. */
+  def droppedByIndex(
+      docs: DataFrame, id: Column, text: Column, threshold: Double,
+      maxPerBand: Int = Int.MaxValue, h: Int = 32, b: Int = 16,
+      maxIndexBytes: Long = DefaultMaxIndexBytes): Dataset[DroppedDoc] = {
+    import docs.sparkSession.implicits._
+    val banded = bandedDocs(docs, id, text, h, b)
+    requireIndexFits("dedup-first",
+      size(col("xs")).cast("long"), banded.toDF(), maxIndexBytes)
+    banded
+      .groupByKey(_.band)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        processBandFirstWins(threshold, maxPerBand))
+  }
+
   // ---- Embedding form: the online hyperplane-LSH index ------------
 
   case class BandVec(bucket: Int, vec_id: Long, v: Array[Double], norm: Double)
