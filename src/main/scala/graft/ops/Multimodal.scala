@@ -158,6 +158,51 @@ object Multimodal {
         (w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
       }
     }
+    /** dHash over the DECODED pixels: mean gray per cell of a 9x8
+      * grid partition of the image, neighbor comparisons packed into
+      * the same 8 band bytes as [[stubBandExprs]] — the real-codec
+      * form of `mm_phash_pairs`'s hash (spec-checked on PNG fixtures
+      * with block-exact cell means; DuckDB cannot decode PNGs, so
+      * this path carries no oracle). None for undecodable bytes or
+      * images smaller than the grid. */
+    def dHash(bytes: Array[Byte]): Option[Array[Int]] = {
+      val img =
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        catch { case _: java.io.IOException => None }
+      img.filter(im => im.getWidth >= 9 && im.getHeight >= 8).map { im =>
+        val (w, h) = (im.getWidth, im.getHeight)
+        val g = Array.ofDim[Double](8, 9)
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 9) {
+            val (x0, x1) = (c * w / 9, math.max(c * w / 9 + 1, (c + 1) * w / 9))
+            val (y0, y1) = (r * h / 8, math.max(r * h / 8 + 1, (r + 1) * h / 8))
+            var sum = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = im.getRGB(x, y)
+                sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+                x += 1
+              }
+              y += 1
+            }
+            g(r)(c) = sum.toDouble / (3L * (x1 - x0) * (y1 - y0))
+            c += 1
+          }
+          r += 1
+        }
+        (0 until 8).map { band =>
+          (0 until 8).foldLeft(0) { (acc, j) =>
+            val k = band * 8 + j
+            val (rr, cc) = (k / 8, k % 8)
+            if (g(rr)(cc) > g(rr)(cc + 1)) acc | (1 << j) else acc
+          }
+        }.toArray
+      }
+    }
   }
   object ImageIoCodec {
     val inits = new java.util.concurrent.atomic.AtomicLong
@@ -313,6 +358,65 @@ object Multimodal {
     }
   }
 
+  /** Perceptual-hash (dHash) bands from the STUB decode: gray sample k
+    * of a payload is the byte at position `1 + (k * 7919) % len`
+    * (prime-stride sampling — deterministic, position-spread), and bit
+    * (r, c) of the 8x8 difference hash compares grid neighbors
+    * `G(r,c) > G(r,c+1)` over a 9x8 sample grid, packed into 8
+    * per-band bytes (bit 63 never lands in a sign bit and band
+    * extraction needs no shifts). The SAME SQL text runs as a Spark
+    * `expr` and inside the DuckDB oracle — the fixture payloads are
+    * UTF-8 text, so `ascii(substring(...))` reads the sampled
+    * character's code point identically in both engines (both index
+    * and measure length in CHARACTERS). A real deployment swaps [[ImageIoCodec.dHash]]
+    * in for the sampling (same band layout; spec-checked on PNG
+    * fixtures — DuckDB cannot decode PNGs). */
+  private[graft] def stubBandExprs(txt: String, len: String): Seq[String] = {
+    def gray(k: Int) = s"ascii(substring($txt, 1 + ($k * 7919) % $len, 1))"
+    (0 until 8).map { band =>
+      (0 until 8).map { j =>
+        val k = band * 8 + j
+        val r = k / 8
+        val c = k % 8
+        s"(CASE WHEN ${gray(r * 9 + c)} > ${gray(r * 9 + c + 1)} THEN ${1 << j} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    }
+  }
+
+  /** Image near-dup pairs by banded perceptual hash: images sharing
+    * any 8-bit band are candidates (pigeonhole: hamming <= 7 implies
+    * a shared band, so threshold 6 is COMPLETE by construction), then
+    * the exact hamming distance verifies via `bit_count(xor)` over
+    * the band bytes. The banded equi-join is the dedup family's scale
+    * shape — candidates are pair-bound by true collisions, never all
+    * pairs — and the oracle checks the NAIVE all-pairs hamming, so
+    * candidate completeness itself is what the hash-compare holds. */
+  def phashPairs(media: DataFrame, maxHamming: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    val img = media.filter($"kind" === "image")
+      .select($"media_id", decode($"content", "UTF-8").as("__txt"))
+      .withColumn("__len", length($"__txt"))
+      .filter($"__len" >= 1)
+      .withColumn("bands",
+        array(stubBandExprs("__txt", "__len").map(expr): _*))
+      .select($"media_id", $"bands")
+    val posted = img.select($"media_id",
+      posexplode($"bands").as(Seq("band_idx", "band_val")))
+    val cand = posted.as("a").join(posted.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .distinct()
+    cand
+      .join(img.select($"media_id".as("id_a"), $"bands".as("__ba")), Seq("id_a"))
+      .join(img.select($"media_id".as("id_b"), $"bands".as("__bb")), Seq("id_b"))
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(__ba, __bb, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"))
+      .filter($"hamming" <= maxHamming)
+      .select($"id_a", $"id_b", $"hamming")
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // Binary-column relational surface: payload sizes + content hashes
@@ -408,6 +512,46 @@ object Multimodal {
                      CAST((nf + 2) // 3 AS BIGINT) AS n_sampled,
                      CAST(list_sum([greatest(least((x + 1) * fl, len) - x * fl, 0)
                                     for x in range(0, nf, 3)]) AS BIGINT) AS bytes_kept
-              FROM f ORDER BY media_id"""))
+              FROM f ORDER BY media_id""")),
+
+    // Image near-dup pairs by banded perceptual hash (see phashPairs):
+    // the first ten images are re-ingested under shifted ids (the
+    // w_ann replay convention), so every scale has deterministic
+    // positives — each copy pairs its original at hamming 0 — while
+    // the corpus itself contributes whatever true near-collisions
+    // exist. The oracle computes the NAIVE all-pairs hamming over the
+    // same stub dHash — the banded plan must reproduce it exactly, so
+    // candidate completeness (the pigeonhole argument) is what the
+    // hash-compare checks.
+    QueryDef(
+      "mm_phash_pairs",
+      (s, d) => {
+        import s.implicits._
+        val base = synthesize(s, d).toDF()
+        val replayed = base
+          .filter($"kind" === "image" && $"media_id" < 30)
+          .withColumn("media_id", $"media_id" + 1000000L)
+        phashPairs(base.unionByName(replayed), maxHamming = 6)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some {
+        val bands = stubBandExprs("text", "len").mkString("[", ", ", "]")
+        val ham = (1 to 8)
+          .map(i => s"bit_count(xor(a.bands[$i], c.bands[$i]))")
+          .mkString(" + ")
+        s"""WITH m AS (
+              SELECT doc_id AS media_id, text, length(text) AS len
+              FROM documents WHERE doc_id % 3 = 0 AND length(text) >= 1
+              UNION ALL
+              SELECT doc_id + 1000000 AS media_id, text, length(text) AS len
+              FROM documents
+              WHERE doc_id % 3 = 0 AND doc_id < 30 AND length(text) >= 1),
+            b AS (SELECT media_id, $bands AS bands FROM m)
+            SELECT a.media_id AS id_a, c.media_id AS id_b,
+                   CAST($ham AS INT) AS hamming
+            FROM b a JOIN b c ON a.media_id < c.media_id
+            WHERE $ham <= 6
+            ORDER BY id_a, id_b"""
+      })
   )
 }

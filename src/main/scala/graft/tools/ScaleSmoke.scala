@@ -121,7 +121,13 @@ object ScaleSmoke {
             else shifted
           transformed.drop("__copy")
       }
-      out.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      // write fact replicas across many files: a real 100x corpus
+      // arrives as thousands of splits, and a single-file table read
+      // as ONE scan partition serializes every per-row map chain into
+      // one task (measured: w_corpus straggler 0.95 at copies=100 —
+      // the harness, not the operator, was the bottleneck)
+      val parts = if (shiftCols.contains(t)) 32 else 1
+      out.repartition(parts).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
   }
 

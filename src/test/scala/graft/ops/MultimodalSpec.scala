@@ -145,4 +145,41 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(CodecInstance.inits.get() == 4,
       s"resizeImages inits: ${CodecInstance.inits.get()}")
   }
+
+  test("real-codec dHash: block-exact grays, copy/near/far distances, undecodable -> None") {
+    // 90x80 image of 10x10 uniform blocks == the 9x8 grid exactly, so
+    // cell means ARE the block grays and every comparison is chosen
+    def blockPng(gray: (Int, Int) => Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        90, 80, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 80; x <- 0 until 90) {
+        val v = gray(y / 10, x / 10) & 0xFF
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(im, "png", bos))
+      bos.toByteArray
+    }
+    def hamming(a: Array[Int], b: Array[Int]): Int =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    val codec = new ImageIoCodec
+    val asc = blockPng((_, c) => c * 20)           // increasing -> all bits 0
+    val desc = blockPng((_, c) => (8 - c) * 20)    // decreasing -> all bits 1
+    val near = blockPng((r, c) =>                   // one bumped cell
+      if (r == 3 && c == 4) 200 else c * 20)
+    val Some(hAsc) = codec.dHash(asc)
+    val Some(hDesc) = codec.dHash(desc)
+    val Some(hNear) = codec.dHash(near)
+    assert(hAsc.forall(_ == 0))
+    assert(hDesc.forall(_ == 0xFF))
+    assert(hamming(hAsc, hDesc) == 64)
+    // identical bytes -> identical hash
+    assert(hamming(hAsc, codec.dHash(blockPng((_, c) => c * 20)).get) == 0)
+    // the bump touches two comparisons but can only flip ONE on a
+    // monotone base (flipping both needs v < G(3,3) AND v > G(3,5)):
+    // the right-neighbor comparison 200 > 100 turns true
+    assert(hamming(hAsc, hNear) == 1)
+    assert(codec.dHash(Array[Byte](9, 9, 9)).isEmpty)   // undecodable
+    assert(codec.dHash(blockPng((_, _) => 1).take(0)).isEmpty)
+  }
 }
