@@ -203,6 +203,81 @@ object NearDup {
         processBandFirstWins(threshold, maxPerBand))
   }
 
+  // ---- Image form: the online perceptual-hash index ----------------
+
+  case class BandImg(band: String, media_id: Long, bands: Array[Int])
+  case class ImgSig(id: Long, bands: Array[Int])
+  case class ImgBandState(imgs: List[ImgSig])
+  case class ImgPair(id_a: Long, id_b: Long, hamming: Int)
+
+  private def hammingBands(a: Array[Int], b: Array[Int]): Int = {
+    var h = 0
+    var i = 0
+    while (i < a.length) { h += Integer.bitCount(a(i) ^ b(i)); i += 1 }
+    h
+  }
+
+  /** Arriving images exploded to their 8 perceptual-hash band keys
+    * (`idx:value` — the same stub dHash bands `mm_phash_pairs`
+    * computes, reusing its verbatim SQL as Spark exprs). */
+  def bandedImages(media: DataFrame): Dataset[BandImg] = {
+    import media.sparkSession.implicits._
+    val withBands = media.filter(col("kind") === "image")
+      .select(col("media_id"), decode(col("content"), "UTF-8").as("__txt"))
+      .withColumn("__len", length(col("__txt")))
+      .filter(col("__len") >= 1)
+      .withColumn("bands",
+        array(graft.ops.Multimodal.stubBandExprs("__txt", "__len").map(expr): _*))
+    withBands
+      .select(posexplode(col("bands")).as(Seq("__idx", "__val")),
+        col("media_id"), col("bands"))
+      .select(concat(col("__idx").cast("string"), lit(":"),
+          col("__val").cast("string")).as("band"),
+        col("media_id"), col("bands"))
+      .as[BandImg]
+  }
+
+  private def processImgBand(maxHamming: Int, maxPerBand: Int)(
+      band: String, rows: Iterator[BandImg],
+      state: GroupState[ImgBandState]): Iterator[ImgPair] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[ImgPair]
+    var seen = state.getOption.map(_.imgs).getOrElse(Nil)
+    var nSeen = seen.size
+    rows.toArray.sortBy(_.media_id).foreach { d =>
+      var cur = seen
+      while (cur.nonEmpty) {
+        val p = cur.head
+        val h = hammingBands(p.bands, d.bands)
+        if (h <= maxHamming) out += ImgPair(p.id, d.media_id, h)
+        cur = cur.tail
+      }
+      if (nSeen < maxPerBand) { seen = ImgSig(d.media_id, d.bands) :: seen; nSeen += 1 }
+    }
+    state.update(ImgBandState(seen))
+    out.iterator
+  }
+
+  /** Online image near-dup pairs: the perceptual-hash twin of
+    * [[nearDupPairs]] — arriving images verify their exact hamming
+    * distance against every earlier arrival sharing a band (pigeonhole
+    * completeness at `maxHamming <= 7` with 8 bands, exactly the
+    * batch operator's argument). Runs on a streaming OR batch
+    * DataFrame unchanged; the batch form IS `mm_phash_pairs`' pair
+    * set, so `w_phash` shares that oracle's shape verbatim. */
+  def imageNearDupPairs(
+      media: DataFrame, maxHamming: Int,
+      maxPerBand: Int = Int.MaxValue,
+      maxIndexBytes: Long = DefaultMaxIndexBytes): Dataset[ImgPair] = {
+    import media.sparkSession.implicits._
+    val banded = bandedImages(media)
+    requireIndexFits("image phash",
+      size(col("bands")).cast("long"), banded.toDF(), maxIndexBytes)
+    banded
+      .groupByKey(_.band)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        processImgBand(maxHamming, maxPerBand))
+  }
+
   // ---- Embedding form: the online hyperplane-LSH index ------------
 
   case class BandVec(bucket: Int, vec_id: Long, v: Array[Double], norm: Double)
@@ -448,6 +523,44 @@ object NearDup {
           .select($"doc_id", $"source", $"n_chars")
           .orderBy($"doc_id")
       },
-      Some(graft.ops.Dedup.decontaminateOracleSql))
+      Some(graft.ops.Dedup.decontaminateOracleSql)),
+
+    // The online image phash index under batch execution: the same
+    // replayed-copies corpus and the same pair set as mm_phash_pairs
+    // (both emit every verified (earlier, later) pair), so the oracle
+    // is that query's naive all-pairs hamming verbatim. StreamPhashSpec
+    // asserts the multi-micro-batch streaming run emits this set.
+    QueryDef(
+      "w_phash",
+      (s, d) => {
+        import s.implicits._
+        val base = graft.ops.Multimodal.synthesize(s, d).toDF()
+        val replayed = base
+          .filter($"kind" === "image" && $"media_id" < 30)
+          .withColumn("media_id", $"media_id" + 1000000L)
+        imageNearDupPairs(base.unionByName(replayed), maxHamming = 6)
+          .toDF().distinct()
+          .orderBy($"id_a", $"id_b")
+      },
+      Some {
+        val bands = graft.ops.Multimodal.stubBandExprs("text", "len")
+          .mkString("[", ", ", "]")
+        val ham = (1 to 8)
+          .map(i => s"bit_count(xor(a.bands[$i], c.bands[$i]))")
+          .mkString(" + ")
+        s"""WITH m AS (
+              SELECT doc_id AS media_id, text, length(text) AS len
+              FROM documents WHERE doc_id % 3 = 0 AND length(text) >= 1
+              UNION ALL
+              SELECT doc_id + 1000000 AS media_id, text, length(text) AS len
+              FROM documents
+              WHERE doc_id % 3 = 0 AND doc_id < 30 AND length(text) >= 1),
+            b AS (SELECT media_id, $bands AS bands FROM m)
+            SELECT a.media_id AS id_a, c.media_id AS id_b,
+                   CAST($ham AS INT) AS hamming
+            FROM b a JOIN b c ON a.media_id < c.media_id
+            WHERE $ham <= 6
+            ORDER BY id_a, id_b"""
+      })
   )
 }
