@@ -393,13 +393,17 @@ object Multimodal {
     * candidate completeness itself is what the hash-compare holds. */
   def phashPairs(media: DataFrame, maxHamming: Int): DataFrame = {
     import media.sparkSession.implicits._
-    val img = media.filter($"kind" === "image")
+    // leased: the hashed projection feeds the posting explode AND both
+    // verify joins — three consumers that must not re-scan the media
+    // table (payload bytes dominate a multimodal corpus; the hash
+    // projection is 9 longs/row)
+    val img = Checkpoints.lease("mm_phash", media.filter($"kind" === "image")
       .select($"media_id", decode($"content", "UTF-8").as("__txt"))
       .withColumn("__len", length($"__txt"))
       .filter($"__len" >= 1)
       .withColumn("bands",
         array(stubBandExprs("__txt", "__len").map(expr): _*))
-      .select($"media_id", $"bands")
+      .select($"media_id", $"bands"))
     val posted = img.select($"media_id",
       posexplode($"bands").as(Seq("band_idx", "band_val")))
     val cand = posted.as("a").join(posted.as("b"),

@@ -330,6 +330,25 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"), p)
   }
 
+  test("mm_phash_pairs: leased hash projection, banded equi-join candidates, nothing pairwise") {
+    val p = plan("mm_phash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
+    // the hashed projection is leased — the media payload is scanned
+    // once, not once per consumer
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(count(p, "Window") == 0, p)
+  }
+
+  test("w_corpus: stateless gate chain + one stateful band exchange, no cartesian") {
+    val p = plan("w_corpus")
+    assert(!p.contains("CartesianProduct"), p)
+    // the gated relation is leased across its three consumers
+    assert(p.contains("Scan ExistingRDD"), p)
+    // the band-keyed index op (flatMapGroupsWithState executes as
+    // MapGroups under batch)
+    assert(p.contains("MapGroups"), p)
+  }
+
   test("t_pack_shuffled: bucketed two-phase prefix sum, bounded single-partition structure") {
     val p = plan("t_pack_shuffled")
     assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
