@@ -94,6 +94,56 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
       base("documents").select($"text").distinct().count())
   }
 
+  test("zValue: exact interleave, bucket rectangles, 2-D layout beats 1-D sort") {
+    import spark.implicits._
+    // hand-check: x=5 (101) lands on even z-bits -> 17, y=3 (011) on
+    // odd z-bits -> 10; z = 27
+    val z = Seq((5L, 3L)).toDF("x", "y")
+      .select(Scale.zValue($"x", $"y").as("z")).head().getLong(0)
+    assert(z == 27L)
+    // every zbucket of the oracle-checked query is a 32x32 rectangle
+    val rows = graft.SparkEntry.queries("q_zorder")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= 31, s"gx span in bucket ${r.getLong(0)}")
+      assert(r.getLong(5) - r.getLong(4) <= 31, s"gy span in bucket ${r.getLong(0)}")
+    }
+    // layout property: range-partitioning on z bounds BOTH dimensions
+    // per partition (total box area far below the 1-D sort's, whose
+    // partitions span the second dimension fully). Needs two WIDE
+    // dimensions to matter — lineitem's suppkey is ~10 values at this
+    // sf, so use a uniform 64x64 grid (the shape of a real fact table
+    // where both layout keys are high-cardinality).
+    val li = spark.range(4096)
+      .select((($"id" % 64) * 16).cast("long").as("gx"),
+        (floor($"id" / 64) * 16).cast("long").as("gy"))
+    // per-partition (min, max) boxes — what parquet row-group stats
+    // would record for each file
+    def boxes(df: org.apache.spark.sql.DataFrame): Array[(Long, Long, Long, Long)] =
+      df.mapPartitions { it =>
+        val rs = it.toArray
+        if (rs.isEmpty) Iterator.empty
+        else {
+          val gxs = rs.map(_.getLong(0)); val gys = rs.map(_.getLong(1))
+          Iterator.single((gxs.min, gxs.max, gys.min, gys.max))
+        }
+      }.collect()
+    val zBoxes = boxes(li.repartitionByRange(16, Scale.zValue($"gx", $"gy")))
+    val xBoxes = boxes(li.repartitionByRange(16, $"gx"))
+    // a gy-only range predicate (gy <= 255, the grid's top quarter):
+    // min/max stats prune z-layout files to the intersecting blocks,
+    // while every 1-D gx-sorted file spans all of gy and none prune
+    def touchedByGy(bs: Array[(Long, Long, Long, Long)]): Int =
+      bs.count { case (_, _, gyMin, _) => gyMin <= 255L }
+    val (zTouched, xTouched) = (touchedByGy(zBoxes), touchedByGy(xBoxes))
+    assert(xTouched == xBoxes.length, "1-D sort should prune nothing on gy")
+    assert(zTouched * 2 <= xTouched,
+      s"z layout touched $zTouched of ${zBoxes.length}, 1-D $xTouched of ${xBoxes.length}")
+    // while a gx predicate still prunes under z too (both dims bounded)
+    assert(zBoxes.count { case (gxMin, _, _, _) => gxMin <= 255L } < zBoxes.length)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
