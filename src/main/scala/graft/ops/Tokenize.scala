@@ -148,6 +148,50 @@ object Tokenize {
            |FROM (SELECT unnest(seq) AS token FROM $lastCte) t
            |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin)),
 
+    // Vocabulary coverage per language — the audit a tokenizer build
+    // runs before committing a vocab: what fraction of the corpus's
+    // subword stream lands in the top-64 tokens (freq desc, token asc
+    // tie-break — deterministic boundary). A language whose coverage
+    // lags is under-served by the learned merges. Scale shape: the
+    // leased tokenize pass feeds the vocab aggregate and the coverage
+    // join; the top-64 relation broadcasts; output is
+    // language-bounded. Coverage is one exact IEEE division.
+    QueryDef(
+      "t_vocab_coverage",
+      (s, d) => {
+        import s.implicits._
+        val toks = graft.ops.Checkpoints.lease("vocab_cov",
+          table(s, d, "documents")
+            .select($"lang", explode(bpeTokens($"text")).as("token")))
+        val top = toks.groupBy($"token")
+          .agg(count(lit(1)).as("__f"))
+          .orderBy($"__f".desc, $"token".asc)
+          .limit(64)
+          .select($"token", lit(1L).as("__in"))
+        toks.join(broadcast(top), Seq("token"), "left")
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            sum(coalesce($"__in", lit(0L))).as("n_in_vocab"))
+          .withColumn("coverage",
+            $"n_in_vocab".cast("double") / $"n_tokens")
+          .orderBy($"lang")
+      },
+      Some(
+        s"""WITH $bpeCtes,
+           |tk AS (SELECT doc_id, unnest(seq) AS token FROM $lastCte),
+           |tl AS (SELECT d.lang, tk.token
+           |       FROM tk JOIN (SELECT doc_id, lang FROM documents) d USING (doc_id)),
+           |top AS (SELECT token FROM (
+           |  SELECT token, count(*) AS f FROM tk GROUP BY token
+           |  ORDER BY f DESC, token ASC LIMIT 64))
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+           |       CAST(sum(CASE WHEN token IN (SELECT token FROM top)
+           |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab,
+           |       CAST(sum(CASE WHEN token IN (SELECT token FROM top)
+           |                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS coverage
+           |FROM tl GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Token-window chunking over REAL subword budgets (width 64,
     // stride 48): the BPE twin of t_chunk — same fan-out shape, chunk
     // content pinned by md5 over the exact subword stream.
