@@ -122,21 +122,25 @@ object Bpe {
     }
   }
 
+  // Same whitespace definition as WordTokens / the DuckDB oracle's
+  // split(text, '\s+'): java.util.regex \s is exactly [ \t\n\x0B\f\r],
+  // whereas Character.isWhitespace also matches U+001C-001F and most
+  // Unicode spaces — the word streams must agree character-for-character.
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+
   /** Whole text → flat BPE token stream (normalization as trained). */
   def tokenizeText(text: String): java.util.ArrayList[String] = {
     val out = new java.util.ArrayList[String](text.length / 2 + 1)
     val norm = text.replace(Stripped, "").replace(Boundary, "")
-    var i = 0
-    val len = norm.length
-    while (i < len) {
-      while (i < len && Character.isWhitespace(norm.charAt(i))) i += 1
-      val start = i
-      while (i < len && !Character.isWhitespace(norm.charAt(i))) i += 1
-      if (i > start) {
-        val toks = tokenizeWord(norm.substring(start, i))
+    val words = ws.split(norm, -1)
+    var w = 0
+    while (w < words.length) {
+      if (words(w).nonEmpty) {
+        val toks = tokenizeWord(words(w))
         var t = 0
         while (t < toks.length) { out.add(toks(t)); t += 1 }
       }
+      w += 1
     }
     out
   }

@@ -199,8 +199,13 @@ object ProductQuant {
       .withColumn("adc_rank", row_number().over(wAdc))
       .filter($"adc_rank" <= m)
     val wTop = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
+    // cn > 0 mirrors the query side's nrm > 0: a genuine zero vector can
+    // still carry a nonzero RECONSTRUCTION (its cells' means include other
+    // members) and reach re-rank, where cos would be 0/0 = NaN and sort
+    // first under DESC in both engines — filter it like every other s_ann.
     broadcast(cand)
-      .join(emb.select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cn")),
+      .join(emb.filter($"nrm" > 0)
+          .select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cn")),
         Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
       .select($"query_id", $"neighbor_id", $"cos_adc", $"adc_rank",
@@ -299,7 +304,7 @@ object ProductQuant {
                          ORDER BY list_dot_product(q.qv, e.v) / (q.qn * e.nrm) DESC,
                                   c.neighbor_id ASC) AS rank
                 FROM cand c
-                JOIN e ON e.vec_id = c.neighbor_id
+                JOIN e ON e.vec_id = c.neighbor_id AND e.nrm > 0
                 JOIN q ON q.query_id = c.query_id)
               SELECT query_id, rank, neighbor_id, cos, cos_adc, adc_rank
               FROM r2 WHERE rank <= $k ORDER BY query_id, rank"""

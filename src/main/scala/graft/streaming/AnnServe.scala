@@ -54,11 +54,15 @@ object AnnServe {
       corpus: DataFrame, id: Column, vec: Column,
       maxCodes: Long = 256L << 20): AnnIndex = {
     import graft.ops.Similarity.{asDouble, dot}
-    val coded = corpus
+    // the build issues TWO actions (guard aggregate + collect); lease the
+    // coded projection so the corpus scan + quantization runs once and
+    // both actions read the materialized stage (same discipline as
+    // LmServe.buildLmModel)
+    val coded = graft.ops.Checkpoints.lease("ann_build_codes", corpus
       .select(id.as("id"),
         graft.functions.VectorExpressions.int8QuantCodes(asDouble(vec)).as("codes"))
       .withColumn("cc", dot(col("codes"), col("codes")))
-      .filter(col("cc") > 0)
+      .filter(col("cc") > 0))
     val totalCodes = coded
       .agg(coalesce(sum(size(col("codes"))), lit(0L))).head().getLong(0)
     require(totalCodes <= maxCodes,

@@ -41,9 +41,8 @@ for _ in range(N):
             pairs[(seq[i], seq[i + 1])] += c
     if not pairs:
         break
-    best = max(pairs.items(), key=lambda kv: (kv[1], tuple(map(lambda s: [-ord(c) for c in s], kv[0]))))
     # ties: highest count, then lexicographically SMALLEST pair
-    top = best[1]
+    top = max(pairs.values())
     cand = sorted([p for p, c in pairs.items() if c == top])[0]
     merges.append(cand)
     a, b = cand
