@@ -269,8 +269,13 @@ object Dedup {
     * interval-coverage filter runs in-row over (token, qs) — the HOF
     * lambda is interpreted, but it executes once per surviving row,
     * not per fan-out, and never shuffles. */
-  def applySpanDedup(docs: DataFrame, id: Column, text: Column, n: Int = 8): DataFrame = {
-    val base = Checkpoints.lease("dd_apply_spans", docs.select(
+  /** The shared excision core: (doc_id, toks, __kept) where `__kept`
+    * is the surviving (token, position) struct array. `tag` names the
+    * tokenize-pass lease so the standalone query and pipeline stages
+    * hold independent checkpoints. */
+  private def spanKept(
+      docs: DataFrame, id: Column, text: Column, n: Int, tag: String): DataFrame = {
+    val base = Checkpoints.lease(tag, docs.select(
       id.as("doc_id"),
       graft.functions.TextShingles.wordTokens(text).as("toks"),
       graft.functions.TextShingles.positionalGramHashes(text, n).as("__ph")))
@@ -294,12 +299,67 @@ object Dedup {
           struct(t.as("t"), (i0 + 1).cast("long").as("p"))),
         s => !exists(col("qs"), q =>
           q <= s.getField("p") && s.getField("p") <= q + lit((n - 1).toLong))))
+      .select(col("doc_id"), col("toks"), col("__kept"))
+  }
+
+  def applySpanDedup(docs: DataFrame, id: Column, text: Column, n: Int = 8): DataFrame =
+    spanKept(docs, id, text, n, "dd_apply_spans")
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         (size(col("toks")) - size(col("__kept"))).cast("long").as("n_removed"),
         md5(concat_ws(" ",
           transform(col("__kept"), s => s.getField("t")))).as("kept_md5"))
-  }
+
+  /** [[applySpanDedup]] as a PIPELINE stage: (doc_id, text, n_excised)
+    * where `text` is the surviving tokens rejoined with single spaces
+    * (lowercased, whitespace-normalized — the exact stream every
+    * downstream tokenizer derives anyway, so feeding it forward is
+    * value-identical). */
+  def withSpanExcision(
+      docs: DataFrame, id: Column, text: Column,
+      n: Int = 8, tag: String = "dd_apply_spans"): DataFrame =
+    spanKept(docs, id, text, n, tag)
+      .select(col("doc_id"),
+        concat_ws(" ", transform(col("__kept"), s => s.getField("t"))).as("text"),
+        (size(col("toks")) - size(col("__kept"))).cast("long").as("n_excised"))
+
+  /** DuckDB replay of [[spanKept]] rooted at `docsRel` (which must
+    * expose (doc_id, text)): CTEs `{p}t`/`{p}p`/`{p}d`/`{p}f` and
+    * `{p}x` = (doc_id, n_tokens, n_removed, kept_text) — kept_text is
+    * the rejoined surviving tokens, coalesced to '' (DuckDB's
+    * array_to_string of an empty list is NULL). Shared by the
+    * standalone `dd_apply_spans` oracle and the `pipe_corpus`
+    * composition so both replay the SAME excision. */
+  private[graft] def spanExcisionCtes(p: String, docsRel: String): String =
+    s"""${p}t AS (
+          SELECT doc_id,
+                 [x for x in string_split_regex(lower(text), '\\s+') if x != ''] AS toks
+          FROM $docsRel),
+        ${p}p AS (
+          SELECT doc_id, u.g['pos'] AS q,
+                 ('0x' || substring(md5(u.g['gram']), 1, 15))::BIGINT AS h
+          FROM (
+            SELECT doc_id,
+                   unnest([{'pos': i, 'gram': array_to_string(toks[i:i+7], ' ')}
+                           for i in range(1, len(toks) - 6)]) AS g
+            FROM ${p}t WHERE len(toks) >= 8) u),
+        ${p}d AS (
+          SELECT h, min({'d': doc_id, 'q': q}) AS canon
+          FROM ${p}p GROUP BY h HAVING count(*) >= 2),
+        ${p}f AS (
+          SELECT p.doc_id, list(p.q) AS qs
+          FROM ${p}p p JOIN ${p}d d USING (h)
+          WHERE NOT (p.doc_id = d.canon['d'] AND p.q = d.canon['q'])
+          GROUP BY p.doc_id),
+        ${p}x AS (
+          SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+                 coalesce(array_to_string(kept, ' '), '') AS kept_text
+          FROM (
+            SELECT t.doc_id, len(t.toks) AS n_tokens,
+                   [t.toks[pp] for pp in range(1, len(t.toks) + 1)
+                    if len([q for q in coalesce(f.qs, []) if q <= pp and pp <= q + 7]) = 0] AS kept
+            FROM ${p}t t LEFT JOIN ${p}f f USING (doc_id)))"""
 
   /** EXACT containment-similarity pairs — the asymmetric near-dup
     * case Jaccard structurally misses: a short document fully quoted
@@ -1302,35 +1362,10 @@ object Dedup {
         applySpanDedup(table(s, d, "documents"), $"doc_id", $"text", n = 8)
           .orderBy($"doc_id")
       },
-      Some("""WITH t AS (
-                SELECT doc_id,
-                       [x for x in string_split_regex(lower(text), '\s+') if x != ''] AS toks
-                FROM documents),
-              p AS (
-                SELECT doc_id, u.g['pos'] AS q,
-                       ('0x' || substring(md5(u.g['gram']), 1, 15))::BIGINT AS h
-                FROM (
-                  SELECT doc_id,
-                         unnest([{'pos': i, 'gram': array_to_string(toks[i:i+7], ' ')}
-                                 for i in range(1, len(toks) - 6)]) AS g
-                  FROM t WHERE len(toks) >= 8) u),
-              d AS (
-                SELECT h, min({'d': doc_id, 'q': q}) AS canon
-                FROM p GROUP BY h HAVING count(*) >= 2),
-              f AS (
-                SELECT p.doc_id, list(p.q) AS qs
-                FROM p JOIN d USING (h)
-                WHERE NOT (p.doc_id = d.canon['d'] AND p.q = d.canon['q'])
-                GROUP BY p.doc_id),
-              r AS (
-                SELECT t.doc_id, len(t.toks) AS n_tokens,
-                       [t.toks[pp] for pp in range(1, len(t.toks) + 1)
-                        if len([q for q in coalesce(f.qs, []) if q <= pp and pp <= q + 7]) = 0] AS kept
-                FROM t LEFT JOIN f USING (doc_id))
-              SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-                     CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
-                     md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
-              FROM r ORDER BY doc_id""")),
+      Some(s"""WITH ${spanExcisionCtes("", "documents")}
+              SELECT doc_id, n_tokens, n_removed,
+                     md5(kept_text) AS kept_md5
+              FROM x ORDER BY doc_id""")),
 
     // Directional containment pairs at C >= 0.9 (see containmentPairs
     // — the asymmetric case Jaccard misses). The oracle is the NAIVE

@@ -82,6 +82,97 @@ object LmScore {
       .withColumn("avg_bits", $"sum_bits".cast("double") / $"n_bigrams")
   }
 
+  /** Append `avg_bits` to every row of `scored` (which must carry a
+    * `doc_id` column) under a bigram add-one LM trained on `corpus` —
+    * the BATCH (keyed-join) form of the gate
+    * [[graft.streaming.LmServe.withLmScoreColumn]] applies with a
+    * broadcast model: counts come from the RAW corpus, scoring runs
+    * over the (possibly transformed) `scored` text, and OOV n-grams —
+    * tokens the training side never saw, e.g. redaction-minted
+    * markers — take `coalesce(c, 0)` via LEFT joins, exactly the
+    * `getOrDefault(_, 0)` the broadcast scorer computes. Rows with
+    * fewer than two tokens are dropped (inner join — no evidence;
+    * the pipeline's length gate admits none).
+    *
+    * Scale shape: both count tables are map-side-combined hash
+    * aggregates over the leased raw tokenize pass; scoring is keyed
+    * equi-joins (model-table-sized, never broadcast-forced) plus the
+    * 1-row vocab scalar on a broadcast cross join. */
+  def withLmScoreAgainst(
+      scored: DataFrame, text: Column,
+      corpus: DataFrame, corpusText: Column): DataFrame = {
+    import scored.sparkSession.implicits._
+    val rawToks = Checkpoints.lease("lm_raw_toks",
+      corpus.select(tokens(corpusText).as("toks")))
+    val uni = Checkpoints.lease("lm_raw_uni",
+      rawToks.select(explode($"toks").as("w1"))
+        .groupBy($"w1").agg(count(lit(1)).as("cw")))
+    val vocab = uni.agg(count(lit(1)).as("vs"))
+    val m = greatest(size($"toks") - 1, lit(0))
+    val cnt = rawToks
+      .select(explode(arrays_zip(
+        slice($"toks", lit(1), m).as("w1"),
+        slice($"toks", lit(2), m).as("w2"))).as("b"))
+      .groupBy($"b.w1".as("w1"), $"b.w2".as("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val lm = bigramPairs(scored.select($"doc_id", tokens(text).as("toks")))
+      .join(cnt, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("n", coalesce($"cb", lit(0L)) + lit(1L))
+      .withColumn("d", coalesce($"cw", lit(0L)) + $"vs")
+      .withColumn("k0", length(bin($"d")) - length(bin($"n")))
+      .withColumn("bits",
+        when(expr("shiftleft(n, k0)") <= $"d", $"k0").otherwise($"k0" - 1))
+      .groupBy($"doc_id")
+      .agg((sum($"bits").cast("double") / count(lit(1))).as("avg_bits"))
+    scored.join(lm, Seq("doc_id"))
+  }
+
+  /** DuckDB replay of [[withLmScoreAgainst]]: CTEs `{p}rt` (raw
+    * tokens), `{p}uni`/`{p}v`/`{p}cnt` (the model), `{p}sbg`/`{p}sc`/
+    * `{p}k` (scoring) and `{p}lm` = (doc_id, avg_bits). `scoredRel`
+    * must expose (doc_id, text); `rawRel` is the training corpus
+    * relation. Shared by the `pipe_corpus` and `w_corpus` oracles so
+    * both compositions replay the SAME gate. */
+  private[graft] def lmAgainstCtes(
+      p: String, scoredRel: String, rawRel: String): String = {
+    val toksExpr =
+      """[x for x in string_split_regex(lower(text), '\s+') if x != '']"""
+    s"""${p}rt AS (SELECT $toksExpr AS toks FROM $rawRel),
+        ${p}uni AS (
+          SELECT w1, count(*) AS cw
+          FROM (SELECT unnest(toks) AS w1 FROM ${p}rt) GROUP BY w1),
+        ${p}v AS (SELECT count(*) AS vs FROM ${p}uni),
+        ${p}cnt AS (
+          SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS cb
+          FROM (SELECT unnest([{'w1': toks[i], 'w2': toks[i+1]}
+                              for i in range(1, len(toks))]) AS b FROM ${p}rt)
+          GROUP BY 1, 2),
+        ${p}sbg AS (
+          SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+          FROM (SELECT doc_id,
+                       unnest([{'w1': toks[i], 'w2': toks[i+1]}
+                               for i in range(1, len(toks))]) AS b
+                FROM (SELECT doc_id, $toksExpr AS toks FROM $scoredRel))),
+        ${p}sc AS (
+          SELECT s.doc_id,
+                 CAST(coalesce(c.cb, 0) + 1 AS BIGINT) AS n,
+                 CAST(coalesce(u.cw, 0) + ${p}v.vs AS BIGINT) AS d
+          FROM ${p}sbg s LEFT JOIN ${p}cnt c USING (w1, w2)
+                         LEFT JOIN ${p}uni u USING (w1)
+                         CROSS JOIN ${p}v),
+        ${p}k AS (
+          SELECT doc_id,
+                 CASE WHEN (n << (length(bin(d)) - length(bin(n)))) <= d
+                      THEN length(bin(d)) - length(bin(n))
+                      ELSE length(bin(d)) - length(bin(n)) - 1 END AS bits
+          FROM ${p}sc),
+        ${p}lm AS (
+          SELECT doc_id, CAST(sum(bits) AS DOUBLE) / count(*) AS avg_bits
+          FROM ${p}k GROUP BY doc_id)"""
+  }
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef(
       "t_lm_score",

@@ -21,35 +21,49 @@ import org.apache.spark.sql.functions._
   *   4. repetition gate  — t_rep_ngrams bigram/trigram dup-ratio
   *                         thresholds (the token-dup gate measures
   *                         vocabulary, not boilerplate — see below);
-  *   5. near-dup dedup   — dd_apply_lsh (minhash-LSH at t = 0.5
+  *   5. LM quality gate  — t_lm_score's integer-bit bigram surprisal
+  *                         against the RAW-corpus model, dropped above
+  *                         [[graft.streaming.StreamCorpus.LmGate]] —
+  *                         the SAME gate the online build (`w_corpus`)
+  *                         runs, in its batch keyed-join form;
+  *   6. near-dup dedup   — dd_apply_lsh (minhash-LSH at t = 0.5
   *                         through the exact-content collapse);
-  *   6. decontamination  — dd_decontaminate vs the RAW benchmark
+  *   7. decontamination  — dd_decontaminate vs the RAW benchmark
   *                         split (the eval set is external — it is
   *                         never cleaned);
-  *   7. subword budgets  — t_tokenize BPE counts + t_chunk_bpe
+  *   8. span excision    — dd_apply_spans (Lee et al. exact-substring
+  *                         dedup) APPLIED: non-canonical duplicated
+  *                         >= 8-token spans are excised from the
+  *                         survivors, and the excised text is what the
+  *                         budget stages below tokenize;
+  *   9. subword budgets  — t_tokenize BPE counts + t_chunk_bpe
   *                         window count (pure arithmetic — the chunk
   *                         fan-out itself is covered by t_chunk_bpe);
-  *   8. shard packing    — t_pack's bucketed two-phase prefix sum
+  *  10. shard packing    — t_pack's bucketed two-phase prefix sum
   *                         over the BPE budgets;
-  *   9. mixture flag     — t_mix_sample temperature membership
+  *  11. mixture flag     — t_mix_sample temperature membership
   *                         (τ = 1/2, k = 8) per language over the
   *                         SURVIVORS.
   *
   * The oracle replays the whole composition in one DuckDB statement
   * assembled from the SAME fragment builders the standalone oracles
-  * use (minhashSideCtes twice — dedup + decontamination — and the
-  * 64-merge BPE CTE chain re-rooted at the survivor set), so the
-  * cross-engine hash-compare pins every stage boundary, not just the
-  * final row count.
+  * use (minhashSideCtes twice — dedup + decontamination —
+  * lmAgainstCtes for the LM gate, spanExcisionCtes for the excision,
+  * and the BPE CTE chain re-rooted at the excised survivor set), so
+  * the cross-engine hash-compare pins every stage boundary, not just
+  * the final row count.
   *
-  * Scale shape: stages 1-4 and 7 are map-only column algebra over the
-  * scan; 5-6 are the banded equi-join pipelines already
-  * 100×-profiled by their standalone queries; 8 is the bucketed
-  * prefix sum whose single-partition exchange sees rows/bucketWidth
-  * bucket totals; 9 broadcasts a languages-sized dim. No new shuffle
-  * shape is introduced by composing them — PlanSpec gates the
-  * composition for cartesians, UDFs, and the one bounded
-  * SinglePartition exchange.
+  * Scale shape: stages 1-4 and 9 are map-only column algebra over the
+  * scan; 5 is two map-side-combined count aggregates plus keyed model
+  * equi-joins (t_lm_score's shape); 6-7 are the banded equi-join
+  * pipelines already 100×-profiled by their standalone queries; 8 is
+  * one hash-keyed postings aggregate + equi-join (dd_apply_spans'
+  * shape); 10 is the bucketed prefix sum whose single-partition
+  * exchange sees rows/bucketWidth bucket totals; 11 broadcasts a
+  * languages-sized dim. No new shuffle shape is introduced by
+  * composing them — PlanSpec gates the composition for cartesians,
+  * UDFs, and the bounded single-partition exchanges (the pack
+  * bucket-offset window plus the LM family's 1-row vocab scalar).
   */
 object Pipeline {
 
@@ -86,13 +100,23 @@ object Pipeline {
     // trigram) repetition is the boilerplate signal a corpus build
     // actually gates on.
     val rs = TextAnalysis.withRepetitionStats(red, $"text")
-    val cleanRaw = rs
+    val gated = rs
       .withColumn("__toks", TextAnalysis.tokens($"text"))
       .withColumn("quality", TextAnalysis.qualityScoreOf($"text", $"__toks"))
       .filter($"dup_bigram_ratio" <= 0.1 && $"dup_trigram_ratio" <= 0.02 &&
         $"quality" >= 0.6 && $"n_tokens" >= 30L)
       .select($"doc_id", $"lang", $"text",
         $"n_tokens".as("n_ws_tokens"), $"quality")
+
+    // 5. LM-surprisal gate — the SAME gate (model, score, threshold)
+    // the online build runs at StreamCorpus.LmGate, in its batch
+    // (keyed-join) form: the bigram model trains on the RAW corpus,
+    // the redacted survivors score against it with OOV left-join
+    // semantics, and the high-surprisal tail is dropped. Batch and
+    // online builds now clean with one gate set.
+    val cleanRaw = LmScore
+      .withLmScoreAgainst(gated, $"text", docs, $"text")
+      .filter($"avg_bits" <= graft.streaming.StreamCorpus.LmGate)
 
     // STAGE BOUNDARY, materialized once: `clean` is referenced by the
     // dedup stage 3 ways (rep collapse window, eligible-rep pipeline,
@@ -108,33 +132,47 @@ object Pipeline {
     // per build like the CC family (see [[Checkpoints]]).
     val clean = Checkpoints.lease("pipe_clean", cleanRaw)
 
-    // 5. applied near-dup dedup
+    // 6. applied near-dup dedup
     val deduped = Dedup.applyLshSurvivors(clean)
 
-    // 6. decontamination vs the raw benchmark side
+    // 7. decontamination vs the raw benchmark side
     val decon = Dedup.decontaminate(deduped, benchmark, "doc_id", $"text", 0.5)
 
-    // 7. real subword budgets + chunk-window count
-    val countedRaw = decon
+    // third boundary: the decontaminated set is referenced twice (the
+    // excision's tokenize pass and the metadata join-back)
+    val deconL = Checkpoints.lease("pipe_decon", decon)
+
+    // 8. exact-substring span excision (Lee et al.) over the SURVIVOR
+    // corpus: every duplicated >= 8-token span loses its non-canonical
+    // occurrences, and the excised text is what the subword budget
+    // stages below tokenize — the transform feeds forward, exactly as
+    // dd_apply_spans ships standalone.
+    val excised = deconL.drop("text")
+      .join(Dedup.withSpanExcision(
+        deconL, $"doc_id", $"text", n = 8, tag = "pipe_spans"),
+        Seq("doc_id"))
+
+    // 9. real subword budgets + chunk-window count over the excised text
+    val countedRaw = excised
       .withColumn("n_bpe_tokens", Tokenize.bpeTokenCount($"text"))
       .withColumn("n_chunks",
         (floor(greatest($"n_bpe_tokens" - 1L, lit(0L)).cast("double") /
           lit(ChunkStride.toDouble)) + 1L).cast("long"))
-      .select($"doc_id", $"lang", $"quality", $"n_ws_tokens",
-        $"n_bpe_tokens", $"n_chunks")
+      .select($"doc_id", $"lang", $"quality", $"avg_bits", $"n_ws_tokens",
+        $"n_excised", $"n_bpe_tokens", $"n_chunks")
 
     // second boundary: the packed relation is referenced twice (the
     // per-language counts and the final join), which would otherwise
     // re-run dedup + decontamination + BPE per reference
     val counted = Checkpoints.lease("pipe_counted", countedRaw)
 
-    // 8. shard packing over the BPE budgets
+    // 10. shard packing over the BPE budgets
     val packed = TextAnalysis.packShardsByCount(
         counted.withColumn("n_tokens", $"n_bpe_tokens"),
         budget = PackBudget, bucketWidth = 100L)
       .drop("n_tokens")
 
-    // 9. temperature-mixture membership flag per language
+    // 11. temperature-mixture membership flag per language
     val langCounts = packed.groupBy($"lang")
       .agg(count(lit(1)).as("n_lang"))
       .withColumn("__thr",
@@ -142,7 +180,8 @@ object Pipeline {
           lit(1000000.0)).cast("long"))
     packed
       .join(broadcast(langCounts.select($"lang", $"n_lang", $"__thr")), Seq("lang"))
-      .select($"doc_id", $"lang", $"quality", $"n_ws_tokens", $"n_bpe_tokens",
+      .select($"doc_id", $"lang", $"quality", $"avg_bits", $"n_ws_tokens",
+        $"n_excised", $"n_bpe_tokens",
         $"n_chunks", $"token_offset", $"shard", $"n_lang",
         (graft.functions.PortableHash.md5Hash60($"doc_id".cast("string"))
           % 1000000L < $"__thr").cast("int").as("mix_kept"))
@@ -154,11 +193,11 @@ object Pipeline {
     import graft.functions.PortableHash.duckdbHash60
     val toksExpr =
       """[x for x in string_split_regex(lower(text), '\s+') if x != '']"""
-    val repsFromClean =
+    val repsFromLmg =
       """(SELECT doc_id, text FROM (
            SELECT doc_id, text,
                   min(doc_id) OVER (PARTITION BY md5(lower(text))) AS mn
-           FROM clean) WHERE doc_id = mn)"""
+           FROM lmg) WHERE doc_id = mn)"""
     s"""WITH split AS (
           SELECT *, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 AS bucket
           FROM documents),
@@ -196,7 +235,12 @@ object Pipeline {
           FROM gates
           WHERE dup_bigram_ratio <= 0.1 AND dup_trigram_ratio <= 0.02
             AND quality >= 0.6 AND n_tokens >= 30),
-        ${Dedup.minhashSideCtes("d_", repsFromClean)},
+        ${LmScore.lmAgainstCtes("l_", "clean", "documents")},
+        lmg AS (
+          SELECT c.*, l.avg_bits
+          FROM clean c JOIN l_lm l USING (doc_id)
+          WHERE l.avg_bits <= ${graft.streaming.StreamCorpus.LmGate}),
+        ${Dedup.minhashSideCtes("d_", repsFromLmg)},
         dcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                   FROM d_bands a JOIN d_bands b
                     ON a.band = b.band AND a.doc_id < b.doc_id),
@@ -209,7 +253,7 @@ object Pipeline {
           JOIN d_xb xb2 ON xb2.doc_id = c.id_b),
         gm AS (
           SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(lower(text))) AS mn
-          FROM clean),
+          FROM lmg),
         twin AS (
           SELECT g.doc_id FROM gm g JOIN d_ne ON d_ne.doc_id = g.mn
           WHERE g.doc_id != g.mn),
@@ -217,7 +261,7 @@ object Pipeline {
           SELECT DISTINCT id_b AS doc_id FROM dver WHERE sim >= 0.5
           UNION SELECT doc_id FROM twin),
         surv AS (
-          SELECT * FROM clean
+          SELECT * FROM lmg
           WHERE doc_id NOT IN (SELECT doc_id FROM dominated)),
         ${Dedup.minhashSideCtes("a_", "surv")},
         ${Dedup.minhashSideCtes("b_", "bench")},
@@ -233,14 +277,19 @@ object Pipeline {
         fin AS (
           SELECT * FROM surv
           WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
-        ${Tokenize.bpeCtesFrom("fin")},
+        ${Dedup.spanExcisionCtes("e_", "fin")},
+        exc AS (
+          SELECT f.doc_id, f.lang, f.quality, f.avg_bits, f.n_ws_tokens,
+                 e.n_removed AS n_excised, e.kept_text AS text
+          FROM fin f JOIN e_x e USING (doc_id)),
+        ${Tokenize.bpeCtesFrom("exc")},
         cnt AS (
           SELECT doc_id, CAST(sum(len(seq)) AS BIGINT) AS n
           FROM ${Tokenize.lastCte} GROUP BY doc_id),
         tok AS (
-          SELECT f.doc_id, f.lang, f.quality, f.n_ws_tokens,
-                 coalesce(cnt.n, 0) AS n_bpe_tokens
-          FROM fin f LEFT JOIN cnt USING (doc_id)),
+          SELECT f.doc_id, f.lang, f.quality, f.avg_bits, f.n_ws_tokens,
+                 f.n_excised, coalesce(cnt.n, 0) AS n_bpe_tokens
+          FROM exc f LEFT JOIN cnt USING (doc_id)),
         chn AS (
           SELECT *, CAST(floor(CAST(greatest(n_bpe_tokens - 1, 0) AS DOUBLE) / $ChunkStride.0) + 1 AS BIGINT) AS n_chunks
           FROM tok),
@@ -254,7 +303,8 @@ object Pipeline {
           SELECT lang, CAST(count(*) AS BIGINT) AS n_lang,
                  CAST(floor(least(1.0, 8.0 / sqrt(CAST(count(*) AS DOUBLE))) * 1000000.0) AS BIGINT) AS thr
           FROM sh GROUP BY lang)
-        SELECT s.doc_id, s.lang, s.quality, s.n_ws_tokens, s.n_bpe_tokens,
+        SELECT s.doc_id, s.lang, s.quality, s.avg_bits, s.n_ws_tokens,
+               s.n_excised, s.n_bpe_tokens,
                s.n_chunks, s.token_offset, s.shard, lc.n_lang,
                CAST(CASE WHEN (${duckdbHash60("CAST(s.doc_id AS VARCHAR)")} % 1000000) < lc.thr
                     THEN 1 ELSE 0 END AS INT) AS mix_kept

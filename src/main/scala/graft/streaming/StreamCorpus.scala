@@ -134,40 +134,11 @@ object StreamCorpus {
               FROM gates
               WHERE dup_bigram_ratio <= 0.1 AND dup_trigram_ratio <= 0.02
                 AND quality >= 0.6 AND n_tokens >= 30),
-            rt AS (SELECT doc_id, $toksExpr AS toks FROM documents),
-            uni AS (
-              SELECT w1, count(*) AS cw
-              FROM (SELECT unnest(toks) AS w1 FROM rt) GROUP BY w1),
-            v AS (SELECT count(*) AS vs FROM uni),
-            rbg AS (
-              SELECT b.w1 AS w1, b.w2 AS w2
-              FROM (SELECT unnest([{'w1': toks[i], 'w2': toks[i+1]}
-                                   for i in range(1, len(toks))]) AS b FROM rt)),
-            cnt AS (SELECT w1, w2, count(*) AS cb FROM rbg GROUP BY w1, w2),
-            sbg AS (
-              SELECT doc_id, b.w1 AS w1, b.w2 AS w2
-              FROM (SELECT doc_id,
-                           unnest([{'w1': toks[i], 'w2': toks[i+1]}
-                                   for i in range(1, len(toks))]) AS b FROM cl)),
-            sc AS (
-              SELECT sbg.doc_id,
-                     CAST(coalesce(cnt.cb, 0) + 1 AS BIGINT) AS n,
-                     CAST(coalesce(uni.cw, 0) + v.vs AS BIGINT) AS d
-              FROM sbg LEFT JOIN cnt USING (w1, w2)
-                       LEFT JOIN uni USING (w1) CROSS JOIN v),
-            k AS (
-              SELECT doc_id,
-                     CASE WHEN (n << (length(bin(d)) - length(bin(n)))) <= d
-                          THEN length(bin(d)) - length(bin(n))
-                          ELSE length(bin(d)) - length(bin(n)) - 1 END AS bits
-              FROM sc),
-            lm AS (
-              SELECT doc_id, CAST(sum(bits) AS DOUBLE) / count(*) AS avg_bits
-              FROM k GROUP BY doc_id),
+            ${graft.ops.LmScore.lmAgainstCtes("l_", "cl", "documents")},
             lmg AS (
               SELECT cl.doc_id, cl.lang, cl.text, cl.n_ws_tokens, cl.quality,
-                     lm.avg_bits
-              FROM cl JOIN lm USING (doc_id) WHERE lm.avg_bits <= $LmGate),
+                     l_lm.avg_bits
+              FROM cl JOIN l_lm USING (doc_id) WHERE l_lm.avg_bits <= $LmGate),
             ${Dedup.minhashSideCtes("o_", "lmg")},
             ocand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                       FROM o_bands a JOIN o_bands b

@@ -38,9 +38,32 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       val n = r.getAs[Long]("n_bpe_tokens")
       val expect = math.max(n - 1, 0L) / 48L + 1L
       assert(r.getAs[Long]("n_chunks") == expect)
-      assert(n >= r.getAs[Long]("n_ws_tokens"),
-        "subword count must be >= word count")
+      // the budget stages tokenize the EXCISED text, so fertility is
+      // relative to the surviving word count
+      assert(n >= r.getAs[Long]("n_ws_tokens") - r.getAs[Long]("n_excised"),
+        "subword count must be >= surviving word count")
     }
+  }
+
+  test("LM gate and span excision are live stages: gate bounds every survivor, excision wiring removes spans on the raw corpus") {
+    assert(out.forall(_.getAs[Double]("avg_bits") <= graft.streaming.StreamCorpus.LmGate))
+    assert(out.map(_.getAs[Double]("avg_bits")).distinct.length > 1,
+      "the LM score must be a real per-document signal, not a constant")
+    for (r <- out) {
+      val ex = r.getAs[Long]("n_excised")
+      assert(ex >= 0L && ex <= r.getAs[Long]("n_ws_tokens"))
+    }
+    // On this fixture the composed pipeline excises nothing: every
+    // duplicated >= 8-token span lives in a document the repetition
+    // gate or the minhash dedup already dropped — which is itself the
+    // expected interplay (RefinedWeb orders doc-level dedup before
+    // exact-substring for this reason). Prove the stage's WIRING on
+    // the raw corpus, where spans exist (dd_apply_spans: 24 docs):
+    import spark.implicits._
+    val raw = graft.model.Tables.table(spark, sf, "documents")
+    val exc = Dedup.withSpanExcision(raw, $"doc_id", $"text", tag = "spec_spans")
+    assert(exc.filter($"n_excised" > 0L).count() > 0L,
+      "span excision must remove spans on the raw corpus")
   }
 
   test("mixture flag: membership is the portable-hash rule against the per-lang survivor count") {
