@@ -421,6 +421,28 @@ object Multimodal {
       .select($"id_a", $"id_b", $"hamming")
   }
 
+  /** Image near-dup dedup APPLIED — the survivor-set transform over
+    * the [[phashPairs]] graph, mirroring `dd_apply_lsh`'s shape
+    * exactly ([[Dedup.collapseApplySurvivors]]): collapse
+    * content-identical media first (twins share bands, so the group
+    * minimum stands for all of them — no quadratic within-group
+    * pairs), run the banded phash pipeline on eligible image reps
+    * only, keep-first = the lower id of every verified pair survives,
+    * twins of an eligible rep fall with it, and survivors are one
+    * anti-join. Non-image media pass through untouched (the group key
+    * carries `kind`, and only image reps are eligible). Dropped-set
+    * equivalence with the ONLINE index
+    * ([[graft.streaming.NearDup.imageNearDupPairs]]) is spec-held:
+    * arrival order = id order makes the streaming keep-first drop set
+    * equal this batch dominated set. */
+  def applyPhashSurvivors(media: DataFrame, maxHamming: Int): DataFrame =
+    Dedup.collapseApplySurvivors(media, "media_id",
+      Seq(col("kind"), md5(col("content")))) { reps =>
+      reps.filter(col("kind") === "image" && octet_length(col("content")) >= 1)
+    } { el =>
+      phashPairs(el, maxHamming).select(col("id_b").as("media_id")).distinct()
+    }
+
   val queries: Seq[QueryDef] = Seq(
 
     // Binary-column relational surface: payload sizes + content hashes
@@ -556,6 +578,63 @@ object Multimodal {
             FROM b a JOIN b c ON a.media_id < c.media_id
             WHERE $ham <= 6
             ORDER BY id_a, id_b"""
+      }),
+
+    // Applied image dedup (see applyPhashSurvivors): the survivor set
+    // over the same replayed-copies corpus as mm_phash_pairs — every
+    // copy falls to its original (identical content = twin), every
+    // verified near-dup keeps its lower id, non-image media pass
+    // through. The oracle replays the collapse window, the NAIVE
+    // all-pairs hamming over eligible reps, the twin rule, and the
+    // final anti-join — so both the pair completeness AND the
+    // survivor algebra are hash-pinned.
+    QueryDef(
+      "mm_apply_phash",
+      (s, d) => {
+        import s.implicits._
+        val base = synthesize(s, d).toDF()
+        val replayed = base
+          .filter($"kind" === "image" && $"media_id" < 30)
+          .withColumn("media_id", $"media_id" + 1000000L)
+        applyPhashSurvivors(base.unionByName(replayed), maxHamming = 6)
+          .select($"media_id", $"kind", md5($"content").as("content_md5"))
+          .orderBy($"media_id")
+      },
+      Some {
+        val bands = stubBandExprs("text", "len").mkString("[", ", ", "]")
+        val ham = (1 to 8)
+          .map(i => s"bit_count(xor(a.bands[$i], c.bands[$i]))")
+          .mkString(" + ")
+        s"""WITH am AS (
+              SELECT doc_id AS media_id,
+                     ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+                     text, length(text) AS len
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS media_id, 'image' AS kind,
+                     text, length(text) AS len
+              FROM documents WHERE doc_id % 3 = 0 AND doc_id < 30),
+            grp AS (
+              SELECT *, min(media_id) OVER (PARTITION BY kind, md5(text)) AS mn
+              FROM am),
+            el AS (
+              SELECT * FROM grp
+              WHERE media_id = mn AND kind = 'image' AND len >= 1),
+            b AS (SELECT media_id, $bands AS bands FROM el),
+            prs AS (
+              SELECT c.media_id AS id_b
+              FROM b a JOIN b c ON a.media_id < c.media_id
+              WHERE $ham <= 6),
+            twind AS (
+              SELECT g.media_id
+              FROM grp g JOIN el ON el.media_id = g.mn
+              WHERE g.media_id != g.mn),
+            dom AS (
+              SELECT DISTINCT id_b AS media_id FROM prs
+              UNION SELECT media_id FROM twind)
+            SELECT media_id, kind, md5(text) AS content_md5
+            FROM am WHERE media_id NOT IN (SELECT media_id FROM dom)
+            ORDER BY media_id"""
       })
   )
 }

@@ -182,4 +182,35 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(codec.dHash(Array[Byte](9, 9, 9)).isEmpty)   // undecodable
     assert(codec.dHash(blockPng((_, _) => 1).take(0)).isEmpty)
   }
+
+  test("applyPhashSurvivors: copies fall to their originals, non-images pass through, batch dominated set == online dropped set") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = synthesize(spark, sf).toDF()
+    val replayed = base
+      .filter($"kind" === "image" && $"media_id" < 30)
+      .withColumn("media_id", $"media_id" + 1000000L)
+    val all = base.unionByName(replayed)
+    val surv = applyPhashSurvivors(all, maxHamming = 6)
+
+    // non-image media are untouched
+    assert(surv.filter($"kind" =!= "image").count() ==
+      all.filter($"kind" =!= "image").count())
+    // every replayed copy is dominated by its (identical, lower-id) original
+    assert(surv.filter($"media_id" >= 1000000L).count() == 0L)
+    val nImgAll = all.filter($"kind" === "image").count()
+    val nImgSurv = surv.filter($"kind" === "image").count()
+    assert(nImgSurv > 0 && nImgSurv < nImgAll)
+
+    // keep-first equivalence with the ONLINE index: arrival order = id
+    // order, so the streaming drop set must equal the batch dominated
+    // set exactly (see applyPhashSurvivors doc for the twin argument)
+    val dominated = all.filter($"kind" === "image")
+      .join(surv.select($"media_id"), Seq("media_id"), "left_anti")
+      .select($"media_id").as[Long].collect().toSet
+    val onlineDropped = graft.streaming.NearDup
+      .imageNearDupPairs(all, maxHamming = 6)
+      .toDF().select($"id_b").distinct().as[Long].collect().toSet
+    assert(dominated == onlineDropped)
+  }
 }
