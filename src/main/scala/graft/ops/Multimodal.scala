@@ -275,6 +275,59 @@ object Multimodal {
         finally in.close()
       }
     }
+
+    /** 64-bit energy-delta fingerprint over the decoded PCM — the
+      * REAL-codec form of [[Multimodal.audioBandExprs]]'s stub: the
+      * signal is cut into 65 equal windows, window energy is the sum
+      * of squared normalized amplitudes, and bit k is the sign of the
+      * adjacent-energy delta e(k) > e(k+1), packed 8 bits per band in
+      * the family's shared layout (bit j of band b is position
+      * b*8 + j, weight 1 << j). Energy-delta signs are invariant
+      * under uniform gain (energies scale by gain², comparisons are
+      * preserved) — the property that makes this a FINGERPRINT rather
+      * than a checksum. Undecodable or empty audio returns None. */
+    def fingerprint(bytes: Array[Byte]): Option[Array[Int]] = {
+      import javax.sound.sampled.{AudioFormat, AudioSystem, UnsupportedAudioFileException}
+      val ais =
+        try Some(AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes)))
+        catch {
+          case _: UnsupportedAudioFileException | _: java.io.IOException => None
+        }
+      ais.flatMap { in =>
+        try {
+          val f = in.getFormat
+          val ok = f.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+            f.getSampleSizeInBits == 16
+          if (!ok) None
+          else {
+            val data = in.readAllBytes()
+            val nVals = data.length / 2
+            if (nVals < 1) None
+            else {
+              val e = new Array[Double](65)
+              var i = 0
+              while (i < nVals) {
+                val off = i * 2
+                val raw =
+                  if (f.isBigEndian) ((data(off) << 8) | (data(off + 1) & 0xFF)).toShort
+                  else ((data(off + 1) << 8) | (data(off) & 0xFF)).toShort
+                val a = raw / 32768.0
+                // window w covers vals [w*nVals/65, (w+1)*nVals/65)
+                e((i.toLong * 65 / nVals).toInt) += a * a
+                i += 1
+              }
+              Some((0 until 8).map { band =>
+                (0 until 8).foldLeft(0) { (acc, j) =>
+                  val k = band * 8 + j
+                  if (e(k) > e(k + 1)) acc | (1 << j) else acc
+                }
+              }.toArray)
+            }
+          }
+        } catch { case _: java.io.IOException => None }
+        finally in.close()
+      }
+    }
   }
   object WavCodec {
     val inits = new java.util.concurrent.atomic.AtomicLong
@@ -404,7 +457,19 @@ object Multimodal {
       .withColumn("bands",
         array(stubBandExprs("__txt", "__len").map(expr): _*))
       .select($"media_id", $"bands"))
-    val posted = img.select($"media_id",
+    bandedHashPairs(img, maxHamming)
+  }
+
+  /** The banded near-dup pair pipeline shared by the image and audio
+    * fingerprints: `hashed` = (media_id, bands) with 8 8-bit bands;
+    * any shared (band index, band value) makes a candidate (pigeonhole:
+    * hamming <= 7 over 64 bits in 8 bands forces an equal band, so
+    * thresholds <= 6 are COMPLETE by construction), then the exact
+    * hamming verifies via bit_count(xor) folds over the band arrays
+    * fetched by two id equi-joins — never an all-pairs scan. */
+  private def bandedHashPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
+    import hashed.sparkSession.implicits._
+    val posted = hashed.select($"media_id",
       posexplode($"bands").as(Seq("band_idx", "band_val")))
     val cand = posted.as("a").join(posted.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -413,12 +478,53 @@ object Multimodal {
       .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
       .distinct()
     cand
-      .join(img.select($"media_id".as("id_a"), $"bands".as("__ba")), Seq("id_a"))
-      .join(img.select($"media_id".as("id_b"), $"bands".as("__bb")), Seq("id_b"))
+      .join(hashed.select($"media_id".as("id_a"), $"bands".as("__ba")), Seq("id_a"))
+      .join(hashed.select($"media_id".as("id_b"), $"bands".as("__bb")), Seq("id_b"))
       .withColumn("hamming", expr(
         "aggregate(zip_with(__ba, __bb, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"))
       .filter($"hamming" <= maxHamming)
       .select($"id_a", $"id_b", $"hamming")
+  }
+
+  /** Audio fingerprint bands from the STUB decode — the audio twin of
+    * [[stubBandExprs]]: "amplitude" sample i is the byte at prime
+    * stride 4409 (a different stride than the image hash, so the two
+    * fingerprints are uncorrelated even on identical payloads),
+    * "window energy" e(k) sums two adjacent samples, and bit k of the
+    * 64-bit fingerprint is the energy-delta sign e(k) > e(k+1) over 65
+    * windows — the shape of a real spectral fingerprint (Chromaprint's
+    * band-energy differences; Haitsma-Kalker's sign-of-difference
+    * descriptor), on deterministic arithmetic BOTH engines evaluate
+    * identically. Packed 8 bits per band like the image hash, so the
+    * pigeonhole banding argument carries over unchanged. The
+    * real-codec form is [[WavCodec.fingerprint]] (same band layout
+    * over true PCM window energies; spec-checked on WAV fixtures —
+    * DuckDB cannot decode WAV). */
+  private[graft] def audioBandExprs(txt: String, len: String): Seq[String] = {
+    def amp(i: Int) = s"ascii(substring($txt, 1 + ($i * 4409) % $len, 1))"
+    def energy(k: Int) = s"(${amp(2 * k)} + ${amp(2 * k + 1)})"
+    (0 until 8).map { band =>
+      (0 until 8).map { j =>
+        val k = band * 8 + j
+        s"(CASE WHEN ${energy(k)} > ${energy(k + 1)} THEN ${1 << j} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    }
+  }
+
+  /** Audio near-dup pairs by banded energy-delta fingerprint — the
+    * audio member of the banded near-dup family ([[phashPairs]] doc
+    * has the completeness argument; [[bandedHashPairs]] is the shared
+    * pipeline). */
+  def audioFingerprintPairs(media: DataFrame, maxHamming: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    val aud = Checkpoints.lease("mm_afp", media.filter($"kind" === "audio")
+      .select($"media_id", decode($"content", "UTF-8").as("__txt"))
+      .withColumn("__len", length($"__txt"))
+      .filter($"__len" >= 1)
+      .withColumn("bands",
+        array(audioBandExprs("__txt", "__len").map(expr): _*))
+      .select($"media_id", $"bands"))
+    bandedHashPairs(aud, maxHamming)
   }
 
   /** Image near-dup dedup APPLIED — the survivor-set transform over
@@ -635,6 +741,45 @@ object Multimodal {
             SELECT media_id, kind, md5(text) AS content_md5
             FROM am WHERE media_id NOT IN (SELECT media_id FROM dom)
             ORDER BY media_id"""
+      }),
+
+    // Audio near-dup pairs by banded energy-delta fingerprint (see
+    // audioFingerprintPairs): the first ten audio payloads are
+    // re-ingested under shifted ids so every scale has deterministic
+    // positives, and the oracle computes the NAIVE all-pairs hamming
+    // over the same stub fingerprint — the banded plan must reproduce
+    // it exactly, so candidate completeness is what the hash-compare
+    // checks. The real-codec form (WavCodec.fingerprint) is
+    // spec-checked on WAV fixtures, including gain invariance.
+    QueryDef(
+      "mm_audio_pairs",
+      (s, d) => {
+        import s.implicits._
+        val base = synthesize(s, d).toDF()
+        val replayed = base
+          .filter($"kind" === "audio" && $"media_id" < 30)
+          .withColumn("media_id", $"media_id" + 1000000L)
+        audioFingerprintPairs(base.unionByName(replayed), maxHamming = 6)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some {
+        val bands = audioBandExprs("text", "len").mkString("[", ", ", "]")
+        val ham = (1 to 8)
+          .map(i => s"bit_count(xor(a.bands[$i], c.bands[$i]))")
+          .mkString(" + ")
+        s"""WITH m AS (
+              SELECT doc_id AS media_id, text, length(text) AS len
+              FROM documents WHERE doc_id % 3 = 1 AND length(text) >= 1
+              UNION ALL
+              SELECT doc_id + 1000000 AS media_id, text, length(text) AS len
+              FROM documents
+              WHERE doc_id % 3 = 1 AND doc_id < 30 AND length(text) >= 1),
+            b AS (SELECT media_id, $bands AS bands FROM m)
+            SELECT a.media_id AS id_a, c.media_id AS id_b,
+                   CAST($ham AS INT) AS hamming
+            FROM b a JOIN b c ON a.media_id < c.media_id
+            WHERE $ham <= 6
+            ORDER BY id_a, id_b"""
       })
   )
 }

@@ -213,4 +213,45 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       .toDF().select($"id_b").distinct().as[Long].collect().toSet
     assert(dominated == onlineDropped)
   }
+
+  test("real-codec audio fingerprint: copy at hamming 0, gain-invariant, noise separates, undecodable -> None") {
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val data = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        data(2 * i) = (s & 0xFF).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def hamming(a: Array[Int], b: Array[Int]): Int =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    val codec = new WavCodec
+    // a deterministic pseudo-melody: varied per-window energies
+    val rnd = new scala.util.Random(7)
+    val sig = Array.tabulate[Short](6500)(i =>
+      ((rnd.nextInt(8192) + 1024) * math.sin(i / 17.0)).toShort)
+    val h = codec.fingerprint(wav(sig)).get
+    assert(h.length == 8 && h.exists(_ != 0))
+    // exact copy
+    assert(hamming(h, codec.fingerprint(wav(sig)).get) == 0)
+    // uniform gain (exact integer halving): energy deltas keep sign
+    val half = sig.map(s => (s / 2).toShort)
+    assert(hamming(h, codec.fingerprint(wav(half)).get) == 0)
+    // small local perturbation: near, not identical windows elsewhere
+    val noisy = sig.clone(); for (i <- 0 until 200) noisy(i) = (noisy(i) / 3).toShort
+    val hn = hamming(h, codec.fingerprint(wav(noisy)).get)
+    assert(hn <= 12, s"local noise must stay near: $hn")
+    // a different melody is far
+    val other = Array.tabulate[Short](6500)(i =>
+      ((rnd.nextInt(8192) + 1024) * math.cos(i / 5.0)).toShort)
+    assert(hamming(h, codec.fingerprint(wav(other)).get) > 12)
+    // undecodable
+    assert(codec.fingerprint(Array[Byte](9, 9, 9)).isEmpty)
+  }
 }
