@@ -198,7 +198,7 @@ object Pipeline {
            SELECT doc_id, text,
                   min(doc_id) OVER (PARTITION BY md5(lower(text))) AS mn
            FROM lmg) WHERE doc_id = mn)"""
-    s"""WITH split AS (
+    s"""WITH RECURSIVE split AS (
           SELECT *, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 AS bucket
           FROM documents),
         bench AS (SELECT doc_id, text FROM split WHERE bucket < 20),
@@ -230,13 +230,13 @@ object Pipeline {
                           ELSE 0 END AS DOUBLE)
                    / greatest(len(toks) - 2, 1) AS dup_trigram_ratio
           FROM ct),
-        clean AS (
+        clean AS MATERIALIZED (
           SELECT doc_id, lang, text, n_tokens AS n_ws_tokens, quality
           FROM gates
           WHERE dup_bigram_ratio <= 0.1 AND dup_trigram_ratio <= 0.02
             AND quality >= 0.6 AND n_tokens >= 30),
         ${LmScore.lmAgainstCtes("l_", "clean", "documents")},
-        lmg AS (
+        lmg AS MATERIALIZED (
           SELECT c.*, l.avg_bits
           FROM clean c JOIN l_lm l USING (doc_id)
           WHERE l.avg_bits <= ${graft.streaming.StreamCorpus.LmGate}),
@@ -260,7 +260,7 @@ object Pipeline {
         dominated AS (
           SELECT DISTINCT id_b AS doc_id FROM dver WHERE sim >= 0.5
           UNION SELECT doc_id FROM twin),
-        surv AS (
+        surv AS MATERIALIZED (
           SELECT * FROM lmg
           WHERE doc_id NOT IN (SELECT doc_id FROM dominated)),
         ${Dedup.minhashSideCtes("a_", "surv")},
@@ -274,11 +274,11 @@ object Pipeline {
           JOIN b_xb xb2 ON xb2.doc_id = c.id_b
           WHERE CAST(len(list_intersect(xa.xs, xb2.xs)) AS DOUBLE)
                 / (len(xa.xs) + len(xb2.xs) - len(list_intersect(xa.xs, xb2.xs))) >= 0.5),
-        fin AS (
+        fin AS MATERIALIZED (
           SELECT * FROM surv
           WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
         ${Dedup.spanExcisionCtes("e_", "fin")},
-        exc AS (
+        exc AS MATERIALIZED (
           SELECT f.doc_id, f.lang, f.quality, f.avg_bits, f.n_ws_tokens,
                  e.n_removed AS n_excised, e.kept_text AS text
           FROM fin f JOIN e_x e USING (doc_id)),

@@ -10,19 +10,24 @@ import org.apache.spark.sql.functions._
   * chunk / pack pipeline steps instead of whitespace-word counts.
   *
   * The tokenizer itself is [[graft.functions.Bpe]] — a fused
-  * expression applying the committed 64-merge table
+  * expression applying the committed 768-merge table
   * (`src/main/resources/graft/bpe_merges.txt`, trained offline by
   * `tools/train_bpe.py` with the classic Sennrich et al. 2016
-  * algorithm over the sf0.001 corpus).
+  * algorithm: 64 organic merges over the sf0.001 corpus plus a
+  * 704-merge synthetic-hex extension — the corpus vocabulary
+  * saturates at 109 organic merges, so fixture scale has to come from
+  * an auxiliary vocabulary; see the trainer's docstring).
   *
   * The correctness oracle replays BPE application IN FULL inside
-  * DuckDB: merge k is one chained CTE running a `list_reduce` left
-  * fold that merges adjacent (a, b) symbol pairs. The fold form is
-  * equivalent to the trainer's left-to-right scan — a freshly merged
-  * symbol `ab` can never start another (a, b) occurrence because
-  * `ab != a` — and BpeSpec asserts scan == fold on the corpus, so the
-  * cross-engine hash-compare covers the tokenizer's exact output, not
-  * just row counts.
+  * DuckDB: one recursive CTE applies merge k (from a generated VALUES
+  * table) at recursion depth k as a `list_reduce` left fold merging
+  * adjacent (a, b) symbol pairs — see [[bpeCtesFrom]] for why the
+  * recursive form replaced the per-merge chained CTEs at this fixture
+  * size. The fold form is equivalent to the trainer's left-to-right
+  * scan — a freshly merged symbol `ab` can never start another (a, b)
+  * occurrence because `ab != a` — and BpeSpec asserts scan == fold on
+  * the corpus, so the cross-engine hash-compare covers the
+  * tokenizer's exact output, not just row counts.
   *
   * Scale shape: all three queries are per-row compute (the tokenizer
   * rides whole-stage codegen, word results memoized per thread) with
@@ -42,33 +47,64 @@ object Tokenize {
 
   private def esc(s: String) = s.replace("'", "''")
 
-  /** Shared oracle fragment: per-(doc, word) BPE symbol sequences as
-    * chained CTEs `w, s0, m0 … m{n-1}` over `documents`; the caller
-    * appends its own final select over [[lastCte]]. */
+  /** Shared oracle fragment: per-(doc, word) BPE symbol sequences over
+    * `docsRel` as CTEs `mg, w, dw, it, bq`; the caller appends its own
+    * final select over [[lastCte]] (= `bq`, columns doc_id / word_idx
+    * / seq) and must open its statement with `WITH RECURSIVE` (legal
+    * even when the other CTEs are plain).
+    *
+    * Two scale moves, both forced by growing the fixture from 64 toy
+    * merges to 768:
+    *
+    *  - the merge fold walks DISTINCT words only and `bq` joins the
+    *    sequences back to the occurrence stream — the oracle-side
+    *    mirror of the engine's per-thread word memoization (a Zipfian
+    *    corpus re-tokenizes the same words constantly; folding per
+    *    occurrence costs occurrences/distinct ≈ 10³ more for
+    *    identical output);
+    *  - the merges ride a generated VALUES table driven through ONE
+    *    recursive CTE (`it` applies merge k at recursion depth k — the
+    *    same sequential left-fold the engine runs, one level per
+    *    merge) instead of one chained CTE per merge: the chained form
+    *    binds against DuckDB's max_expression_depth of 1000 at ~900
+    *    merges and pays binder cost super-linear in the chain length
+    *    (measured 49 s/statement at 768 CTEs vs 2 s recursive), so the
+    *    recursive form is what keeps the replay pattern valid at
+    *    real-tokenizer vocabulary sizes (10k-100k merges). */
   private[graft] def bpeCtesFrom(docsRel: String): String = {
     val split =
       """[x for x in string_split_regex(trim(replace(replace(lower(text), '␟', ''), '▁', '')), '\s+') if x != '']"""
-    val head =
-      s"""w AS (
-         |  SELECT doc_id, unnest($split) AS word,
-         |         generate_subscripts($split, 1) AS word_idx
-         |  FROM $docsRel),
-         |s0 AS (
-         |  SELECT doc_id, word_idx,
-         |         ['▁'] || [word[i:i] for i in range(1, len(word)+1)] AS seq
-         |  FROM w)""".stripMargin
-    val steps = Bpe.merges.zipWithIndex.map { case ((a, b), k) =>
-      val prev = if (k == 0) "s0" else s"m${k - 1}"
-      s"""m$k AS (SELECT doc_id, word_idx, list_reduce(list_transform(seq, x -> [x]),
-         |  (acc, e) -> CASE WHEN acc[-1] = '${esc(a)}' AND e[1] = '${esc(b)}'
-         |                   THEN acc[:-2] || ['${esc(a + b)}'] ELSE acc || e END) AS seq FROM $prev)""".stripMargin
-    }
-    (head +: steps).mkString(",\n")
+    val vals = Bpe.merges.zipWithIndex.map { case ((a, b), k) =>
+      s"($k, '${esc(a)}', '${esc(b)}')"
+    }.mkString(", ")
+    s"""mg(k, a, b) AS (SELECT * FROM (VALUES $vals)),
+       |w AS (
+       |  SELECT doc_id, unnest($split) AS word,
+       |         generate_subscripts($split, 1) AS word_idx
+       |  FROM $docsRel),
+       |dw AS (SELECT DISTINCT word FROM w),
+       |it AS (
+       |  SELECT word,
+       |         ['▁'] || [word[i:i] for i in range(1, len(word)+1)] AS seq,
+       |         0 AS k
+       |  FROM dw
+       |  UNION ALL
+       |  SELECT it.word,
+       |         list_reduce(list_transform(it.seq, x -> [x]),
+       |           (acc, e) -> CASE WHEN acc[-1] = mg.a AND e[1] = mg.b
+       |                            THEN acc[:-2] || [mg.a || mg.b]
+       |                            ELSE acc || e END) AS seq,
+       |         it.k + 1 AS k
+       |  FROM it JOIN mg ON mg.k = it.k),
+       |bq AS (
+       |  SELECT w.doc_id, w.word_idx, m.seq
+       |  FROM w JOIN (SELECT word, seq FROM it WHERE k = ${Bpe.merges.length}) m
+       |    USING (word))""".stripMargin
   }
 
   private[graft] lazy val bpeCtes: String = bpeCtesFrom("documents")
 
-  private[graft] lazy val lastCte: String = s"m${Bpe.merges.length - 1}"
+  private[graft] lazy val lastCte: String = "bq"
 
   /** Per-doc flattened token list (empty docs kept with []). */
   private lazy val docToksCte: String =
@@ -110,7 +146,7 @@ object Tokenize {
           .orderBy($"doc_id")
       },
       Some(
-        s"""WITH $bpeCtes,
+        s"""WITH RECURSIVE $bpeCtes,
            |$docToksCte,
            |j AS (
            |  SELECT doc_id, array_to_string(toks, ' ') AS joined,
@@ -143,7 +179,7 @@ object Tokenize {
           .limit(100)
       },
       Some(
-        s"""WITH $bpeCtes
+        s"""WITH RECURSIVE $bpeCtes
            |SELECT token, count(*) AS freq
            |FROM (SELECT unnest(seq) AS token FROM $lastCte) t
            |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin)),
@@ -178,7 +214,7 @@ object Tokenize {
           .orderBy($"lang")
       },
       Some(
-        s"""WITH $bpeCtes,
+        s"""WITH RECURSIVE $bpeCtes,
            |tk AS (SELECT doc_id, unnest(seq) AS token FROM $lastCte),
            |tl AS (SELECT d.lang, tk.token
            |       FROM tk JOIN (SELECT doc_id, lang FROM documents) d USING (doc_id)),
@@ -204,7 +240,7 @@ object Tokenize {
           .orderBy($"doc_id", $"chunk_idx")
       },
       Some(
-        s"""WITH $bpeCtes,
+        s"""WITH RECURSIVE $bpeCtes,
            |$docToksCte,
            |c AS (
            |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -230,7 +266,7 @@ object Tokenize {
           .orderBy($"doc_id")
       },
       Some(
-        s"""WITH $bpeCtes,
+        s"""WITH RECURSIVE $bpeCtes,
            |cnt AS (
            |  SELECT doc_id, CAST(sum(len(seq)) AS BIGINT) AS n FROM $lastCte GROUP BY doc_id),
            |t AS (

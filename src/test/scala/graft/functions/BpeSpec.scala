@@ -21,11 +21,16 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
       case (seq, (a, b)) => foldMerge(seq, a, b)
     }
 
-  test("merges fixture loads: 64 ordered pairs, no empties") {
-    assert(Bpe.merges.length == 64)
+  test("merges fixture loads: 768 ordered pairs (64 organic + 704 hex-extension), no empties") {
+    assert(Bpe.merges.length == 768)
     assert(Bpe.merges.forall { case (a, b) => a.nonEmpty && b.nonEmpty })
     // first merge as trained (most frequent pair of the seed corpus)
     assert(Bpe.merges.head == (("▁", "s")))
+    // the organic prefix is intact: merge 65+ is the hex extension,
+    // whose produced symbols are boundary-or-hex only
+    val hexish = ("▁" + "0123456789abcdef").toSet
+    assert(Bpe.merges.drop(64).forall { case (a, b) =>
+      (a + b).forall(hexish.contains) })
   }
 
   test("golden words: learned vocabulary tokenizes to single symbols") {
