@@ -542,11 +542,28 @@ object Multimodal {
     * arrival order = id order makes the streaming keep-first drop set
     * equal this batch dominated set. */
   def applyPhashSurvivors(media: DataFrame, maxHamming: Int): DataFrame =
+    applyBandedSurvivors(media, "image", phashPairs, maxHamming)
+
+  /** Audio near-dup dedup APPLIED — same survivor algebra over the
+    * [[audioFingerprintPairs]] graph (see [[applyPhashSurvivors]]);
+    * every media kind with a detector now ships its transform too. */
+  def applyAudioSurvivors(media: DataFrame, maxHamming: Int): DataFrame =
+    applyBandedSurvivors(media, "audio", audioFingerprintPairs, maxHamming)
+
+  /** The kind-scoped keep-first survivor transform shared by the
+    * banded fingerprint families: collapse content twins, run the
+    * banded pair pipeline over eligible reps of `kindVal` only,
+    * dominated = higher id of every verified pair plus twins of a
+    * falling rep, survivors by one anti-join; other kinds pass
+    * through untouched (their reps are never eligible). */
+  private def applyBandedSurvivors(
+      media: DataFrame, kindVal: String,
+      pairs: (DataFrame, Int) => DataFrame, maxHamming: Int): DataFrame =
     Dedup.collapseApplySurvivors(media, "media_id",
       Seq(col("kind"), md5(col("content")))) { reps =>
-      reps.filter(col("kind") === "image" && octet_length(col("content")) >= 1)
+      reps.filter(col("kind") === kindVal && octet_length(col("content")) >= 1)
     } { el =>
-      phashPairs(el, maxHamming).select(col("id_b").as("media_id")).distinct()
+      pairs(el, maxHamming).select(col("id_b").as("media_id")).distinct()
     }
 
   val queries: Seq[QueryDef] = Seq(
@@ -780,6 +797,61 @@ object Multimodal {
             FROM b a JOIN b c ON a.media_id < c.media_id
             WHERE $ham <= 6
             ORDER BY id_a, id_b"""
+      }),
+
+    // Applied audio dedup: the survivor transform over the audio
+    // fingerprint graph, completing the family symmetry (text,
+    // embedding, image, and audio each ship detector AND transform).
+    // Same replayed-copies corpus as mm_audio_pairs; oracle replays
+    // collapse window, naive all-pairs hamming over eligible reps,
+    // twin rule, and the final anti-join.
+    QueryDef(
+      "mm_apply_audio",
+      (s, d) => {
+        import s.implicits._
+        val base = synthesize(s, d).toDF()
+        val replayed = base
+          .filter($"kind" === "audio" && $"media_id" < 30)
+          .withColumn("media_id", $"media_id" + 1000000L)
+        applyAudioSurvivors(base.unionByName(replayed), maxHamming = 6)
+          .select($"media_id", $"kind", md5($"content").as("content_md5"))
+          .orderBy($"media_id")
+      },
+      Some {
+        val bands = audioBandExprs("text", "len").mkString("[", ", ", "]")
+        val ham = (1 to 8)
+          .map(i => s"bit_count(xor(a.bands[$i], c.bands[$i]))")
+          .mkString(" + ")
+        s"""WITH am AS (
+              SELECT doc_id AS media_id,
+                     ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+                     text, length(text) AS len
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS media_id, 'audio' AS kind,
+                     text, length(text) AS len
+              FROM documents WHERE doc_id % 3 = 1 AND doc_id < 30),
+            grp AS (
+              SELECT *, min(media_id) OVER (PARTITION BY kind, md5(text)) AS mn
+              FROM am),
+            el AS (
+              SELECT * FROM grp
+              WHERE media_id = mn AND kind = 'audio' AND len >= 1),
+            b AS (SELECT media_id, $bands AS bands FROM el),
+            prs AS (
+              SELECT c.media_id AS id_b
+              FROM b a JOIN b c ON a.media_id < c.media_id
+              WHERE $ham <= 6),
+            twind AS (
+              SELECT g.media_id
+              FROM grp g JOIN el ON el.media_id = g.mn
+              WHERE g.media_id != g.mn),
+            dom AS (
+              SELECT DISTINCT id_b AS media_id FROM prs
+              UNION SELECT media_id FROM twind)
+            SELECT media_id, kind, md5(text) AS content_md5
+            FROM am WHERE media_id NOT IN (SELECT media_id FROM dom)
+            ORDER BY media_id"""
       })
   )
 }

@@ -203,7 +203,7 @@ object Similarity {
     * assignment once and serves from it; the serving queries run it
     * once per build behind a [[Checkpoints]] lease so the oracle can
     * see the whole pipeline without the plan re-instantiating it. */
-  private[ops] def kmeansCells(
+  private[graft] def kmeansCells(
       emb: DataFrame, nlist: Int = IvfNlist, iters: Int = IvfIters): DataFrame = {
     var assign = emb.select(col("vec_id"),
       pmod(graft.functions.PortableHash.md5Hash60(col("vec_id").cast("string")),

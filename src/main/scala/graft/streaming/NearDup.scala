@@ -267,15 +267,55 @@ object NearDup {
   def imageNearDupPairs(
       media: DataFrame, maxHamming: Int,
       maxPerBand: Int = Int.MaxValue,
-      maxIndexBytes: Long = DefaultMaxIndexBytes): Dataset[ImgPair] = {
+      maxIndexBytes: Long = DefaultMaxIndexBytes): Dataset[ImgPair] =
+    bandedFingerprintPairs(bandedImages(media), "image phash",
+      maxHamming, maxPerBand, maxIndexBytes)
+
+  /** Arriving audio exploded to its 8 fingerprint band keys — the
+    * audio twin of [[bandedImages]] over
+    * [[graft.ops.Multimodal.audioBandExprs]]'s energy-delta bands. */
+  def bandedAudio(media: DataFrame): Dataset[BandImg] = {
     import media.sparkSession.implicits._
-    val banded = bandedImages(media)
-    requireIndexFits("image phash",
+    val withBands = media.filter(col("kind") === "audio")
+      .select(col("media_id"), decode(col("content"), "UTF-8").as("__txt"))
+      .withColumn("__len", length(col("__txt")))
+      .filter(col("__len") >= 1)
+      .withColumn("bands",
+        array(graft.ops.Multimodal.audioBandExprs("__txt", "__len").map(expr): _*))
+    withBands
+      .select(posexplode(col("bands")).as(Seq("__idx", "__val")),
+        col("media_id"), col("bands"))
+      .select(concat(col("__idx").cast("string"), lit(":"),
+          col("__val").cast("string")).as("band"),
+        col("media_id"), col("bands"))
+      .as[BandImg]
+  }
+
+  /** Online audio near-dup pairs over the banded energy-delta
+    * fingerprint — same state machine, guard, and completeness
+    * argument as [[imageNearDupPairs]]; the batch form IS
+    * `mm_audio_pairs`' pair set, so `w_audio` shares that oracle. */
+  def audioNearDupPairs(
+      media: DataFrame, maxHamming: Int,
+      maxPerBand: Int = Int.MaxValue,
+      maxIndexBytes: Long = DefaultMaxIndexBytes): Dataset[ImgPair] =
+    bandedFingerprintPairs(bandedAudio(media), "audio fingerprint",
+      maxHamming, maxPerBand, maxIndexBytes)
+
+  /** The shared online banded-fingerprint index: heap-guarded, one
+    * band-key exchange into flatMapGroupsWithState, every arrival
+    * verified against earlier same-band arrivals. */
+  private def bandedFingerprintPairs(
+      banded: Dataset[BandImg], what: String, maxHamming: Int,
+      maxPerBand: Int, maxIndexBytes: Long): Dataset[ImgPair] = {
+    import banded.sparkSession.implicits._
+    requireIndexFits(what,
       size(col("bands")).cast("long"), banded.toDF(), maxIndexBytes)
+    val process: (String, Iterator[BandImg], GroupState[ImgBandState]) => Iterator[ImgPair] =
+      processImgBand(maxHamming, maxPerBand)
     banded
       .groupByKey(_.band)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        processImgBand(maxHamming, maxPerBand))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(process)
   }
 
   // ---- Embedding form: the online hyperplane-LSH index ------------
@@ -555,6 +595,43 @@ object NearDup {
               SELECT doc_id + 1000000 AS media_id, text, length(text) AS len
               FROM documents
               WHERE doc_id % 3 = 0 AND doc_id < 30 AND length(text) >= 1),
+            b AS (SELECT media_id, $bands AS bands FROM m)
+            SELECT a.media_id AS id_a, c.media_id AS id_b,
+                   CAST($ham AS INT) AS hamming
+            FROM b a JOIN b c ON a.media_id < c.media_id
+            WHERE $ham <= 6
+            ORDER BY id_a, id_b"""
+      }),
+
+    // The online audio fingerprint index under batch execution — the
+    // audio twin of w_phash, sharing mm_audio_pairs' naive all-pairs
+    // oracle; StreamAudioSpec asserts the multi-micro-batch streaming
+    // run emits this set.
+    QueryDef(
+      "w_audio",
+      (s, d) => {
+        import s.implicits._
+        val base = graft.ops.Multimodal.synthesize(s, d).toDF()
+        val replayed = base
+          .filter($"kind" === "audio" && $"media_id" < 30)
+          .withColumn("media_id", $"media_id" + 1000000L)
+        audioNearDupPairs(base.unionByName(replayed), maxHamming = 6)
+          .toDF().distinct()
+          .orderBy($"id_a", $"id_b")
+      },
+      Some {
+        val bands = graft.ops.Multimodal.audioBandExprs("text", "len")
+          .mkString("[", ", ", "]")
+        val ham = (1 to 8)
+          .map(i => s"bit_count(xor(a.bands[$i], c.bands[$i]))")
+          .mkString(" + ")
+        s"""WITH m AS (
+              SELECT doc_id AS media_id, text, length(text) AS len
+              FROM documents WHERE doc_id % 3 = 1 AND length(text) >= 1
+              UNION ALL
+              SELECT doc_id + 1000000 AS media_id, text, length(text) AS len
+              FROM documents
+              WHERE doc_id % 3 = 1 AND doc_id < 30 AND length(text) >= 1),
             b AS (SELECT media_id, $bands AS bands FROM m)
             SELECT a.media_id AS id_a, c.media_id AS id_b,
                    CAST($ham AS INT) AS hamming

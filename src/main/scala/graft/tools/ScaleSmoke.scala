@@ -68,8 +68,122 @@ object ScaleSmoke {
         finally spark.stop()
       case "skew"  => hotBand(args.drop(1))
       case "dedup" => dedupSaturation(args.drop(1))
-      case other   => sys.error(s"unknown mode '$other' (full|fulld|dedup|skew)")
+      case "ann"   => annScale(args.drop(1))
+      case other   => sys.error(s"unknown mode '$other' (full|fulld|dedup|skew|ann)")
     }
+  }
+
+  /** `ann <sfDir> <copies> <outJson>` — the scaled-parameter honesty
+    * pass on the IVF family: the oracle-pinned queries run nlist = 10
+    * (tiny by design — the DuckDB replay unrolls training), but the
+    * 100 TB design claim is nlist ≈ √N. This mode amplifies the
+    * embeddings table `copies`× (id-shifted, verbatim vectors — the
+    * point is shape and cost, not recall, which SimilaritySpec pins at
+    * real data scale) and measures the full build+serve ivfTopK at the
+    * contract config AND at √N-scale cell counts, with nprobe held to
+    * a comparable probed fraction. What must hold for the design claim:
+    * the centroid side stays broadcast-small (nlist × dim doubles),
+    * the per-round assignment stays one map pass + one tiny aggregate,
+    * serving cost FALLS as nlist grows (nprobe/nlist of the corpus is
+    * scanned), and no cell degenerates into a straggler (cell-balance
+    * stats are emitted alongside). PQ serves from a codebook whose
+    * size is m × ksub × dsub — dimension-bound, INDEPENDENT of N — so
+    * its honesty number here is just the 100× build+serve time at the
+    * contract codebook. */
+  def annScale(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.drop(1).headOption.map(_.toInt).getOrElse(100)
+    val outJson = args.drop(2).headOption.getOrElse("SCALE100ANN_r10.json")
+    val off = 1000000000L
+    val ampDir = java.nio.file.Files.createTempDirectory("graft_annamp").toString
+    locally {
+      val s = buildSession()
+      try {
+        import s.implicits._
+        val df = s.read.parquet(s"$sfDir/embeddings.parquet")
+        df.crossJoin(s.range(copies).select($"id".as("__copy")))
+          .select(df.schema.fields.toSeq.map { f =>
+            if (f.name == "vec_id")
+              (col(f.name) + $"__copy" * lit(off)).cast(f.dataType).as(f.name)
+            else col(f.name)
+          }: _*)
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$ampDir/embeddings.parquet")
+      } finally s.stop()
+    }
+    val n = copies * 2000L // recorded, not load-bearing
+    println(s"SCALE ann: ${copies}x embeddings at $ampDir")
+
+    // (nlist, nprobe): contract config, then √N-scale cells at a
+    // comparable-or-smaller probed fraction
+    val configs = Seq(
+      (graft.ops.Similarity.IvfNlist, 2), (64, 8), (256, 16))
+    val rows = configs.map { case (nlist, nprobe) =>
+      val spark = buildSession()
+      val durations = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          durations.add(te.taskInfo.duration); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        spark.range(1000).selectExpr("sum(id)").collect()
+        def force(): Double = {
+          val t0 = System.nanoTime()
+          noopForce(graft.ops.Similarity.ivfTopK(spark, ampDir, nprobe, 5,
+            cells => graft.ops.Similarity.kmeansCells(cells, nlist = nlist)))
+          (System.nanoTime() - t0) / 1e9
+        }
+        force() // warmup (codegen JIT; the build itself re-runs per force)
+        durations.clear()
+        val t = force()
+        val maxTask = { import scala.jdk.CollectionConverters._
+          durations.iterator().asScala.foldLeft(0L)(math.max) / 1e3 }
+        // cell balance of the trained assignment at this nlist
+        val emb = table(spark, ampDir, "embeddings")
+          .select(col("vec_id"),
+            graft.ops.Similarity.asDouble(col("embedding")).as("v"))
+        val stats = graft.ops.Similarity.kmeansCells(emb, nlist = nlist)
+          .groupBy(col("cell")).agg(count(lit(1)).as("m"))
+          .agg(count(lit(1)), max(col("m")), avg(col("m"))).head()
+        val (cells, mx, mean) =
+          (stats.getLong(0), stats.getLong(1), stats.getDouble(2))
+        println(f"SCALE ann nlist=$nlist%d nprobe=$nprobe%d: $t%.2f s " +
+          f"(straggler ${maxTask / math.max(t, 1e-9)}%.2f, cells $cells%d, " +
+          f"max/mean ${mx / math.max(mean, 1e-9)}%.2f)")
+        (nlist, nprobe, t, maxTask / math.max(t, 1e-9), cells, mx, mean)
+      } finally {
+        spark.sparkContext.removeSparkListener(listener)
+        spark.stop()
+      }
+    }
+    // PQ at the contract codebook on the same amplified corpus
+    val pqT = {
+      val spark = buildSession()
+      try {
+        spark.range(1000).selectExpr("sum(id)").collect()
+        def force(): Double = {
+          val t0 = System.nanoTime()
+          noopForce(graft.ops.ProductQuant.pqTopK(spark, ampDir, m = 10, k = 5))
+          (System.nanoTime() - t0) / 1e9
+        }
+        force(); val t = force()
+        println(f"SCALE ann pq: $t%.2f s"); t
+      } finally spark.stop()
+    }
+    val cfgJson = rows.map { case (nl, np, t, st, cells, mx, mean) =>
+      f"""    {"nlist": $nl%d, "nprobe": $np%d, "t": $t%.3f, "straggler": $st%.2f, "cells": $cells%d, "max_cell": $mx%d, "mean_cell": $mean%.1f}"""
+    }.mkString("[\n", ",\n", "\n  ]")
+    val json =
+      s"""{
+  "mode": "ann_scaled_params", "copies": $copies, "n_vectors": $n,
+  "configs": $cfgJson,
+  "pq_contract_t": $pqT
+}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"SCALE ann wrote $outJson")
   }
 
   /** Key columns shifted per copy so each replica is FK-consistent and

@@ -214,6 +214,27 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(dominated == onlineDropped)
   }
 
+  test("applyAudioSurvivors: same keep-first equivalence for the audio family") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = synthesize(spark, sf).toDF()
+    val replayed = base
+      .filter($"kind" === "audio" && $"media_id" < 30)
+      .withColumn("media_id", $"media_id" + 1000000L)
+    val all = base.unionByName(replayed)
+    val surv = applyAudioSurvivors(all, maxHamming = 6)
+    assert(surv.filter($"kind" =!= "audio").count() ==
+      all.filter($"kind" =!= "audio").count())
+    assert(surv.filter($"media_id" >= 1000000L).count() == 0L)
+    val dominated = all.filter($"kind" === "audio")
+      .join(surv.select($"media_id"), Seq("media_id"), "left_anti")
+      .select($"media_id").as[Long].collect().toSet
+    val onlineDropped = graft.streaming.NearDup
+      .audioNearDupPairs(all, maxHamming = 6)
+      .toDF().select($"id_b").distinct().as[Long].collect().toSet
+    assert(dominated == onlineDropped)
+  }
+
   test("real-codec audio fingerprint: copy at hamming 0, gain-invariant, noise separates, undecodable -> None") {
     def wav(samples: Array[Short]): Array[Byte] = {
       val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
