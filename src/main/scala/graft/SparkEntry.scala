@@ -20,6 +20,7 @@ object SparkEntry {
       ops.LmScore.queries ++
       ops.Pii.queries ++ ops.Dedup.queries ++
       ops.Similarity.queries ++ ops.ProductQuant.queries ++
+      ops.IvfPq.queries ++
       ops.Multimodal.queries ++ ops.Pipeline.queries ++
       streaming.Windows.queries ++ streaming.NearDup.queries ++
       streaming.AnnServe.queries ++ streaming.LmServe.queries ++

@@ -223,55 +223,55 @@ object ProductQuant {
     * expanded-square L2 argmax with the (score DESC, cell ASC)
     * row_number tie-break, subspace-ordered flatten — so the replay is
     * value-identical. */
-  private def pqOracleCtes: String = {
+  private[ops] def pqOracleCtes(p: String = ""): String = {
     val init =
-      s"""sv AS (
+      s"""${p}sv AS (
                 SELECT vec_id, s AS sub, v[s*$PqDsub+1 : s*$PqDsub+$PqDsub] AS sv
                 FROM (SELECT vec_id, v, unnest(range(0, $PqM)) AS s FROM e)),
-              asn0 AS (
+              ${p}asn0 AS (
                 SELECT vec_id, sub,
                        ${graft.functions.PortableHash.duckdbHash60(
                          "CAST(vec_id AS VARCHAR) || ':' || CAST(sub AS VARCHAR)")}
                          % $PqKsub AS cell
-                FROM sv)"""
+                FROM ${p}sv)"""
     val rounds = (1 to PqIters).map { r =>
-      s"""px$r AS (
+      s"""${p}px$r AS (
                 SELECT a.sub, a.cell, unnest(s.sv) AS x, generate_subscripts(s.sv, 1) AS pos
-                FROM sv s JOIN asn${r - 1} a ON a.vec_id = s.vec_id AND a.sub = s.sub),
-              cg$r AS (
+                FROM ${p}sv s JOIN ${p}asn${r - 1} a ON a.vec_id = s.vec_id AND a.sub = s.sub),
+              ${p}cg$r AS (
                 SELECT sub, cell, pos,
                        CAST(sum(CAST(floor(x * 1000000) AS BIGINT)) AS DOUBLE)
                          / (count(*) * 1000000.0) AS cx
-                FROM px$r GROUP BY sub, cell, pos),
-              ct$r AS (
+                FROM ${p}px$r GROUP BY sub, cell, pos),
+              ${p}ct$r AS (
                 SELECT sub, cell AS c_label, list(cx ORDER BY pos) AS cv
-                FROM cg$r GROUP BY sub, cell),
-              sc$r AS (
+                FROM ${p}cg$r GROUP BY sub, cell),
+              ${p}sc$r AS (
                 SELECT s.vec_id, s.sub, c.c_label,
                        row_number() OVER (PARTITION BY s.vec_id, s.sub
                          ORDER BY list_dot_product(s.sv, c.cv)
                                     - 0.5 * list_dot_product(c.cv, c.cv) DESC,
                                   c.c_label ASC) AS rk
-                FROM sv s JOIN ct$r c ON c.sub = s.sub),
-              asn$r AS (SELECT vec_id, sub, c_label AS cell FROM sc$r WHERE rk = 1)"""
+                FROM ${p}sv s JOIN ${p}ct$r c ON c.sub = s.sub),
+              ${p}asn$r AS (SELECT vec_id, sub, c_label AS cell FROM ${p}sc$r WHERE rk = 1)"""
     }
     val serving =
-      s"""fpx AS (
+      s"""${p}fpx AS (
                 SELECT a.sub, a.cell, unnest(s.sv) AS x, generate_subscripts(s.sv, 1) AS pos
-                FROM sv s JOIN asn$PqIters a ON a.vec_id = s.vec_id AND a.sub = s.sub),
-              fcg AS (
+                FROM ${p}sv s JOIN ${p}asn$PqIters a ON a.vec_id = s.vec_id AND a.sub = s.sub),
+              ${p}fcg AS (
                 SELECT sub, cell, pos,
                        CAST(sum(CAST(floor(x * 1000000) AS BIGINT)) AS DOUBLE)
                          / (count(*) * 1000000.0) AS cx
-                FROM fpx GROUP BY sub, cell, pos),
-              fcb AS (
+                FROM ${p}fpx GROUP BY sub, cell, pos),
+              ${p}fcb AS (
                 SELECT sub, cell, list(cx ORDER BY pos) AS cv
-                FROM fcg GROUP BY sub, cell),
-              rcn AS (
+                FROM ${p}fcg GROUP BY sub, cell),
+              ${p}rcn AS (
                 SELECT vec_id, rv, sqrt(list_dot_product(rv, rv)) AS rn
                 FROM (SELECT a.vec_id, flatten(list(c.cv ORDER BY a.sub)) AS rv
-                      FROM asn$PqIters a
-                      JOIN fcb c ON c.sub = a.sub AND c.cell = a.cell
+                      FROM ${p}asn$PqIters a
+                      JOIN ${p}fcb c ON c.sub = a.sub AND c.cell = a.cell
                       GROUP BY a.vec_id))"""
     (init +: rounds :+ serving).mkString(",\n              ")
   }
@@ -283,7 +283,7 @@ object ProductQuant {
                        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                              CAST(embedding AS DOUBLE[]))) AS nrm
                 FROM embeddings),
-              $pqOracleCtes,
+              ${pqOracleCtes()},
               q AS (
                 SELECT vec_id AS query_id, v AS qv, nrm AS qn
                 FROM e WHERE vec_id < 20 AND nrm > 0),

@@ -416,7 +416,7 @@ object Similarity {
     * degenerate centroids, argmax with the (score DESC, cell ASC)
     * row_number tie-break — so the replay is value-identical, not
     * merely shape-identical. */
-  private def kmeansOracleCtes(nlist: Int, iters: Int): String = {
+  private[ops] def kmeansOracleCtes(nlist: Int, iters: Int): String = {
     val init =
       s"""asn0 AS (
                 SELECT vec_id,
@@ -454,7 +454,7 @@ object Similarity {
     * assignment `asn$iters` (mirrors [[ivfProbedWith]]'s centroid
     * stage, which — unlike the training rounds — does NOT drop
     * zero-norm centroids). Defines `fcn` (c_label, cv, cn). */
-  private def ivfCentroidCtes(iters: Int): String =
+  private[ops] def ivfCentroidCtes(iters: Int): String =
     s"""fpx AS (
                 SELECT a.cell, unnest(e.v) AS x, generate_subscripts(e.v, 1) AS pos
                 FROM e JOIN asn$iters a ON a.vec_id = e.vec_id),

@@ -228,6 +228,21 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("s_ann_ivfpq: one-shot composed index build, cell-keyed ADC join, hash-join re-ranks, no cartesian") {
+    val p = plan("s_ann_ivfpq")
+    // neither training subtree (4 k-means rounds + 4 per-subspace PQ
+    // rounds — a dozen-plus posexplode aggregates if inlined, round
+    // 8's failure mode) may appear in the serving plan: the lease
+    // materializes the joined index once, and the ONLY legitimate
+    // posexplode is the serving-centroid recompute over that
+    // materialized index. The centroid probe is the one intended
+    // nested-loop (queries x nlist, both broadcast-tiny).
+    assert(count(p, "posexplode") <= 3, p)
+    assert(count(p, "BroadcastNestedLoopJoin") <= 2, p)
+    assert(count(p, "BroadcastHashJoin") >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("s_ann_pq: one-shot index build (checkpoint truncates training), hash-join re-ranks, no cartesian") {
     val p = plan("s_ann_pq")
     // the ADC scan over the checkpointed reconstruction index is the

@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+class IvfPqSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("ivfPqTopK: cell bound holds — every candidate's cell is one the query probed") {
+    import spark.implicits._
+    val out = IvfPq.ivfPqTopK(spark, sf, nprobe = 4, m = 10, k = 5).collect()
+    assert(out.nonEmpty)
+    // every query emits at most k ranked rows, ranks contiguous from 1
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val ranks = rows.map(_.getInt(1)).sorted.toSeq
+      assert(ranks == (1 to ranks.size), s"query $q ranks $ranks")
+      // at most nprobe distinct cells contributed
+      assert(rows.map(_.getLong(2)).distinct.length <= 4, s"query $q cells")
+    }
+  }
+
+  test("recall@5: IVF-PQ sits between its parents — bounded by PQ-only above, improves with nprobe") {
+    import spark.implicits._
+    val emb = graft.model.Tables.table(spark, sf, "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    def keys(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"query_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = keys(Similarity.bruteForceTopK(emb.filter($"id" < 20), emb, 5))
+    val pqOnly = keys(ProductQuant.pqTopK(spark, sf, m = 10, k = 5))
+      .intersect(truth).size
+    val r = Seq(2, 4, 10).map { np =>
+      keys(IvfPq.ivfPqTopK(spark, sf, nprobe = np, m = 10, k = 5))
+        .intersect(truth).size
+    }
+    info(s"recall@5: ivfpq nprobe=2/4/10 -> ${r(0)}/${r(1)}/${r(2)}, pq-only $pqOnly")
+    // probing MORE cells can only add candidates the ADC ranking sees
+    assert(r(1) >= r(0), s"recall fell from nprobe=2 (${r(0)}) to 4 (${r(1)})")
+    assert(r(2) >= r(1), s"recall fell from nprobe=4 (${r(1)}) to 10 (${r(2)})")
+    // at nprobe = nlist the cell bound is vacuous: the candidate set is
+    // exactly PQ-only's, so recall must MATCH the pure-PQ query
+    assert(r(2) == pqOnly,
+      s"nprobe=nlist recall ${r(2)} != pq-only recall $pqOnly")
+  }
+}
