@@ -550,6 +550,50 @@ object Multimodal {
   def applyAudioSurvivors(media: DataFrame, maxHamming: Int): DataFrame =
     applyBandedSurvivors(media, "audio", audioFingerprintPairs, maxHamming)
 
+  /** Video near-dup pairs by SHARED SAMPLED FRAMES — the video member
+    * of the near-dup family, built on the same frame sampling
+    * `mm_frames` accounts for (every 3rd of the `n_frames` equal
+    * chunks): two videos are near-dups when >= `minShared` of their
+    * distinct sampled-frame hashes coincide, position-independent (a
+    * trimmed or re-cut video keeps most frames but shifts them — the
+    * content-defined-chunking argument at frame granularity; full
+    * per-frame perceptual matching composes this operator with the
+    * image dHash by hashing frames perceptually instead of exactly).
+    * Emits (id_a, id_b, n_shared, nh_a, nh_b) — the counts make the
+    * containment direction readable (n_shared / nh_a).
+    *
+    * Scale shape: one frame-hash postings explode (bounded by
+    * n_frames/3 per video), a hash equi-join for candidates with a
+    * pair-keyed counting aggregate (map-side combine) — the
+    * exact-substring dedup shape at frame granularity, never
+    * all-pairs. The oracle replays chunking arithmetic, hashing, and
+    * the pair counts verbatim. */
+  def videoFramePairs(media: DataFrame, minShared: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    val vids = media.filter($"kind" === "video")
+      .select($"media_id", decode($"content", "UTF-8").as("__txt"), $"n_frames")
+      .withColumn("__len", length($"__txt"))
+      .filter($"__len" >= 1)
+      .withColumn("fl", greatest(($"__len" / $"n_frames").cast("int"), lit(1)))
+    val postings = vids
+      .select($"media_id", $"fl", $"__txt",
+        explode(sequence(lit(0), $"n_frames" - 1, lit(3))).as("x"))
+      .select($"media_id", expr("substring(__txt, x * fl + 1, fl)").as("sub"))
+      .filter(length($"sub") > 0)
+      .select($"media_id", md5($"sub").as("fh"))
+      .distinct()
+    val sizes = postings.groupBy($"media_id").agg(count(lit(1)).as("nh"))
+    postings.as("a")
+      .join(postings.as("b"),
+        col("a.fh") === col("b.fh") && col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= minShared)
+      .join(sizes.select($"media_id".as("id_a"), $"nh".as("nh_a")), Seq("id_a"))
+      .join(sizes.select($"media_id".as("id_b"), $"nh".as("nh_b")), Seq("id_b"))
+      .select($"id_a", $"id_b", $"n_shared", $"nh_a", $"nh_b")
+  }
+
   /** The kind-scoped keep-first survivor transform shared by the
     * banded fingerprint families: collapse content twins, run the
     * banded pair pipeline over eligible reps of `kindVal` only,
@@ -852,6 +896,56 @@ object Multimodal {
             SELECT media_id, kind, md5(text) AS content_md5
             FROM am WHERE media_id NOT IN (SELECT media_id FROM dom)
             ORDER BY media_id"""
-      })
+      }),
+
+    // Video near-dup by shared sampled frames (see videoFramePairs):
+    // the first ten videos re-ingest under shifted ids (identical
+    // frames -> each copy shares ALL its sampled frames with its
+    // original), and the oracle replays the mm_frames chunk
+    // arithmetic, per-frame md5, and the pair counting verbatim. The
+    // replayed rows keep the ORIGINAL doc's n_frames (the synthesize
+    // column rides the copied row), mirrored in the oracle's nf.
+    QueryDef(
+      "mm_video_pairs",
+      (s, d) => {
+        import s.implicits._
+        val base = synthesize(s, d).toDF()
+        val replayed = base
+          .filter($"kind" === "video" && $"media_id" < 30)
+          .withColumn("media_id", $"media_id" + 1000000L)
+        videoFramePairs(base.unionByName(replayed), minShared = 2)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH m AS (
+                SELECT doc_id AS media_id, text, length(text) AS len,
+                       (doc_id % 30 + 1) AS nf
+                FROM documents WHERE doc_id % 3 = 2 AND length(text) >= 1
+                UNION ALL
+                SELECT doc_id + 1000000 AS media_id, text, length(text) AS len,
+                       (doc_id % 30 + 1) AS nf
+                FROM documents
+                WHERE doc_id % 3 = 2 AND doc_id < 30 AND length(text) >= 1),
+              f AS (
+                SELECT media_id, text, len, nf, greatest(len // nf, 1) AS fl
+                FROM m),
+              ch AS (
+                SELECT media_id, md5(sub) AS fh
+                FROM (SELECT media_id, substring(text, x * fl + 1, fl) AS sub
+                      FROM (SELECT *, unnest(range(0, nf, 3)) AS x FROM f))
+                WHERE length(sub) > 0),
+              p AS (SELECT DISTINCT media_id, fh FROM ch),
+              sz AS (SELECT media_id, count(*) AS nh FROM p GROUP BY media_id),
+              pr AS (
+                SELECT a.media_id AS id_a, b.media_id AS id_b,
+                       count(*) AS n_shared
+                FROM p a JOIN p b ON a.fh = b.fh AND a.media_id < b.media_id
+                GROUP BY 1, 2)
+              SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+                     CAST(sa.nh AS BIGINT) AS nh_a, CAST(sb.nh AS BIGINT) AS nh_b
+              FROM pr
+              JOIN sz sa ON sa.media_id = pr.id_a
+              JOIN sz sb ON sb.media_id = pr.id_b
+              WHERE n_shared >= 2
+              ORDER BY id_a, id_b"""))
   )
 }
