@@ -158,26 +158,26 @@ object Multimodal {
         (w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
       }
     }
-    /** dHash over the DECODED pixels: mean gray per cell of a 9x8
+    /** dHash over the DECODED pixels: mean gray per cell of a 16x9
       * grid partition of the image, neighbor comparisons packed into
-      * the same 8 band bytes as [[stubBandExprs]] — the real-codec
-      * form of `mm_phash_pairs`'s hash (spec-checked on PNG fixtures
-      * with block-exact cell means; DuckDB cannot decode PNGs, so
-      * this path carries no oracle). None for undecodable bytes or
-      * images smaller than the grid. */
+      * the same 8 bands of 16 bits as [[stubBandExprs]] — the
+      * real-codec form of `mm_phash_pairs`'s 128-bit hash
+      * (spec-checked on PNG fixtures with block-exact cell means;
+      * DuckDB cannot decode PNGs, so this path carries no oracle).
+      * None for undecodable bytes or images smaller than the grid. */
     def dHash(bytes: Array[Byte]): Option[Array[Int]] = {
       val img =
         try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
         catch { case _: java.io.IOException => None }
-      img.filter(im => im.getWidth >= 9 && im.getHeight >= 8).map { im =>
+      img.filter(im => im.getWidth >= 9 && im.getHeight >= 16).map { im =>
         val (w, h) = (im.getWidth, im.getHeight)
-        val g = Array.ofDim[Double](8, 9)
+        val g = Array.ofDim[Double](16, 9)
         var r = 0
-        while (r < 8) {
+        while (r < 16) {
           var c = 0
           while (c < 9) {
             val (x0, x1) = (c * w / 9, math.max(c * w / 9 + 1, (c + 1) * w / 9))
-            val (y0, y1) = (r * h / 8, math.max(r * h / 8 + 1, (r + 1) * h / 8))
+            val (y0, y1) = (r * h / 16, math.max(r * h / 16 + 1, (r + 1) * h / 16))
             var sum = 0L
             var y = y0
             while (y < y1) {
@@ -195,8 +195,8 @@ object Multimodal {
           r += 1
         }
         (0 until 8).map { band =>
-          (0 until 8).foldLeft(0) { (acc, j) =>
-            val k = band * 8 + j
+          (0 until 16).foldLeft(0) { (acc, j) =>
+            val k = band * 16 + j
             val (rr, cc) = (k / 8, k % 8)
             if (g(rr)(cc) > g(rr)(cc + 1)) acc | (1 << j) else acc
           }
@@ -276,13 +276,13 @@ object Multimodal {
       }
     }
 
-    /** 64-bit energy-delta fingerprint over the decoded PCM — the
+    /** 128-bit energy-delta fingerprint over the decoded PCM — the
       * REAL-codec form of [[Multimodal.audioBandExprs]]'s stub: the
-      * signal is cut into 65 equal windows, window energy is the sum
+      * signal is cut into 129 equal windows, window energy is the sum
       * of squared normalized amplitudes, and bit k is the sign of the
-      * adjacent-energy delta e(k) > e(k+1), packed 8 bits per band in
+      * adjacent-energy delta e(k) > e(k+1), packed 16 bits per band in
       * the family's shared layout (bit j of band b is position
-      * b*8 + j, weight 1 << j). Energy-delta signs are invariant
+      * b*16 + j, weight 1 << j). Energy-delta signs are invariant
       * under uniform gain (energies scale by gain², comparisons are
       * preserved) — the property that makes this a FINGERPRINT rather
       * than a checksum. Undecodable or empty audio returns None. */
@@ -304,7 +304,7 @@ object Multimodal {
             val nVals = data.length / 2
             if (nVals < 1) None
             else {
-              val e = new Array[Double](65)
+              val e = new Array[Double](129)
               var i = 0
               while (i < nVals) {
                 val off = i * 2
@@ -312,13 +312,13 @@ object Multimodal {
                   if (f.isBigEndian) ((data(off) << 8) | (data(off + 1) & 0xFF)).toShort
                   else ((data(off + 1) << 8) | (data(off) & 0xFF)).toShort
                 val a = raw / 32768.0
-                // window w covers vals [w*nVals/65, (w+1)*nVals/65)
-                e((i.toLong * 65 / nVals).toInt) += a * a
+                // window w covers vals [w*nVals/129, (w+1)*nVals/129)
+                e((i.toLong * 129 / nVals).toInt) += a * a
                 i += 1
               }
               Some((0 until 8).map { band =>
-                (0 until 8).foldLeft(0) { (acc, j) =>
-                  val k = band * 8 + j
+                (0 until 16).foldLeft(0) { (acc, j) =>
+                  val k = band * 16 + j
                   if (e(k) > e(k + 1)) acc | (1 << j) else acc
                 }
               }.toArray)
@@ -414,21 +414,30 @@ object Multimodal {
   /** Perceptual-hash (dHash) bands from the STUB decode: gray sample k
     * of a payload is the byte at position `1 + (k * 7919) % len`
     * (prime-stride sampling — deterministic, position-spread), and bit
-    * (r, c) of the 8x8 difference hash compares grid neighbors
-    * `G(r,c) > G(r,c+1)` over a 9x8 sample grid, packed into 8
-    * per-band bytes (bit 63 never lands in a sign bit and band
-    * extraction needs no shifts). The SAME SQL text runs as a Spark
-    * `expr` and inside the DuckDB oracle — the fixture payloads are
-    * UTF-8 text, so `ascii(substring(...))` reads the sampled
-    * character's code point identically in both engines (both index
-    * and measure length in CHARACTERS). A real deployment swaps [[ImageIoCodec.dHash]]
-    * in for the sampling (same band layout; spec-checked on PNG
-    * fixtures — DuckDB cannot decode PNGs). */
+    * (r, c) of the 16x8 difference hash compares grid neighbors
+    * `G(r,c) > G(r,c+1)` over a 16x9 sample grid — a 128-bit
+    * fingerprint packed into 8 bands of 16 bits. The band COUNT (8)
+    * carries the pigeonhole completeness at hamming <= 6; the band
+    * WIDTH (16 bits) carries the candidate selectivity: an 8-bit band
+    * value space collides at rate 1/256, which at a 10^5-item corpus
+    * concentrates ~N/256 items per bucket and grows candidates as
+    * N²·bands/256 — measured as a genuine blowup (executor OOM) in
+    * the 100× distinct-docs artifact run. 16-bit bands collide at
+    * 1/65536 (candidates N²·bands/65536 — 305k at 50k items), the
+    * multi-index-hashing sizing rule: |band value space| must scale
+    * with corpus size, fingerprint width = bands × band width. The
+    * SAME SQL text runs as a Spark `expr` and inside the DuckDB
+    * oracle — the fixture payloads are UTF-8 text, so
+    * `ascii(substring(...))` reads the sampled character's code point
+    * identically in both engines (both index and measure length in
+    * CHARACTERS). A real deployment swaps [[ImageIoCodec.dHash]] in
+    * for the sampling (same band layout; spec-checked on PNG fixtures
+    * — DuckDB cannot decode PNGs). */
   private[graft] def stubBandExprs(txt: String, len: String): Seq[String] = {
     def gray(k: Int) = s"ascii(substring($txt, 1 + ($k * 7919) % $len, 1))"
     (0 until 8).map { band =>
-      (0 until 8).map { j =>
-        val k = band * 8 + j
+      (0 until 16).map { j =>
+        val k = band * 16 + j
         val r = k / 8
         val c = k % 8
         s"(CASE WHEN ${gray(r * 9 + c)} > ${gray(r * 9 + c + 1)} THEN ${1 << j} ELSE 0 END)"
@@ -461,7 +470,7 @@ object Multimodal {
   }
 
   /** The banded near-dup pair pipeline shared by the image and audio
-    * fingerprints: `hashed` = (media_id, bands) with 8 8-bit bands;
+    * fingerprints: `hashed` = (media_id, bands) with 8 16-bit bands;
     * any shared (band index, band value) makes a candidate (pigeonhole:
     * hamming <= 7 over 64 bits in 8 bands forces an equal band, so
     * thresholds <= 6 are COMPLETE by construction), then the exact
@@ -491,21 +500,22 @@ object Multimodal {
     * stride 4409 (a different stride than the image hash, so the two
     * fingerprints are uncorrelated even on identical payloads),
     * "window energy" e(k) sums two adjacent samples, and bit k of the
-    * 64-bit fingerprint is the energy-delta sign e(k) > e(k+1) over 65
-    * windows — the shape of a real spectral fingerprint (Chromaprint's
-    * band-energy differences; Haitsma-Kalker's sign-of-difference
-    * descriptor), on deterministic arithmetic BOTH engines evaluate
-    * identically. Packed 8 bits per band like the image hash, so the
-    * pigeonhole banding argument carries over unchanged. The
-    * real-codec form is [[WavCodec.fingerprint]] (same band layout
-    * over true PCM window energies; spec-checked on WAV fixtures —
-    * DuckDB cannot decode WAV). */
+    * 128-bit fingerprint is the energy-delta sign e(k) > e(k+1) over
+    * 129 windows — the shape of a real spectral fingerprint
+    * (Chromaprint's band-energy differences; Haitsma-Kalker's
+    * sign-of-difference descriptor), on deterministic arithmetic BOTH
+    * engines evaluate identically. Packed 16 bits per band like the
+    * image hash (see [[stubBandExprs]] for the width-vs-count sizing
+    * argument), so the 8-band pigeonhole completeness carries over
+    * unchanged. The real-codec form is [[WavCodec.fingerprint]] (same
+    * band layout over true PCM window energies; spec-checked on WAV
+    * fixtures — DuckDB cannot decode WAV). */
   private[graft] def audioBandExprs(txt: String, len: String): Seq[String] = {
     def amp(i: Int) = s"ascii(substring($txt, 1 + ($i * 4409) % $len, 1))"
     def energy(k: Int) = s"(${amp(2 * k)} + ${amp(2 * k + 1)})"
     (0 until 8).map { band =>
-      (0 until 8).map { j =>
-        val k = band * 8 + j
+      (0 until 16).map { j =>
+        val k = band * 16 + j
         s"(CASE WHEN ${energy(k)} > ${energy(k + 1)} THEN ${1 << j} ELSE 0 END)"
       }.mkString("(", " + ", ")")
     }

@@ -147,12 +147,12 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("real-codec dHash: block-exact grays, copy/near/far distances, undecodable -> None") {
-    // 90x80 image of 10x10 uniform blocks == the 9x8 grid exactly, so
-    // cell means ARE the block grays and every comparison is chosen
+    // 90x160 image of 10x10 uniform blocks == the 16x9 grid exactly,
+    // so cell means ARE the block grays and every comparison is chosen
     def blockPng(gray: (Int, Int) => Int): Array[Byte] = {
       val im = new java.awt.image.BufferedImage(
-        90, 80, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until 80; x <- 0 until 90) {
+        90, 160, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 160; x <- 0 until 90) {
         val v = gray(y / 10, x / 10) & 0xFF
         im.setRGB(x, y, (v << 16) | (v << 8) | v)
       }
@@ -171,8 +171,8 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val Some(hDesc) = codec.dHash(desc)
     val Some(hNear) = codec.dHash(near)
     assert(hAsc.forall(_ == 0))
-    assert(hDesc.forall(_ == 0xFF))
-    assert(hamming(hAsc, hDesc) == 64)
+    assert(hDesc.forall(_ == 0xFFFF))
+    assert(hamming(hAsc, hDesc) == 128)
     // identical bytes -> identical hash
     assert(hamming(hAsc, codec.dHash(blockPng((_, c) => c * 20)).get) == 0)
     // the bump touches two comparisons but can only flip ONE on a
@@ -267,11 +267,11 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     // small local perturbation: near, not identical windows elsewhere
     val noisy = sig.clone(); for (i <- 0 until 200) noisy(i) = (noisy(i) / 3).toShort
     val hn = hamming(h, codec.fingerprint(wav(noisy)).get)
-    assert(hn <= 12, s"local noise must stay near: $hn")
+    assert(hn <= 24, s"local noise must stay near: $hn")
     // a different melody is far
     val other = Array.tabulate[Short](6500)(i =>
       ((rnd.nextInt(8192) + 1024) * math.cos(i / 5.0)).toShort)
-    assert(hamming(h, codec.fingerprint(wav(other)).get) > 12)
+    assert(hamming(h, codec.fingerprint(wav(other)).get) > 24)
     // undecodable
     assert(codec.fingerprint(Array[Byte](9, 9, 9)).isEmpty)
   }
