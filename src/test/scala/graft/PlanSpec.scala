@@ -350,12 +350,42 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("mm_phash_pairs: leased hash projection, banded equi-join candidates, nothing pairwise") {
-    val p = plan("mm_phash_pairs")
+    for (q <- Seq("mm_phash_pairs", "mm_audio_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), s"$q:\n$p")
+      // the hashed projection is leased — the media payload is scanned
+      // once, not once per consumer
+      assert(p.contains("Scan ExistingRDD"), s"$q:\n$p")
+      assert(count(p, "Window") == 0, s"$q:\n$p")
+    }
+  }
+
+  test("mm_apply_phash / mm_apply_audio: collapse window + banded pairs + anti-join, nothing pairwise") {
+    for (q <- Seq("mm_apply_phash", "mm_apply_audio")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), s"$q:\n$p")
+      // the only window function is the twin-collapse min (it
+      // re-instantiates per consumer of the rep set — bounded at 4
+      // references of a cheap projection scan, same shape dd_apply_lsh
+      // ships); the survivor set leaves by one anti-join, never a
+      // pairwise subtraction
+      val w = count(p, "Window")
+      assert(w >= 1 && w <= 4, s"$q: $w windows\n$p")
+      assert(p.contains("LeftAnti"), s"$q:\n$p")
+    }
+  }
+
+  test("mm_video_pairs: frame-hash postings equi-join, pair counts aggregate with map-side combine") {
+    val p = plan("mm_video_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
-    // the hashed projection is leased — the media payload is scanned
-    // once, not once per consumer
-    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("partial_count"), p)
     assert(count(p, "Window") == 0, p)
+  }
+
+  test("w_audio: one band-key exchange feeds the stateful audio index") {
+    val p = plan("w_audio")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("FlatMapGroupsWithState") || p.contains("MapGroups"), p)
   }
 
   test("w_corpus: stateless gate chain + one stateful band exchange, no cartesian") {
