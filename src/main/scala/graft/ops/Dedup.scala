@@ -324,7 +324,10 @@ object Dedup {
         (size(col("toks")) - size(col("__kept"))).cast("long").as("n_excised"))
 
   /** DuckDB replay of [[spanKept]] rooted at `docsRel` (which must
-    * expose (doc_id, text)): CTEs `{p}t`/`{p}p`/`{p}d`/`{p}f` and
+    * expose (doc_id, text)) at the n = 8 gram width BOTH call sites
+    * use (the SQL pins toks[i:i+7] / q+7 literally — a caller passing
+    * a different n to the Spark side must regenerate, not reuse,
+    * this fragment): CTEs `{p}t`/`{p}p`/`{p}d`/`{p}f` and
     * `{p}x` = (doc_id, n_tokens, n_removed, kept_text) — kept_text is
     * the rejoined surviving tokens, coalesced to '' (DuckDB's
     * array_to_string of an empty list is NULL). Shared by the

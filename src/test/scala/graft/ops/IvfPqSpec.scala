@@ -43,4 +43,32 @@ class IvfPqSpec extends AnyFunSuite with SparkSpec {
     assert(r(2) == pqOnly,
       s"nprobe=nlist recall ${r(2)} != pq-only recall $pqOnly")
   }
+
+  test("cells ARE the partition layout: a probed-cell read prunes partitions on disk") {
+    import spark.implicits._
+    // the deployment shape the serving docs promise: the trained
+    // assignment IS the physical layout, and a probe reads only its
+    // cells' files — prove it with a partitioned write + a partition
+    // filter that actually prunes
+    val emb = graft.model.Tables.table(spark, sf, "embeddings")
+      .select($"vec_id", Similarity.asDouble($"embedding").as("v"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfcells").toString
+    emb.join(Similarity.kmeansCells(emb), Seq("vec_id"))
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+    val full = spark.read.parquet(dir)
+    val probed = full.filter($"cell".isin(3L, 7L))
+    assert(probed.count() > 0)
+    val plan = probed.queryExecution.executedPlan
+    assert(plan.toString.contains("PartitionFilters") &&
+      plan.toString.contains("cell"), plan.toString)
+    // file pruning is real: execute THIS plan and read the scan's own
+    // files-read metric (inputFiles ignores partition pruning)
+    plan.execute().count()
+    val scan = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val read = scan.metrics("numFiles").value
+    val onDisk = full.inputFiles.length.toLong
+    assert(read > 0 && read < onDisk, s"read $read of $onDisk files")
+  }
 }
