@@ -560,6 +560,15 @@ object Multimodal {
   def applyAudioSurvivors(media: DataFrame, maxHamming: Int): DataFrame =
     applyBandedSurvivors(media, "audio", audioFingerprintPairs, maxHamming)
 
+  /** Video near-dup dedup APPLIED — the same survivor algebra over
+    * the [[videoFramePairs]] graph (keep-first on shared-frame
+    * evidence; a content twin falls with its rep even when it has too
+    * few sampled frames to clear the pair threshold — the collapse
+    * rule, identical in the oracle). All three media kinds now ship
+    * detector AND transform. */
+  def applyVideoSurvivors(media: DataFrame, minShared: Int): DataFrame =
+    applyBandedSurvivors(media, "video", videoFramePairs, minShared)
+
   /** Video near-dup pairs by SHARED SAMPLED FRAMES — the video member
     * of the near-dup family, built on the same frame sampling
     * `mm_frames` accounts for (every 3rd of the `n_frames` equal
@@ -585,13 +594,17 @@ object Multimodal {
       .withColumn("__len", length($"__txt"))
       .filter($"__len" >= 1)
       .withColumn("fl", greatest(($"__len" / $"n_frames").cast("int"), lit(1)))
-    val postings = vids
+    // leased: the frame-hash postings feed both candidate sides AND
+    // the per-video size aggregate — three consumers that must not
+    // re-scan the media payloads (same discipline as the banded
+    // fingerprint projections)
+    val postings = Checkpoints.lease("mm_vframes", vids
       .select($"media_id", $"fl", $"__txt",
         explode(sequence(lit(0), $"n_frames" - 1, lit(3))).as("x"))
       .select($"media_id", expr("substring(__txt, x * fl + 1, fl)").as("sub"))
       .filter(length($"sub") > 0)
       .select($"media_id", md5($"sub").as("fh"))
-      .distinct()
+      .distinct())
     val sizes = postings.groupBy($"media_id").agg(count(lit(1)).as("nh"))
     postings.as("a")
       .join(postings.as("b"),
@@ -956,6 +969,63 @@ object Multimodal {
               JOIN sz sa ON sa.media_id = pr.id_a
               JOIN sz sb ON sb.media_id = pr.id_b
               WHERE n_shared >= 2
-              ORDER BY id_a, id_b"""))
+              ORDER BY id_a, id_b""")),
+
+    // Applied video dedup: keep-first survivors over the shared-frame
+    // graph — detector AND transform for all three media kinds. The
+    // oracle replays the collapse window, the frame-hash pair counts
+    // over eligible reps, the twin rule (a content twin falls with its
+    // rep even below the pair threshold), and the final anti-join.
+    QueryDef(
+      "mm_apply_video",
+      (s, d) => {
+        import s.implicits._
+        val base = synthesize(s, d).toDF()
+        val replayed = base
+          .filter($"kind" === "video" && $"media_id" < 30)
+          .withColumn("media_id", $"media_id" + 1000000L)
+        applyVideoSurvivors(base.unionByName(replayed), minShared = 2)
+          .select($"media_id", $"kind", md5($"content").as("content_md5"))
+          .orderBy($"media_id")
+      },
+      Some("""WITH am AS (
+                SELECT doc_id AS media_id,
+                       ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+                       text, length(text) AS len, (doc_id % 30 + 1) AS nf
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS media_id, 'video' AS kind,
+                       text, length(text) AS len, (doc_id % 30 + 1) AS nf
+                FROM documents WHERE doc_id % 3 = 2 AND doc_id < 30),
+              grp AS (
+                SELECT *, min(media_id) OVER (PARTITION BY kind, md5(text)) AS mn
+                FROM am),
+              el AS (
+                SELECT * FROM grp
+                WHERE media_id = mn AND kind = 'video' AND len >= 1),
+              f AS (
+                SELECT media_id, text, len, nf, greatest(len // nf, 1) AS fl
+                FROM el),
+              ch AS (
+                SELECT media_id, md5(sub) AS fh
+                FROM (SELECT media_id, substring(text, x * fl + 1, fl) AS sub
+                      FROM (SELECT *, unnest(range(0, nf, 3)) AS x FROM f))
+                WHERE length(sub) > 0),
+              p AS (SELECT DISTINCT media_id, fh FROM ch),
+              prs AS (
+                SELECT b.media_id AS id_b
+                FROM p a JOIN p b ON a.fh = b.fh AND a.media_id < b.media_id
+                GROUP BY a.media_id, b.media_id
+                HAVING count(*) >= 2),
+              twind AS (
+                SELECT g.media_id
+                FROM grp g JOIN el ON el.media_id = g.mn
+                WHERE g.media_id != g.mn),
+              dom AS (
+                SELECT DISTINCT id_b AS media_id FROM prs
+                UNION SELECT media_id FROM twind)
+              SELECT media_id, kind, md5(text) AS content_md5
+              FROM am WHERE media_id NOT IN (SELECT media_id FROM dom)
+              ORDER BY media_id"""))
   )
 }

@@ -360,8 +360,8 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("mm_apply_phash / mm_apply_audio: collapse window + banded pairs + anti-join, nothing pairwise") {
-    for (q <- Seq("mm_apply_phash", "mm_apply_audio")) {
+  test("mm_apply_phash / mm_apply_audio / mm_apply_video: collapse window + pair evidence + anti-join, nothing pairwise") {
+    for (q <- Seq("mm_apply_phash", "mm_apply_audio", "mm_apply_video")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), s"$q:\n$p")
       // the only window function is the twin-collapse min (it
