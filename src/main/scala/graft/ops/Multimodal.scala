@@ -446,7 +446,7 @@ object Multimodal {
   }
 
   /** Image near-dup pairs by banded perceptual hash: images sharing
-    * any 8-bit band are candidates (pigeonhole: hamming <= 7 implies
+    * any 16-bit band are candidates (pigeonhole: hamming <= 7 implies
     * a shared band, so threshold 6 is COMPLETE by construction), then
     * the exact hamming distance verifies via `bit_count(xor)` over
     * the band bytes. The banded equi-join is the dedup family's scale
@@ -472,7 +472,7 @@ object Multimodal {
   /** The banded near-dup pair pipeline shared by the image and audio
     * fingerprints: `hashed` = (media_id, bands) with 8 16-bit bands;
     * any shared (band index, band value) makes a candidate (pigeonhole:
-    * hamming <= 7 over 64 bits in 8 bands forces an equal band, so
+    * hamming <= 7 over 128 bits in 8 bands forces an equal band, so
     * thresholds <= 6 are COMPLETE by construction), then the exact
     * hamming verifies via bit_count(xor) folds over the band arrays
     * fetched by two id equi-joins — never an all-pairs scan. */

@@ -41,6 +41,9 @@ args = [a for a in sys.argv[1:]]
 N = int(args[0]) if args and not args[0].startswith("-") else 64
 HEX = 0
 if "--hex-extend" in args:
+    if args.index("--hex-extend") + 1 >= len(args):
+        sys.exit("usage: train_bpe.py [n_merges] [--hex-extend M] "
+                 "(--hex-extend needs a value)")
     HEX = int(args[args.index("--hex-extend") + 1])
 BOUND = "▁"  # SentencePiece-style word-boundary symbol
 
