@@ -617,6 +617,86 @@ object Multimodal {
       .select($"id_a", $"id_b", $"n_shared", $"nh_a", $"nh_b")
   }
 
+  /** PERCEPTUAL video near-dup pairs — [[videoFramePairs]] with the
+    * per-frame md5 replaced by the per-frame dHash band layout
+    * ([[stubBandExprs]] over each sampled frame), exactly the
+    * composition the exact-frame detector's doc names: frame matching
+    * becomes hamming <= `maxHamming` instead of byte equality, so the
+    * detector survives RE-ENCODES (a global gain/brightness shift
+    * rewrites every byte and kills every md5, but an order-preserving
+    * intensity map preserves every neighbor comparison and leaves the
+    * dHash untouched) on top of the trims/re-cuts the shared-frame
+    * shape already handles.
+    *
+    * Scale shape: per-frame fingerprints lease once (one media scan);
+    * candidates come from the banded posting equi-join on (band_idx,
+    * band_val) — the [[bandedHashPairs]] discipline at FRAME
+    * granularity, pair-bound by true 16-bit band collisions, never
+    * all frame pairs — then exact hamming verifies in-row and a
+    * pair-keyed aggregate counts each left video's distinct matched
+    * fingerprints (map-side combinable). `n_shared` counts DISTINCT
+    * left-side fingerprints with >= 1 perceptual match in the right
+    * video, so one noisy right frame can't inflate the score;
+    * `nh_a`/`nh_b` are distinct-fingerprint counts, making the
+    * containment direction readable as n_shared / nh_a. The oracle
+    * checks the NAIVE all-frame-pairs hamming, so banded candidate
+    * completeness (pigeonhole over 8 bands) is what the hash-compare
+    * holds. */
+  def videoPhashPairs(
+      media: DataFrame, maxHamming: Int, minShared: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    val vids = media.filter($"kind" === "video")
+      .select($"media_id", decode($"content", "UTF-8").as("__txt"), $"n_frames")
+      .withColumn("__len", length($"__txt"))
+      .filter($"__len" >= 1)
+      .withColumn("fl", greatest(($"__len" / $"n_frames").cast("int"), lit(1)))
+    // leased: the per-frame fingerprint projection feeds the posting
+    // explode, both candidate sides, and the size aggregate — the
+    // payload bytes are scanned exactly once
+    val frames = Checkpoints.lease("mm_vphash", vids
+      .select($"media_id", $"fl", $"__txt",
+        explode(sequence(lit(0), $"n_frames" - 1, lit(3))).as("x"))
+      .select($"media_id", expr("substring(__txt, x * fl + 1, fl)").as("sub"))
+      .withColumn("slen", length($"sub"))
+      .filter($"slen" > 0)
+      .withColumn("bands", array(stubBandExprs("sub", "slen").map(expr): _*))
+      .select($"media_id", $"bands",
+        concat_ws("-", $"bands".cast("array<string>")).as("fpk"))
+      .dropDuplicates("media_id", "fpk"))
+    val sizes = frames.groupBy($"media_id").agg(count(lit(1)).as("nh"))
+    val posted = frames.select($"media_id", $"fpk", $"bands",
+      posexplode($"bands").as(Seq("band_idx", "band_val")))
+    val cand = posted.as("a").join(posted.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.fpk").as("fpk_a"), col("a.bands").as("__ba"),
+        col("b.fpk").as("fpk_b"), col("b.bands").as("__bb"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(__ba, __bb, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"))
+      .filter($"hamming" <= maxHamming)
+      .groupBy($"id_a", $"id_b")
+      .agg(countDistinct($"fpk_a").as("n_shared"))
+      .filter($"n_shared" >= minShared)
+      .join(sizes.select($"media_id".as("id_a"), $"nh".as("nh_a")), Seq("id_a"))
+      .join(sizes.select($"media_id".as("id_b"), $"nh".as("nh_b")), Seq("id_b"))
+      .select($"id_a", $"id_b", $"n_shared", $"nh_a", $"nh_b")
+  }
+
+  /** The order-preserving intensity shift the perceptual-video query
+    * uses as its deterministic "re-encode": every printable-ASCII
+    * character moves up one code point (the corpus is 32..121, so the
+    * map is injective and strictly monotone on every char that
+    * occurs). Every frame's bytes — and so its md5 — change, but
+    * every `G(i) > G(j)` comparison is preserved, so every dHash band
+    * is bit-identical. Exposed for the spec's exact-vs-perceptual
+    * contrast. */
+  private[graft] val ReencodeFrom: String = (32 to 126).map(_.toChar).mkString
+  private[graft] val ReencodeTo: String = (33 to 127).map(_.toChar).mkString
+
   /** The kind-scoped keep-first survivor transform shared by the
     * banded fingerprint families: collapse content twins, run the
     * banded pair pipeline over eligible reps of `kindVal` only,
@@ -753,7 +833,7 @@ object Multimodal {
       Some {
         val bands = stubBandExprs("text", "len").mkString("[", ", ", "]")
         val ham = (1 to 8)
-          .map(i => s"bit_count(xor(a.bands[$i], c.bands[$i]))")
+          .map(i => s"CAST(bit_count(xor(a.bands[$i], c.bands[$i])) AS INT)")
           .mkString(" + ")
         s"""WITH m AS (
               SELECT doc_id AS media_id, text, length(text) AS len
@@ -793,7 +873,7 @@ object Multimodal {
       Some {
         val bands = stubBandExprs("text", "len").mkString("[", ", ", "]")
         val ham = (1 to 8)
-          .map(i => s"bit_count(xor(a.bands[$i], c.bands[$i]))")
+          .map(i => s"CAST(bit_count(xor(a.bands[$i], c.bands[$i])) AS INT)")
           .mkString(" + ")
         s"""WITH am AS (
               SELECT doc_id AS media_id,
@@ -849,7 +929,7 @@ object Multimodal {
       Some {
         val bands = audioBandExprs("text", "len").mkString("[", ", ", "]")
         val ham = (1 to 8)
-          .map(i => s"bit_count(xor(a.bands[$i], c.bands[$i]))")
+          .map(i => s"CAST(bit_count(xor(a.bands[$i], c.bands[$i])) AS INT)")
           .mkString(" + ")
         s"""WITH m AS (
               SELECT doc_id AS media_id, text, length(text) AS len
@@ -887,7 +967,7 @@ object Multimodal {
       Some {
         val bands = audioBandExprs("text", "len").mkString("[", ", ", "]")
         val ham = (1 to 8)
-          .map(i => s"bit_count(xor(a.bands[$i], c.bands[$i]))")
+          .map(i => s"CAST(bit_count(xor(a.bands[$i], c.bands[$i])) AS INT)")
           .mkString(" + ")
         s"""WITH am AS (
               SELECT doc_id AS media_id,
@@ -1026,6 +1106,76 @@ object Multimodal {
                 UNION SELECT media_id FROM twind)
               SELECT media_id, kind, md5(text) AS content_md5
               FROM am WHERE media_id NOT IN (SELECT media_id FROM dom)
-              ORDER BY media_id"""))
+              ORDER BY media_id""")),
+
+    // PERCEPTUAL video near-dup (see videoPhashPairs): the first ten
+    // videos re-ingest RE-ENCODED — every byte shifted one code point
+    // by an order-preserving translate (the stub's gain/brightness
+    // shift) — so every frame md5 differs from its original (the
+    // exact-frame detector finds nothing, spec-held) while every
+    // frame dHash is bit-identical, and each copy pairs its original
+    // with n_shared = nh at hamming 0. The oracle computes the NAIVE
+    // all-frame-pairs hamming over the same per-frame dHash, so the
+    // banded plan's candidate completeness is what the hash-compare
+    // checks.
+    QueryDef(
+      "mm_video_pairs_phash",
+      (s, d) => {
+        import s.implicits._
+        val base = synthesize(s, d).toDF()
+        val reencoded = base
+          .filter($"kind" === "video" && $"media_id" < 30)
+          .withColumn("media_id", $"media_id" + 1000000L)
+          .withColumn("content", encode(
+            translate(decode($"content", "UTF-8"), ReencodeFrom, ReencodeTo),
+            "UTF-8"))
+        videoPhashPairs(base.unionByName(reencoded), maxHamming = 6, minShared = 2)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some {
+        val bands = stubBandExprs("sub", "slen").mkString("[", ", ", "]")
+        val ham = (1 to 8)
+          .map(i => s"CAST(bit_count(xor(a.bands[$i], b.bands[$i])) AS INT)")
+          .mkString(" + ")
+        val sqlFrom = ReencodeFrom.replace("'", "''")
+        val sqlTo = ReencodeTo.replace("'", "''")
+        s"""WITH m AS (
+              SELECT doc_id AS media_id, text, length(text) AS len,
+                     (doc_id % 30 + 1) AS nf
+              FROM documents WHERE doc_id % 3 = 2 AND length(text) >= 1
+              UNION ALL
+              SELECT doc_id + 1000000 AS media_id,
+                     translate(text, '$sqlFrom', '$sqlTo') AS text,
+                     length(text) AS len, (doc_id % 30 + 1) AS nf
+              FROM documents
+              WHERE doc_id % 3 = 2 AND doc_id < 30 AND length(text) >= 1),
+            f AS (
+              SELECT media_id, text, len, nf, greatest(len // nf, 1) AS fl
+              FROM m),
+            ch AS (
+              SELECT media_id, sub, length(sub) AS slen
+              FROM (SELECT media_id, substring(text, x * fl + 1, fl) AS sub
+                    FROM (SELECT *, unnest(range(0, nf, 3)) AS x FROM f))
+              WHERE length(sub) > 0),
+            bd AS (SELECT media_id, $bands AS bands FROM ch),
+            p AS (SELECT DISTINCT media_id, bands FROM bd),
+            sz AS (SELECT media_id, count(*) AS nh FROM p GROUP BY media_id),
+            mt AS (
+              SELECT a.media_id AS id_a, b.media_id AS id_b,
+                     array_to_string(list_transform(a.bands,
+                       v -> CAST(v AS VARCHAR)), '-') AS fpk_a
+              FROM p a JOIN p b ON a.media_id < b.media_id
+              WHERE $ham <= 6),
+            pr AS (
+              SELECT id_a, id_b, count(DISTINCT fpk_a) AS n_shared
+              FROM mt GROUP BY 1, 2)
+            SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+                   CAST(sa.nh AS BIGINT) AS nh_a, CAST(sb.nh AS BIGINT) AS nh_b
+            FROM pr
+            JOIN sz sa ON sa.media_id = pr.id_a
+            JOIN sz sb ON sb.media_id = pr.id_b
+            WHERE n_shared >= 2
+            ORDER BY id_a, id_b"""
+      })
   )
 }

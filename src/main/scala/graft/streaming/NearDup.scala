@@ -586,7 +586,7 @@ object NearDup {
         val bands = graft.ops.Multimodal.stubBandExprs("text", "len")
           .mkString("[", ", ", "]")
         val ham = (1 to 8)
-          .map(i => s"bit_count(xor(a.bands[$i], c.bands[$i]))")
+          .map(i => s"CAST(bit_count(xor(a.bands[$i], c.bands[$i])) AS INT)")
           .mkString(" + ")
         s"""WITH m AS (
               SELECT doc_id AS media_id, text, length(text) AS len
@@ -623,7 +623,7 @@ object NearDup {
         val bands = graft.ops.Multimodal.audioBandExprs("text", "len")
           .mkString("[", ", ", "]")
         val ham = (1 to 8)
-          .map(i => s"bit_count(xor(a.bands[$i], c.bands[$i]))")
+          .map(i => s"CAST(bit_count(xor(a.bands[$i], c.bands[$i])) AS INT)")
           .mkString(" + ")
         s"""WITH m AS (
               SELECT doc_id AS media_id, text, length(text) AS len

@@ -382,6 +382,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(count(p, "Window") == 0, p)
   }
 
+  test("mm_video_pairs_phash: leased frame fingerprints, banded candidates, distinct-count aggregate") {
+    val p = plan("mm_video_pairs_phash")
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
+    // per-frame fingerprint projection is leased — the media payload
+    // is scanned once across postings, both candidate sides and sizes
+    assert(p.contains("Scan ExistingRDD"), p)
+    // n_shared = countDistinct plans as a two-phase aggregate, and no
+    // window function appears anywhere in the pair pipeline
+    assert(count(p, "Window") == 0, p)
+  }
+
   test("w_audio: one band-key exchange feeds the stateful audio index") {
     val p = plan("w_audio")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

@@ -275,4 +275,37 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     // undecodable
     assert(codec.fingerprint(Array[Byte](9, 9, 9)).isEmpty)
   }
+
+  test("videoPhashPairs: a re-encoded video still pairs; the exact-frame detector misses it") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = synthesize(spark, sf).toDF()
+    // "re-encode": the order-preserving intensity shift — every byte
+    // (and so every frame md5) changes, every dHash comparison holds
+    val reencoded = base
+      .filter($"kind" === "video" && $"media_id" < 30)
+      .withColumn("media_id", $"media_id" + 1000000L)
+      .withColumn("content", encode(
+        translate(decode($"content", "UTF-8"), ReencodeFrom, ReencodeTo),
+        "UTF-8"))
+    val all = base.unionByName(reencoded)
+    val isCopyPair = ($"id_b" >= 1000000L) && ($"id_a" === $"id_b" - 1000000L)
+
+    // exact-frame detector: the re-encode rewrites every byte, so a
+    // copy shares ZERO frame md5s with its original — even at
+    // minShared = 1 no copy-original pair exists
+    assert(videoFramePairs(all, minShared = 1).filter(isCopyPair).count() == 0L)
+
+    // perceptual detector: every copy with >= 2 distinct sampled-frame
+    // fingerprints pairs its original, with EVERY frame matched
+    // (n_shared == nh on both sides — hamming 0 across the board)
+    val copyPairs = videoPhashPairs(all, maxHamming = 6, minShared = 2)
+      .filter(isCopyPair)
+      .select($"n_shared", $"nh_a", $"nh_b").collect()
+    assert(copyPairs.length >= 8, s"only ${copyPairs.length} re-encoded copies paired")
+    copyPairs.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1) && r.getLong(1) == r.getLong(2),
+        s"re-encoded copy matched only partially: $r")
+    }
+  }
 }
