@@ -713,6 +713,73 @@ object Multimodal {
       pairs(el, maxHamming).select(col("id_b").as("media_id")).distinct()
     }
 
+  /** DuckDB fragment: one applied-survivor stage over input CTE `in`
+    * (must expose media_id, kind, text, len — plus nf when the pair
+    * evidence is frame-based). Replays [[applyBandedSurvivors]]'s
+    * algebra verbatim: the (kind, md5(text)) collapse window, the
+    * kind-scoped eligible reps, the `pairCtes`-supplied dominated-rep
+    * evidence (must define `${p}prs` with column id_b), the twin rule
+    * (a content twin falls with its rep), and the survivor anti-join.
+    * Survivors land in `${p}out` (MATERIALIZED — each stage output is
+    * multi-referenced by the next stage's collapse AND anti-join).
+    * Shared by the standalone mm_apply_* oracles and the composed
+    * pipe_media, so the stage replay has one source of truth. */
+  private[graft] def applySurvivorCtes(
+      p: String, in: String, kindVal: String, pairCtes: String): String =
+    s"""${p}grp AS (
+              SELECT *, min(media_id) OVER (PARTITION BY kind, md5(text)) AS mn
+              FROM $in),
+            ${p}el AS (
+              SELECT * FROM ${p}grp
+              WHERE media_id = mn AND kind = '$kindVal' AND len >= 1),
+            $pairCtes,
+            ${p}twind AS (
+              SELECT g.media_id
+              FROM ${p}grp g JOIN ${p}el el ON el.media_id = g.mn
+              WHERE g.media_id != g.mn),
+            ${p}dom AS (
+              SELECT DISTINCT id_b AS media_id FROM ${p}prs
+              UNION SELECT media_id FROM ${p}twind),
+            ${p}out AS MATERIALIZED (
+              SELECT * FROM $in
+              WHERE media_id NOT IN (SELECT media_id FROM ${p}dom))"""
+
+  /** Pair-dominated evidence for the banded fingerprint kinds (image
+    * dHash / audio energy-delta): naive all-pairs hamming over the
+    * eligible reps' 8-band fingerprints — defines `${p}b` and
+    * `${p}prs`. */
+  private[graft] def bandedPairDomCtes(
+      p: String, bandsExpr: String, maxHamming: Int): String = {
+    val ham = (1 to 8)
+      .map(i => s"CAST(bit_count(xor(a.bands[$i], c.bands[$i])) AS INT)")
+      .mkString(" + ")
+    s"""${p}b AS (SELECT media_id, $bandsExpr AS bands FROM ${p}el),
+            ${p}prs AS (
+              SELECT c.media_id AS id_b
+              FROM ${p}b a JOIN ${p}b c ON a.media_id < c.media_id
+              WHERE $ham <= $maxHamming)"""
+  }
+
+  /** Pair-dominated evidence for the video kind: the shared-sampled-
+    * frame counting of [[videoFramePairs]] over the eligible reps —
+    * defines `${p}f`/`${p}ch`/`${p}p` and `${p}prs`. Requires `nf` on
+    * the eligible-rep set. */
+  private[graft] def framePairDomCtes(p: String, minShared: Int): String =
+    s"""${p}f AS (
+              SELECT media_id, text, len, nf, greatest(len // nf, 1) AS fl
+              FROM ${p}el),
+            ${p}ch AS (
+              SELECT media_id, md5(sub) AS fh
+              FROM (SELECT media_id, substring(text, x * fl + 1, fl) AS sub
+                    FROM (SELECT *, unnest(range(0, nf, 3)) AS x FROM ${p}f))
+              WHERE length(sub) > 0),
+            ${p}p AS (SELECT DISTINCT media_id, fh FROM ${p}ch),
+            ${p}prs AS (
+              SELECT b.media_id AS id_b
+              FROM ${p}p a JOIN ${p}p b ON a.fh = b.fh AND a.media_id < b.media_id
+              GROUP BY a.media_id, b.media_id
+              HAVING count(*) >= $minShared)"""
+
   val queries: Seq[QueryDef] = Seq(
 
     // Binary-column relational surface: payload sizes + content hashes
@@ -871,10 +938,8 @@ object Multimodal {
           .orderBy($"media_id")
       },
       Some {
-        val bands = stubBandExprs("text", "len").mkString("[", ", ", "]")
-        val ham = (1 to 8)
-          .map(i => s"CAST(bit_count(xor(a.bands[$i], c.bands[$i])) AS INT)")
-          .mkString(" + ")
+        val pair = bandedPairDomCtes("",
+          stubBandExprs("text", "len").mkString("[", ", ", "]"), 6)
         s"""WITH am AS (
               SELECT doc_id AS media_id,
                      ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
@@ -884,27 +949,9 @@ object Multimodal {
               SELECT doc_id + 1000000 AS media_id, 'image' AS kind,
                      text, length(text) AS len
               FROM documents WHERE doc_id % 3 = 0 AND doc_id < 30),
-            grp AS (
-              SELECT *, min(media_id) OVER (PARTITION BY kind, md5(text)) AS mn
-              FROM am),
-            el AS (
-              SELECT * FROM grp
-              WHERE media_id = mn AND kind = 'image' AND len >= 1),
-            b AS (SELECT media_id, $bands AS bands FROM el),
-            prs AS (
-              SELECT c.media_id AS id_b
-              FROM b a JOIN b c ON a.media_id < c.media_id
-              WHERE $ham <= 6),
-            twind AS (
-              SELECT g.media_id
-              FROM grp g JOIN el ON el.media_id = g.mn
-              WHERE g.media_id != g.mn),
-            dom AS (
-              SELECT DISTINCT id_b AS media_id FROM prs
-              UNION SELECT media_id FROM twind)
+            ${applySurvivorCtes("", "am", "image", pair)}
             SELECT media_id, kind, md5(text) AS content_md5
-            FROM am WHERE media_id NOT IN (SELECT media_id FROM dom)
-            ORDER BY media_id"""
+            FROM out ORDER BY media_id"""
       }),
 
     // Audio near-dup pairs by banded energy-delta fingerprint (see
@@ -965,10 +1012,8 @@ object Multimodal {
           .orderBy($"media_id")
       },
       Some {
-        val bands = audioBandExprs("text", "len").mkString("[", ", ", "]")
-        val ham = (1 to 8)
-          .map(i => s"CAST(bit_count(xor(a.bands[$i], c.bands[$i])) AS INT)")
-          .mkString(" + ")
+        val pair = bandedPairDomCtes("",
+          audioBandExprs("text", "len").mkString("[", ", ", "]"), 6)
         s"""WITH am AS (
               SELECT doc_id AS media_id,
                      ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
@@ -978,26 +1023,9 @@ object Multimodal {
               SELECT doc_id + 1000000 AS media_id, 'audio' AS kind,
                      text, length(text) AS len
               FROM documents WHERE doc_id % 3 = 1 AND doc_id < 30),
-            grp AS (
-              SELECT *, min(media_id) OVER (PARTITION BY kind, md5(text)) AS mn
-              FROM am),
-            el AS (
-              SELECT * FROM grp
-              WHERE media_id = mn AND kind = 'audio' AND len >= 1),
-            b AS (SELECT media_id, $bands AS bands FROM el),
-            prs AS (
-              SELECT c.media_id AS id_b
-              FROM b a JOIN b c ON a.media_id < c.media_id
-              WHERE $ham <= 6),
-            twind AS (
-              SELECT g.media_id
-              FROM grp g JOIN el ON el.media_id = g.mn
-              WHERE g.media_id != g.mn),
-            dom AS (
-              SELECT DISTINCT id_b AS media_id FROM prs
-              UNION SELECT media_id FROM twind)
+            ${applySurvivorCtes("", "am", "audio", pair)}
             SELECT media_id, kind, md5(text) AS content_md5
-            FROM am WHERE media_id NOT IN (SELECT media_id FROM dom)
+            FROM out
             ORDER BY media_id"""
       }),
 
@@ -1068,7 +1096,7 @@ object Multimodal {
           .select($"media_id", $"kind", md5($"content").as("content_md5"))
           .orderBy($"media_id")
       },
-      Some("""WITH am AS (
+      Some(s"""WITH am AS (
                 SELECT doc_id AS media_id,
                        ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
                        text, length(text) AS len, (doc_id % 30 + 1) AS nf
@@ -1077,36 +1105,9 @@ object Multimodal {
                 SELECT doc_id + 1000000 AS media_id, 'video' AS kind,
                        text, length(text) AS len, (doc_id % 30 + 1) AS nf
                 FROM documents WHERE doc_id % 3 = 2 AND doc_id < 30),
-              grp AS (
-                SELECT *, min(media_id) OVER (PARTITION BY kind, md5(text)) AS mn
-                FROM am),
-              el AS (
-                SELECT * FROM grp
-                WHERE media_id = mn AND kind = 'video' AND len >= 1),
-              f AS (
-                SELECT media_id, text, len, nf, greatest(len // nf, 1) AS fl
-                FROM el),
-              ch AS (
-                SELECT media_id, md5(sub) AS fh
-                FROM (SELECT media_id, substring(text, x * fl + 1, fl) AS sub
-                      FROM (SELECT *, unnest(range(0, nf, 3)) AS x FROM f))
-                WHERE length(sub) > 0),
-              p AS (SELECT DISTINCT media_id, fh FROM ch),
-              prs AS (
-                SELECT b.media_id AS id_b
-                FROM p a JOIN p b ON a.fh = b.fh AND a.media_id < b.media_id
-                GROUP BY a.media_id, b.media_id
-                HAVING count(*) >= 2),
-              twind AS (
-                SELECT g.media_id
-                FROM grp g JOIN el ON el.media_id = g.mn
-                WHERE g.media_id != g.mn),
-              dom AS (
-                SELECT DISTINCT id_b AS media_id FROM prs
-                UNION SELECT media_id FROM twind)
+              ${applySurvivorCtes("", "am", "video", framePairDomCtes("", 2))}
               SELECT media_id, kind, md5(text) AS content_md5
-              FROM am WHERE media_id NOT IN (SELECT media_id FROM dom)
-              ORDER BY media_id""")),
+              FROM out ORDER BY media_id""")),
 
     // PERCEPTUAL video near-dup (see videoPhashPairs): the first ten
     // videos re-ingest RE-ENCODED — every byte shifted one code point

@@ -311,7 +311,128 @@ object Pipeline {
         FROM sh s JOIN lc USING (lang) ORDER BY s.doc_id"""
   }
 
+  /** End-to-end MULTIMODAL pipeline composition — the media twin of
+    * [[pipeCorpus]]: decode (the synthesize schema projection) → image
+    * near-dup dedup applied (phash survivor transform) → audio
+    * near-dup dedup applied (energy-delta fingerprint) → video
+    * near-dup dedup applied (shared sampled frames) → feature
+    * extraction over the surviving corpus through the REAL
+    * per-partition codec path. Every stage is the exact operator its
+    * standalone query ships (`mm_apply_phash` / `mm_apply_audio` /
+    * `mm_apply_video` / `mm_features`); each survivor transform scopes
+    * to its own kind and passes the rest through, so chaining them
+    * cleans all three modalities in one build.
+    *
+    * Scale shape: each apply stage is the collapse window + banded (or
+    * frame-posting) equi-join + anti-join already 100×-profiled
+    * standalone; stage boundaries are leased ([[Checkpoints]]) because
+    * each stage's input feeds its collapse window AND its survivor
+    * anti-join — without the lease every reference re-instantiates the
+    * whole upstream chain (the pipe_corpus lesson). At a deployment
+    * the boundaries are durable-storage materializations between jobs;
+    * the payload bytes never shuffle — fingerprints project first,
+    * survivors leave by media_id anti-joins, and features read the
+    * surviving payloads in one mapPartitions pass.
+    *
+    * Deterministic positives at EVERY stage (the re-ingest convention
+    * of `w_ann`/`mm_phash_pairs`): the first 30 media re-enter twice —
+    * RE-ENCODED (+1,000,000: every byte shifted one code point, which
+    * kills every md5 but preserves both banded fingerprints exactly,
+    * because the dHash compares sampled bytes pointwise and the audio
+    * descriptor compares energy DELTAS, both invariant under an
+    * order-preserving intensity map) and VERBATIM (+2,000,000: content
+    * twins of their originals). So stage 1 drops the re-encoded images
+    * by hamming-0 PAIR evidence and the verbatim images by the TWIN
+    * rule, stage 2 the same for audio, stage 3 drops the verbatim
+    * videos by the twin rule (plus any organic shared-frame pairs) —
+    * while the re-encoded videos deliberately SURVIVE the exact-frame
+    * detector into the feature stage, pinning the detector's
+    * robustness boundary (re-encode robustness is
+    * `mm_video_pairs_phash`'s job, not this pipeline's).
+    *
+    * The oracle replays the full composition from the SAME fragment
+    * builders the standalone oracles use
+    * ([[Multimodal.applySurvivorCtes]] three times, chained `am` →
+    * `i_out` → `a_out` → `v_out`, each stage MATERIALIZED) plus the
+    * mm_features lane re-derivation — every stage boundary is
+    * hash-pinned, not just the final row count. */
+  def pipeMedia(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Multimodal.synthesize(s, d).toDF()
+    val reencoded = base.filter($"media_id" < 30)
+      .withColumn("media_id", $"media_id" + 1000000L)
+      .withColumn("content", encode(
+        translate(decode($"content", "UTF-8"),
+          Multimodal.ReencodeFrom, Multimodal.ReencodeTo), "UTF-8"))
+    val twins = base.filter($"media_id" < 30)
+      .withColumn("media_id", $"media_id" + 2000000L)
+    val media = base.unionByName(reencoded).unionByName(twins)
+    // stage boundaries leased: each survivor set feeds the next
+    // stage's collapse window AND anti-join (2 consumers of an
+    // expensive subtree)
+    val s1 = Checkpoints.lease("pipe_media_s1",
+      Multimodal.applyPhashSurvivors(media, maxHamming = 6))
+    val s2 = Checkpoints.lease("pipe_media_s2",
+      Multimodal.applyAudioSurvivors(s1, maxHamming = 6))
+    val s3 = Multimodal.applyVideoSurvivors(s2, minShared = 2)
+    Multimodal.extractFeatures(s3.as[Multimodal.MediaFile]).toDF()
+      .select($"media_id", $"kind", $"n_bytes",
+        round(aggregate($"feature",
+          lit(0.0), (acc, x) => acc + x.cast("double")), 3).as("feature_sum"))
+      .orderBy($"media_id")
+  }
+
+  private[graft] lazy val pipeMediaOracleSql: String = {
+    import Multimodal.{applySurvivorCtes, bandedPairDomCtes, framePairDomCtes}
+    val img = applySurvivorCtes("i_", "am", "image",
+      bandedPairDomCtes("i_",
+        Multimodal.stubBandExprs("text", "len").mkString("[", ", ", "]"), 6))
+    val aud = applySurvivorCtes("a_", "i_out", "audio",
+      bandedPairDomCtes("a_",
+        Multimodal.audioBandExprs("text", "len").mkString("[", ", ", "]"), 6))
+    val vid = applySurvivorCtes("v_", "a_out", "video",
+      framePairDomCtes("v_", 2))
+    val sqlFrom = Multimodal.ReencodeFrom.replace("'", "''")
+    val sqlTo = Multimodal.ReencodeTo.replace("'", "''")
+    s"""WITH am AS MATERIALIZED (
+          SELECT doc_id AS media_id,
+                 ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+                 text, length(text) AS len, (doc_id % 30 + 1) AS nf
+          FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS media_id,
+                 ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+                 translate(text, '$sqlFrom', '$sqlTo') AS text,
+                 length(text) AS len, (doc_id % 30 + 1) AS nf
+          FROM documents WHERE doc_id < 30
+          UNION ALL
+          SELECT doc_id + 2000000 AS media_id,
+                 ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+                 text, length(text) AS len, (doc_id % 30 + 1) AS nf
+          FROM documents WHERE doc_id < 30),
+        $img,
+        $aud,
+        $vid,
+        fb AS (
+          SELECT media_id, kind, text,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+          FROM v_out),
+        feat AS (
+          SELECT media_id, kind, n_bytes,
+                 [CAST(CAST(COALESCE(list_sum(
+                      [ord(text[i + 1]) for i in range(CAST(n_bytes AS INT)) if i % 16 = j]),
+                      0) AS FLOAT) / CAST(255 AS FLOAT) AS FLOAT)
+                  for j in range(16)] AS feature
+          FROM fb)
+        SELECT media_id, kind, n_bytes,
+               round(list_reduce([CAST(x AS DOUBLE) for x in feature],
+                 (acc, x) -> acc + x), 3) AS feature_sum
+        FROM feat ORDER BY media_id"""
+  }
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("pipe_corpus", (s, d) => pipeCorpus(s, d),
-      Some(pipeCorpusOracleSql)))
+      Some(pipeCorpusOracleSql)),
+    QueryDef("pipe_media", (s, d) => pipeMedia(s, d),
+      Some(pipeMediaOracleSql)))
 }

@@ -343,6 +343,23 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("pipe_media: staged composition — leased boundaries, anti-join survivors, no cartesian, no UDF") {
+    val p = plan("pipe_media")
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
+    // the image/audio stages sit behind localCheckpoint leases, so the
+    // final plan starts from a truncated ExistingRDD scan — the lease
+    // evidence — and carries only the video stage + feature extraction
+    assert(p.contains("Scan ExistingRDD"), p)
+    // video-stage survivors leave by one anti-join, never pairwise
+    assert(p.contains("LeftAnti"), p)
+    // the only window is the video twin-collapse min over the leased
+    // stage-2 scan (bounded re-instantiation, same as mm_apply_video)
+    val w = count(p, "Window")
+    assert(w >= 1 && w <= 4, s"$w windows\n$p")
+    // features run through the typed per-partition codec path
+    assert(p.contains("MapPartitions"), p)
+  }
+
   test("t_pii_redact: pure per-row column algebra — no hash exchange, no UDF") {
     val p = plan("t_pii_redact")
     assert(count(p, "Exchange hashpartitioning") == 0, p)
