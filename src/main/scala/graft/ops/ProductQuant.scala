@@ -222,12 +222,14 @@ object ProductQuant {
     * md5-mod init, exact-integer quantized centroid means, the
     * expanded-square L2 argmax with the (score DESC, cell ASC)
     * row_number tie-break, subspace-ordered flatten — so the replay is
-    * value-identical. */
-  private[ops] def pqOracleCtes(p: String = ""): String = {
+    * value-identical. `in` names the (vec_id, v) CTE the subvectors
+    * slice from — `e` for the raw-vector trainings, the residual CTE
+    * for the residual IVF-PQ replay. */
+  private[ops] def pqOracleCtes(p: String = "", in: String = "e"): String = {
     val init =
       s"""${p}sv AS (
                 SELECT vec_id, s AS sub, v[s*$PqDsub+1 : s*$PqDsub+$PqDsub] AS sv
-                FROM (SELECT vec_id, v, unnest(range(0, $PqM)) AS s FROM e)),
+                FROM (SELECT vec_id, v, unnest(range(0, $PqM)) AS s FROM $in)),
               ${p}asn0 AS (
                 SELECT vec_id, sub,
                        ${graft.functions.PortableHash.duckdbHash60(

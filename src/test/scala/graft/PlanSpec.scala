@@ -243,6 +243,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("s_ann_ivfpq_res: nested trainings stay out of serving — leased index + centroids, no posexplode at all") {
+    val p = plan("s_ann_ivfpq_res")
+    // the residual variant leases the composed index AND the nlist-row
+    // centroid table, so the serving plan carries NO posexplode — the
+    // centroid recompute the non-residual plan tolerates is behind the
+    // lease here (its blocks feed residual training, v̂ join, probe)
+    assert(count(p, "posexplode") == 0, p)
+    assert(count(p, "BroadcastNestedLoopJoin") <= 2, p)
+    assert(count(p, "BroadcastHashJoin") >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("s_ann_pq: one-shot index build (checkpoint truncates training), hash-join re-ranks, no cartesian") {
     val p = plan("s_ann_pq")
     // the ADC scan over the checkpointed reconstruction index is the

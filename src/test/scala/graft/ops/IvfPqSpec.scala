@@ -47,6 +47,29 @@ class IvfPqSpec extends AnyFunSuite with SparkSpec {
       s"nprobe=nlist recall ${r(2)} != pq-only recall $pqOnly")
   }
 
+  test("residual IVF-PQ: recall@5 >= the non-residual query at equal nprobe/m — the precision residual encoding buys") {
+    import spark.implicits._
+    val emb = graft.model.Tables.table(spark, sf, "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    def keys(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"query_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = keys(Similarity.bruteForceTopK(emb.filter($"id" < 20), emb, 5))
+    val plain = keys(IvfPq.ivfPqTopK(spark, sf, nprobe = 4, m = 10, k = 5))
+      .intersect(truth).size
+    val res = keys(IvfPq.ivfPqResTopK(spark, sf, nprobe = 4, m = 10, k = 5))
+      .intersect(truth).size
+    info(s"recall@5: residual $res vs non-residual $plain")
+    assert(res >= plain, s"residual recall $res < non-residual $plain")
+    // same probe set (identical coarse quantizer), so the cell bound
+    // holds exactly as in the non-residual query
+    val out = IvfPq.ivfPqResTopK(spark, sf, nprobe = 4, m = 10, k = 5).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(2)).distinct.length <= 4, s"query $q cells")
+    }
+  }
+
   test("cells ARE the partition layout: a probed-cell read prunes partitions on disk") {
     import spark.implicits._
     // the deployment shape the serving docs promise: the trained
