@@ -255,6 +255,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("s_ann_ivf_add: the add path is one broadcast map — no retraining subtree, no posexplode in serving") {
+    val p = plan("s_ann_ivf_add")
+    // trained base index AND centroid table lease (Scan ExistingRDD);
+    // the increment assignment + the probe are the two intended
+    // broadcast-tiny nested loops; nothing iterative reaches serving
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(count(p, "posexplode") == 0, p)
+    assert(count(p, "BroadcastNestedLoopJoin") <= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the union index feeds one cell equi-join (the probed-postings scan)
+    assert(p.contains("Union"), p)
+  }
+
   test("s_ann_pq: one-shot index build (checkpoint truncates training), hash-join re-ranks, no cartesian") {
     val p = plan("s_ann_pq")
     // the ADC scan over the checkpointed reconstruction index is the
