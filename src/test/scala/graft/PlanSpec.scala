@@ -268,6 +268,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("Union"), p)
   }
 
+  test("s_hard_negatives: the s_ann_ivf serving shape + a scan-side label exclusion, nothing new pairwise") {
+    val p = plan("s_hard_negatives")
+    assert(p.contains("Scan ExistingRDD"), p) // leased one-shot index
+    // the centroid recompute over the leased index is the one
+    // posexplode; the probe is the one broadcast-tiny nested loop
+    assert(count(p, "posexplode") <= 1, p)
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the label exclusion rides the candidate join, not a post-rank
+    // filter: no window operator beyond probe rk + top-k rank (the
+    // escaped bracket keeps WindowGroupLimit rows out of the count)
+    assert(count(p, "Window \\[") <= 2, p)
+  }
+
   test("s_ann_pq: one-shot index build (checkpoint truncates training), hash-join re-ranks, no cartesian") {
     val p = plan("s_ann_pq")
     // the ADC scan over the checkpointed reconstruction index is the
