@@ -805,6 +805,59 @@ object Dedup {
         .select(col("id_b").as("doc_id")).distinct()
     }
 
+  /** Incremental minhash-LSH dedup — the dedup family's `add()` path,
+    * the batch twin of the ONLINE keep-first index
+    * ([[graft.streaming.NearDup]] / `w_dedup_first`) and the dedup
+    * mirror of `s_ann_ivf_add`: a continuously-ingesting 100 TB
+    * corpus does NOT re-pair itself per arriving batch. The corpus
+    * keeps its minhash signatures + band postings as a FROZEN index
+    * (leased here; a stored table at a deployment), and an arriving
+    * batch is admitted by (1) banding the BATCH only, (2) joining
+    * batch bands against corpus bands — the corpus always wins, id
+    * order irrelevant — and (3) joining batch bands against
+    * themselves under keep-first id order. Candidate volume is
+    * batch-sized on one side of every join; corpus×corpus pairing
+    * never happens (that cost was paid once, by `dd_apply_lsh`, when
+    * the corpus was built).
+    *
+    * Semantics mirror the streaming index with arrival order =
+    * (corpus, then batch by id): a batch doc is dominated iff some
+    * corpus doc, or some earlier batch doc, verifies at
+    * jaccard >= `threshold`. Gramless docs (under 3 tokens) emit no
+    * signature and always survive — the same eligibility rule every
+    * minhash operator here applies. Returns the surviving batch rows
+    * (original schema). */
+  def lshIncrementSurvivors(
+      base: DataFrame, batch: DataFrame, threshold: Double = 0.5,
+      h: Int = 32, b: Int = 16): DataFrame = {
+    // the frozen corpus index (signatures + xs sets): band postings
+    // and the verify stage both read it — leased, never rebuilt per
+    // consumer. The batch side leases for the same two consumers.
+    val sigO = Checkpoints.lease("lshinc_base",
+      minhashSignatures(base, col("doc_id"), col("text"), h))
+    val sigN = Checkpoints.lease("lshinc_batch",
+      minhashSignatures(batch, col("doc_id"), col("text"), h))
+    def bandsOf(sig: DataFrame) = sig.select(col("id"),
+      explode(array(minhashBandKeys(h, b): _*)).as("band"))
+    val bandsO = bandsOf(sigO)
+    val bandsN = bandsOf(sigN)
+    val candCorpus = bandsN.as("a")
+      .join(bandsO.as("o"), col("a.band") === col("o.band"))
+      .select(col("a.id").as("id_n"), col("o.id").as("id_o")).distinct()
+    val candBatch = bandsN.as("a")
+      .join(bandsN.as("p"), col("a.band") === col("p.band") && col("p.id") < col("a.id"))
+      .select(col("a.id").as("id_n"), col("p.id").as("id_o")).distinct()
+    def verified(cand: DataFrame, sigOther: DataFrame) = cand
+      .join(sigN.select(col("id").as("id_n"), col("xs").as("xs_n")), Seq("id_n"))
+      .join(sigOther.select(col("id").as("id_o"), col("xs").as("xs_o")), Seq("id_o"))
+      .filter(jaccard(col("xs_n"), col("xs_o")) >= threshold)
+      .select(col("id_n"))
+    val dominated = verified(candCorpus, sigO)
+      .unionByName(verified(candBatch, sigN))
+      .distinct().toDF("doc_id")
+    batch.join(dominated, Seq("doc_id"), "left_anti")
+  }
+
   /** MinHash+LSH near-dup pairs, columnar form: shingles exploded to
     * (id, gram-hash) postings; the h-wide signature is h `min`
     * aggregates over permuted hashes (one hash-aggregate pass, no
@@ -1558,6 +1611,68 @@ object Dedup {
               UNION SELECT doc_id FROM twin)
             SELECT doc_id, source, n_chars FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM dominated)
+            ORDER BY doc_id"""
+      }),
+
+    // Incremental dedup (see lshIncrementSurvivors): day-2 ingest
+    // against the frozen day-1 index. The batch re-ingests the first
+    // 30 docs three ways — verbatim (+1,000,000: exact corpus twins,
+    // dominated by the corpus at sim 1.0), and TWO identical 40-char
+    // prefixes (+2,000,000 / +3,000,000: mostly novel vs the full
+    // corpus texts — a short prefix shares few 3-shingles with its
+    // long original — but sim 1.0 against each other, so keep-first
+    // retains the +2M copy and drops the +3M one). Every admission
+    // decision replays in the oracle from the shared side fragments.
+    QueryDef(
+      "dd_lsh_increment",
+      (s, d) => {
+        import s.implicits._
+        val base = table(s, d, "documents").select($"doc_id", $"text")
+        val b0 = base.filter($"doc_id" < 30)
+        val batch = b0.select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+          .unionByName(b0.select(($"doc_id" + 2000000L).as("doc_id"),
+            substring($"text", 1, 40).as("text")))
+          .unionByName(b0.select(($"doc_id" + 3000000L).as("doc_id"),
+            substring($"text", 1, 40).as("text")))
+        lshIncrementSurvivors(base, batch)
+          .select($"doc_id", md5($"text").as("content_md5"))
+          .orderBy($"doc_id")
+      },
+      Some {
+        val jac = (a: String, o: String) =>
+          s"""CAST(len(list_intersect($a.xs, $o.xs)) AS DOUBLE)
+                / (len($a.xs) + len($o.xs) - len(list_intersect($a.xs, $o.xs)))"""
+        s"""WITH nb AS (
+              SELECT doc_id + 1000000 AS doc_id, text
+              FROM documents WHERE doc_id < 30
+              UNION ALL
+              SELECT doc_id + 2000000 AS doc_id, substring(text, 1, 40) AS text
+              FROM documents WHERE doc_id < 30
+              UNION ALL
+              SELECT doc_id + 3000000 AS doc_id, substring(text, 1, 40) AS text
+              FROM documents WHERE doc_id < 30),
+            ${minhashSideCtes("o_", "documents")},
+            ${minhashSideCtes("n_", "nb")},
+            candc AS (
+              SELECT DISTINCT a.doc_id AS id_n, o.doc_id AS id_o
+              FROM n_bands a JOIN o_bands o ON a.band = o.band),
+            candb AS (
+              SELECT DISTINCT a.doc_id AS id_n, p.doc_id AS id_o
+              FROM n_bands a JOIN n_bands p
+                ON a.band = p.band AND p.doc_id < a.doc_id),
+            domc AS (
+              SELECT DISTINCT c.id_n FROM candc c
+              JOIN n_xb xa ON xa.doc_id = c.id_n
+              JOIN o_xb xo ON xo.doc_id = c.id_o
+              WHERE ${jac("xa", "xo")} >= 0.5),
+            domb AS (
+              SELECT DISTINCT c.id_n FROM candb c
+              JOIN n_xb xa ON xa.doc_id = c.id_n
+              JOIN n_xb xo ON xo.doc_id = c.id_o
+              WHERE ${jac("xa", "xo")} >= 0.5),
+            dom AS (SELECT id_n FROM domc UNION SELECT id_n FROM domb)
+            SELECT doc_id, md5(text) AS content_md5 FROM nb
+            WHERE doc_id NOT IN (SELECT id_n FROM dom)
             ORDER BY doc_id"""
       }),
 

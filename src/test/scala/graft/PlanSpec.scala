@@ -268,6 +268,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("Union"), p)
   }
 
+  test("dd_lsh_increment: frozen-index admission — leased sides, banded equi-joins, one anti-join, no windows") {
+    val p = plan("dd_lsh_increment")
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
+    // both signature sides lease (the corpus one IS the stored day-1
+    // index); candidates come from band equi-joins only
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(count(p, "Window \\[") == 0, p)
+  }
+
   test("s_hard_negatives: the s_ann_ivf serving shape + a scan-side label exclusion, nothing new pairwise") {
     val p = plan("s_hard_negatives")
     assert(p.contains("Scan ExistingRDD"), p) // leased one-shot index

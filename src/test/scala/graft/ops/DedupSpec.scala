@@ -659,4 +659,43 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       assert(h <= 10, s"near-dup pair hamming $h")
     }
   }
+
+  test("lshIncrementSurvivors: corpus always wins, keep-first within the batch, corpus untouched") {
+    import spark.implicits._
+    val base = graft.model.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    val b0 = base.filter($"doc_id" < 30)
+    val batch = b0.select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+      .unionByName(b0.select(($"doc_id" + 2000000L).as("doc_id"),
+        org.apache.spark.sql.functions.substring($"text", 1, 40).as("text")))
+      .unionByName(b0.select(($"doc_id" + 3000000L).as("doc_id"),
+        org.apache.spark.sql.functions.substring($"text", 1, 40).as("text")))
+    val out = Dedup.lshIncrementSurvivors(base, batch).collect()
+    val ids = out.map(_.getLong(0)).toSet
+    // only batch rows come back — the corpus is never re-judged
+    assert(ids.forall(_ >= 1000000L))
+    // every verbatim re-ingest with shingles is dominated by its
+    // corpus twin (sim 1.0); gramless docs are ineligible and survive
+    val gramful = b0
+      .filter(org.apache.spark.sql.functions.size(
+        graft.functions.TextShingles.wordShingles($"text", 3)) > 0)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(gramful.nonEmpty)
+    gramful.foreach { id =>
+      assert(!ids.contains(id + 1000000L), s"verbatim twin of $id survived")
+    }
+    // keep-first within the batch: a +3M prefix copy is identical to
+    // its +2M twin (sim 1.0), so no gramful +3M row can survive
+    val prefixGramful = b0
+      .select($"doc_id",
+        org.apache.spark.sql.functions.substring($"text", 1, 40).as("text"))
+      .filter(org.apache.spark.sql.functions.size(
+        graft.functions.TextShingles.wordShingles($"text", 3)) > 0)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    prefixGramful.foreach { id =>
+      assert(!ids.contains(id + 3000000L), s"+3M prefix copy of $id survived its +2M twin")
+    }
+    // and the operator found at least one genuinely novel admission
+    assert(ids.exists(_ >= 2000000L), "no prefix doc admitted — fixture degenerate")
+  }
 }
