@@ -735,6 +735,74 @@ object TextAnalysis {
                               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
               FROM documents GROUP BY source ORDER BY source""")),
 
+    // Domain-mixture rebalancing (the DoReMi / Pile mixing step): make
+    // the OUTPUT token mix uniform across sources by hash-downsampling
+    // every over-represented source to the smallest source's token
+    // budget. Two passes, both tiny on the source axis: (1) per-source
+    // token totals T_s (one aggregate), (2) accept rate in ppm =
+    // floor(min_s(T_s) * 1e6 div T_s) — EXACT integer arithmetic, so
+    // both engines compute the identical rate (a double division here
+    // would hash-diverge in the low bits) — joined back broadcast and
+    // decided per doc by the portable hash (same reproducibility
+    // argument as t_sample_stratified: the SAME docs are kept on any
+    // cluster, any partitioning, any engine). BIGINT headroom note:
+    // min_T * 1e6 binds at ~9e12 tokens per source; a deployment
+    // beyond that widens the rate computation to DECIMAL — the
+    // comparison side (uh % 1e6 < rate_ppm) never grows.
+    // Output pins totals, rates, and the kept doc/token counts per
+    // source — the whole membership function, aggregated.
+    QueryDef(
+      "t_mix_rebalance",
+      (s, d) => {
+        import s.implicits._
+        // the tokenize projection feeds the totals pass AND the keep
+        // join — leased so the corpus tokenizes ONCE, not per consumer
+        val t = graft.ops.Checkpoints.lease("mix_t", table(s, d, "documents")
+          .select($"doc_id", $"source",
+            size(tokens($"text")).cast("long").as("nt")))
+        val tot = t.groupBy($"source")
+          .agg(count(lit(1)).as("n_total"), sum($"nt").as("ts"))
+        val mn = tot.agg(min($"ts").as("mts"))
+        val rates = tot.crossJoin(broadcast(mn))
+          .withColumn("rate_ppm", expr("mts * 1000000L div ts"))
+          .select($"source", $"rate_ppm")
+        t.join(broadcast(rates), Seq("source"))
+          .withColumn("__keep",
+            graft.functions.PortableHash.md5Hash60($"doc_id".cast("string"))
+              % 1000000L < $"rate_ppm")
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_total"),
+            sum($"nt").as("tokens_total"),
+            first($"rate_ppm").as("rate_ppm"),
+            sum(when($"__keep", 1L).otherwise(0L)).as("n_kept"),
+            sum(when($"__keep", $"nt").otherwise(0L)).as("tokens_kept"))
+          .orderBy($"source")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, source,
+                       CAST(len([x for x in string_split_regex(lower(text), '\s+') if x != '']) AS BIGINT) AS nt
+                FROM documents),
+              tot AS (
+                SELECT source, count(*) AS n_total, sum(nt) AS ts
+                FROM t GROUP BY source),
+              mn AS (SELECT min(ts) AS mts FROM tot),
+              r AS (
+                SELECT source, (mts * 1000000) // ts AS rate_ppm
+                FROM tot CROSS JOIN mn),
+              k AS (
+                SELECT t.source, t.nt, r.rate_ppm,
+                       (('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000)
+                         < r.rate_ppm AS keep
+                FROM t JOIN r USING (source))
+              SELECT source,
+                     count(*) AS n_total,
+                     CAST(sum(nt) AS BIGINT) AS tokens_total,
+                     CAST(min(rate_ppm) AS BIGINT) AS rate_ppm,
+                     CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                     CAST(sum(CASE WHEN keep THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept
+              FROM k GROUP BY source ORDER BY source""")),
+
     QueryDef(
       "t_fingerprint",
       (s, d) => {

@@ -268,6 +268,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("Union"), p)
   }
 
+  test("t_mix_rebalance: one leased tokenize pass, broadcast rate join, two source-keyed aggregates") {
+    val p = plan("t_mix_rebalance")
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
+    assert(p.contains("Scan ExistingRDD"), p) // leased tokenize projection
+    // the 1-row min crossJoin is the one intended nested loop; the
+    // rate table joins back broadcast (no corpus shuffle for the keep)
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_"), p) // map-side combine on both aggregates
+  }
+
   test("dd_lsh_increment: frozen-index admission — leased sides, banded equi-joins, one anti-join, no windows") {
     val p = plan("dd_lsh_increment")
     assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)

@@ -138,4 +138,25 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(counts.getOrElse(1, 0L) > 0, "no document passes the repetition filter")
     assert(counts.getOrElse(0, 0L) > 0, "no document fails the repetition filter")
   }
+
+  test("t_mix_rebalance: exact integer rates, min source keeps everything, over-represented sources downsample") {
+    val out = graft.SparkEntry.queries("t_mix_rebalance")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.length > 1)
+    // (source, n_total, tokens_total, rate_ppm, n_kept, tokens_kept)
+    val mts = out.map(_.getLong(2)).min
+    out.foreach { r =>
+      val (ts, rate) = (r.getLong(2), r.getLong(3))
+      assert(rate == mts * 1000000L / ts,
+        s"${r.getString(0)}: rate $rate != exact ${mts * 1000000L / ts}")
+      assert(r.getLong(4) <= r.getLong(1) && r.getLong(5) <= ts)
+    }
+    // the smallest source is never downsampled
+    val minRow = out.find(_.getLong(2) == mts).get
+    assert(minRow.getLong(3) == 1000000L)
+    assert(minRow.getLong(4) == minRow.getLong(1),
+      s"min source dropped docs: ${minRow.getLong(4)} of ${minRow.getLong(1)}")
+    // and at least one over-represented source actually dropped docs
+    assert(out.exists(r => r.getLong(4) < r.getLong(1)))
+  }
 }
