@@ -318,6 +318,102 @@ object NearDup {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(process)
   }
 
+  // ---- Video form: the online shared-frame index -------------------
+
+  case class BandVid(fh: String, media_id: Long, fhs: Array[String])
+  case class VidSig(id: Long, fhs: Array[String])
+  case class VidBandState(vids: List[VidSig])
+  case class VidPair(id_a: Long, id_b: Long, n_shared: Long)
+
+  /** Intersection size of two SORTED distinct string arrays
+    * (two-pointer — the executor-side twin of the oracle's
+    * count-over-equi-join on DISTINCT (id, fh) postings). */
+  private[streaming] def sharedSorted(a: Array[String], b: Array[String]): Long = {
+    var i = 0; var j = 0; var n = 0L
+    while (i < a.length && j < b.length) {
+      val c = a(i).compareTo(b(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  /** Arriving videos exploded to their sampled-frame-hash postings —
+    * the video member of the banded family, with the frame hash AS the
+    * band key (exact-match bands, so the state index is the online
+    * mirror of `mm_video_pairs`' postings join). Each posting carries
+    * the video's full sorted distinct frame-hash set, exactly like the
+    * text postings carry signatures: the >= `minShared` verify runs
+    * in-state from the two sets, position-independent. */
+  def bandedVideos(media: DataFrame): Dataset[BandVid] = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), decode(col("content"), "UTF-8").as("__txt"),
+        col("n_frames"))
+      .withColumn("__len", length(col("__txt")))
+      .filter(col("__len") >= 1)
+      .withColumn("fl", greatest((col("__len") / col("n_frames")).cast("int"), lit(1)))
+      .withColumn("fhs", expr(
+        """sort_array(array_distinct(filter(
+             transform(sequence(0, n_frames - 1, 3),
+               x -> CASE WHEN length(substring(__txt, x * fl + 1, fl)) > 0
+                         THEN md5(substring(__txt, x * fl + 1, fl)) END),
+             h -> h IS NOT NULL)))"""))
+      .select(explode(col("fhs")).as("fh"), col("media_id"), col("fhs"))
+      .as[BandVid]
+  }
+
+  private def processVidBand(minShared: Int, maxPerBand: Int)(
+      fh: String, rows: Iterator[BandVid],
+      state: GroupState[VidBandState]): Iterator[VidPair] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[VidPair]
+    var seen = state.getOption.map(_.vids).getOrElse(Nil)
+    var nSeen = seen.size
+    rows.toArray.sortBy(_.media_id).foreach { d =>
+      var cur = seen
+      while (cur.nonEmpty) {
+        val p = cur.head
+        val n = sharedSorted(p.fhs, d.fhs)
+        if (n >= minShared) out += VidPair(p.id, d.media_id, n)
+        cur = cur.tail
+      }
+      if (nSeen < maxPerBand) { seen = VidSig(d.media_id, d.fhs) :: seen; nSeen += 1 }
+    }
+    state.update(VidBandState(seen))
+    out.iterator
+  }
+
+  /** Online video near-dup pairs by shared sampled frames — the video
+    * member of the online index family (text / vector / image / audio
+    * / video now all have one): every arriving video verifies its
+    * full distinct-frame intersection against every earlier arrival
+    * sharing at least one frame hash (a pair with n_shared >= 1 must
+    * meet in that frame's state group — completeness is exact-match
+    * trivial, no pigeonhole needed), emitting one pair per shared
+    * frame; consumers dedupe with `distinct()` (every emission of a
+    * pair carries the identical full-set count). Runs on a streaming
+    * OR batch DataFrame unchanged; the batch form IS
+    * `mm_video_pairs`' pair set, so `w_video` shares that oracle's
+    * shape. */
+  def videoNearDupPairs(
+      media: DataFrame, minShared: Int,
+      maxPerBand: Int = Int.MaxValue,
+      maxIndexBytes: Long = DefaultMaxIndexBytes): Dataset[VidPair] = {
+    import media.sparkSession.implicits._
+    val banded = bandedVideos(media)
+    // stored payload per (frame-hash, video) row: the fhs string array
+    // (32-char md5s — 4 units of 8 B each per hash ≈ its UTF-16 char
+    // bytes) plus the per-entry overhead the shared guard adds
+    requireIndexFits("video shared-frame",
+      size(col("fhs")).cast("long") * lit(4L), banded.toDF(), maxIndexBytes)
+    val process: (String, Iterator[BandVid], GroupState[VidBandState]) => Iterator[VidPair] =
+      processVidBand(minShared, maxPerBand)
+    banded
+      .groupByKey(_.fh)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(process)
+  }
+
   // ---- Embedding form: the online hyperplane-LSH index ------------
 
   case class BandVec(bucket: Int, vec_id: Long, v: Array[Double], norm: Double)
@@ -638,6 +734,52 @@ object NearDup {
             FROM b a JOIN b c ON a.media_id < c.media_id
             WHERE $ham <= 6
             ORDER BY id_a, id_b"""
-      })
+      }),
+
+    // The online video shared-frame index under batch execution — the
+    // video twin of w_phash/w_audio, completing the online family
+    // across every media kind; same replayed-copies corpus and pair
+    // semantics as mm_video_pairs (distinct-frame intersection counts
+    // over the postings join), so the oracle re-derives that query's
+    // pair set without the nh_* size columns. StreamVideoSpec asserts
+    // the multi-micro-batch streaming run emits this set.
+    QueryDef(
+      "w_video",
+      (s, d) => {
+        import s.implicits._
+        val base = graft.ops.Multimodal.synthesize(s, d).toDF()
+        val replayed = base
+          .filter($"kind" === "video" && $"media_id" < 30)
+          .withColumn("media_id", $"media_id" + 1000000L)
+        videoNearDupPairs(base.unionByName(replayed), minShared = 2)
+          .toDF().distinct()
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH m AS (
+                SELECT doc_id AS media_id, text, length(text) AS len,
+                       (doc_id % 30 + 1) AS nf
+                FROM documents WHERE doc_id % 3 = 2 AND length(text) >= 1
+                UNION ALL
+                SELECT doc_id + 1000000 AS media_id, text, length(text) AS len,
+                       (doc_id % 30 + 1) AS nf
+                FROM documents
+                WHERE doc_id % 3 = 2 AND doc_id < 30 AND length(text) >= 1),
+              f AS (
+                SELECT media_id, text, len, nf, greatest(len // nf, 1) AS fl
+                FROM m),
+              ch AS (
+                SELECT media_id, md5(sub) AS fh
+                FROM (SELECT media_id, substring(text, x * fl + 1, fl) AS sub
+                      FROM (SELECT *, unnest(range(0, nf, 3)) AS x FROM f))
+                WHERE length(sub) > 0),
+              p AS (SELECT DISTINCT media_id, fh FROM ch),
+              prs AS (
+                SELECT a.media_id AS id_a, b.media_id AS id_b,
+                       CAST(count(*) AS BIGINT) AS n_shared
+                FROM p a JOIN p b ON a.fh = b.fh AND a.media_id < b.media_id
+                GROUP BY a.media_id, b.media_id
+                HAVING count(*) >= 2)
+              SELECT id_a, id_b, n_shared FROM prs
+              ORDER BY id_a, id_b"""))
   )
 }

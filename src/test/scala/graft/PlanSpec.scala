@@ -476,6 +476,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("FlatMapGroupsWithState") || p.contains("MapGroups"), p)
   }
 
+  test("w_video: one frame-hash-key exchange feeds the stateful video index") {
+    val p = plan("w_video")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("FlatMapGroupsWithState") || p.contains("MapGroups"), p)
+  }
+
   test("w_corpus: stateless gate chain + one stateful band exchange, no cartesian") {
     val p = plan("w_corpus")
     assert(!p.contains("CartesianProduct"), p)
