@@ -414,6 +414,86 @@ object NearDup {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(process)
   }
 
+  // ---- Composed online media pipeline ------------------------------
+
+  case class MediaPosting(band: String, media_id: Long, kind: String,
+    bands: Array[Int], fhs: Array[String])
+  case class MediaSig(id: Long, bands: Array[Int], fhs: Array[String])
+  case class MediaBandState(items: List[MediaSig])
+  case class DroppedMedia(media_id: Long)
+
+  /** ALL media kinds' postings in ONE kind-prefixed band key space —
+    * image dHash bands (`i:`), audio energy-delta bands (`a:`), video
+    * frame hashes (`v:`). Prefixes keep the kinds' value spaces
+    * disjoint, so one state machine serves the whole family: a band
+    * group only ever holds entries of one kind, and the arriving
+    * row's kind picks the verify (hamming for the fingerprint kinds,
+    * distinct-frame intersection for video). */
+  def bandedMedia(media: DataFrame): Dataset[MediaPosting] = {
+    import media.sparkSession.implicits._
+    val noFhs = typedLit(Array.empty[String])
+    val noBands = typedLit(Array.empty[Int])
+    val img = bandedImages(media).toDF()
+      .select(concat(lit("i:"), col("band")).as("band"), col("media_id"),
+        lit("image").as("kind"), col("bands"), noFhs.as("fhs"))
+    val aud = bandedAudio(media).toDF()
+      .select(concat(lit("a:"), col("band")).as("band"), col("media_id"),
+        lit("audio").as("kind"), col("bands"), noFhs.as("fhs"))
+    val vid = bandedVideos(media).toDF()
+      .select(concat(lit("v:"), col("fh")).as("band"), col("media_id"),
+        lit("video").as("kind"), noBands.as("bands"), col("fhs"))
+    img.unionByName(aud).unionByName(vid).as[MediaPosting]
+  }
+
+  private def processMediaBand(
+      maxHamming: Int, minShared: Int, maxPerBand: Int)(
+      band: String, rows: Iterator[MediaPosting],
+      state: GroupState[MediaBandState]): Iterator[DroppedMedia] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[DroppedMedia]
+    var seen = state.getOption.map(_.items).getOrElse(Nil)
+    var nSeen = seen.size
+    rows.toArray.sortBy(_.media_id).foreach { d =>
+      val dropped =
+        if (d.kind == "video") seen.exists(p => sharedSorted(p.fhs, d.fhs) >= minShared)
+        else seen.exists(p => hammingBands(p.bands, d.bands) <= maxHamming)
+      if (dropped) out += DroppedMedia(d.media_id)
+      // insert regardless of the verdict — "earlier" means any prior
+      // arrival, so the decision replays in one SQL pass (dropped =
+      // later element of any verified pair; see processBandFirstWins)
+      if (nSeen < maxPerBand) { seen = MediaSig(d.media_id, d.bands, d.fhs) :: seen; nSeen += 1 }
+    }
+    state.update(MediaBandState(seen))
+    out.iterator
+  }
+
+  /** Online COMPOSED media dedup evidence — the media twin of
+    * [[droppedByIndex]] and the online counterpart of the batch
+    * `pipe_media` build: one unified banded state judges every
+    * arriving medium against all earlier arrivals of its kind
+    * (image/audio by banded-fingerprint hamming, video by shared
+    * sampled frames), emitting the dominated ids. Survivors =
+    * arrivals minus these ids (one anti-join under batch execution;
+    * a streaming deployment subtracts at the sink, as `w_corpus`
+    * documents). ONE stateful exchange covers the whole family —
+    * exactly the property that makes the composed pipeline runnable
+    * as a single streaming query, where chaining three per-kind
+    * stateful operators would not be. */
+  def mediaDroppedByIndex(
+      media: DataFrame, maxHamming: Int = 6, minShared: Int = 2,
+      maxPerBand: Int = Int.MaxValue,
+      maxIndexBytes: Long = DefaultMaxIndexBytes): Dataset[DroppedMedia] = {
+    import media.sparkSession.implicits._
+    val banded = bandedMedia(media)
+    requireIndexFits("composed media",
+      size(col("bands")).cast("long") + size(col("fhs")).cast("long") * lit(4L),
+      banded.toDF(), maxIndexBytes)
+    val process: (String, Iterator[MediaPosting], GroupState[MediaBandState]) => Iterator[DroppedMedia] =
+      processMediaBand(maxHamming, minShared, maxPerBand)
+    banded
+      .groupByKey(_.band)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(process)
+  }
+
   // ---- Embedding form: the online hyperplane-LSH index ------------
 
   case class BandVec(bucket: Int, vec_id: Long, v: Array[Double], norm: Double)
@@ -780,6 +860,62 @@ object NearDup {
                 GROUP BY a.media_id, b.media_id
                 HAVING count(*) >= 2)
               SELECT id_a, id_b, n_shared FROM prs
-              ORDER BY id_a, id_b"""))
+              ORDER BY id_a, id_b""")),
+
+    // The composed ONLINE media corpus under batch execution — the
+    // media twin of w_corpus and the online counterpart of
+    // pipe_media: one unified kind-prefixed band state drops every
+    // arrival that verifies against an earlier arrival of its kind,
+    // survivors by one anti-join. The oracle reuses the shared
+    // per-kind pair fragments (bandedPairDomCtes / framePairDomCtes)
+    // over ALL rows of each kind — the online keep-first drop set IS
+    // "later element of any verified pair", per kind, unioned.
+    // StreamMediaSpec holds the multi-micro-batch run equal to the
+    // batch run AND to the union of the three standalone pair
+    // operators' dominated sets.
+    QueryDef(
+      "w_media",
+      (s, d) => {
+        import s.implicits._
+        val base = graft.ops.Multimodal.synthesize(s, d).toDF()
+        val replayed = base.filter($"media_id" < 30)
+          .withColumn("media_id", $"media_id" + 1000000L)
+        val corpus = base.unionByName(replayed)
+        val drops = mediaDroppedByIndex(corpus).toDF().distinct()
+        corpus.join(drops, Seq("media_id"), "left_anti")
+          .select($"media_id", $"kind", md5($"content").as("content_md5"))
+          .orderBy($"media_id")
+      },
+      Some {
+        import graft.ops.Multimodal.{audioBandExprs, bandedPairDomCtes, framePairDomCtes, stubBandExprs}
+        val img = bandedPairDomCtes("i_",
+          stubBandExprs("text", "len").mkString("[", ", ", "]"), 6)
+        val aud = bandedPairDomCtes("a_",
+          audioBandExprs("text", "len").mkString("[", ", ", "]"), 6)
+        val vid = framePairDomCtes("v_", 2)
+        s"""WITH am AS (
+              SELECT doc_id AS media_id,
+                     ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+                     text, length(text) AS len, (doc_id % 30 + 1) AS nf
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS media_id,
+                     ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+                     text, length(text) AS len, (doc_id % 30 + 1) AS nf
+              FROM documents WHERE doc_id < 30),
+            i_el AS (SELECT * FROM am WHERE kind = 'image' AND len >= 1),
+            $img,
+            a_el AS (SELECT * FROM am WHERE kind = 'audio' AND len >= 1),
+            $aud,
+            v_el AS (SELECT * FROM am WHERE kind = 'video' AND len >= 1),
+            $vid,
+            dom AS (
+              SELECT DISTINCT id_b AS media_id FROM i_prs
+              UNION SELECT id_b FROM a_prs
+              UNION SELECT id_b FROM v_prs)
+            SELECT media_id, kind, md5(text) AS content_md5 FROM am
+            WHERE media_id NOT IN (SELECT media_id FROM dom)
+            ORDER BY media_id"""
+      })
   )
 }

@@ -482,6 +482,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("FlatMapGroupsWithState") || p.contains("MapGroups"), p)
   }
 
+  test("w_media: ONE unified band-key exchange judges all three kinds, survivors by anti-join") {
+    val p = plan("w_media")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("FlatMapGroupsWithState") || p.contains("MapGroups"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("w_corpus: stateless gate chain + one stateful band exchange, no cartesian") {
     val p = plan("w_corpus")
     assert(!p.contains("CartesianProduct"), p)
