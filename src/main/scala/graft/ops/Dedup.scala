@@ -858,6 +858,51 @@ object Dedup {
     batch.join(dominated, Seq("doc_id"), "left_anti")
   }
 
+  /** Incremental EMBEDDING dedup — the vector twin of
+    * [[lshIncrementSurvivors]], completing the incremental-admission
+    * closure across both near-dup families: the corpus keeps its
+    * double vectors + hyperplane band buckets as a FROZEN leased
+    * index, and an arriving batch is admitted by bucketing the BATCH
+    * only — batch buckets join corpus buckets (the corpus always
+    * wins) and themselves under keep-first id order, with the exact
+    * dot-product cosine verifying candidates at >= `threshold`.
+    * Zero-norm vectors emit no postings (cosine would be 0/0 = NaN)
+    * and always survive, the family's explicit gate. Candidate
+    * volume is batch-sized on one side of every join; corpus×corpus
+    * pairing never recurs. Returns the surviving batch rows
+    * (original schema). */
+  def embedIncrementSurvivors(
+      base: DataFrame, batch: DataFrame, threshold: Double = 0.4): DataFrame = {
+    def prep(df: DataFrame) = df
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("norm", Similarity.l2norm(col("v")))
+      .filter(col("norm") > 0)
+    val sigO = Checkpoints.lease("embinc_base", prep(base))
+    val sigN = Checkpoints.lease("embinc_batch", prep(batch))
+    def bandsOf(sig: DataFrame) = sig.select(col("vec_id"),
+      explode(Similarity.bandBucketsProbed(sig, col("v"), bands = 8, r = 8)).as("bkt"))
+    val bandsO = bandsOf(sigO)
+    val bandsN = bandsOf(sigN)
+    val candCorpus = bandsN.as("a")
+      .join(bandsO.as("o"), col("a.bkt") === col("o.bkt"))
+      .select(col("a.vec_id").as("id_n"), col("o.vec_id").as("id_o")).distinct()
+    val candBatch = bandsN.as("a")
+      .join(bandsN.as("p"),
+        col("a.bkt") === col("p.bkt") && col("p.vec_id") < col("a.vec_id"))
+      .select(col("a.vec_id").as("id_n"), col("p.vec_id").as("id_o")).distinct()
+    def verified(cand: DataFrame, sigOther: DataFrame) = cand
+      .join(sigN.select(col("vec_id").as("id_n"), col("v").as("vn"),
+        col("norm").as("nn")), Seq("id_n"))
+      .join(sigOther.select(col("vec_id").as("id_o"), col("v").as("vo"),
+        col("norm").as("no")), Seq("id_o"))
+      .filter(Similarity.dot(col("vn"), col("vo")) / (col("nn") * col("no")) >= threshold)
+      .select(col("id_n"))
+    val dominated = verified(candCorpus, sigO)
+      .unionByName(verified(candBatch, sigN))
+      .distinct().toDF("vec_id")
+    batch.join(dominated, Seq("vec_id"), "left_anti")
+  }
+
   /** MinHash+LSH near-dup pairs, columnar form: shingles exploded to
     * (id, gram-hash) postings; the h-wide signature is h `min`
     * aggregates over permuted hashes (one hash-aggregate pass, no
@@ -1674,6 +1719,78 @@ object Dedup {
             SELECT doc_id, md5(text) AS content_md5 FROM nb
             WHERE doc_id NOT IN (SELECT id_n FROM dom)
             ORDER BY doc_id"""
+      }),
+
+    // Incremental embedding dedup (see embedIncrementSurvivors): the
+    // vector twin of dd_lsh_increment over the same day-2 shape. The
+    // batch re-ingests the first 30 vectors verbatim (+1,000,000:
+    // cosine 1.0 against their corpus originals — dominated) and
+    // NEGATED twice (+2,000,000 / +3,000,000: cos(-v, v) = -1, so a
+    // negated copy only falls to the corpus if some corpus vector
+    // anti-correlates at <= -0.4 with the original — mostly novel —
+    // while the two negated copies sit at cosine 1.0 with each other,
+    // so keep-first retains the +2M copy and drops the +3M one).
+    // Every admission decision replays from the shared hyperplane
+    // bucket comprehension.
+    QueryDef(
+      "dd_embed_increment",
+      (s, d) => {
+        import s.implicits._
+        val base = table(s, d, "embeddings").select($"vec_id", $"embedding")
+        val b0 = base.filter($"vec_id" < 30)
+        val neg = transform($"embedding", x => -x).as("embedding")
+        val batch = b0.select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+          .unionByName(b0.select(($"vec_id" + 2000000L).as("vec_id"), neg))
+          .unionByName(b0.select(($"vec_id" + 3000000L).as("vec_id"), neg))
+        embedIncrementSurvivors(base, batch)
+          .select($"vec_id", size($"embedding").cast("long").as("n_dims"))
+          .orderBy($"vec_id")
+      },
+      Some {
+        def side(p: String, rel: String) =
+          s"""${p}e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS nrm
+                FROM $rel),
+              ${p}e1 AS (SELECT * FROM ${p}e WHERE nrm > 0),
+              ${p}b AS (SELECT vec_id, $embedBucketListSql AS bkts FROM ${p}e1)"""
+        s"""WITH nb AS (
+              SELECT vec_id + 1000000 AS vec_id, embedding
+              FROM embeddings WHERE vec_id < 30
+              UNION ALL
+              SELECT vec_id + 2000000 AS vec_id,
+                     [-x for x in embedding] AS embedding
+              FROM embeddings WHERE vec_id < 30
+              UNION ALL
+              SELECT vec_id + 3000000 AS vec_id,
+                     [-x for x in embedding] AS embedding
+              FROM embeddings WHERE vec_id < 30),
+            ${side("o_", "embeddings")},
+            ${side("n_", "nb")},
+            candc AS (
+              SELECT DISTINCT a.vec_id AS id_n, o.vec_id AS id_o
+              FROM n_b a JOIN o_b o
+                ON len(list_intersect(a.bkts, o.bkts)) > 0),
+            candb AS (
+              SELECT DISTINCT a.vec_id AS id_n, p.vec_id AS id_o
+              FROM n_b a JOIN n_b p
+                ON p.vec_id < a.vec_id
+               AND len(list_intersect(a.bkts, p.bkts)) > 0),
+            domc AS (
+              SELECT DISTINCT c.id_n FROM candc c
+              JOIN n_e1 x ON x.vec_id = c.id_n
+              JOIN o_e1 y ON y.vec_id = c.id_o
+              WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4),
+            domb AS (
+              SELECT DISTINCT c.id_n FROM candb c
+              JOIN n_e1 x ON x.vec_id = c.id_n
+              JOIN n_e1 y ON y.vec_id = c.id_o
+              WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4),
+            dom AS (SELECT id_n FROM domc UNION SELECT id_n FROM domb)
+            SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims FROM nb
+            WHERE vec_id NOT IN (SELECT id_n FROM dom)
+            ORDER BY vec_id"""
       }),
 
     // Decontamination: scrub the training split of everything that

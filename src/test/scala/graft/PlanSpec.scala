@@ -289,6 +289,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(count(p, "Window \\[") == 0, p)
   }
 
+  test("dd_embed_increment: frozen-index admission — leased sides, bucket equi-joins, one anti-join, no windows") {
+    val p = plan("dd_embed_increment")
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(count(p, "Window \\[") == 0, p)
+  }
+
   test("s_hard_negatives: the s_ann_ivf serving shape + a scan-side label exclusion, nothing new pairwise") {
     val p = plan("s_hard_negatives")
     assert(p.contains("Scan ExistingRDD"), p) // leased one-shot index

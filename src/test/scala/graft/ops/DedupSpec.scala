@@ -698,4 +698,36 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     // and the operator found at least one genuinely novel admission
     assert(ids.exists(_ >= 2000000L), "no prefix doc admitted — fixture degenerate")
   }
+
+  test("embedIncrementSurvivors: corpus wins at cosine 1, keep-first among negated twins, zero-norm survives") {
+    import spark.implicits._
+    val base = graft.model.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select($"vec_id", $"embedding")
+    val b0 = base.filter($"vec_id" < 30)
+    val neg = org.apache.spark.sql.functions
+      .transform($"embedding", x => -x).as("embedding")
+    val batch = b0.select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+      .unionByName(b0.select(($"vec_id" + 2000000L).as("vec_id"), neg))
+      .unionByName(b0.select(($"vec_id" + 3000000L).as("vec_id"), neg))
+    val ids = Dedup.embedIncrementSurvivors(base, batch)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids.forall(_ >= 1000000L))
+    val norms = base.filter($"vec_id" < 30)
+      .select($"vec_id", Similarity.l2norm(Similarity.asDouble($"embedding")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val live = norms.filter(_._2 > 0).keySet
+    assert(live.nonEmpty)
+    // every nonzero verbatim twin falls to its corpus original
+    live.foreach { id =>
+      assert(!ids.contains(id + 1000000L), s"verbatim twin of $id survived") }
+    // keep-first among the negated pair: +3M never survives its +2M twin
+    live.foreach { id =>
+      assert(!ids.contains(id + 3000000L), s"+3M negated copy of $id survived") }
+    // zero-norm rows always survive (no postings, NaN-gated family rule)
+    (norms.keySet -- live).foreach { id =>
+      assert(ids.contains(id + 1000000L) && ids.contains(id + 2000000L) &&
+        ids.contains(id + 3000000L), s"zero-norm $id dropped") }
+    // and at least one negated copy was genuinely admitted
+    assert(ids.exists(_ >= 2000000L))
+  }
 }
