@@ -20,11 +20,15 @@ import org.apache.spark.sql.functions._
   * The query trains on the BASE corpus, re-ingests the first 30
   * vectors under shifted ids as the arriving batch (the deterministic-
   * positive convention: every query's verbatim twin lands at cosine
-  * 1.0, rank 1), assigns them to the frozen trained cells, and serves
-  * the standard query set over the union. Two invariants the spec
-  * pins: a verbatim twin is assigned EXACTLY its original's cell
-  * (identical vector, identical frozen argmax), and each query's
-  * rank-1 neighbor is its own twin.
+  * 1.0, rank 1), assigns them by the frozen serving centroids, and
+  * serves the standard query set over the union. Two invariants the
+  * spec pins: a verbatim twin's cell equals the frozen-centroid
+  * argmax of its (identical) original vector — the structural
+  * identical-vector-identical-assignment property; note the original's
+  * RECORDED cell is the last training round's assignment, which
+  * coincides with the serving-centroid argmax only once Lloyd's has
+  * converged, so the spec does not assert against it — and each
+  * query's rank-1 neighbor is its own twin.
   *
   * Scale shape: the trained base index materializes once behind a
   * [[Checkpoints]] lease (as every IVF build does); the serving
@@ -38,17 +42,22 @@ import org.apache.spark.sql.functions._
 object IvfAdd {
   import Similarity.{IvfIters, IvfNlist, asDouble, dot, l2norm}
 
-  def ivfAddTopK(s: SparkSession, d: String, nprobe: Int, k: Int): DataFrame = {
+  /** The frozen artifact pair the add path runs against: the trained
+    * base index (vec_id, v, nrm, cell) and its serving centroids
+    * (c_label, cv, cn). Both leased — training must not re-instantiate
+    * per consumer, and the centroids feed the increment assignment AND
+    * the probe. Exposed so IvfAddSpec can pin the frozen-centroid
+    * assignment invariant against the same artifact the query uses. */
+  private[graft] def frozenIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val embBase = table(s, d, "embeddings")
       .select($"vec_id", asDouble($"embedding").as("v"))
       .withColumn("nrm", l2norm($"v"))
     // train ONCE on the base; the assigned base corpus is the frozen
-    // index (leased — training must not re-instantiate per consumer)
+    // index
     val baseIdx = Checkpoints.lease("ivfadd_base", embBase
       .join(Similarity.kmeansCells(embBase.select($"vec_id", $"v")), Seq("vec_id")))
-    // frozen serving centroids (quantized mean per trained cell) —
-    // leased: the increment assignment and the probe both read them
+    // frozen serving centroids (quantized mean per trained cell)
     val centroids = Checkpoints.lease("ivfadd_cents", baseIdx
       .select($"cell", posexplode($"v").as(Seq("pos", "x")))
       .groupBy($"cell", $"pos").agg(
@@ -58,6 +67,15 @@ object IvfAdd {
       .select($"cell".as("c_label"),
         transform($"pc", p => p.getField("cx")).as("cv"))
       .withColumn("cn", l2norm($"cv")))
+    (baseIdx, centroids)
+  }
+
+  def ivfAddTopK(s: SparkSession, d: String, nprobe: Int, k: Int): DataFrame = {
+    import s.implicits._
+    val embBase = table(s, d, "embeddings")
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .withColumn("nrm", l2norm($"v"))
+    val (baseIdx, centroids) = frozenIndex(s, d)
     // the arriving batch: first 30 base vectors under shifted ids
     val inc = embBase.filter($"vec_id" < 30)
       .withColumn("vec_id", $"vec_id" + 1000000L)
@@ -162,7 +180,8 @@ object IvfAdd {
     // re-ingest batch in one pass, serve top-5 over the union at
     // nprobe=4. Every query's rank-1 hit is its verbatim twin
     // (cos = 1.0) — the arriving batch is provably searchable without
-    // any retraining. IvfAddSpec pins the frozen-cell invariant.
+    // any retraining. IvfAddSpec pins the frozen-assignment invariant
+    // (twin cell == frozen-centroid argmax of the identical vector).
     QueryDef(
       "s_ann_ivf_add",
       (s, d) => ivfAddTopK(s, d, nprobe = 4, k = 5),

@@ -7,8 +7,19 @@ class IvfAddSpec extends AnyFunSuite with SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("frozen quantizer: twins land in their original's trained cell and serve at cos ~ 1") {
+  test("frozen quantizer: twins land in the frozen-centroid argmax cell and serve at cos ~ 1") {
     import spark.implicits._
+    // snapshot the frozen artifact FIRST (the query re-leases the same
+    // tags; collect before re-invoking the family per the lease
+    // contract): the serving centroids and the original base vectors
+    val (baseIdx, centroids) = IvfAdd.frozenIndex(spark, sf)
+    val baseVecs = baseIdx.filter($"vec_id" < 30)
+      .select($"vec_id", $"v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val cents = centroids.filter($"cn" > 0)
+      .select($"c_label", $"cv", $"cn").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
     val out = IvfAdd.ivfAddTopK(spark, sf, nprobe = 4, k = 5).collect()
     assert(out.nonEmpty)
     // (query_id, cell, neighbor_id, cos, rank)
@@ -26,18 +37,29 @@ class IvfAddSpec extends AnyFunSuite with SparkSpec {
       assert(math.abs(r1.getDouble(3) - 1.0) < 1e-9,
         s"query $q: rank-1 cos ${r1.getDouble(3)}")
     }
-    // cell invariant: an identical vector assigned by the FROZEN
-    // centroids gets exactly the cell its original trained into —
-    // check it on every twin the output surfaced (the output's cell
-    // column is the neighbor's own cell; cells are disjoint)
-    val trained = Similarity.trainedCells(spark, sf).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // assignment invariant (STRUCTURAL, not convergence-dependent):
+    // an identical vector assigned by the FROZEN serving centroids
+    // gets exactly the frozen-centroid argmax cell of its original's
+    // vector — the same strictly-greater fold over cells ascending the
+    // add path runs. (The original's RECORDED trained cell is the last
+    // Lloyd round's assignment and need not coincide unless training
+    // converged, so it is deliberately NOT the reference here.)
+    def frozenArgmax(v: Seq[Double]): Long = {
+      var bestCell = Long.MaxValue
+      var best = Double.NegativeInfinity
+      cents.foreach { case (label, cv, cn) =>
+        val score = v.iterator.zip(cv.iterator).map { case (a, b) => a * b }.sum / cn
+        if (score > best) { best = score; bestCell = label }
+      }
+      bestCell
+    }
     val twins = out.filter(_.getLong(2) >= 1000000L)
     assert(twins.nonEmpty)
     twins.foreach { r =>
       val orig = r.getLong(2) - 1000000L
-      assert(r.getLong(1) == trained(orig),
-        s"twin of $orig: cell ${r.getLong(1)} != trained ${trained(orig)}")
+      val expected = frozenArgmax(baseVecs(orig))
+      assert(r.getLong(1) == expected,
+        s"twin of $orig: cell ${r.getLong(1)} != frozen argmax $expected")
     }
   }
 }
