@@ -932,10 +932,12 @@ object Dedup {
     * minhash operators: (id, xs = deduped 30-bit gram-hash set,
     * __sig = h-slot signature), gramless docs dropped. */
   private[graft] def minhashSignatures(
-      docs: DataFrame, id: Column, text: Column, h: Int): DataFrame =
+      docs: DataFrame, id: Column, text: Column, h: Int,
+      keep: Seq[Column] = Nil): DataFrame =
     docs
-      .select(id.as("id"),
-        graft.functions.TextShingles.hashedWordShingles(text, 3, "uh30").as("xs"))
+      .select(id.as("id") +:
+        graft.functions.TextShingles.hashedWordShingles(text, 3, "uh30").as("xs") +:
+        keep: _*)
       .filter(size(col("xs")) > 0)
       .withColumn("__sig", graft.functions.MinhashSlots.minhashSlots(col("xs"), h))
 

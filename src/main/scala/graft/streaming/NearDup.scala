@@ -31,9 +31,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * when arrival order follows doc_id order.
   *
   * Scale shape: per-band state is the inherent cost of an online LSH
-  * index — bounded by `maxPerBand` (a production deployment also ages
-  * entries out with a timeout; unbounded here only for the
-  * batch-equivalence contract). The shuffle is one exchange on the
+  * index — bounded by `maxPerBand` per band, and (opt-in) AGED by
+  * event time via [[Aging]]: entries older than the horizon behind an
+  * arriving row are evicted before it verifies, and under streaming
+  * the band KEY's whole state is removed by `EventTimeTimeout` once
+  * the watermark passes its newest entry's horizon — so total state is
+  * bounded by the horizon's content, not the stream's lifetime
+  * (aging defaults OFF so the oracle-checked batch replays and the
+  * unbounded-window equivalence specs are unchanged). The shuffle is
+  * one exchange on the
   * band key per micro-batch; near-dup bands are small by construction
   * (a band shared by many documents means those documents minhash-
   * collide, i.e. they ARE near-dups and the emitted pairs are true
@@ -50,8 +56,45 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the batch family's orientation. */
 object NearDup {
 
-  case class BandDoc(band: String, doc_id: Long, xs: Array[Long])
-  case class DocSig(id: Long, xs: Array[Long])
+  /** Opt-in event-time aging for the online indexes. `ts` is a
+    * TimestampType event-time column of the input; `horizonMs` is the
+    * retained window: an arriving row pairs only against earlier
+    * arrivals whose event time is within `horizonMs` behind its own,
+    * and older entries are evicted from band state as it verifies.
+    * Under streaming the input MUST carry a watermark on `ts` (pass
+    * the watermarked column through — aging switches the state
+    * machine to `GroupStateTimeout.EventTimeTimeout`, which Spark
+    * only admits with a watermark), and idle band KEYS are removed
+    * outright once the watermark passes their newest entry's horizon
+    * — the growth the per-entry eviction alone cannot stop, since an
+    * idle band's processor never runs again. Semantics are identical
+    * under batch execution (where the timeout machinery is inert and
+    * the per-entry eviction alone decides), so stream == batch holds
+    * on the retained window exactly as it does unaged on the full
+    * history — StreamNearDupSpec pins both. */
+  case class Aging(ts: Column, horizonMs: Long) {
+    require(horizonMs > 0, s"aging horizon must be positive, got $horizonMs")
+  }
+
+  /** Event-time millis of a row's (nullable) ts — Long.MinValue when
+    * absent, which sorts unaged rows exactly where the pre-aging
+    * id-only sort put them. */
+  private def tsMs(t: java.sql.Timestamp): Long =
+    if (t == null) Long.MinValue else t.getTime
+
+  private def noTs: Column = lit(null).cast("timestamp")
+
+  /** The state-timeout config an aged run needs: EventTimeTimeout only
+    * under streaming WITH aging (batch timeouts never fire, and Spark
+    * rejects the config without a watermark — which only a streaming
+    * plan can carry). */
+  private def timeoutConf(src: DataFrame, aging: Option[Aging]): GroupStateTimeout =
+    if (aging.isDefined && src.isStreaming) GroupStateTimeout.EventTimeTimeout
+    else GroupStateTimeout.NoTimeout
+
+  case class BandDoc(band: String, doc_id: Long, xs: Array[Long],
+    ts: java.sql.Timestamp)
+  case class DocSig(id: Long, xs: Array[Long], ts: Long = Long.MinValue)
   case class BandState(docs: List[DocSig])
   case class NearPair(id_a: Long, id_b: Long, sim: Double)
 
@@ -75,23 +118,37 @@ object NearDup {
     * two-pointer verify, one row per (band key, doc). */
   def bandedDocs(
       docs: DataFrame, id: Column, text: Column,
-      h: Int = 32, b: Int = 16): Dataset[BandDoc] = {
+      h: Int = 32, b: Int = 16, ts: Column = noTs): Dataset[BandDoc] = {
     import docs.sparkSession.implicits._
-    graft.ops.Dedup.minhashSignatures(docs, id, text, h)
+    graft.ops.Dedup.minhashSignatures(docs, id, text, h, keep = Seq(ts.as("ts")))
       .withColumn("xs", sort_array(col("xs")))
       .select(
         explode(array(graft.ops.Dedup.minhashBandKeys(h, b): _*)).as("band"),
-        col("id").as("doc_id"), col("xs"))
+        col("id").as("doc_id"), col("xs"), col("ts"))
       .as[BandDoc]
   }
 
-  private def processBand(threshold: Double, maxPerBand: Int)(
+  private def processBand(threshold: Double, maxPerBand: Int,
+      horizonMs: Long, streaming: Boolean)(
       band: String, rows: Iterator[BandDoc],
       state: GroupState[BandState]): Iterator[NearPair] = {
+    // EventTimeTimeout fired: the watermark passed the newest retained
+    // entry's horizon with no new arrivals — the band key is stale,
+    // remove its whole state (this is what bounds the KEY population)
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     val out = scala.collection.mutable.ArrayBuffer.empty[NearPair]
     var seen = state.getOption.map(_.docs).getOrElse(Nil)
     var nSeen = seen.size
-    rows.toArray.sortBy(_.doc_id).foreach { d =>
+    var maxTs = Long.MinValue
+    rows.toArray.sortBy(d => (tsMs(d.ts), d.doc_id)).foreach { d =>
+      val dts = tsMs(d.ts)
+      if (horizonMs > 0 && dts > Long.MinValue) {
+        // evict entries older than the horizon behind this arrival
+        // BEFORE it verifies: expired content stops pairing
+        val cutoff = dts - horizonMs
+        if (seen.exists(_.ts < cutoff)) { seen = seen.filter(_.ts >= cutoff); nSeen = seen.size }
+        if (dts > maxTs) maxTs = dts
+      }
       var cur = seen
       while (cur.nonEmpty) {
         val p = cur.head
@@ -99,9 +156,14 @@ object NearDup {
         if (sim >= threshold) out += NearPair(p.id, d.doc_id, sim)
         cur = cur.tail
       }
-      if (nSeen < maxPerBand) { seen = DocSig(d.doc_id, d.xs) :: seen; nSeen += 1 }
+      if (nSeen < maxPerBand) { seen = DocSig(d.doc_id, d.xs, dts) :: seen; nSeen += 1 }
     }
     state.update(BandState(seen))
+    // re-arm the key's removal clock past its newest entry's horizon
+    // (never at-or-behind the watermark — Spark rejects that)
+    if (horizonMs > 0 && streaming && maxTs > Long.MinValue)
+      state.setTimeoutTimestamp(
+        math.max(maxTs + horizonMs, state.getCurrentWatermarkMs + 1))
     out.iterator
   }
 
@@ -146,27 +208,38 @@ object NearDup {
   def nearDupPairs(
       docs: DataFrame, id: Column, text: Column, threshold: Double,
       maxPerBand: Int = Int.MaxValue, h: Int = 32, b: Int = 16,
-      maxIndexBytes: Long = DefaultMaxIndexBytes): Dataset[NearPair] = {
+      maxIndexBytes: Long = DefaultMaxIndexBytes,
+      aging: Option[Aging] = None): Dataset[NearPair] = {
     import docs.sparkSession.implicits._
-    val banded = bandedDocs(docs, id, text, h, b)
+    val banded = bandedDocs(docs, id, text, h, b, aging.map(_.ts).getOrElse(noTs))
     requireIndexFits("near-dup",
       size(col("xs")).cast("long"), banded.toDF(), maxIndexBytes)
     banded
       .groupByKey(_.band)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        processBand(threshold, maxPerBand))
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf(docs, aging))(
+        processBand(threshold, maxPerBand,
+          aging.map(_.horizonMs).getOrElse(0L), docs.isStreaming))
   }
 
   /** An arrival that near-dup'd something earlier. */
   case class DroppedDoc(doc_id: Long)
 
-  private def processBandFirstWins(threshold: Double, maxPerBand: Int)(
+  private def processBandFirstWins(threshold: Double, maxPerBand: Int,
+      horizonMs: Long, streaming: Boolean)(
       band: String, rows: Iterator[BandDoc],
       state: GroupState[BandState]): Iterator[DroppedDoc] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     val out = scala.collection.mutable.ArrayBuffer.empty[DroppedDoc]
     var seen = state.getOption.map(_.docs).getOrElse(Nil)
     var nSeen = seen.size
-    rows.toArray.sortBy(_.doc_id).foreach { d =>
+    var maxTs = Long.MinValue
+    rows.toArray.sortBy(d => (tsMs(d.ts), d.doc_id)).foreach { d =>
+      val dts = tsMs(d.ts)
+      if (horizonMs > 0 && dts > Long.MinValue) {
+        val cutoff = dts - horizonMs
+        if (seen.exists(_.ts < cutoff)) { seen = seen.filter(_.ts >= cutoff); nSeen = seen.size }
+        if (dts > maxTs) maxTs = dts
+      }
       if (seen.exists(p => jaccardSorted(p.xs, d.xs) >= threshold))
         out += DroppedDoc(d.doc_id)
       // insert REGARDLESS of the verdict: "earlier" means any prior
@@ -174,9 +247,12 @@ object NearDup {
       // the decision needs no survivorship recursion and replays in
       // one SQL pass (dropped = ids appearing as the later element of
       // any verified pair)
-      if (nSeen < maxPerBand) { seen = DocSig(d.doc_id, d.xs) :: seen; nSeen += 1 }
+      if (nSeen < maxPerBand) { seen = DocSig(d.doc_id, d.xs, dts) :: seen; nSeen += 1 }
     }
     state.update(BandState(seen))
+    if (horizonMs > 0 && streaming && maxTs > Long.MinValue)
+      state.setTimeoutTimestamp(
+        math.max(maxTs + horizonMs, state.getCurrentWatermarkMs + 1))
     out.iterator
   }
 
@@ -192,21 +268,24 @@ object NearDup {
   def droppedByIndex(
       docs: DataFrame, id: Column, text: Column, threshold: Double,
       maxPerBand: Int = Int.MaxValue, h: Int = 32, b: Int = 16,
-      maxIndexBytes: Long = DefaultMaxIndexBytes): Dataset[DroppedDoc] = {
+      maxIndexBytes: Long = DefaultMaxIndexBytes,
+      aging: Option[Aging] = None): Dataset[DroppedDoc] = {
     import docs.sparkSession.implicits._
-    val banded = bandedDocs(docs, id, text, h, b)
+    val banded = bandedDocs(docs, id, text, h, b, aging.map(_.ts).getOrElse(noTs))
     requireIndexFits("dedup-first",
       size(col("xs")).cast("long"), banded.toDF(), maxIndexBytes)
     banded
       .groupByKey(_.band)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        processBandFirstWins(threshold, maxPerBand))
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf(docs, aging))(
+        processBandFirstWins(threshold, maxPerBand,
+          aging.map(_.horizonMs).getOrElse(0L), docs.isStreaming))
   }
 
   // ---- Image form: the online perceptual-hash index ----------------
 
-  case class BandImg(band: String, media_id: Long, bands: Array[Int])
-  case class ImgSig(id: Long, bands: Array[Int])
+  case class BandImg(band: String, media_id: Long, bands: Array[Int],
+    ts: java.sql.Timestamp)
+  case class ImgSig(id: Long, bands: Array[Int], ts: Long = Long.MinValue)
   case class ImgBandState(imgs: List[ImgSig])
   case class ImgPair(id_a: Long, id_b: Long, hamming: Int)
 
@@ -220,30 +299,40 @@ object NearDup {
   /** Arriving images exploded to their 8 perceptual-hash band keys
     * (`idx:value` — the same stub dHash bands `mm_phash_pairs`
     * computes, reusing its verbatim SQL as Spark exprs). */
-  def bandedImages(media: DataFrame): Dataset[BandImg] = {
+  def bandedImages(media: DataFrame, ts: Column = noTs): Dataset[BandImg] = {
     import media.sparkSession.implicits._
     val withBands = media.filter(col("kind") === "image")
-      .select(col("media_id"), decode(col("content"), "UTF-8").as("__txt"))
+      .select(col("media_id"), decode(col("content"), "UTF-8").as("__txt"),
+        ts.as("ts"))
       .withColumn("__len", length(col("__txt")))
       .filter(col("__len") >= 1)
       .withColumn("bands",
         array(graft.ops.Multimodal.stubBandExprs("__txt", "__len").map(expr): _*))
     withBands
       .select(posexplode(col("bands")).as(Seq("__idx", "__val")),
-        col("media_id"), col("bands"))
+        col("media_id"), col("bands"), col("ts"))
       .select(concat(col("__idx").cast("string"), lit(":"),
           col("__val").cast("string")).as("band"),
-        col("media_id"), col("bands"))
+        col("media_id"), col("bands"), col("ts"))
       .as[BandImg]
   }
 
-  private def processImgBand(maxHamming: Int, maxPerBand: Int)(
+  private def processImgBand(maxHamming: Int, maxPerBand: Int,
+      horizonMs: Long, streaming: Boolean)(
       band: String, rows: Iterator[BandImg],
       state: GroupState[ImgBandState]): Iterator[ImgPair] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     val out = scala.collection.mutable.ArrayBuffer.empty[ImgPair]
     var seen = state.getOption.map(_.imgs).getOrElse(Nil)
     var nSeen = seen.size
-    rows.toArray.sortBy(_.media_id).foreach { d =>
+    var maxTs = Long.MinValue
+    rows.toArray.sortBy(d => (tsMs(d.ts), d.media_id)).foreach { d =>
+      val dts = tsMs(d.ts)
+      if (horizonMs > 0 && dts > Long.MinValue) {
+        val cutoff = dts - horizonMs
+        if (seen.exists(_.ts < cutoff)) { seen = seen.filter(_.ts >= cutoff); nSeen = seen.size }
+        if (dts > maxTs) maxTs = dts
+      }
       var cur = seen
       while (cur.nonEmpty) {
         val p = cur.head
@@ -251,9 +340,12 @@ object NearDup {
         if (h <= maxHamming) out += ImgPair(p.id, d.media_id, h)
         cur = cur.tail
       }
-      if (nSeen < maxPerBand) { seen = ImgSig(d.media_id, d.bands) :: seen; nSeen += 1 }
+      if (nSeen < maxPerBand) { seen = ImgSig(d.media_id, d.bands, dts) :: seen; nSeen += 1 }
     }
     state.update(ImgBandState(seen))
+    if (horizonMs > 0 && streaming && maxTs > Long.MinValue)
+      state.setTimeoutTimestamp(
+        math.max(maxTs + horizonMs, state.getCurrentWatermarkMs + 1))
     out.iterator
   }
 
@@ -267,27 +359,32 @@ object NearDup {
   def imageNearDupPairs(
       media: DataFrame, maxHamming: Int,
       maxPerBand: Int = Int.MaxValue,
-      maxIndexBytes: Long = DefaultMaxIndexBytes): Dataset[ImgPair] =
-    bandedFingerprintPairs(bandedImages(media), "image phash",
-      maxHamming, maxPerBand, maxIndexBytes)
+      maxIndexBytes: Long = DefaultMaxIndexBytes,
+      aging: Option[Aging] = None): Dataset[ImgPair] =
+    bandedFingerprintPairs(
+      bandedImages(media, aging.map(_.ts).getOrElse(noTs)), "image phash",
+      maxHamming, maxPerBand, maxIndexBytes,
+      timeoutConf(media, aging),
+      aging.map(_.horizonMs).getOrElse(0L), media.isStreaming)
 
   /** Arriving audio exploded to its 8 fingerprint band keys — the
     * audio twin of [[bandedImages]] over
     * [[graft.ops.Multimodal.audioBandExprs]]'s energy-delta bands. */
-  def bandedAudio(media: DataFrame): Dataset[BandImg] = {
+  def bandedAudio(media: DataFrame, ts: Column = noTs): Dataset[BandImg] = {
     import media.sparkSession.implicits._
     val withBands = media.filter(col("kind") === "audio")
-      .select(col("media_id"), decode(col("content"), "UTF-8").as("__txt"))
+      .select(col("media_id"), decode(col("content"), "UTF-8").as("__txt"),
+        ts.as("ts"))
       .withColumn("__len", length(col("__txt")))
       .filter(col("__len") >= 1)
       .withColumn("bands",
         array(graft.ops.Multimodal.audioBandExprs("__txt", "__len").map(expr): _*))
     withBands
       .select(posexplode(col("bands")).as(Seq("__idx", "__val")),
-        col("media_id"), col("bands"))
+        col("media_id"), col("bands"), col("ts"))
       .select(concat(col("__idx").cast("string"), lit(":"),
           col("__val").cast("string")).as("band"),
-        col("media_id"), col("bands"))
+        col("media_id"), col("bands"), col("ts"))
       .as[BandImg]
   }
 
@@ -298,30 +395,37 @@ object NearDup {
   def audioNearDupPairs(
       media: DataFrame, maxHamming: Int,
       maxPerBand: Int = Int.MaxValue,
-      maxIndexBytes: Long = DefaultMaxIndexBytes): Dataset[ImgPair] =
-    bandedFingerprintPairs(bandedAudio(media), "audio fingerprint",
-      maxHamming, maxPerBand, maxIndexBytes)
+      maxIndexBytes: Long = DefaultMaxIndexBytes,
+      aging: Option[Aging] = None): Dataset[ImgPair] =
+    bandedFingerprintPairs(
+      bandedAudio(media, aging.map(_.ts).getOrElse(noTs)), "audio fingerprint",
+      maxHamming, maxPerBand, maxIndexBytes,
+      timeoutConf(media, aging),
+      aging.map(_.horizonMs).getOrElse(0L), media.isStreaming)
 
   /** The shared online banded-fingerprint index: heap-guarded, one
     * band-key exchange into flatMapGroupsWithState, every arrival
     * verified against earlier same-band arrivals. */
   private def bandedFingerprintPairs(
       banded: Dataset[BandImg], what: String, maxHamming: Int,
-      maxPerBand: Int, maxIndexBytes: Long): Dataset[ImgPair] = {
+      maxPerBand: Int, maxIndexBytes: Long,
+      timeout: GroupStateTimeout, horizonMs: Long,
+      streaming: Boolean): Dataset[ImgPair] = {
     import banded.sparkSession.implicits._
     requireIndexFits(what,
       size(col("bands")).cast("long"), banded.toDF(), maxIndexBytes)
     val process: (String, Iterator[BandImg], GroupState[ImgBandState]) => Iterator[ImgPair] =
-      processImgBand(maxHamming, maxPerBand)
+      processImgBand(maxHamming, maxPerBand, horizonMs, streaming)
     banded
       .groupByKey(_.band)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(process)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(process)
   }
 
   // ---- Video form: the online shared-frame index -------------------
 
-  case class BandVid(fh: String, media_id: Long, fhs: Array[String])
-  case class VidSig(id: Long, fhs: Array[String])
+  case class BandVid(fh: String, media_id: Long, fhs: Array[String],
+    ts: java.sql.Timestamp)
+  case class VidSig(id: Long, fhs: Array[String], ts: Long = Long.MinValue)
   case class VidBandState(vids: List[VidSig])
   case class VidPair(id_a: Long, id_b: Long, n_shared: Long)
 
@@ -346,11 +450,11 @@ object NearDup {
     * the video's full sorted distinct frame-hash set, exactly like the
     * text postings carry signatures: the >= `minShared` verify runs
     * in-state from the two sets, position-independent. */
-  def bandedVideos(media: DataFrame): Dataset[BandVid] = {
+  def bandedVideos(media: DataFrame, ts: Column = noTs): Dataset[BandVid] = {
     import media.sparkSession.implicits._
     media.filter(col("kind") === "video")
       .select(col("media_id"), decode(col("content"), "UTF-8").as("__txt"),
-        col("n_frames"))
+        col("n_frames"), ts.as("ts"))
       .withColumn("__len", length(col("__txt")))
       .filter(col("__len") >= 1)
       .withColumn("fl", greatest((col("__len") / col("n_frames")).cast("int"), lit(1)))
@@ -360,17 +464,26 @@ object NearDup {
                x -> CASE WHEN length(substring(__txt, x * fl + 1, fl)) > 0
                          THEN md5(substring(__txt, x * fl + 1, fl)) END),
              h -> h IS NOT NULL)))"""))
-      .select(explode(col("fhs")).as("fh"), col("media_id"), col("fhs"))
+      .select(explode(col("fhs")).as("fh"), col("media_id"), col("fhs"), col("ts"))
       .as[BandVid]
   }
 
-  private def processVidBand(minShared: Int, maxPerBand: Int)(
+  private def processVidBand(minShared: Int, maxPerBand: Int,
+      horizonMs: Long, streaming: Boolean)(
       fh: String, rows: Iterator[BandVid],
       state: GroupState[VidBandState]): Iterator[VidPair] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     val out = scala.collection.mutable.ArrayBuffer.empty[VidPair]
     var seen = state.getOption.map(_.vids).getOrElse(Nil)
     var nSeen = seen.size
-    rows.toArray.sortBy(_.media_id).foreach { d =>
+    var maxTs = Long.MinValue
+    rows.toArray.sortBy(d => (tsMs(d.ts), d.media_id)).foreach { d =>
+      val dts = tsMs(d.ts)
+      if (horizonMs > 0 && dts > Long.MinValue) {
+        val cutoff = dts - horizonMs
+        if (seen.exists(_.ts < cutoff)) { seen = seen.filter(_.ts >= cutoff); nSeen = seen.size }
+        if (dts > maxTs) maxTs = dts
+      }
       var cur = seen
       while (cur.nonEmpty) {
         val p = cur.head
@@ -378,9 +491,12 @@ object NearDup {
         if (n >= minShared) out += VidPair(p.id, d.media_id, n)
         cur = cur.tail
       }
-      if (nSeen < maxPerBand) { seen = VidSig(d.media_id, d.fhs) :: seen; nSeen += 1 }
+      if (nSeen < maxPerBand) { seen = VidSig(d.media_id, d.fhs, dts) :: seen; nSeen += 1 }
     }
     state.update(VidBandState(seen))
+    if (horizonMs > 0 && streaming && maxTs > Long.MinValue)
+      state.setTimeoutTimestamp(
+        math.max(maxTs + horizonMs, state.getCurrentWatermarkMs + 1))
     out.iterator
   }
 
@@ -399,26 +515,29 @@ object NearDup {
   def videoNearDupPairs(
       media: DataFrame, minShared: Int,
       maxPerBand: Int = Int.MaxValue,
-      maxIndexBytes: Long = DefaultMaxIndexBytes): Dataset[VidPair] = {
+      maxIndexBytes: Long = DefaultMaxIndexBytes,
+      aging: Option[Aging] = None): Dataset[VidPair] = {
     import media.sparkSession.implicits._
-    val banded = bandedVideos(media)
+    val banded = bandedVideos(media, aging.map(_.ts).getOrElse(noTs))
     // stored payload per (frame-hash, video) row: the fhs string array
     // (32-char md5s — 4 units of 8 B each per hash ≈ its UTF-16 char
     // bytes) plus the per-entry overhead the shared guard adds
     requireIndexFits("video shared-frame",
       size(col("fhs")).cast("long") * lit(4L), banded.toDF(), maxIndexBytes)
     val process: (String, Iterator[BandVid], GroupState[VidBandState]) => Iterator[VidPair] =
-      processVidBand(minShared, maxPerBand)
+      processVidBand(minShared, maxPerBand,
+        aging.map(_.horizonMs).getOrElse(0L), media.isStreaming)
     banded
       .groupByKey(_.fh)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(process)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf(media, aging))(process)
   }
 
   // ---- Composed online media pipeline ------------------------------
 
   case class MediaPosting(band: String, media_id: Long, kind: String,
-    bands: Array[Int], fhs: Array[String])
-  case class MediaSig(id: Long, bands: Array[Int], fhs: Array[String])
+    bands: Array[Int], fhs: Array[String], ts: java.sql.Timestamp)
+  case class MediaSig(id: Long, bands: Array[Int], fhs: Array[String],
+    ts: Long = Long.MinValue)
   case class MediaBandState(items: List[MediaSig])
   case class DroppedMedia(media_id: Long)
 
@@ -429,30 +548,39 @@ object NearDup {
     * group only ever holds entries of one kind, and the arriving
     * row's kind picks the verify (hamming for the fingerprint kinds,
     * distinct-frame intersection for video). */
-  def bandedMedia(media: DataFrame): Dataset[MediaPosting] = {
+  def bandedMedia(media: DataFrame, ts: Column = noTs): Dataset[MediaPosting] = {
     import media.sparkSession.implicits._
     val noFhs = typedLit(Array.empty[String])
     val noBands = typedLit(Array.empty[Int])
-    val img = bandedImages(media).toDF()
+    val img = bandedImages(media, ts).toDF()
       .select(concat(lit("i:"), col("band")).as("band"), col("media_id"),
-        lit("image").as("kind"), col("bands"), noFhs.as("fhs"))
-    val aud = bandedAudio(media).toDF()
+        lit("image").as("kind"), col("bands"), noFhs.as("fhs"), col("ts"))
+    val aud = bandedAudio(media, ts).toDF()
       .select(concat(lit("a:"), col("band")).as("band"), col("media_id"),
-        lit("audio").as("kind"), col("bands"), noFhs.as("fhs"))
-    val vid = bandedVideos(media).toDF()
+        lit("audio").as("kind"), col("bands"), noFhs.as("fhs"), col("ts"))
+    val vid = bandedVideos(media, ts).toDF()
       .select(concat(lit("v:"), col("fh")).as("band"), col("media_id"),
-        lit("video").as("kind"), noBands.as("bands"), col("fhs"))
+        lit("video").as("kind"), noBands.as("bands"), col("fhs"), col("ts"))
     img.unionByName(aud).unionByName(vid).as[MediaPosting]
   }
 
   private def processMediaBand(
-      maxHamming: Int, minShared: Int, maxPerBand: Int)(
+      maxHamming: Int, minShared: Int, maxPerBand: Int,
+      horizonMs: Long, streaming: Boolean)(
       band: String, rows: Iterator[MediaPosting],
       state: GroupState[MediaBandState]): Iterator[DroppedMedia] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     val out = scala.collection.mutable.ArrayBuffer.empty[DroppedMedia]
     var seen = state.getOption.map(_.items).getOrElse(Nil)
     var nSeen = seen.size
-    rows.toArray.sortBy(_.media_id).foreach { d =>
+    var maxTs = Long.MinValue
+    rows.toArray.sortBy(d => (tsMs(d.ts), d.media_id)).foreach { d =>
+      val dts = tsMs(d.ts)
+      if (horizonMs > 0 && dts > Long.MinValue) {
+        val cutoff = dts - horizonMs
+        if (seen.exists(_.ts < cutoff)) { seen = seen.filter(_.ts >= cutoff); nSeen = seen.size }
+        if (dts > maxTs) maxTs = dts
+      }
       val dropped =
         if (d.kind == "video") seen.exists(p => sharedSorted(p.fhs, d.fhs) >= minShared)
         else seen.exists(p => hammingBands(p.bands, d.bands) <= maxHamming)
@@ -460,9 +588,12 @@ object NearDup {
       // insert regardless of the verdict — "earlier" means any prior
       // arrival, so the decision replays in one SQL pass (dropped =
       // later element of any verified pair; see processBandFirstWins)
-      if (nSeen < maxPerBand) { seen = MediaSig(d.media_id, d.bands, d.fhs) :: seen; nSeen += 1 }
+      if (nSeen < maxPerBand) { seen = MediaSig(d.media_id, d.bands, d.fhs, dts) :: seen; nSeen += 1 }
     }
     state.update(MediaBandState(seen))
+    if (horizonMs > 0 && streaming && maxTs > Long.MinValue)
+      state.setTimeoutTimestamp(
+        math.max(maxTs + horizonMs, state.getCurrentWatermarkMs + 1))
     out.iterator
   }
 
@@ -481,23 +612,27 @@ object NearDup {
   def mediaDroppedByIndex(
       media: DataFrame, maxHamming: Int = 6, minShared: Int = 2,
       maxPerBand: Int = Int.MaxValue,
-      maxIndexBytes: Long = DefaultMaxIndexBytes): Dataset[DroppedMedia] = {
+      maxIndexBytes: Long = DefaultMaxIndexBytes,
+      aging: Option[Aging] = None): Dataset[DroppedMedia] = {
     import media.sparkSession.implicits._
-    val banded = bandedMedia(media)
+    val banded = bandedMedia(media, aging.map(_.ts).getOrElse(noTs))
     requireIndexFits("composed media",
       size(col("bands")).cast("long") + size(col("fhs")).cast("long") * lit(4L),
       banded.toDF(), maxIndexBytes)
     val process: (String, Iterator[MediaPosting], GroupState[MediaBandState]) => Iterator[DroppedMedia] =
-      processMediaBand(maxHamming, minShared, maxPerBand)
+      processMediaBand(maxHamming, minShared, maxPerBand,
+        aging.map(_.horizonMs).getOrElse(0L), media.isStreaming)
     banded
       .groupByKey(_.band)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(process)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf(media, aging))(process)
   }
 
   // ---- Embedding form: the online hyperplane-LSH index ------------
 
-  case class BandVec(bucket: Int, vec_id: Long, v: Array[Double], norm: Double)
-  case class VecSig(id: Long, v: Array[Double], norm: Double)
+  case class BandVec(bucket: Int, vec_id: Long, v: Array[Double], norm: Double,
+    ts: java.sql.Timestamp)
+  case class VecSig(id: Long, v: Array[Double], norm: Double,
+    ts: Long = Long.MinValue)
   case class VecBandState(vecs: List[VecSig])
   case class VecPair(id_a: Long, id_b: Long, cos: Double)
 
@@ -523,10 +658,11 @@ object NearDup {
     * bit-identical buckets by the fused expression's equivalence spec. */
   def bandedVecs(
       embeddings: DataFrame, id: Column, vec: Column,
-      dim: Option[Int] = None): Dataset[BandVec] = {
+      dim: Option[Int] = None, ts: Column = noTs): Dataset[BandVec] = {
     import embeddings.sparkSession.implicits._
     val prepped = embeddings
-      .select(id.as("vec_id"), graft.ops.Similarity.asDouble(vec).as("v"))
+      .select(id.as("vec_id"), graft.ops.Similarity.asDouble(vec).as("v"),
+        ts.as("ts"))
       .withColumn("norm", graft.ops.Similarity.l2norm(col("v")))
       .filter(col("norm") > 0)
     val buckets = dim match {
@@ -538,17 +674,26 @@ object NearDup {
         graft.ops.Similarity.bandBucketsProbed(prepped, col("v"), bands = 8, r = 8)
     }
     prepped.select(explode(buckets).as("bucket"),
-        col("vec_id"), col("v"), col("norm"))
+        col("vec_id"), col("v"), col("norm"), col("ts"))
       .as[BandVec]
   }
 
-  private def processVecBand(threshold: Double, maxPerBand: Int)(
+  private def processVecBand(threshold: Double, maxPerBand: Int,
+      horizonMs: Long, streaming: Boolean)(
       bucket: Int, rows: Iterator[BandVec],
       state: GroupState[VecBandState]): Iterator[VecPair] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     val out = scala.collection.mutable.ArrayBuffer.empty[VecPair]
     var seen = state.getOption.map(_.vecs).getOrElse(Nil)
     var nSeen = seen.size
-    rows.toArray.sortBy(_.vec_id).foreach { d =>
+    var maxTs = Long.MinValue
+    rows.toArray.sortBy(d => (tsMs(d.ts), d.vec_id)).foreach { d =>
+      val dts = tsMs(d.ts)
+      if (horizonMs > 0 && dts > Long.MinValue) {
+        val cutoff = dts - horizonMs
+        if (seen.exists(_.ts < cutoff)) { seen = seen.filter(_.ts >= cutoff); nSeen = seen.size }
+        if (dts > maxTs) maxTs = dts
+      }
       var cur = seen
       while (cur.nonEmpty) {
         val p = cur.head
@@ -556,9 +701,12 @@ object NearDup {
         if (cos >= threshold) out += VecPair(p.id, d.vec_id, cos)
         cur = cur.tail
       }
-      if (nSeen < maxPerBand) { seen = VecSig(d.vec_id, d.v, d.norm) :: seen; nSeen += 1 }
+      if (nSeen < maxPerBand) { seen = VecSig(d.vec_id, d.v, d.norm, dts) :: seen; nSeen += 1 }
     }
     state.update(VecBandState(seen))
+    if (horizonMs > 0 && streaming && maxTs > Long.MinValue)
+      state.setTimeoutTimestamp(
+        math.max(maxTs + horizonMs, state.getCurrentWatermarkMs + 1))
     out.iterator
   }
 
@@ -569,15 +717,17 @@ object NearDup {
   def embedNearDupPairs(
       embeddings: DataFrame, id: Column, vec: Column, threshold: Double,
       maxPerBand: Int = Int.MaxValue, dim: Option[Int] = None,
-      maxIndexBytes: Long = DefaultMaxIndexBytes): Dataset[VecPair] = {
+      maxIndexBytes: Long = DefaultMaxIndexBytes,
+      aging: Option[Aging] = None): Dataset[VecPair] = {
     import embeddings.sparkSession.implicits._
-    val banded = bandedVecs(embeddings, id, vec, dim)
+    val banded = bandedVecs(embeddings, id, vec, dim, aging.map(_.ts).getOrElse(noTs))
     requireIndexFits("embedding near-dup",
       size(col("v")).cast("long"), banded.toDF(), maxIndexBytes)
     banded
       .groupByKey(_.bucket)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        processVecBand(threshold, maxPerBand))
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf(embeddings, aging))(
+        processVecBand(threshold, maxPerBand,
+          aging.map(_.horizonMs).getOrElse(0L), embeddings.isStreaming))
   }
 
   // ---- Online decontamination: broadcast blocklist index -----------

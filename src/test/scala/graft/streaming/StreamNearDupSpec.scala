@@ -182,6 +182,87 @@ class StreamNearDupSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("blocklist too large"))
   }
 
+  test("aging: expired entries stop pairing; stream == batch on the retained window; stale band keys removed by EventTimeTimeout") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // keep event times clear of epoch 0: the initial watermark is 0 and
+    // the stateful operator filters rows at-or-behind it as late
+    def t(sec: Long) = new java.sql.Timestamp((sec + 1000) * 1000L)
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "pack my box with five dozen liquor jugs delivered by noon today"
+    val textC = "seven wild geese crossed the frozen river before first light fell"
+    // three near-dup groups far apart in event time; identical text
+    // inside a group verifies at any threshold. id 7 is textA RETURNING
+    // after group A's horizon: the same band keys, but entries 1-3 must
+    // be evicted before it verifies. ids 8/9 are textC spaced past the
+    // horizon: a pair the unaged index emits and the aged one must not.
+    val rows = Seq(
+      (1L, textA, t(0)), (2L, textA, t(1)), (3L, textA, t(2)),
+      (4L, textB, t(100)), (5L, textB, t(101)), (6L, textB, t(102)),
+      (7L, textA, t(200)),
+      (8L, textC, t(300)),
+      (9L, textC, t(400)))
+    val df = rows.toDF("doc_id", "text", "ets")
+    val horizon = NearDup.Aging($"ets", 5000L)
+    val aged = NearDup.nearDupPairs(df, $"doc_id", $"text", 0.5, aging = Some(horizon))
+      .toDF().distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
+    assert(aged == expected, s"aged pairs $aged")
+    val unaged = NearDup.nearDupPairs(df, $"doc_id", $"text", 0.5)
+      .toDF().distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.subsetOf(unaged))
+    assert(unaged.contains((1L, 7L)) && unaged.contains((8L, 9L)),
+      s"unaged run should pair across windows, got $unaged")
+    // streaming: one micro-batch per event-time cluster, watermarked
+    def stateKeys(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val src = mem.toDF().toDF("doc_id", "text", "ets")
+      .withWatermark("ets", "1 second")
+    val q = NearDup.nearDupPairs(src, $"doc_id", $"text", 0.5, aging = Some(horizon))
+      .toDF()
+      .writeStream.format("memory").queryName("wage").outputMode("append").start()
+    try {
+      Seq(rows.take(3), rows.slice(3, 6), rows.slice(6, 7), rows.slice(7, 8), rows.slice(8, 9))
+        .foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      val streamed = spark.table("wage").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == aged, s"stream != batch on the retained window: $streamed")
+      // by the last batch the watermark (last batch's max event time
+      // minus the delay) has passed group A's re-armed horizon and
+      // group B's: their band keys' state rows are REMOVED, not just
+      // emptied — only textC's bands remain live, strictly fewer keys
+      // than A+B held together
+      val live = stateKeys(q)
+      assert(live > 0, "final batch should hold textC band state")
+      val bandsPerText = 16L
+      assert(live <= bandsPerText,
+        s"stale band keys were not removed: $live state rows live")
+    } finally q.stop()
+  }
+
+  test("aging applies across the online family: the composed media index ages too") {
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // two identical images inside one horizon, a third identical copy
+    // arriving after it expired: unaged drops both copies, aged keeps
+    // the late one (its predecessors are evicted before the verify)
+    val content = "a perfectly memorable test pattern with plenty of pixels to hash"
+    val media = Seq(
+      (10L, "image", content, 1, t(0)),
+      (11L, "image", content, 1, t(1)),
+      (12L, "image", content, 1, t(100)))
+      .toDF("media_id", "kind", "content", "n_frames", "ets")
+      .withColumn("content", encode($"content", "UTF-8"))
+    val agedDrops = NearDup.mediaDroppedByIndex(
+        media, aging = Some(NearDup.Aging($"ets", 5000L)))
+      .toDF().distinct().collect().map(_.getLong(0)).toSet
+    assert(agedDrops == Set(11L), s"aged drops $agedDrops")
+    val unagedDrops = NearDup.mediaDroppedByIndex(media)
+      .toDF().distinct().collect().map(_.getLong(0)).toSet
+    assert(unagedDrops == Set(11L, 12L), s"unaged drops $unagedDrops")
+  }
+
   test("maxPerBand caps state: capped run's pairs are a subset of the uncapped run") {
     import spark.implicits._
     val docs = graft.model.Tables.table(spark, sf, "documents")
