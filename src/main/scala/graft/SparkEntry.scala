@@ -20,7 +20,8 @@ object SparkEntry {
       ops.LmScore.queries ++
       ops.Pii.queries ++ ops.Dedup.queries ++
       ops.Similarity.queries ++ ops.ProductQuant.queries ++
-      ops.IvfPq.queries ++ ops.IvfAdd.queries ++ ops.Mining.queries ++
+      ops.IvfPq.queries ++ ops.IvfAdd.queries ++ ops.IvfPqAdd.queries ++
+      ops.Mining.queries ++
       ops.Multimodal.queries ++ ops.Pipeline.queries ++
       streaming.Windows.queries ++ streaming.NearDup.queries ++
       streaming.AnnServe.queries ++ streaming.LmServe.queries ++

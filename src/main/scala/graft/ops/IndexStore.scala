@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Durable index artifacts — the deployment half of the frozen-index
+  * contract every incremental operator in this engine leans on.
+  *
+  * [[Checkpoints.lease]] freezes an index for the LIFETIME OF A
+  * SESSION: the trained IVF base ([[IvfAdd.frozenIndex]]), the LSH
+  * corpus index (`Dedup.lshIncrement`), the residual PQ codebooks
+  * ([[IvfPqAdd.frozenArtifacts]]) all materialize once and are read
+  * by every consumer in that session. A real deployment freezes them
+  * ACROSS sessions: the index is trained in one job, written as a
+  * table, and every later admission/serving job reloads the artifact
+  * instead of retraining — that is what makes "train once, add
+  * forever" an actual operating mode rather than a per-run property.
+  *
+  * This store is deliberately just named parquet frames under one
+  * root: parquet round-trips every artifact schema in this engine
+  * (long ids, double scalars, double-array vectors) EXACTLY, so a
+  * reloaded index serves bit-identical results to the leased one —
+  * IndexStoreSpec pins that equality, and the `s_ann_ivf_stored`
+  * query runs the whole save → reload → add → serve cycle under the
+  * same DuckDB oracle as the leased path. At 100 TB the write is one
+  * partitioned parquet dump of the index (no extra shuffle — the
+  * frames are written as partitioned), and a reloading job starts
+  * from a plain FileScan with pushdown instead of an iterative
+  * training subtree.
+  */
+object IndexStore {
+
+  /** Write named artifact frames under `root` (one parquet dir per
+    * name, overwrite — saving a retrained index replaces the old
+    * artifact atomically per frame). */
+  def save(root: String, frames: (String, DataFrame)*): Unit =
+    frames.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$root/$name")
+    }
+
+  /** Reload one artifact frame. The result is a plain parquet scan —
+    * no lease, no lineage back to training; a fresh session can serve
+    * from it with zero knowledge of how it was built. */
+  def load(s: SparkSession, root: String, name: String): DataFrame =
+    s.read.parquet(s"$root/$name")
+}

@@ -38,6 +38,13 @@ import org.apache.spark.sql.functions._
   * co-shaped projections. Nothing about the add path grows with the
   * EXISTING index size — the property that makes continuous ingest
   * viable at 100 TB.
+  *
+  * The object carries the index family's full LIFECYCLE as oracle-
+  * checked queries: `s_ann_ivf_add` (the add path above),
+  * `s_ann_ivf_stored` (the same cycle against a parquet-dumped and
+  * RELOADED artifact — [[IndexStore]], the cross-session deployment
+  * form), and `s_ann_ivf_del` (FAISS `remove_ids()` — tombstone
+  * deletion by one broadcast anti-join, no rebuild).
   */
 object IvfAdd {
   import Similarity.{IvfIters, IvfNlist, asDouble, dot, l2norm}
@@ -71,11 +78,23 @@ object IvfAdd {
   }
 
   def ivfAddTopK(s: SparkSession, d: String, nprobe: Int, k: Int): DataFrame = {
+    val (baseIdx, centroids) = frozenIndex(s, d)
+    addAndServe(s, d, baseIdx, centroids, nprobe, k)
+  }
+
+  /** The add + serve path against a GIVEN frozen artifact pair — the
+    * part of [[ivfAddTopK]] a deployment re-runs per arriving batch.
+    * Factored so the artifacts can come from the in-session lease
+    * (s_ann_ivf_add) OR from a reloaded [[IndexStore]] parquet dump
+    * (s_ann_ivf_stored, IndexStoreSpec) — the add path itself is
+    * agnostic to where the frozen index came from. */
+  private[graft] def addAndServe(s: SparkSession, d: String,
+      baseIdx: DataFrame, centroids: DataFrame, nprobe: Int, k: Int,
+      tombstones: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     val embBase = table(s, d, "embeddings")
       .select($"vec_id", asDouble($"embedding").as("v"))
       .withColumn("nrm", l2norm($"v"))
-    val (baseIdx, centroids) = frozenIndex(s, d)
     // the arriving batch: first 30 base vectors under shifted ids
     val inc = embBase.filter($"vec_id" < 30)
       .withColumn("vec_id", $"vec_id" + 1000000L)
@@ -99,8 +118,16 @@ object IvfAdd {
               .otherwise(acc)
           }).getField("cell").as("cell"))
     // append-only union index: co-shaped projections, zero shuffle
-    val index = baseIdx.select($"vec_id", $"v", $"nrm", $"cell")
+    val index0 = baseIdx.select($"vec_id", $"v", $"nrm", $"cell")
       .unionByName(incAssigned)
+    // FAISS remove_ids(): deletion is one broadcast anti-join against
+    // the tombstone id set — no rebuild, no retraining, no touch of
+    // surviving postings (at 100 TB this is a broadcast-tiny
+    // tombstone list; compaction, when the tombstone fraction grows,
+    // is a rewrite of the stored artifact, not of the quantizer)
+    val index = tombstones
+      .map(t => index0.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .getOrElse(index0)
     // serving, unchanged from ivfTopK: probe nprobe cells, scan the
     // union's probed postings, top-k per query
     val q = embBase.filter($"vec_id" < 20)
@@ -129,7 +156,8 @@ object IvfAdd {
     * assignment (one argmax pass over `fcn`'s nondegenerate rows —
     * NOT another training round), the UNION ALL index, then the
     * standard probe + cell-bounded search. */
-  private def ivfAddOracle(nprobe: Int, k: Int): String =
+  private def ivfAddOracle(nprobe: Int, k: Int,
+      removePred: Option[String] = None): String =
     s"""WITH e AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -147,12 +175,14 @@ object IvfAdd {
                                   f.c_label ASC) AS rk
                 FROM inc i CROSS JOIN (SELECT * FROM fcn WHERE cn > 0) f),
               ia AS (SELECT vec_id, c_label AS cell FROM isc WHERE rk = 1),
-              uni AS (
+              uni0 AS (
                 SELECT e.vec_id, e.v, e.nrm, a.cell
                 FROM e JOIN asn$IvfIters a ON a.vec_id = e.vec_id
                 UNION ALL
                 SELECT i.vec_id, i.v, i.nrm, ia.cell
                 FROM inc i JOIN ia ON ia.vec_id = i.vec_id),
+              uni AS (SELECT * FROM uni0${
+                removePred.map(p => s" WHERE NOT ($p)").getOrElse("")}),
               q AS (
                 SELECT vec_id AS query_id, v AS qv, nrm AS qn
                 FROM e WHERE vec_id < 20),
@@ -174,6 +204,24 @@ object IvfAdd {
               SELECT query_id, cell, neighbor_id, cos, rank
               FROM sc WHERE rank <= $k ORDER BY query_id, rank"""
 
+  /** The full durable cycle: train, SAVE the frozen pair as parquet
+    * artifacts, RELOAD them, add + serve from the reloaded frames.
+    * The serving plan's index lineage is a plain parquet FileScan —
+    * no training subtree, not even a leased one (PlanSpec gates it) —
+    * which is exactly what a deployment's admission job looks like.
+    * Values are bit-identical to [[ivfAddTopK]] (parquet round-trips
+    * the long/double/double-array schema exactly; IndexStoreSpec pins
+    * the equality), so the same oracle covers both. */
+  def ivfStoredTopK(s: SparkSession, d: String, nprobe: Int, k: Int): DataFrame = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_ivfstore_" +
+      s.sparkContext.applicationId
+    val (baseIdx, centroids) = frozenIndex(s, d)
+    IndexStore.save(root, "base" -> baseIdx, "centroids" -> centroids)
+    addAndServe(s, d,
+      IndexStore.load(s, root, "base"), IndexStore.load(s, root, "centroids"),
+      nprobe, k)
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // Incremental IVF: train on the base, freeze, assign a shifted-id
@@ -185,6 +233,36 @@ object IvfAdd {
     QueryDef(
       "s_ann_ivf_add",
       (s, d) => ivfAddTopK(s, d, nprobe = 4, k = 5),
-      Some(ivfAddOracle(nprobe = 4, k = 5)))
+      Some(ivfAddOracle(nprobe = 4, k = 5))),
+
+    // Durable-index round-trip: the same add + serve, but the frozen
+    // index is WRITTEN to parquet and RELOADED before the batch is
+    // admitted — the cross-session deployment cycle under the same
+    // oracle (the round-trip is value-exact, so the replay is
+    // identical to s_ann_ivf_add's). IndexStoreSpec pins
+    // reloaded-serve == leased-serve bit-equality in a fresh session.
+    QueryDef(
+      "s_ann_ivf_stored",
+      (s, d) => ivfStoredTopK(s, d, nprobe = 4, k = 5),
+      Some(ivfAddOracle(nprobe = 4, k = 5))),
+
+    // FAISS remove_ids(): the deletion half of the index lifecycle
+    // (train → add → REMOVE → serve). Tombstones cover base ids 5-9
+    // (their verbatim twins keep serving those queries at cos 1) and
+    // added ids 1,000,010-1,000,019 (their originals keep serving) —
+    // both deletion classes a deployment sees, each provably absent
+    // from every result while the rest of the index is untouched.
+    // One broadcast anti-join; no retraining, no posting rewrite.
+    QueryDef(
+      "s_ann_ivf_del",
+      (s, d) => {
+        import s.implicits._
+        val (baseIdx, centroids) = frozenIndex(s, d)
+        val tomb = s.range(5, 10).select($"id".as("vec_id"))
+          .unionByName(s.range(1000010L, 1000020L).select($"id".as("vec_id")))
+        addAndServe(s, d, baseIdx, centroids, nprobe = 4, k = 5, Some(tomb))
+      },
+      Some(ivfAddOracle(nprobe = 4, k = 5, removePred =
+        Some("vec_id BETWEEN 5 AND 9 OR vec_id BETWEEN 1000010 AND 1000019"))))
   )
 }

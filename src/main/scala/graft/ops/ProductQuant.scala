@@ -84,7 +84,7 @@ object ProductQuant {
   val PqDim: Int = PqM * PqDsub
 
   /** (vec_id, sub, sv): the corpus exploded into its subvectors. */
-  private def subvectors(emb: DataFrame): DataFrame = {
+  private[ops] def subvectors(emb: DataFrame): DataFrame = {
     val guarded = when(size(col("v")) =!= PqDim, raise_error(concat(
         lit(s"pq: embedding dimension mismatch: expected $PqDim, got "),
         size(col("v")).cast("string"))))
@@ -101,7 +101,7 @@ object ProductQuant {
     * the leading field) for the broadcast in-row argmax. `cself` =
     * dot(cv, cv) is carried so the assignment score is one fused dot
     * plus one multiply-subtract per candidate. */
-  private def codebookPerSub(sub: DataFrame, assign: DataFrame): DataFrame =
+  private[ops] def codebookPerSub(sub: DataFrame, assign: DataFrame): DataFrame =
     sub.join(assign, Seq("vec_id", "sub"))
       .select(col("sub"), col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
       .groupBy(col("sub"), col("cell"), col("pos")).agg(

@@ -445,6 +445,17 @@ ${entries.mkString(",\n")}
         }
       }
       spark.sparkContext.addSparkListener(listener)
+      def measure(name: String)(rowsOf: => Long): Unit = {
+        durations.clear()
+        val t0 = System.nanoTime()
+        val nRows = rowsOf
+        val wall = (System.nanoTime() - t0) / 1e9
+        val ds = { import scala.jdk.CollectionConverters._
+          durations.iterator().asScala.toArray.sorted }
+        val maxT = if (ds.nonEmpty) ds.last / 1e3 else 0.0
+        val medT = if (ds.nonEmpty) ds(ds.length / 2) / 1e3 else 0.0
+        println(f"SKEW $name%s: $wall%.1f s wall, $nRows rows, ${ds.length} tasks, max task $maxT%.1f s, median $medT%.2f s, max/wall ${maxT / wall}%.2f")
+      }
       try {
         // The two online indexes (w_neardup_pairs, w_embed_neardup)
         // are EXPECTED to show max/wall near 1 here: a hot band is one
@@ -467,16 +478,38 @@ ${entries.mkString(",\n")}
             "dd_embed_cos", "s_ann_lsh", "dd_decontaminate",
             "dd_embed_decontaminate", "dd_dup_ngrams", "dd_dup_spans",
             "dd_containment", "w_neardup_pairs", "w_embed_neardup")) {
-          durations.clear()
-          val t0 = System.nanoTime()
-          val rows = graft.SparkEntry.queries(q)(spark, dir).count()
-          val wall = (System.nanoTime() - t0) / 1e9
-          val ds = { import scala.jdk.CollectionConverters._
-            durations.iterator().asScala.toArray.sorted }
-          val maxT = if (ds.nonEmpty) ds.last / 1e3 else 0.0
-          val medT = if (ds.nonEmpty) ds(ds.length / 2) / 1e3 else 0.0
-          println(f"SKEW $q%s: $wall%.1f s wall, $rows rows, ${ds.length} tasks, max task $maxT%.1f s, median $medT%.2f s, max/wall ${maxT / wall}%.2f")
+          measure(q)(graft.SparkEntry.queries(q)(spark, dir).count())
         }
+        // Incremental-admission worst case: a HOT-BAND BATCH arriving
+        // against the hot-band corpus. Every batch doc/vector is a
+        // fresh distinct variant of the SAME seed, so all of its band
+        // postings land in the bucket that already holds `variants`
+        // corpus postings — the candCorpus equi-join concentrates
+        // |batch| × |variants| candidate rows into ONE bucket per band
+        // (plus the |batch|² candBatch self-join in the same bucket).
+        // The joins are plain equi-joins, so AQE's skew split must
+        // keep them off a single straggler task — the property the
+        // frozen-index admission path needs under a true-dup flood.
+        val nBatch = math.max(variants / 5, 100)
+        val hotDocBatch = spark.range(nBatch).select(
+          ($"id" + lit(700000000L)).as("doc_id"),
+          concat(lit(seedText), lit(" battok"), $"id").as("text"))
+        measure("dd_lsh_increment(hot-batch)")(
+          graft.ops.Dedup.lshIncrementSurvivors(
+            table(spark, dir, "documents").select($"doc_id", $"text"),
+            hotDocBatch).count())
+        // embedding twin: half-integer perturbation steps interleave
+        // with the corpus hot bucket's integer steps — all 2500 + 500
+        // vectors distinct, all in one hyperplane bucket
+        val hotEmbBatch = spark.range(nBatch).select(
+          ($"id" + lit(700000000L)).as("vec_id"),
+          array((lit(seedVec.head) +
+              (($"id".cast("double") + lit(0.5)) * lit(1e-6)).cast("float"))
+              .cast("float") +: seedVec.tail.map(f => lit(f)): _*).as("embedding"))
+        measure("dd_embed_increment(hot-batch)")(
+          graft.ops.Dedup.embedIncrementSurvivors(
+            spark.read.parquet(s"$dir/embeddings.parquet"),
+            hotEmbBatch).count())
       } finally spark.sparkContext.removeSparkListener(listener)
     } finally {
       val p = new org.apache.hadoop.fs.Path(dir)

@@ -268,6 +268,43 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("Union"), p)
   }
 
+  test("s_ann_ivf_del: remove_ids is one broadcast anti-join over the union index — no rebuild") {
+    val p = plan("s_ann_ivf_del")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(count(p, "posexplode") == 0, p)
+    // the tombstone anti-join rides broadcast (tiny id set), on top of
+    // the family's two intended broadcast-tiny nested loops
+    assert(p.contains("LeftAnti"), p)
+    assert(count(p, "BroadcastNestedLoopJoin") <= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Union"), p)
+  }
+
+  test("s_ann_ivf_stored: serving lineage is pure parquet — no lease, no training subtree survives the round-trip") {
+    val p = plan("s_ann_ivf_stored")
+    // the reloaded index is a plain FileScan: unlike s_ann_ivf_add,
+    // NOT EVEN the lease (Scan ExistingRDD) reaches the serving plan —
+    // training happened "in another job" as far as this plan knows
+    assert(!p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("Scan parquet"), p)
+    assert(count(p, "posexplode") == 0, p)
+    assert(count(p, "BroadcastNestedLoopJoin") <= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Union"), p)
+  }
+
+  test("s_ann_ivfpq_add: quantized add serves from the leased union index — no training subtree, no posexplode") {
+    val p = plan("s_ann_ivfpq_add")
+    // both iterative trainings AND the three-broadcast add path sit
+    // behind the index lease (Scan ExistingRDD); serving is probe +
+    // cell equi-join + id-equi-join re-ranks over materialized frames
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(count(p, "posexplode") == 0, p)
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1, p)
+    assert(count(p, "BroadcastHashJoin") >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t_mix_rebalance: one leased tokenize pass, broadcast rate join, two source-keyed aggregates") {
     val p = plan("t_mix_rebalance")
     assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)

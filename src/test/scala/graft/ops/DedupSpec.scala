@@ -699,6 +699,40 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(ids.exists(_ >= 2000000L), "no prefix doc admitted — fixture degenerate")
   }
 
+  test("lshIncrementSurvivors == online keep-first index at arrival order (corpus, then batch by id)") {
+    import spark.implicits._
+    // the scaladoc claims the increment mirrors the streaming index
+    // (Dedup.scala lshIncrementSurvivors doc) — pin it: the batch
+    // admission DECISIONS must equal w_dedup_first's drop set when the
+    // online index sees the corpus first and then the batch in id
+    // order. Batch execution of droppedByIndex orders each band's
+    // arrivals by doc_id (ts absent), and every corpus id (< 500) is
+    // below every batch id (>= 1,000,000), so the union IS that
+    // arrival order.
+    val base = graft.model.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    val b0 = base.filter($"doc_id" < 30)
+    val batch = b0.select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+      .unionByName(b0.select(($"doc_id" + 2000000L).as("doc_id"),
+        org.apache.spark.sql.functions.substring($"text", 1, 40).as("text")))
+      .unionByName(b0.select(($"doc_id" + 3000000L).as("doc_id"),
+        org.apache.spark.sql.functions.substring($"text", 1, 40).as("text")))
+    val batchIds = batch.select($"doc_id").collect().map(_.getLong(0)).toSet
+    val incSurvivors = Dedup.lshIncrementSurvivors(base, batch)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val incDropped = batchIds -- incSurvivors
+    // the online index over the ordered union; its drops among corpus
+    // ids are corpus-internal pairing (paid when the corpus was built,
+    // per the increment's contract) — the equivalence is on BATCH ids
+    val onlineDropped = graft.streaming.NearDup
+      .droppedByIndex(base.unionByName(batch), $"doc_id", $"text", threshold = 0.5)
+      .toDF().distinct().collect().map(_.getLong(0)).toSet
+      .filter(_ >= 1000000L)
+    assert(incDropped == onlineDropped,
+      s"inc-only: ${incDropped -- onlineDropped}; online-only: ${onlineDropped -- incDropped}")
+    assert(incDropped.nonEmpty, "no drops — fixture degenerate")
+  }
+
   test("embedIncrementSurvivors: corpus wins at cosine 1, keep-first among negated twins, zero-norm survives") {
     import spark.implicits._
     val base = graft.model.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")

@@ -62,4 +62,29 @@ class IvfAddSpec extends AnyFunSuite with SparkSpec {
         s"twin of $orig: cell ${r.getLong(1)} != frozen argmax $expected")
     }
   }
+
+  test("remove_ids: tombstoned ids never serve; queries whose base was removed still find their twin at cos 1") {
+    import spark.implicits._
+    val (baseIdx, centroids) = IvfAdd.frozenIndex(spark, sf)
+    val tomb = spark.range(5, 10).select($"id".as("vec_id"))
+      .unionByName(spark.range(1000010L, 1000020L).select($"id".as("vec_id")))
+    val removed = (5L until 10L).toSet ++ (1000010L until 1000020L).toSet
+    val out = IvfAdd.addAndServe(spark, sf, baseIdx, centroids,
+      nprobe = 4, k = 5, Some(tomb)).collect()
+    assert(out.nonEmpty)
+    // no tombstoned id in any result row
+    out.foreach { r =>
+      assert(!removed.contains(r.getLong(2)),
+        s"removed id ${r.getLong(2)} served for query ${r.getLong(0)}")
+    }
+    // deletion class 1 (base removed, twin kept): queries 5-9 rank-1
+    // at cos 1 — the twin (or another verbatim duplicate) serves
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      if (q >= 5 && q < 10) {
+        val r1 = rows.find(_.getInt(4) == 1).get
+        assert(math.abs(r1.getDouble(3) - 1.0) < 1e-9,
+          s"query $q (base tombstoned): rank-1 cos ${r1.getDouble(3)}")
+      }
+    }
+  }
 }
