@@ -30,11 +30,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object IndexStore {
 
   /** Write named artifact frames under `root` (one parquet dir per
-    * name, overwrite — saving a retrained index replaces the old
-    * artifact atomically per frame). */
+    * name). Each frame is written to a hidden temp directory and
+    * RENAMED into place — rename is atomic per frame on HDFS/posix,
+    * so a concurrently reloading job can never observe a partially
+    * written frame. Replacing an existing frame deletes the old dir
+    * first: a reader racing that exact window can see the frame
+    * briefly missing (never partial) — deployments that need fully
+    * lock-free replacement should version `root` per save and flip a
+    * pointer. */
   def save(root: String, frames: (String, DataFrame)*): Unit =
     frames.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$root/$name")
+      val dst = new org.apache.hadoop.fs.Path(s"$root/$name")
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$root/.$name.tmp-${java.util.UUID.randomUUID()}")
+      df.write.mode("overwrite").parquet(tmp.toString)
+      val fs = dst.getFileSystem(
+        df.sparkSession.sessionState.newHadoopConf())
+      if (fs.exists(dst)) fs.delete(dst, true)
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(
+          s"IndexStore.save: rename $tmp -> $dst failed")
     }
 
   /** Reload one artifact frame. The result is a plain parquet scan —

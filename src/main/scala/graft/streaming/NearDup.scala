@@ -71,7 +71,10 @@ object NearDup {
     * under batch execution (where the timeout machinery is inert and
     * the per-entry eviction alone decides), so stream == batch holds
     * on the retained window exactly as it does unaged on the full
-    * history — StreamNearDupSpec pins both. */
+    * history — StreamNearDupSpec pins both. Rows whose `ts` is NULL
+    * are exempt from aging: they index and pair like unaged entries
+    * and are never evicted (they carry no event time to age by) —
+    * supply a non-null `ts` for every row that should age. */
   case class Aging(ts: Column, horizonMs: Long) {
     require(horizonMs > 0, s"aging horizon must be positive, got $horizonMs")
   }
@@ -139,14 +142,24 @@ object NearDup {
     val out = scala.collection.mutable.ArrayBuffer.empty[NearPair]
     var seen = state.getOption.map(_.docs).getOrElse(Nil)
     var nSeen = seen.size
-    var maxTs = Long.MinValue
+    // seed the removal clock from RETAINED entries, not just this
+    // micro-batch: a late-but-within-watermark arrival alone must not
+    // re-arm the key's timeout behind the newest retained entry's
+    // horizon (null-ts entries sit at Long.MinValue — no-ops here)
+    var maxTs = seen.foldLeft(Long.MinValue)((m, p) => math.max(m, p.ts))
     rows.toArray.sortBy(d => (tsMs(d.ts), d.doc_id)).foreach { d =>
       val dts = tsMs(d.ts)
       if (horizonMs > 0 && dts > Long.MinValue) {
         // evict entries older than the horizon behind this arrival
         // BEFORE it verifies: expired content stops pairing
         val cutoff = dts - horizonMs
-        if (seen.exists(_.ts < cutoff)) { seen = seen.filter(_.ts >= cutoff); nSeen = seen.size }
+        // null-ts entries (ts = Long.MinValue) are exempt — they carry
+        // no event time to age by and would otherwise be silently
+        // discarded before they could pair
+        if (seen.exists(p => p.ts != Long.MinValue && p.ts < cutoff)) {
+          seen = seen.filter(p => p.ts == Long.MinValue || p.ts >= cutoff)
+          nSeen = seen.size
+        }
         if (dts > maxTs) maxTs = dts
       }
       var cur = seen
@@ -232,12 +245,22 @@ object NearDup {
     val out = scala.collection.mutable.ArrayBuffer.empty[DroppedDoc]
     var seen = state.getOption.map(_.docs).getOrElse(Nil)
     var nSeen = seen.size
-    var maxTs = Long.MinValue
+    // seed the removal clock from RETAINED entries, not just this
+    // micro-batch: a late-but-within-watermark arrival alone must not
+    // re-arm the key's timeout behind the newest retained entry's
+    // horizon (null-ts entries sit at Long.MinValue — no-ops here)
+    var maxTs = seen.foldLeft(Long.MinValue)((m, p) => math.max(m, p.ts))
     rows.toArray.sortBy(d => (tsMs(d.ts), d.doc_id)).foreach { d =>
       val dts = tsMs(d.ts)
       if (horizonMs > 0 && dts > Long.MinValue) {
         val cutoff = dts - horizonMs
-        if (seen.exists(_.ts < cutoff)) { seen = seen.filter(_.ts >= cutoff); nSeen = seen.size }
+        // null-ts entries (ts = Long.MinValue) are exempt — they carry
+        // no event time to age by and would otherwise be silently
+        // discarded before they could pair
+        if (seen.exists(p => p.ts != Long.MinValue && p.ts < cutoff)) {
+          seen = seen.filter(p => p.ts == Long.MinValue || p.ts >= cutoff)
+          nSeen = seen.size
+        }
         if (dts > maxTs) maxTs = dts
       }
       if (seen.exists(p => jaccardSorted(p.xs, d.xs) >= threshold))
@@ -325,12 +348,22 @@ object NearDup {
     val out = scala.collection.mutable.ArrayBuffer.empty[ImgPair]
     var seen = state.getOption.map(_.imgs).getOrElse(Nil)
     var nSeen = seen.size
-    var maxTs = Long.MinValue
+    // seed the removal clock from RETAINED entries, not just this
+    // micro-batch: a late-but-within-watermark arrival alone must not
+    // re-arm the key's timeout behind the newest retained entry's
+    // horizon (null-ts entries sit at Long.MinValue — no-ops here)
+    var maxTs = seen.foldLeft(Long.MinValue)((m, p) => math.max(m, p.ts))
     rows.toArray.sortBy(d => (tsMs(d.ts), d.media_id)).foreach { d =>
       val dts = tsMs(d.ts)
       if (horizonMs > 0 && dts > Long.MinValue) {
         val cutoff = dts - horizonMs
-        if (seen.exists(_.ts < cutoff)) { seen = seen.filter(_.ts >= cutoff); nSeen = seen.size }
+        // null-ts entries (ts = Long.MinValue) are exempt — they carry
+        // no event time to age by and would otherwise be silently
+        // discarded before they could pair
+        if (seen.exists(p => p.ts != Long.MinValue && p.ts < cutoff)) {
+          seen = seen.filter(p => p.ts == Long.MinValue || p.ts >= cutoff)
+          nSeen = seen.size
+        }
         if (dts > maxTs) maxTs = dts
       }
       var cur = seen
@@ -476,12 +509,22 @@ object NearDup {
     val out = scala.collection.mutable.ArrayBuffer.empty[VidPair]
     var seen = state.getOption.map(_.vids).getOrElse(Nil)
     var nSeen = seen.size
-    var maxTs = Long.MinValue
+    // seed the removal clock from RETAINED entries, not just this
+    // micro-batch: a late-but-within-watermark arrival alone must not
+    // re-arm the key's timeout behind the newest retained entry's
+    // horizon (null-ts entries sit at Long.MinValue — no-ops here)
+    var maxTs = seen.foldLeft(Long.MinValue)((m, p) => math.max(m, p.ts))
     rows.toArray.sortBy(d => (tsMs(d.ts), d.media_id)).foreach { d =>
       val dts = tsMs(d.ts)
       if (horizonMs > 0 && dts > Long.MinValue) {
         val cutoff = dts - horizonMs
-        if (seen.exists(_.ts < cutoff)) { seen = seen.filter(_.ts >= cutoff); nSeen = seen.size }
+        // null-ts entries (ts = Long.MinValue) are exempt — they carry
+        // no event time to age by and would otherwise be silently
+        // discarded before they could pair
+        if (seen.exists(p => p.ts != Long.MinValue && p.ts < cutoff)) {
+          seen = seen.filter(p => p.ts == Long.MinValue || p.ts >= cutoff)
+          nSeen = seen.size
+        }
         if (dts > maxTs) maxTs = dts
       }
       var cur = seen
@@ -573,12 +616,22 @@ object NearDup {
     val out = scala.collection.mutable.ArrayBuffer.empty[DroppedMedia]
     var seen = state.getOption.map(_.items).getOrElse(Nil)
     var nSeen = seen.size
-    var maxTs = Long.MinValue
+    // seed the removal clock from RETAINED entries, not just this
+    // micro-batch: a late-but-within-watermark arrival alone must not
+    // re-arm the key's timeout behind the newest retained entry's
+    // horizon (null-ts entries sit at Long.MinValue — no-ops here)
+    var maxTs = seen.foldLeft(Long.MinValue)((m, p) => math.max(m, p.ts))
     rows.toArray.sortBy(d => (tsMs(d.ts), d.media_id)).foreach { d =>
       val dts = tsMs(d.ts)
       if (horizonMs > 0 && dts > Long.MinValue) {
         val cutoff = dts - horizonMs
-        if (seen.exists(_.ts < cutoff)) { seen = seen.filter(_.ts >= cutoff); nSeen = seen.size }
+        // null-ts entries (ts = Long.MinValue) are exempt — they carry
+        // no event time to age by and would otherwise be silently
+        // discarded before they could pair
+        if (seen.exists(p => p.ts != Long.MinValue && p.ts < cutoff)) {
+          seen = seen.filter(p => p.ts == Long.MinValue || p.ts >= cutoff)
+          nSeen = seen.size
+        }
         if (dts > maxTs) maxTs = dts
       }
       val dropped =
@@ -686,12 +739,22 @@ object NearDup {
     val out = scala.collection.mutable.ArrayBuffer.empty[VecPair]
     var seen = state.getOption.map(_.vecs).getOrElse(Nil)
     var nSeen = seen.size
-    var maxTs = Long.MinValue
+    // seed the removal clock from RETAINED entries, not just this
+    // micro-batch: a late-but-within-watermark arrival alone must not
+    // re-arm the key's timeout behind the newest retained entry's
+    // horizon (null-ts entries sit at Long.MinValue — no-ops here)
+    var maxTs = seen.foldLeft(Long.MinValue)((m, p) => math.max(m, p.ts))
     rows.toArray.sortBy(d => (tsMs(d.ts), d.vec_id)).foreach { d =>
       val dts = tsMs(d.ts)
       if (horizonMs > 0 && dts > Long.MinValue) {
         val cutoff = dts - horizonMs
-        if (seen.exists(_.ts < cutoff)) { seen = seen.filter(_.ts >= cutoff); nSeen = seen.size }
+        // null-ts entries (ts = Long.MinValue) are exempt — they carry
+        // no event time to age by and would otherwise be silently
+        // discarded before they could pair
+        if (seen.exists(p => p.ts != Long.MinValue && p.ts < cutoff)) {
+          seen = seen.filter(p => p.ts == Long.MinValue || p.ts >= cutoff)
+          nSeen = seen.size
+        }
         if (dts > maxTs) maxTs = dts
       }
       var cur = seen

@@ -241,6 +241,59 @@ class StreamNearDupSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("aging: a late-but-within-watermark arrival must not re-arm the removal clock behind the newest RETAINED entry's horizon") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    // horizon 5 s, watermark delay 10 s. Batch 2 delivers doc 3 ALONE
+    // and LATE (t=95, admitted: watermark is 93): if the re-arm clock
+    // were seeded from the batch alone it would land at 95+5=100 —
+    // behind retained doc 2's horizon (103+5=108) — and two dummy
+    // batches later (watermark 102) the whole band state would be
+    // removed while doc 2 is still live, so doc 5 (t=106, cutoff 101)
+    // would silently miss its (2,5) pair
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val src = mem.toDF().toDF("doc_id", "text", "ets")
+      .withWatermark("ets", "10 seconds")
+    val q = NearDup.nearDupPairs(src, $"doc_id", $"text", 0.5,
+        aging = Some(NearDup.Aging($"ets", 5000L)))
+      .toDF()
+      .writeStream.format("memory").queryName("wlate").outputMode("append").start()
+    try {
+      Seq(
+        Seq((1L, textA, t(100)), (2L, textA, t(103))),
+        Seq((3L, textA, t(95))), // late, alone
+        Seq((90L, "seven wild geese crossed the frozen river at dawn", t(112))),
+        Seq((91L, "pack my box with five dozen liquor jugs tonight", t(113))),
+        Seq((5L, textA, t(106)))
+      ).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      val streamed = spark.table("wlate").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed.contains((2L, 5L)),
+        s"band state was removed while doc 2's horizon was still open: $streamed")
+      assert(streamed == Set((1L, 2L), (1L, 3L), (2L, 3L), (2L, 5L)),
+        s"unexpected pair set $streamed")
+    } finally q.stop()
+  }
+
+  test("aging: null-ts entries are exempt from eviction and still pair") {
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    // doc 1 carries no event time; doc 2 arrives at t=100 with a 5 s
+    // horizon — its eviction cutoff (95) must not discard the null-ts
+    // entry, which has no event time to age by
+    val df = Seq(
+      (1L, textA, null.asInstanceOf[java.sql.Timestamp]),
+      (2L, textA, t(100)))
+      .toDF("doc_id", "text", "ets")
+    val aged = NearDup.nearDupPairs(df, $"doc_id", $"text", 0.5,
+        aging = Some(NearDup.Aging($"ets", 5000L)))
+      .toDF().distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(aged == Set((1L, 2L)), s"null-ts entry was evicted before pairing: $aged")
+  }
+
   test("aging applies across the online family: the composed media index ages too") {
     import spark.implicits._
     def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
