@@ -832,15 +832,29 @@ object Dedup {
       h: Int = 32, b: Int = 16): DataFrame = {
     // the frozen corpus index (signatures + xs sets): band postings
     // and the verify stage both read it — leased, never rebuilt per
-    // consumer. The batch side leases for the same two consumers.
+    // consumer.
     val sigO = Checkpoints.lease("lshinc_base",
       minhashSignatures(base, col("doc_id"), col("text"), h))
+    lshIncrementFromIndex(sigO,
+      sigO.select(col("id"), explode(array(minhashBandKeys(h, b): _*)).as("band")),
+      batch, threshold, h, b)
+  }
+
+  /** [[lshIncrementSurvivors]]'s admission core against a PRE-BUILT
+    * frozen corpus index: `sigO` is the signature frame
+    * ([[minhashSignatures]]'s (id, xs, __sig) — leased in-session, or
+    * reloaded from [[IndexStore]] parquet), `bandsO` its exploded
+    * (id, band) postings. The batch side leases for its own two
+    * consumers; the corpus side is read as given — for a reloaded
+    * index that is a plain parquet FileScan, no lease and no lineage
+    * back to the corpus text. */
+  def lshIncrementFromIndex(
+      sigO: DataFrame, bandsO: DataFrame, batch: DataFrame,
+      threshold: Double = 0.5, h: Int = 32, b: Int = 16): DataFrame = {
     val sigN = Checkpoints.lease("lshinc_batch",
       minhashSignatures(batch, col("doc_id"), col("text"), h))
-    def bandsOf(sig: DataFrame) = sig.select(col("id"),
+    val bandsN = sigN.select(col("id"),
       explode(array(minhashBandKeys(h, b): _*)).as("band"))
-    val bandsO = bandsOf(sigO)
-    val bandsN = bandsOf(sigN)
     val candCorpus = bandsN.as("a")
       .join(bandsO.as("o"), col("a.band") === col("o.band"))
       .select(col("a.id").as("id_n"), col("o.id").as("id_o")).distinct()
@@ -856,6 +870,37 @@ object Dedup {
       .unionByName(verified(candBatch, sigN))
       .distinct().toDF("doc_id")
     batch.join(dominated, Seq("doc_id"), "left_anti")
+  }
+
+  private val lshStoreSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** The durable round-trip for the dedup corpus index — the LSH twin
+    * of `s_ann_ivf_stored`'s cycle: build the corpus signature frame
+    * ONCE (the text is scanned exactly once — the band postings are
+    * derived from the STORED signatures, not recomputed), SAVE both
+    * frames as parquet artifacts, RELOAD them, and admit the batch
+    * against the reloaded index. Values are bit-identical to
+    * [[lshIncrementSurvivors]] (parquet round-trips the
+    * long/long-array schema exactly; IndexStoreSpec pins
+    * admission-decision equality in a fresh session), so the same
+    * oracle covers both. The reloaded corpus lineage is a plain
+    * parquet FileScan — a deployment's day-2 admission job needs zero
+    * knowledge of how the index was built. */
+  def lshStoredSurvivors(
+      base: DataFrame, batch: DataFrame, threshold: Double = 0.5,
+      h: Int = 32, b: Int = 16): DataFrame = {
+    val s = batch.sparkSession
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_lshstore_" +
+      s"${s.sparkContext.applicationId}_${lshStoreSeq.incrementAndGet()}"
+    IndexStore.save(root,
+      "lsh_sigs" -> minhashSignatures(base, col("doc_id"), col("text"), h))
+    val sigStored = IndexStore.load(s, root, "lsh_sigs")
+    IndexStore.save(root, "lsh_bands" -> sigStored.select(col("id"),
+      explode(array(minhashBandKeys(h, b): _*)).as("band")))
+    lshIncrementFromIndex(
+      IndexStore.load(s, root, "lsh_sigs"),
+      IndexStore.load(s, root, "lsh_bands"),
+      batch, threshold, h, b)
   }
 
   /** Incremental EMBEDDING dedup — the vector twin of
@@ -1672,20 +1717,42 @@ object Dedup {
     // decision replays in the oracle from the shared side fragments.
     QueryDef(
       "dd_lsh_increment",
-      (s, d) => {
-        import s.implicits._
-        val base = table(s, d, "documents").select($"doc_id", $"text")
-        val b0 = base.filter($"doc_id" < 30)
-        val batch = b0.select(($"doc_id" + 1000000L).as("doc_id"), $"text")
-          .unionByName(b0.select(($"doc_id" + 2000000L).as("doc_id"),
-            substring($"text", 1, 40).as("text")))
-          .unionByName(b0.select(($"doc_id" + 3000000L).as("doc_id"),
-            substring($"text", 1, 40).as("text")))
-        lshIncrementSurvivors(base, batch)
-          .select($"doc_id", md5($"text").as("content_md5"))
-          .orderBy($"doc_id")
-      },
-      Some {
+      (s, d) => lshIncrementQuery(s, d)(lshIncrementSurvivors(_, _)),
+      Some(lshIncrementOracle)),
+
+    // Durable dedup-index round-trip: the same day-2 admission, but
+    // the frozen corpus index (signatures + band postings) is WRITTEN
+    // to parquet and RELOADED before the batch is admitted — the
+    // cross-session deployment cycle under the same oracle (the
+    // round-trip is value-exact, so the replay is identical to
+    // dd_lsh_increment's). IndexStoreSpec pins admission-decision
+    // equality against the leased path in a fresh session.
+    QueryDef(
+      "dd_lsh_stored",
+      (s, d) => lshIncrementQuery(s, d)(lshStoredSurvivors(_, _)),
+      Some(lshIncrementOracle))
+  ) ++ querySeq2
+
+  /** The shared day-2 fixture of `dd_lsh_increment` / `dd_lsh_stored`:
+    * the first 30 docs re-ingested three ways — verbatim (+1,000,000)
+    * and two identical 40-char prefixes (+2,000,000 / +3,000,000) —
+    * admitted by `admit(base, batch)`. */
+  private def lshIncrementQuery(s: SparkSession, d: String)(
+      admit: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    import s.implicits._
+    val base = table(s, d, "documents").select($"doc_id", $"text")
+    val b0 = base.filter($"doc_id" < 30)
+    val batch = b0.select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+      .unionByName(b0.select(($"doc_id" + 2000000L).as("doc_id"),
+        substring($"text", 1, 40).as("text")))
+      .unionByName(b0.select(($"doc_id" + 3000000L).as("doc_id"),
+        substring($"text", 1, 40).as("text")))
+    admit(base, batch)
+      .select($"doc_id", md5($"text").as("content_md5"))
+      .orderBy($"doc_id")
+  }
+
+  private lazy val lshIncrementOracle: String = {
         val jac = (a: String, o: String) =>
           s"""CAST(len(list_intersect($a.xs, $o.xs)) AS DOUBLE)
                 / (len($a.xs) + len($o.xs) - len(list_intersect($a.xs, $o.xs)))"""
@@ -1721,7 +1788,9 @@ object Dedup {
             SELECT doc_id, md5(text) AS content_md5 FROM nb
             WHERE doc_id NOT IN (SELECT id_n FROM dom)
             ORDER BY doc_id"""
-      }),
+  }
+
+  private lazy val querySeq2: Seq[QueryDef] = Seq(
 
     // Incremental embedding dedup (see embedIncrementSurvivors): the
     // vector twin of dd_lsh_increment over the same day-2 shape. The

@@ -57,4 +57,21 @@ object IndexStore {
     * from it with zero knowledge of how it was built. */
   def load(s: SparkSession, root: String, name: String): DataFrame =
     s.read.parquet(s"$root/$name")
+
+  /** Tombstone COMPACTION — the follow-on to `remove_ids()`: once the
+    * tombstone fraction grows, rewrite the stored index frame dropping
+    * tombstoned rows, so the per-serve anti-join disappears and the
+    * artifact stops carrying dead postings. One broadcast anti-join
+    * over the stored frame, one parquet rewrite; the quantizer frame
+    * is untouched — compaction never retrains. Rewriting the frame IN
+    * PLACE is safe because [[save]] writes to a temp dir first: the
+    * source parquet is fully read (the anti-join job completes into
+    * the temp dir) before the old frame is dropped and the rename
+    * lands. IndexStoreSpec pins serve-after-compaction ==
+    * serve-with-anti-join bit-equality. */
+  def compact(s: SparkSession, root: String, name: String,
+      tombstones: DataFrame, idCol: String = "vec_id"): Unit =
+    save(root, name -> load(s, root, name)
+      .join(org.apache.spark.sql.functions.broadcast(tombstones),
+        Seq(idCol), "left_anti"))
 }

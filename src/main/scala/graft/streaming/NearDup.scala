@@ -896,6 +896,35 @@ object NearDup {
               SELECT id_a, id_b, sim FROM verified
               WHERE sim >= 0.5 ORDER BY id_a, id_b""")),
 
+    // The AGED online index under batch execution, with a
+    // deterministic synthesized event time (ts = epoch 1,000,000 +
+    // doc_id seconds, so arrival order == id order) and a 150 s
+    // horizon the sf0.01 fixture's pair-gap spread straddles (11
+    // verified pairs inside the horizon, 14 evicted before pairing —
+    // both eviction verdicts exercised under the oracle's hash
+    // compare, not just the spec). Because ts is monotone in id, an
+    // entry evicted by an INTERMEDIATE arrival would have been
+    // evicted by the pair's own cutoff anyway, so the aged pair set
+    // is EXACTLY the unaged set filtered by ts_b - ts_a <= horizon —
+    // which is what the oracle replays on the same synthesized ts.
+    QueryDef(
+      "w_neardup_aged",
+      (s, d) => {
+        import s.implicits._
+        val docs = table(s, d, "documents")
+          .withColumn("ets", timestamp_seconds(lit(1000000L) + $"doc_id"))
+        nearDupPairs(docs, $"doc_id", $"text", 0.5,
+            aging = Some(Aging($"ets", 150000L)))
+          .toDF().distinct()
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""${graft.ops.Dedup.minhashOracleCtesFrom("documents")}
+              SELECT id_a, id_b, sim FROM verified
+              WHERE sim >= 0.5
+                AND epoch(to_timestamp(1000000 + id_b))
+                  - epoch(to_timestamp(1000000 + id_a)) <= 150
+              ORDER BY id_a, id_b""")),
+
     // The online hyperplane-LSH index under batch execution: the
     // UNCOLLAPSED verified cosine pair set (the online form sees every
     // member as it arrives — exact twins pair like any neighbor), which

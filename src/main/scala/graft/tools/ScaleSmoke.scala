@@ -199,6 +199,26 @@ object ScaleSmoke {
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
+  /** Per-copy seeded permutation of the printable non-space alphabet
+    * (33..126), copy 0 = identity — applied as one chained
+    * `translate` CASE over the copy column. Deterministic, injective
+    * per copy, and space-preserving, so every within-copy structural
+    * property (token boundaries, lengths, gram equality, dup graph)
+    * is exactly what the un-permuted copy had. */
+  private def copyPermutedText(text: org.apache.spark.sql.Column,
+      copy: org.apache.spark.sql.Column, copies: Int): org.apache.spark.sql.Column = {
+    val from = (33 to 126).map(_.toChar).mkString
+    (2 until copies).foldLeft(
+      when(copy === 1, translate(text, from, permTo(1)))) { (acc, c) =>
+      acc.when(copy === c, translate(text, from, permTo(c)))
+    }.otherwise(text) // copy 0: identity
+  }
+
+  private def permTo(c: Int): String = {
+    val rng = new scala.util.Random(c * 7919L + 13L)
+    rng.shuffle((33 to 126).map(_.toChar).toVector).mkString
+  }
+
   /** Amplify the whole database into `outDir`: `copies` id-shifted,
     * FK-consistent replicas of every fact table; dims copied verbatim.
     * Raw parquet in/out (no `table()` ts normalization) so the
@@ -227,10 +247,23 @@ object ScaleSmoke {
               // and the pair graph is `copies` disjoint 1x replicas
               // (copy 0 is prefixed too: all copies see identical
               // per-token work, so tN/t1 still compares like to like
-              // up to the constant prefix cost)
+              // up to the constant prefix cost).
+              // THEN a per-copy pseudorandom permutation of the
+              // non-space printable alphabet (space fixed, so token
+              // boundaries and all length/gram structure survive;
+              // injective per copy, so within-copy dup structure is
+              // untouched): the prefix alone is PERCEPTUALLY invisible
+              // — copies 0-9 differ only in one digit per word, and a
+              // digit-for-digit substitution flips almost no dHash
+              // order comparison, so corresponding frames of the same
+              // base doc matched across copies at hamming <= 6
+              // (measured: 53k of 155k cross-copy frame matches at 4
+              // copies were same-base-doc; the permutation cuts them
+              // to 2k). Copy 0 keeps the identity permutation.
               shifted
                 .withColumn("text", regexp_replace($"text",
                   lit("(\\S+)"), concat(lit("c"), $"__copy", lit("_$1"))))
+                .withColumn("text", copyPermutedText($"text", $"__copy", copies))
                 .withColumn("n_chars", length($"text").cast("long"))
             else shifted
           transformed.drop("__copy")
@@ -280,7 +313,7 @@ object ScaleSmoke {
       // wall of the LAST timed run, error). The straggler fraction is
       // the skew witness the 100x artifacts need: if a banded join
       // serialized its hot bucket into one task, max-task/wall ≈ 1.
-      def sweep(dir: String, only: Seq[String] = Nil): Map[String, (Double, Double, Option[String])] = {
+      def sweep(dir: String, only: Seq[String] = Nil): Map[String, (Double, Double, Long, Option[String])] = {
         val spark = buildSession()
         val durations = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
         val listener = new org.apache.spark.scheduler.SparkListener {
@@ -299,6 +332,12 @@ object ScaleSmoke {
               val r =
                 try {
                   noopForce(fn(spark, dir))
+                  // output-row count, outside every timed sample (and
+                  // before the straggler window opens at i == 3): the
+                  // artifact's scaling story needs rows_1x vs rows_Nx —
+                  // a ratio over 10x reads very differently when the
+                  // true output itself grew 100x
+                  val rows = fn(spark, dir).count()
                   val samples = (1 to 3).map { i =>
                     if (i == 3) durations.clear()
                     val t0 = System.nanoTime()
@@ -310,12 +349,12 @@ object ScaleSmoke {
                     durations.iterator().asScala.foldLeft(0L)(math.max) / 1e3 }
                   (samples.sorted.apply(1),
                     if (lastWall > 0) maxTask / lastWall else 0.0,
-                    Option.empty[String])
+                    rows, Option.empty[String])
                 } catch {
                   case e: Throwable =>
-                    (Double.NaN, 0.0, Some(e.getClass.getSimpleName))
+                    (Double.NaN, 0.0, -1L, Some(e.getClass.getSimpleName))
                 }
-              println(f"SCALE $dir%s $name%s: ${r._1}%.2f s (straggler ${r._2}%.2f)${r._3.fold("")(" ERR " + _)}")
+              println(f"SCALE $dir%s $name%s: ${r._1}%.2f s (straggler ${r._2}%.2f, rows ${r._3})${r._4.fold("")(" ERR " + _)}")
               name -> r
             }.toMap
         } finally {
@@ -348,14 +387,15 @@ object ScaleSmoke {
       // 23s when rechecked downstream of another flagged query)
       val iso = over.map(n => n -> sweep(ampDir, Seq(n)).apply(n)).toMap
       val entries = names.map { n =>
-        val (t1raw, _, e1) = base(n)
-        val (tnraw, frac, en) = amp(n)
+        val (t1raw, _, rows1, e1) = base(n)
+        val (tnraw, frac, rowsN, en) = amp(n)
         val (t1, tn) = (if (t1raw.isNaN) -1.0 else t1raw, if (tnraw.isNaN) -1.0 else tnraw)
         val ratio = if (t1 > 0 && tn >= 0) tn / t1 else -1.0
-        val isoPart = iso.get(n).filterNot(_._1.isNaN).fold("") { case (ti, fi, _) =>
+        val rowsRatio = if (rows1 > 0 && rowsN >= 0) rowsN.toDouble / rows1 else -1.0
+        val isoPart = iso.get(n).filterNot(_._1.isNaN).fold("") { case (ti, fi, _, _) =>
           f""", "tN_iso": $ti%.3f, "ratio_iso": ${if (t1 > 0) ti / t1 else -1.0}%.2f, "straggler_iso": $fi%.2f"""
         }
-        f"""    "$n": {"t1": $t1%.3f, "tN": $tn%.3f, "ratio": $ratio%.2f, "straggler_N": $frac%.2f""" + isoPart +
+        f"""    "$n": {"t1": $t1%.3f, "tN": $tn%.3f, "ratio": $ratio%.2f, "straggler_N": $frac%.2f, "rows_1x": $rows1, "rows_Nx": $rowsN, "rows_ratio": $rowsRatio%.2f""" + isoPart +
           (e1.orElse(en).fold("")(e => s""", "err": "$e"""")) + "}"
       }
       val t1Total = base.values.map(_._1).filterNot(_.isNaN).sum
@@ -367,7 +407,7 @@ object ScaleSmoke {
   "total_t1": $t1Total%.1f,
   "total_tN": $tnTotal%.1f,
   "total_ratio": ${tnTotal / t1Total}%.2f,
-  "failed": ${(base.values ++ amp.values).count(_._3.isDefined)},
+  "failed": ${(base.values ++ amp.values).count(_._4.isDefined)},
   "queries": {
 ${entries.mkString(",\n")}
   }

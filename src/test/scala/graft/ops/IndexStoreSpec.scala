@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins the durable-index deployment claim: a frozen IVF index saved
@@ -55,5 +56,92 @@ class IndexStoreSpec extends AnyFunSuite with SparkSpec {
     // and the oracle-covered query variant runs the whole cycle
     val out = IvfAdd.ivfStoredTopK(spark, sf, nprobe = 4, k = 5).collect()
     assert(out.length == leased.length)
+  }
+
+  test("tombstone compaction: serve-after-compaction == serve-with-anti-join bit-equality; compacted artifact drops exactly the tombstoned rows") {
+    import spark.implicits._
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_compact_spec"
+    val (baseIdx, centroids) = IvfAdd.frozenIndex(spark, sf)
+    IndexStore.save(root, "base" -> baseIdx, "centroids" -> centroids)
+
+    // the admission job: fresh session, tombstones served via the
+    // remove_ids anti-join
+    val s2 = spark.newSession()
+    val tomb = s2.range(5, 10)
+      .select(org.apache.spark.sql.functions.col("id").as("vec_id"))
+    val cents2 = IndexStore.load(s2, root, "centroids")
+    val withAnti = IvfAdd.addAndServe(s2, sf,
+      IndexStore.load(s2, root, "base"), cents2, nprobe = 4, k = 5,
+      Some(tomb)).collect()
+    assert(withAnti.nonEmpty)
+
+    // compact the stored artifact in place, then serve with NO
+    // tombstones at all
+    val nBefore = IndexStore.load(s2, root, "base").count()
+    IndexStore.compact(s2, root, "base", tomb)
+    val compacted = IndexStore.load(s2, root, "base")
+    assert(compacted.count() == nBefore - 5,
+      "compaction must drop exactly the 5 tombstoned base rows")
+    assert(compacted.filter(
+      org.apache.spark.sql.functions.col("vec_id").between(5, 9)).count() == 0)
+    val served = IvfAdd.addAndServe(s2, sf, compacted, cents2,
+      nprobe = 4, k = 5, None).collect()
+
+    assert(served.length == withAnti.length)
+    withAnti.zip(served).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1) &&
+        a.getLong(2) == b.getLong(2) && a.getDouble(3) == b.getDouble(3) &&
+        a.getInt(4) == b.getInt(4), s"row mismatch: $a vs $b")
+    }
+  }
+
+  test("dedup corpus index round-trip: reloaded admission decisions == leased admission decisions in a fresh session") {
+    import spark.implicits._
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_lshstore_spec"
+    def fixture(s: org.apache.spark.sql.SparkSession) = {
+      import s.implicits._
+      val base = graft.model.Tables.table(s, sf, "documents")
+        .select($"doc_id", $"text")
+      val b0 = base.filter($"doc_id" < 30)
+      val batch = b0.select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+        .unionByName(b0.select(($"doc_id" + 2000000L).as("doc_id"),
+          substring($"text", 1, 40).as("text")))
+        .unionByName(b0.select(($"doc_id" + 3000000L).as("doc_id"),
+          substring($"text", 1, 40).as("text")))
+      (base, batch)
+    }
+    // the "corpus build job": signatures computed once, bands derived
+    // from the STORED frame, both saved
+    val (base1, batch1) = fixture(spark)
+    val sigs = Dedup.minhashSignatures(base1, $"doc_id", $"text", 32)
+    IndexStore.save(root, "lsh_sigs" -> sigs)
+    IndexStore.save(root, "lsh_bands" ->
+      IndexStore.load(spark, root, "lsh_sigs").select($"id",
+        explode(array(Dedup.minhashBandKeys(32, 16): _*)).as("band")))
+    // the leased path's admission decisions (survivor id set)
+    val leased = Dedup.lshIncrementSurvivors(base1, batch1)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(leased.nonEmpty)
+
+    // the "day-2 admission job": a fresh session reloads the index
+    // with zero knowledge of the corpus text
+    val s2 = spark.newSession()
+    val sigs2 = IndexStore.load(s2, root, "lsh_sigs")
+    val bands2 = IndexStore.load(s2, root, "lsh_bands")
+    Seq(sigs2, bands2).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("Scan parquet"), p)
+      assert(!p.contains("Scan ExistingRDD"), p)
+    }
+    val (_, batch2) = fixture(s2)
+    val stored = Dedup.lshIncrementFromIndex(sigs2, bands2, batch2)
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(stored == leased,
+      s"admission decisions diverge: only-leased ${leased -- stored}, only-stored ${stored -- leased}")
+
+    // and the oracle-covered query variant runs the whole cycle
+    val q = Dedup.queries.find(_.name == "dd_lsh_stored").get
+    assert(q.fn(spark, sf).count() == leased.size)
   }
 }
