@@ -916,18 +916,59 @@ object Dedup {
     * volume is batch-sized on one side of every join; corpus×corpus
     * pairing never recurs. Returns the surviving batch rows
     * (original schema). */
+  /** The family's prepped-vector frame: double vectors with norms,
+    * zero-norm rows dropped (cosine would be 0/0 = NaN — the explicit
+    * gate every embedding operator applies). */
+  private def prepVecs(df: DataFrame): DataFrame = df
+    .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    .withColumn("norm", Similarity.l2norm(col("v")))
+    .filter(col("norm") > 0)
+
+  /** Hyperplane band-bucket postings of a prepped frame (the family's
+    * shared LSH: bands=8, r=8, probed dimension). */
+  private def vecBuckets(sig: DataFrame): DataFrame = sig.select(col("vec_id"),
+    explode(Similarity.bandBucketsProbed(sig, col("v"), bands = 8, r = 8)).as("bkt"))
+
   def embedIncrementSurvivors(
       base: DataFrame, batch: DataFrame, threshold: Double = 0.4): DataFrame = {
-    def prep(df: DataFrame) = df
-      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
-      .withColumn("norm", Similarity.l2norm(col("v")))
-      .filter(col("norm") > 0)
-    val sigO = Checkpoints.lease("embinc_base", prep(base))
-    val sigN = Checkpoints.lease("embinc_batch", prep(batch))
-    def bandsOf(sig: DataFrame) = sig.select(col("vec_id"),
-      explode(Similarity.bandBucketsProbed(sig, col("v"), bands = 8, r = 8)).as("bkt"))
-    val bandsO = bandsOf(sigO)
-    val bandsN = bandsOf(sigN)
+    val sigO = Checkpoints.lease("embinc_base", prepVecs(base))
+    embedIncrementFromIndex(sigO, vecBuckets(sigO), batch, threshold)
+  }
+
+  private val embStoreSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** The durable round-trip for the VECTOR corpus index — the
+    * embedding twin of [[lshStoredSurvivors]]: prep the corpus
+    * vectors ONCE (the bucket postings derive from the STORED frame,
+    * so the embeddings scan once), SAVE both frames as parquet
+    * artifacts, RELOAD them, and admit the batch against the reloaded
+    * index. Values are bit-identical to [[embedIncrementSurvivors]]
+    * (parquet round-trips the long/double-array schema exactly;
+    * IndexStoreSpec pins admission-decision equality in a fresh
+    * session), so the same oracle covers both. */
+  def embedStoredSurvivors(
+      base: DataFrame, batch: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val s = batch.sparkSession
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_embstore_" +
+      s"${s.sparkContext.applicationId}_${embStoreSeq.incrementAndGet()}"
+    IndexStore.save(root, "vec_sigs" -> prepVecs(base))
+    val sigStored = IndexStore.load(s, root, "vec_sigs")
+    IndexStore.save(root, "vec_buckets" -> vecBuckets(sigStored))
+    embedIncrementFromIndex(
+      IndexStore.load(s, root, "vec_sigs"),
+      IndexStore.load(s, root, "vec_buckets"),
+      batch, threshold)
+  }
+
+  /** [[embedIncrementSurvivors]]'s admission core against a PRE-BUILT
+    * frozen vector index: `sigO` is the prepped corpus frame
+    * (vec_id, v, norm — leased in-session, or reloaded from
+    * [[IndexStore]] parquet), `bandsO` its bucket postings. */
+  def embedIncrementFromIndex(
+      sigO: DataFrame, bandsO: DataFrame, batch: DataFrame,
+      threshold: Double = 0.4): DataFrame = {
+    val sigN = Checkpoints.lease("embinc_batch", prepVecs(batch))
+    val bandsN = vecBuckets(sigN)
     val candCorpus = bandsN.as("a")
       .join(bandsO.as("o"), col("a.bkt") === col("o.bkt"))
       .select(col("a.vec_id").as("id_n"), col("o.vec_id").as("id_o")).distinct()
@@ -1790,6 +1831,71 @@ object Dedup {
             ORDER BY doc_id"""
   }
 
+  /** The shared day-2 fixture of `dd_embed_increment` /
+    * `dd_embed_stored`: the first 30 vectors re-ingested verbatim
+    * (+1,000,000) and negated twice (+2,000,000 / +3,000,000) —
+    * admitted by `admit(base, batch)`. */
+  private def embedIncrementQuery(s: SparkSession, d: String)(
+      admit: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    import s.implicits._
+    val base = table(s, d, "embeddings").select($"vec_id", $"embedding")
+    val b0 = base.filter($"vec_id" < 30)
+    val neg = transform($"embedding", x => -x).as("embedding")
+    val batch = b0.select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+      .unionByName(b0.select(($"vec_id" + 2000000L).as("vec_id"), neg))
+      .unionByName(b0.select(($"vec_id" + 3000000L).as("vec_id"), neg))
+    admit(base, batch)
+      .select($"vec_id", size($"embedding").cast("long").as("n_dims"))
+      .orderBy($"vec_id")
+  }
+
+  private lazy val embedIncrementOracle: String = {
+    def side(p: String, rel: String) =
+      s"""${p}e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM $rel),
+          ${p}e1 AS (SELECT * FROM ${p}e WHERE nrm > 0),
+          ${p}b AS (SELECT vec_id, $embedBucketListSql AS bkts FROM ${p}e1)"""
+    s"""WITH nb AS (
+          SELECT vec_id + 1000000 AS vec_id, embedding
+          FROM embeddings WHERE vec_id < 30
+          UNION ALL
+          SELECT vec_id + 2000000 AS vec_id,
+                 [-x for x in embedding] AS embedding
+          FROM embeddings WHERE vec_id < 30
+          UNION ALL
+          SELECT vec_id + 3000000 AS vec_id,
+                 [-x for x in embedding] AS embedding
+          FROM embeddings WHERE vec_id < 30),
+        ${side("o_", "embeddings")},
+        ${side("n_", "nb")},
+        candc AS (
+          SELECT DISTINCT a.vec_id AS id_n, o.vec_id AS id_o
+          FROM n_b a JOIN o_b o
+            ON len(list_intersect(a.bkts, o.bkts)) > 0),
+        candb AS (
+          SELECT DISTINCT a.vec_id AS id_n, p.vec_id AS id_o
+          FROM n_b a JOIN n_b p
+            ON p.vec_id < a.vec_id
+           AND len(list_intersect(a.bkts, p.bkts)) > 0),
+        domc AS (
+          SELECT DISTINCT c.id_n FROM candc c
+          JOIN n_e1 x ON x.vec_id = c.id_n
+          JOIN o_e1 y ON y.vec_id = c.id_o
+          WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4),
+        domb AS (
+          SELECT DISTINCT c.id_n FROM candb c
+          JOIN n_e1 x ON x.vec_id = c.id_n
+          JOIN n_e1 y ON y.vec_id = c.id_o
+          WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4),
+        dom AS (SELECT id_n FROM domc UNION SELECT id_n FROM domb)
+        SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims FROM nb
+        WHERE vec_id NOT IN (SELECT id_n FROM dom)
+        ORDER BY vec_id"""
+  }
+
   private lazy val querySeq2: Seq[QueryDef] = Seq(
 
     // Incremental embedding dedup (see embedIncrementSurvivors): the
@@ -1805,64 +1911,20 @@ object Dedup {
     // bucket comprehension.
     QueryDef(
       "dd_embed_increment",
-      (s, d) => {
-        import s.implicits._
-        val base = table(s, d, "embeddings").select($"vec_id", $"embedding")
-        val b0 = base.filter($"vec_id" < 30)
-        val neg = transform($"embedding", x => -x).as("embedding")
-        val batch = b0.select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
-          .unionByName(b0.select(($"vec_id" + 2000000L).as("vec_id"), neg))
-          .unionByName(b0.select(($"vec_id" + 3000000L).as("vec_id"), neg))
-        embedIncrementSurvivors(base, batch)
-          .select($"vec_id", size($"embedding").cast("long").as("n_dims"))
-          .orderBy($"vec_id")
-      },
-      Some {
-        def side(p: String, rel: String) =
-          s"""${p}e AS (
-                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                             CAST(embedding AS DOUBLE[]))) AS nrm
-                FROM $rel),
-              ${p}e1 AS (SELECT * FROM ${p}e WHERE nrm > 0),
-              ${p}b AS (SELECT vec_id, $embedBucketListSql AS bkts FROM ${p}e1)"""
-        s"""WITH nb AS (
-              SELECT vec_id + 1000000 AS vec_id, embedding
-              FROM embeddings WHERE vec_id < 30
-              UNION ALL
-              SELECT vec_id + 2000000 AS vec_id,
-                     [-x for x in embedding] AS embedding
-              FROM embeddings WHERE vec_id < 30
-              UNION ALL
-              SELECT vec_id + 3000000 AS vec_id,
-                     [-x for x in embedding] AS embedding
-              FROM embeddings WHERE vec_id < 30),
-            ${side("o_", "embeddings")},
-            ${side("n_", "nb")},
-            candc AS (
-              SELECT DISTINCT a.vec_id AS id_n, o.vec_id AS id_o
-              FROM n_b a JOIN o_b o
-                ON len(list_intersect(a.bkts, o.bkts)) > 0),
-            candb AS (
-              SELECT DISTINCT a.vec_id AS id_n, p.vec_id AS id_o
-              FROM n_b a JOIN n_b p
-                ON p.vec_id < a.vec_id
-               AND len(list_intersect(a.bkts, p.bkts)) > 0),
-            domc AS (
-              SELECT DISTINCT c.id_n FROM candc c
-              JOIN n_e1 x ON x.vec_id = c.id_n
-              JOIN o_e1 y ON y.vec_id = c.id_o
-              WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4),
-            domb AS (
-              SELECT DISTINCT c.id_n FROM candb c
-              JOIN n_e1 x ON x.vec_id = c.id_n
-              JOIN n_e1 y ON y.vec_id = c.id_o
-              WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4),
-            dom AS (SELECT id_n FROM domc UNION SELECT id_n FROM domb)
-            SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims FROM nb
-            WHERE vec_id NOT IN (SELECT id_n FROM dom)
-            ORDER BY vec_id"""
-      }),
+      (s, d) => embedIncrementQuery(s, d)(embedIncrementSurvivors(_, _)),
+      Some(embedIncrementOracle)),
+
+    // Durable VECTOR-index round-trip: the same day-2 admission, but
+    // the frozen vector corpus index (prepped vectors + bucket
+    // postings) is WRITTEN to parquet and RELOADED before the batch
+    // is admitted — the embedding twin of dd_lsh_stored, under
+    // dd_embed_increment's oracle verbatim (the round-trip is
+    // value-exact). IndexStoreSpec pins admission-decision equality
+    // against the leased path in a fresh session.
+    QueryDef(
+      "dd_embed_stored",
+      (s, d) => embedIncrementQuery(s, d)(embedStoredSurvivors(_, _)),
+      Some(embedIncrementOracle)),
 
     // Decontamination: scrub the training split of everything that
     // near-matches the benchmark split (the held-out 20% by the same

@@ -139,9 +139,43 @@ object IvfPqAdd {
       .select(col("vec_id"), zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
 
   def ivfPqAddTopK(
+      s: SparkSession, d: String, nprobe: Int, m: Int, k: Int): DataFrame =
+    pqAddAndServe(s, frozenArtifacts(s, d), nprobe, m, k)
+
+  private val pqStoreSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** The durable cycle for the QUANTIZED index — `s_ann_ivf_stored`'s
+    * shape applied to the full IVFADC artifact set: all four frozen
+    * frames (coarse-assigned base, serving centroids, residual
+    * codebook, base codes) are parquet-dumped via [[IndexStore]] and
+    * RELOADED before the batch is encoded and served. Values are
+    * bit-identical to [[ivfPqAddTopK]] (parquet round-trips the
+    * long/double/double-array schemas exactly), so the same oracle
+    * covers both; the reloaded artifacts' lineage is a plain parquet
+    * FileScan — no k-means subtree, no PQ-training subtree, not even
+    * a lease (PlanSpec gates it). */
+  def ivfPqStoredTopK(
       s: SparkSession, d: String, nprobe: Int, m: Int, k: Int): DataFrame = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_pqstore_" +
+      s"${s.sparkContext.applicationId}_${pqStoreSeq.incrementAndGet()}"
+    val f = frozenArtifacts(s, d)
+    IndexStore.save(root, "coarse" -> f.coarse, "centroids" -> f.centroids,
+      "book" -> f.book, "codes" -> f.codes)
+    pqAddAndServe(s, Frozen(
+      IndexStore.load(s, root, "coarse"),
+      IndexStore.load(s, root, "centroids"),
+      IndexStore.load(s, root, "book"),
+      IndexStore.load(s, root, "codes")), nprobe, m, k)
+  }
+
+  /** The add + serve path against a GIVEN frozen artifact set — the
+    * part a deployment re-runs per arriving batch, agnostic to whether
+    * the artifacts come from the in-session lease (s_ann_ivfpq_add) or
+    * a reloaded [[IndexStore]] dump (s_ann_ivfpq_stored). */
+  private[graft] def pqAddAndServe(
+      s: SparkSession, frozen: Frozen, nprobe: Int, m: Int, k: Int): DataFrame = {
     import s.implicits._
-    val Frozen(coarse, centroids, book, baseCodes) = frozenArtifacts(s, d)
+    val Frozen(coarse, centroids, book, baseCodes) = frozen
     // base index: v̂ = centroid[cell] + recon(residual codes)
     val withVhat = (idx: DataFrame) => idx
       .join(broadcast(centroids.select($"c_label".as("cell"), $"cv".as("ccv"))),
@@ -325,6 +359,17 @@ object IvfPqAdd {
     QueryDef(
       "s_ann_ivfpq_add",
       (s, d) => ivfPqAddTopK(s, d, nprobe = 4, m = 10, k = 5),
+      Some(ivfPqAddOracle(nprobe = 4, m = 10, k = 5))),
+
+    // Durable-index round-trip for the QUANTIZED index: the same
+    // encode + serve, but all four frozen artifacts are WRITTEN to
+    // parquet and RELOADED first — the cross-session deployment cycle
+    // under the same oracle (the round-trip is value-exact).
+    // IndexStoreSpec pins reloaded-serve == leased-serve bit-equality
+    // in a fresh session.
+    QueryDef(
+      "s_ann_ivfpq_stored",
+      (s, d) => ivfPqStoredTopK(s, d, nprobe = 4, m = 10, k = 5),
       Some(ivfPqAddOracle(nprobe = 4, m = 10, k = 5)))
   )
 }

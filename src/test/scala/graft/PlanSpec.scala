@@ -334,6 +334,39 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(count(p, "Window \\[") == 0, p)
   }
 
+  test("dd_lsh_stored: the reloaded corpus index reaches admission as a plain parquet scan") {
+    val p = plan("dd_lsh_stored")
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
+    // corpus side: reloaded parquet frames (no lease, no lineage back
+    // to the corpus text); batch side: the usual lease
+    assert(p.contains("Scan parquet"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(count(p, "Window \\[") == 0, p)
+  }
+
+  test("dd_embed_stored: the reloaded vector index reaches admission as a plain parquet scan") {
+    val p = plan("dd_embed_stored")
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
+    assert(p.contains("Scan parquet"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(count(p, "Window \\[") == 0, p)
+  }
+
+  test("s_ann_ivfpq_stored: the quantized round-trip serves exactly like the leased add — no training subtree, no posexplode") {
+    val p = plan("s_ann_ivfpq_stored")
+    // the union index leases either way (serving reads it three
+    // times); the STRUCTURAL reloaded-artifact claim — parquet-only
+    // lineage for all four frames — is pinned by IndexStoreSpec on
+    // the frames themselves, which the union lease would hide here
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(count(p, "posexplode") == 0, p)
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1, p)
+    assert(count(p, "BroadcastHashJoin") >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("s_hard_negatives: the s_ann_ivf serving shape + a scan-side label exclusion, nothing new pairwise") {
     val p = plan("s_hard_negatives")
     assert(p.contains("Scan ExistingRDD"), p) // leased one-shot index

@@ -144,4 +144,62 @@ class IndexStoreSpec extends AnyFunSuite with SparkSpec {
     val q = Dedup.queries.find(_.name == "dd_lsh_stored").get
     assert(q.fn(spark, sf).count() == leased.size)
   }
+
+  test("vector corpus index round-trip: reloaded admission decisions == leased admission decisions in a fresh session") {
+    import spark.implicits._
+    def fixture(s: org.apache.spark.sql.SparkSession) = {
+      import s.implicits._
+      val base = graft.model.Tables.table(s, sf, "embeddings")
+        .select($"vec_id", $"embedding")
+      val b0 = base.filter($"vec_id" < 30)
+      val neg = transform($"embedding", x => -x).as("embedding")
+      val batch = b0.select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+        .unionByName(b0.select(($"vec_id" + 2000000L).as("vec_id"), neg))
+        .unionByName(b0.select(($"vec_id" + 3000000L).as("vec_id"), neg))
+      (base, batch)
+    }
+    val (base1, batch1) = fixture(spark)
+    val leased = Dedup.embedIncrementSurvivors(base1, batch1)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(leased.nonEmpty)
+    // embedStoredSurvivors saves + reloads internally; drive the
+    // admission itself from a FRESH session so nothing session-resident
+    // can leak into the decisions
+    val s2 = spark.newSession()
+    val (base2, batch2) = fixture(s2)
+    val stored = Dedup.embedStoredSurvivors(base2, batch2)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(stored == leased,
+      s"admission decisions diverge: only-leased ${leased -- stored}, only-stored ${stored -- leased}")
+  }
+
+  test("quantized index round-trip: reloaded-serve == leased-serve bit-equality; reloaded artifacts are pure parquet scans") {
+    import spark.implicits._
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_pqstore_spec"
+    val f = IvfPqAdd.frozenArtifacts(spark, sf)
+    IndexStore.save(root, "coarse" -> f.coarse, "centroids" -> f.centroids,
+      "book" -> f.book, "codes" -> f.codes)
+    val leased = IvfPqAdd.pqAddAndServe(spark, f, nprobe = 4, m = 10, k = 5)
+      .collect()
+    assert(leased.nonEmpty)
+
+    val s2 = spark.newSession()
+    val reloaded = IvfPqAdd.Frozen(
+      IndexStore.load(s2, root, "coarse"),
+      IndexStore.load(s2, root, "centroids"),
+      IndexStore.load(s2, root, "book"),
+      IndexStore.load(s2, root, "codes"))
+    Seq(reloaded.coarse, reloaded.centroids, reloaded.book, reloaded.codes)
+      .foreach { df =>
+        val p = df.queryExecution.executedPlan.toString
+        assert(p.contains("Scan parquet"), p)
+        assert(!p.contains("Scan ExistingRDD"), p)
+      }
+    val stored = IvfPqAdd.pqAddAndServe(s2, reloaded, nprobe = 4, m = 10, k = 5)
+      .collect()
+    assert(stored.length == leased.length)
+    leased.zip(stored).foreach { case (a, b) =>
+      assert(a == b, s"row mismatch: $a vs $b")
+    }
+  }
 }
