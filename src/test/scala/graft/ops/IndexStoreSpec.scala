@@ -145,6 +145,53 @@ class IndexStoreSpec extends AnyFunSuite with SparkSpec {
     assert(q.fn(spark, sf).count() == leased.size)
   }
 
+  test("dedup index compaction: forgetting corpus documents == admitting against the corpus minus them") {
+    import spark.implicits._
+    // the takedown path a training-data pipeline needs: documents
+    // removed from the corpus (rights requests, licensing) must stop
+    // suppressing future admissions WITHOUT rebuilding the index —
+    // compact both stored frames by the same tombstone set
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_lshcompact_spec"
+    val base = graft.model.Tables.table(spark, sf, "documents")
+      .select($"doc_id", $"text")
+    val b0 = base.filter($"doc_id" < 30)
+    val batch = b0.select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    val sigs = Dedup.minhashSignatures(base, $"doc_id", $"text", 32)
+    IndexStore.save(root, "lsh_sigs" -> sigs)
+    IndexStore.save(root, "lsh_bands" ->
+      IndexStore.load(spark, root, "lsh_sigs").select($"id",
+        explode(array(Dedup.minhashBandKeys(32, 16): _*)).as("band")))
+    // admission BEFORE forgetting: every verbatim twin is dominated by
+    // its corpus original
+    val before = Dedup.lshIncrementFromIndex(
+        IndexStore.load(spark, root, "lsh_sigs"),
+        IndexStore.load(spark, root, "lsh_bands"), batch)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+
+    val tomb = spark.range(0, 10).select($"id")
+    IndexStore.compact(spark, root, "lsh_sigs", tomb, idCol = "id")
+    IndexStore.compact(spark, root, "lsh_bands", tomb, idCol = "id")
+    val after = Dedup.lshIncrementFromIndex(
+        IndexStore.load(spark, root, "lsh_sigs"),
+        IndexStore.load(spark, root, "lsh_bands"), batch)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+
+    // reference semantics: admission against the corpus minus the
+    // forgotten documents
+    val reference = Dedup.lshIncrementSurvivors(
+        base.filter($"doc_id" >= 10 || $"doc_id" < 0), batch)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(after == reference,
+      s"compacted admission diverges: only-compacted ${after -- reference}, only-reference ${reference -- after}")
+    // and the tombstones MATTERED: at least one twin of a forgotten
+    // original is newly admitted (nothing else suppressed it)
+    assert((after -- before).nonEmpty,
+      "forgetting the originals should admit at least one formerly-dominated twin")
+    (after -- before).foreach { id =>
+      assert(id - 1000000L < 10, s"unexpected newly-admitted id $id")
+    }
+  }
+
   test("vector corpus index round-trip: reloaded admission decisions == leased admission decisions in a fresh session") {
     import spark.implicits._
     def fixture(s: org.apache.spark.sql.SparkSession) = {

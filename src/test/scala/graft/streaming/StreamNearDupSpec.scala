@@ -316,6 +316,26 @@ class StreamNearDupSpec extends AnyFunSuite with SparkSpec {
     assert(unagedDrops == Set(11L, 12L), s"unaged drops $unagedDrops")
   }
 
+  test("aging frees maxPerBand capacity: an expired entry's slot is taken by the next arrival") {
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    // maxPerBand = 1: unaged, doc 1 holds the only slot forever — docs
+    // 2 and 3 both pair against IT and never index. Aged (5 s horizon),
+    // doc 1 expires before doc 2 arrives: eviction frees the slot, doc
+    // 2 indexes, and doc 3 pairs with doc 2 — the bound is on LIVE
+    // entries, not on lifetime insertions.
+    val df = Seq((1L, textA, t(0)), (2L, textA, t(100)), (3L, textA, t(101)))
+      .toDF("doc_id", "text", "ets")
+    val aged = NearDup.nearDupPairs(df, $"doc_id", $"text", 0.5,
+        maxPerBand = 1, aging = Some(NearDup.Aging($"ets", 5000L)))
+      .toDF().distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(aged == Set((2L, 3L)), s"aged capped pairs $aged")
+    val unaged = NearDup.nearDupPairs(df, $"doc_id", $"text", 0.5, maxPerBand = 1)
+      .toDF().distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unaged == Set((1L, 2L), (1L, 3L)), s"unaged capped pairs $unaged")
+  }
+
   test("maxPerBand caps state: capped run's pairs are a subset of the uncapped run") {
     import spark.implicits._
     val docs = graft.model.Tables.table(spark, sf, "documents")
