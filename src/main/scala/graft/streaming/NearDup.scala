@@ -960,6 +960,49 @@ object NearDup {
                 AND list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4
               ORDER BY id_a, id_b""")),
 
+    // The AGED vector index under batch execution — w_neardup_aged's
+    // construction applied to the hyperplane-LSH processor clone (the
+    // aging state machine is cloned per processor, so each clone's
+    // eviction arithmetic deserves its own oracle coverage): the same
+    // synthesized monotone event time (ts = epoch 1,000,000 + vec_id
+    // seconds) and 150 s horizon, so the aged pair set is EXACTLY the
+    // unaged banded set filtered by ts_b - ts_a <= horizon (monotone
+    // ts makes intermediate-arrival eviction coincide with the pair's
+    // own cutoff), which the oracle replays on the same ts.
+    QueryDef(
+      "w_embed_aged",
+      (s, d) => {
+        import s.implicits._
+        val vecs = table(s, d, "embeddings")
+          .withColumn("ets", timestamp_seconds(lit(1000000L) + $"vec_id"))
+        embedNearDupPairs(vecs, $"vec_id", $"embedding", 0.4,
+            aging = Some(Aging($"ets", 150000L)))
+          .toDF().distinct()
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS nrm
+                FROM embeddings),
+              b AS (
+                SELECT vec_id, ${graft.ops.Dedup.embedBucketListSql} AS bkts
+                FROM e),
+              cand AS (
+                SELECT a.vec_id AS id_a, c.vec_id AS id_b
+                FROM b a JOIN b c ON a.vec_id < c.vec_id
+                WHERE len(list_intersect(a.bkts, c.bkts)) > 0)
+              SELECT cand.id_a, cand.id_b,
+                     list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cos
+              FROM cand
+              JOIN e x ON x.vec_id = cand.id_a
+              JOIN e y ON y.vec_id = cand.id_b
+              WHERE x.nrm > 0 AND y.nrm > 0
+                AND list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4
+                AND epoch(to_timestamp(1000000 + cand.id_b))
+                  - epoch(to_timestamp(1000000 + cand.id_a)) <= 150
+              ORDER BY id_a, id_b""")),
+
     // Online decontamination under batch execution: the broadcast
     // blocklist index probed per row must reproduce the batch form's
     // survivor set EXACTLY — the oracle IS dd_decontaminate's (same
