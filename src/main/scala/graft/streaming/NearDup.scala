@@ -960,6 +960,34 @@ object NearDup {
                 AND list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4
               ORDER BY id_a, id_b""")),
 
+    // The AGED KEEP-FIRST index under batch execution — the DROP form
+    // of w_neardup_aged, covering the first-wins processor clone
+    // (semantically distinct from the pair form: insertion happens
+    // REGARDLESS of the verdict, so a dropped doc still shadows its
+    // own later dups). Under the monotone synthesized ts the aged
+    // drop set is EXACTLY "later element of any verified pair with
+    // ts_b - ts_a <= horizon": every earlier doc is inserted
+    // unconditionally, and it is retained at b's arrival iff its ts
+    // clears b's cutoff — which the oracle replays as one gap
+    // predicate over the shared verified-pair fragment.
+    QueryDef(
+      "w_dedup_first_aged",
+      (s, d) => {
+        import s.implicits._
+        val docs = table(s, d, "documents")
+          .withColumn("ets", timestamp_seconds(lit(1000000L) + $"doc_id"))
+        droppedByIndex(docs, $"doc_id", $"text", 0.5,
+            aging = Some(Aging($"ets", 150000L)))
+          .toDF().distinct()
+          .orderBy($"doc_id")
+      },
+      Some(s"""${graft.ops.Dedup.minhashOracleCtesFrom("documents")}
+              SELECT DISTINCT id_b AS doc_id FROM verified
+              WHERE sim >= 0.5
+                AND epoch(to_timestamp(1000000 + id_b))
+                  - epoch(to_timestamp(1000000 + id_a)) <= 150
+              ORDER BY doc_id""")),
+
     // The AGED vector index under batch execution — w_neardup_aged's
     // construction applied to the hyperplane-LSH processor clone (the
     // aging state machine is cloned per processor, so each clone's
