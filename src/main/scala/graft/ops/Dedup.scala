@@ -890,8 +890,7 @@ object Dedup {
       base: DataFrame, batch: DataFrame, threshold: Double = 0.5,
       h: Int = 32, b: Int = 16): DataFrame = {
     val s = batch.sparkSession
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_lshstore_" +
-      s"${s.sparkContext.applicationId}_${lshStoreSeq.incrementAndGet()}"
+    val root = IndexStore.scratchRoot(s, "lshstore", lshStoreSeq.incrementAndGet())
     IndexStore.save(root,
       "lsh_sigs" -> minhashSignatures(base, col("doc_id"), col("text"), h))
     val sigStored = IndexStore.load(s, root, "lsh_sigs")
@@ -949,8 +948,7 @@ object Dedup {
   def embedStoredSurvivors(
       base: DataFrame, batch: DataFrame, threshold: Double = 0.4): DataFrame = {
     val s = batch.sparkSession
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_embstore_" +
-      s"${s.sparkContext.applicationId}_${embStoreSeq.incrementAndGet()}"
+    val root = IndexStore.scratchRoot(s, "embstore", embStoreSeq.incrementAndGet())
     IndexStore.save(root, "vec_sigs" -> prepVecs(base))
     val sigStored = IndexStore.load(s, root, "vec_sigs")
     IndexStore.save(root, "vec_buckets" -> vecBuckets(sigStored))

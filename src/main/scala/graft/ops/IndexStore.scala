@@ -43,14 +43,41 @@ object IndexStore {
       val dst = new org.apache.hadoop.fs.Path(s"$root/$name")
       val tmp = new org.apache.hadoop.fs.Path(
         s"$root/.$name.tmp-${java.util.UUID.randomUUID()}")
-      df.write.mode("overwrite").parquet(tmp.toString)
       val fs = dst.getFileSystem(
         df.sparkSession.sessionState.newHadoopConf())
-      if (fs.exists(dst)) fs.delete(dst, true)
-      if (!fs.rename(tmp, dst))
-        throw new java.io.IOException(
-          s"IndexStore.save: rename $tmp -> $dst failed")
+      // Sweep temp dirs orphaned by earlier failed writes of this frame,
+      // then guarantee our own temp dir never outlives the attempt.
+      val parent = dst.getParent
+      if (fs.exists(parent)) fs.listStatus(parent).foreach { st =>
+        if (st.getPath.getName.startsWith(s".$name.tmp-"))
+          fs.delete(st.getPath, true)
+      }
+      try {
+        df.write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(dst)) fs.delete(dst, true)
+        if (!fs.rename(tmp, dst))
+          throw new java.io.IOException(
+            s"IndexStore.save: rename $tmp -> $dst failed")
+      } finally {
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+      }
     }
+
+  /** Per-invocation unique scratch root under java.io.tmpdir for the
+    * `*_stored` queries' save → reload round-trips, registered with the
+    * Hadoop FS for deletion at JVM shutdown. The root must live as
+    * long as the JVM (a still-lazy DataFrame returned by an earlier
+    * invocation keeps reading ITS artifact after later invocations
+    * save, and may be re-collected any number of times), but repeated
+    * Verify/Bench sweeps must not accumulate dead index dumps on disk
+    * across JVMs — deleteOnExit is exactly that contract. */
+  def scratchRoot(s: SparkSession, prefix: String, seq: Long): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_${prefix}_" +
+      s"${s.sparkContext.applicationId}_$seq"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sessionState.newHadoopConf()).deleteOnExit(p)
+    root
+  }
 
   /** Reload one artifact frame. The result is a plain parquet scan —
     * no lease, no lineage back to training; a fresh session can serve

@@ -204,6 +204,8 @@ object IvfAdd {
               SELECT query_id, cell, neighbor_id, cos, rank
               FROM sc WHERE rank <= $k ORDER BY query_id, rank"""
 
+  private val storeSeq = new java.util.concurrent.atomic.AtomicLong()
+
   /** The full durable cycle: train, SAVE the frozen pair as parquet
     * artifacts, RELOAD them, add + serve from the reloaded frames.
     * The serving plan's index lineage is a plain parquet FileScan —
@@ -212,14 +214,11 @@ object IvfAdd {
     * Values are bit-identical to [[ivfAddTopK]] (parquet round-trips
     * the long/double/double-array schema exactly; IndexStoreSpec pins
     * the equality), so the same oracle covers both. */
-  private val storeSeq = new java.util.concurrent.atomic.AtomicLong()
-
   def ivfStoredTopK(s: SparkSession, d: String, nprobe: Int, k: Int): DataFrame = {
     // per-invocation unique root: a still-lazy DataFrame returned by an
     // earlier invocation must keep reading ITS artifact after a later
     // invocation saves (and concurrent invocations must not race)
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_ivfstore_" +
-      s"${s.sparkContext.applicationId}_${storeSeq.incrementAndGet()}"
+    val root = IndexStore.scratchRoot(s, "ivfstore", storeSeq.incrementAndGet())
     val (baseIdx, centroids) = frozenIndex(s, d)
     IndexStore.save(root, "base" -> baseIdx, "centroids" -> centroids)
     addAndServe(s, d,

@@ -156,8 +156,7 @@ object IvfPqAdd {
     * a lease (PlanSpec gates it). */
   def ivfPqStoredTopK(
       s: SparkSession, d: String, nprobe: Int, m: Int, k: Int): DataFrame = {
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_pqstore_" +
-      s"${s.sparkContext.applicationId}_${pqStoreSeq.incrementAndGet()}"
+    val root = IndexStore.scratchRoot(s, "pqstore", pqStoreSeq.incrementAndGet())
     val f = frozenArtifacts(s, d)
     IndexStore.save(root, "coarse" -> f.coarse, "centroids" -> f.centroids,
       "book" -> f.book, "codes" -> f.codes)

@@ -72,9 +72,14 @@ object NearDup {
     * the per-entry eviction alone decides), so stream == batch holds
     * on the retained window exactly as it does unaged on the full
     * history — StreamNearDupSpec pins both. Rows whose `ts` is NULL
-    * are exempt from aging: they index and pair like unaged entries
-    * and are never evicted (they carry no event time to age by) —
-    * supply a non-null `ts` for every row that should age. */
+    * are exempt from HORIZON eviction only: they index and pair like
+    * unaged entries (they carry no event time to age by), but a
+    * whole-key EventTimeTimeout still removes them with the band's
+    * state, and until then they count against `maxPerBand` as
+    * permanent residents (in aged runs nothing else bounds them) —
+    * supply a non-null `ts` for every row that should age. The cycle
+    * itself lives in ONE place, [[AgedBand.process]], shared by all
+    * six online processors. */
   case class Aging(ts: Column, horizonMs: Long) {
     require(horizonMs > 0, s"aging horizon must be positive, got $horizonMs")
   }
@@ -98,6 +103,7 @@ object NearDup {
   case class BandDoc(band: String, doc_id: Long, xs: Array[Long],
     ts: java.sql.Timestamp)
   case class DocSig(id: Long, xs: Array[Long], ts: Long = Long.MinValue)
+    extends AgedBand.Entry
   case class BandState(docs: List[DocSig])
   case class NearPair(id_a: Long, id_b: Long, sim: Double)
 
@@ -134,51 +140,15 @@ object NearDup {
   private def processBand(threshold: Double, maxPerBand: Int,
       horizonMs: Long, streaming: Boolean)(
       band: String, rows: Iterator[BandDoc],
-      state: GroupState[BandState]): Iterator[NearPair] = {
-    // EventTimeTimeout fired: the watermark passed the newest retained
-    // entry's horizon with no new arrivals — the band key is stale,
-    // remove its whole state (this is what bounds the KEY population)
-    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-    val out = scala.collection.mutable.ArrayBuffer.empty[NearPair]
-    var seen = state.getOption.map(_.docs).getOrElse(Nil)
-    var nSeen = seen.size
-    // seed the removal clock from RETAINED entries, not just this
-    // micro-batch: a late-but-within-watermark arrival alone must not
-    // re-arm the key's timeout behind the newest retained entry's
-    // horizon (null-ts entries sit at Long.MinValue — no-ops here)
-    var maxTs = seen.foldLeft(Long.MinValue)((m, p) => math.max(m, p.ts))
-    rows.toArray.sortBy(d => (tsMs(d.ts), d.doc_id)).foreach { d =>
-      val dts = tsMs(d.ts)
-      if (horizonMs > 0 && dts > Long.MinValue) {
-        // evict entries older than the horizon behind this arrival
-        // BEFORE it verifies: expired content stops pairing
-        val cutoff = dts - horizonMs
-        // null-ts entries (ts = Long.MinValue) are exempt — they carry
-        // no event time to age by and would otherwise be silently
-        // discarded before they could pair
-        if (seen.exists(p => p.ts != Long.MinValue && p.ts < cutoff)) {
-          seen = seen.filter(p => p.ts == Long.MinValue || p.ts >= cutoff)
-          nSeen = seen.size
-        }
-        if (dts > maxTs) maxTs = dts
-      }
-      var cur = seen
-      while (cur.nonEmpty) {
-        val p = cur.head
-        val sim = jaccardSorted(p.xs, d.xs)
-        if (sim >= threshold) out += NearPair(p.id, d.doc_id, sim)
-        cur = cur.tail
-      }
-      if (nSeen < maxPerBand) { seen = DocSig(d.doc_id, d.xs, dts) :: seen; nSeen += 1 }
-    }
-    state.update(BandState(seen))
-    // re-arm the key's removal clock past its newest entry's horizon
-    // (never at-or-behind the watermark — Spark rejects that)
-    if (horizonMs > 0 && streaming && maxTs > Long.MinValue)
-      state.setTimeoutTimestamp(
-        math.max(maxTs + horizonMs, state.getCurrentWatermarkMs + 1))
-    out.iterator
-  }
+      state: GroupState[BandState]): Iterator[NearPair] =
+    AgedBand.process(state, rows, (d: BandDoc) => tsMs(d.ts), (d: BandDoc) => d.doc_id,
+      state.getOption.map(_.docs).getOrElse(Nil),
+      horizonMs, maxPerBand, streaming)(
+      (seen, d) => seen.iterator
+        .map(p => NearPair(p.id, d.doc_id, jaccardSorted(p.xs, d.xs)))
+        .filter(_.sim >= threshold),
+      (d, dts) => DocSig(d.doc_id, d.xs, dts),
+      seen => state.update(BandState(seen)))
 
   /** Default batch-mode index-size cap: 32 GB of estimated state on a
     * 128 GiB local heap leaves the executor threads their working
@@ -240,44 +210,20 @@ object NearDup {
   private def processBandFirstWins(threshold: Double, maxPerBand: Int,
       horizonMs: Long, streaming: Boolean)(
       band: String, rows: Iterator[BandDoc],
-      state: GroupState[BandState]): Iterator[DroppedDoc] = {
-    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-    val out = scala.collection.mutable.ArrayBuffer.empty[DroppedDoc]
-    var seen = state.getOption.map(_.docs).getOrElse(Nil)
-    var nSeen = seen.size
-    // seed the removal clock from RETAINED entries, not just this
-    // micro-batch: a late-but-within-watermark arrival alone must not
-    // re-arm the key's timeout behind the newest retained entry's
-    // horizon (null-ts entries sit at Long.MinValue — no-ops here)
-    var maxTs = seen.foldLeft(Long.MinValue)((m, p) => math.max(m, p.ts))
-    rows.toArray.sortBy(d => (tsMs(d.ts), d.doc_id)).foreach { d =>
-      val dts = tsMs(d.ts)
-      if (horizonMs > 0 && dts > Long.MinValue) {
-        val cutoff = dts - horizonMs
-        // null-ts entries (ts = Long.MinValue) are exempt — they carry
-        // no event time to age by and would otherwise be silently
-        // discarded before they could pair
-        if (seen.exists(p => p.ts != Long.MinValue && p.ts < cutoff)) {
-          seen = seen.filter(p => p.ts == Long.MinValue || p.ts >= cutoff)
-          nSeen = seen.size
-        }
-        if (dts > maxTs) maxTs = dts
-      }
-      if (seen.exists(p => jaccardSorted(p.xs, d.xs) >= threshold))
-        out += DroppedDoc(d.doc_id)
-      // insert REGARDLESS of the verdict: "earlier" means any prior
-      // arrival, so a dropped doc still shadows its own later dups —
-      // the decision needs no survivorship recursion and replays in
-      // one SQL pass (dropped = ids appearing as the later element of
-      // any verified pair)
-      if (nSeen < maxPerBand) { seen = DocSig(d.doc_id, d.xs, dts) :: seen; nSeen += 1 }
-    }
-    state.update(BandState(seen))
-    if (horizonMs > 0 && streaming && maxTs > Long.MinValue)
-      state.setTimeoutTimestamp(
-        math.max(maxTs + horizonMs, state.getCurrentWatermarkMs + 1))
-    out.iterator
-  }
+      state: GroupState[BandState]): Iterator[DroppedDoc] =
+    AgedBand.process(state, rows, (d: BandDoc) => tsMs(d.ts), (d: BandDoc) => d.doc_id,
+      state.getOption.map(_.docs).getOrElse(Nil),
+      horizonMs, maxPerBand, streaming)(
+      // drop verdict only — the shared cycle inserts REGARDLESS of it:
+      // "earlier" means any prior arrival, so a dropped doc still
+      // shadows its own later dups and the decision replays in one SQL
+      // pass (dropped = later element of any verified pair)
+      (seen, d) =>
+        if (seen.exists(p => jaccardSorted(p.xs, d.xs) >= threshold))
+          Iterator.single(DroppedDoc(d.doc_id))
+        else Iterator.empty,
+      (d, dts) => DocSig(d.doc_id, d.xs, dts),
+      seen => state.update(BandState(seen)))
 
   /** Online DEDUP-KEEP-FIRST evidence: the ids of arrivals that verify
     * as near-dups of ANY earlier arrival (per shared band — dedupe
@@ -309,6 +255,7 @@ object NearDup {
   case class BandImg(band: String, media_id: Long, bands: Array[Int],
     ts: java.sql.Timestamp)
   case class ImgSig(id: Long, bands: Array[Int], ts: Long = Long.MinValue)
+    extends AgedBand.Entry
   case class ImgBandState(imgs: List[ImgSig])
   case class ImgPair(id_a: Long, id_b: Long, hamming: Int)
 
@@ -343,44 +290,15 @@ object NearDup {
   private def processImgBand(maxHamming: Int, maxPerBand: Int,
       horizonMs: Long, streaming: Boolean)(
       band: String, rows: Iterator[BandImg],
-      state: GroupState[ImgBandState]): Iterator[ImgPair] = {
-    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-    val out = scala.collection.mutable.ArrayBuffer.empty[ImgPair]
-    var seen = state.getOption.map(_.imgs).getOrElse(Nil)
-    var nSeen = seen.size
-    // seed the removal clock from RETAINED entries, not just this
-    // micro-batch: a late-but-within-watermark arrival alone must not
-    // re-arm the key's timeout behind the newest retained entry's
-    // horizon (null-ts entries sit at Long.MinValue — no-ops here)
-    var maxTs = seen.foldLeft(Long.MinValue)((m, p) => math.max(m, p.ts))
-    rows.toArray.sortBy(d => (tsMs(d.ts), d.media_id)).foreach { d =>
-      val dts = tsMs(d.ts)
-      if (horizonMs > 0 && dts > Long.MinValue) {
-        val cutoff = dts - horizonMs
-        // null-ts entries (ts = Long.MinValue) are exempt — they carry
-        // no event time to age by and would otherwise be silently
-        // discarded before they could pair
-        if (seen.exists(p => p.ts != Long.MinValue && p.ts < cutoff)) {
-          seen = seen.filter(p => p.ts == Long.MinValue || p.ts >= cutoff)
-          nSeen = seen.size
-        }
-        if (dts > maxTs) maxTs = dts
-      }
-      var cur = seen
-      while (cur.nonEmpty) {
-        val p = cur.head
-        val h = hammingBands(p.bands, d.bands)
-        if (h <= maxHamming) out += ImgPair(p.id, d.media_id, h)
-        cur = cur.tail
-      }
-      if (nSeen < maxPerBand) { seen = ImgSig(d.media_id, d.bands, dts) :: seen; nSeen += 1 }
-    }
-    state.update(ImgBandState(seen))
-    if (horizonMs > 0 && streaming && maxTs > Long.MinValue)
-      state.setTimeoutTimestamp(
-        math.max(maxTs + horizonMs, state.getCurrentWatermarkMs + 1))
-    out.iterator
-  }
+      state: GroupState[ImgBandState]): Iterator[ImgPair] =
+    AgedBand.process(state, rows, (d: BandImg) => tsMs(d.ts), (d: BandImg) => d.media_id,
+      state.getOption.map(_.imgs).getOrElse(Nil),
+      horizonMs, maxPerBand, streaming)(
+      (seen, d) => seen.iterator
+        .map(p => ImgPair(p.id, d.media_id, hammingBands(p.bands, d.bands)))
+        .filter(_.hamming <= maxHamming),
+      (d, dts) => ImgSig(d.media_id, d.bands, dts),
+      seen => state.update(ImgBandState(seen)))
 
   /** Online image near-dup pairs: the perceptual-hash twin of
     * [[nearDupPairs]] — arriving images verify their exact hamming
@@ -459,6 +377,7 @@ object NearDup {
   case class BandVid(fh: String, media_id: Long, fhs: Array[String],
     ts: java.sql.Timestamp)
   case class VidSig(id: Long, fhs: Array[String], ts: Long = Long.MinValue)
+    extends AgedBand.Entry
   case class VidBandState(vids: List[VidSig])
   case class VidPair(id_a: Long, id_b: Long, n_shared: Long)
 
@@ -504,44 +423,15 @@ object NearDup {
   private def processVidBand(minShared: Int, maxPerBand: Int,
       horizonMs: Long, streaming: Boolean)(
       fh: String, rows: Iterator[BandVid],
-      state: GroupState[VidBandState]): Iterator[VidPair] = {
-    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-    val out = scala.collection.mutable.ArrayBuffer.empty[VidPair]
-    var seen = state.getOption.map(_.vids).getOrElse(Nil)
-    var nSeen = seen.size
-    // seed the removal clock from RETAINED entries, not just this
-    // micro-batch: a late-but-within-watermark arrival alone must not
-    // re-arm the key's timeout behind the newest retained entry's
-    // horizon (null-ts entries sit at Long.MinValue — no-ops here)
-    var maxTs = seen.foldLeft(Long.MinValue)((m, p) => math.max(m, p.ts))
-    rows.toArray.sortBy(d => (tsMs(d.ts), d.media_id)).foreach { d =>
-      val dts = tsMs(d.ts)
-      if (horizonMs > 0 && dts > Long.MinValue) {
-        val cutoff = dts - horizonMs
-        // null-ts entries (ts = Long.MinValue) are exempt — they carry
-        // no event time to age by and would otherwise be silently
-        // discarded before they could pair
-        if (seen.exists(p => p.ts != Long.MinValue && p.ts < cutoff)) {
-          seen = seen.filter(p => p.ts == Long.MinValue || p.ts >= cutoff)
-          nSeen = seen.size
-        }
-        if (dts > maxTs) maxTs = dts
-      }
-      var cur = seen
-      while (cur.nonEmpty) {
-        val p = cur.head
-        val n = sharedSorted(p.fhs, d.fhs)
-        if (n >= minShared) out += VidPair(p.id, d.media_id, n)
-        cur = cur.tail
-      }
-      if (nSeen < maxPerBand) { seen = VidSig(d.media_id, d.fhs, dts) :: seen; nSeen += 1 }
-    }
-    state.update(VidBandState(seen))
-    if (horizonMs > 0 && streaming && maxTs > Long.MinValue)
-      state.setTimeoutTimestamp(
-        math.max(maxTs + horizonMs, state.getCurrentWatermarkMs + 1))
-    out.iterator
-  }
+      state: GroupState[VidBandState]): Iterator[VidPair] =
+    AgedBand.process(state, rows, (d: BandVid) => tsMs(d.ts), (d: BandVid) => d.media_id,
+      state.getOption.map(_.vids).getOrElse(Nil),
+      horizonMs, maxPerBand, streaming)(
+      (seen, d) => seen.iterator
+        .map(p => VidPair(p.id, d.media_id, sharedSorted(p.fhs, d.fhs)))
+        .filter(_.n_shared >= minShared),
+      (d, dts) => VidSig(d.media_id, d.fhs, dts),
+      seen => state.update(VidBandState(seen)))
 
   /** Online video near-dup pairs by shared sampled frames — the video
     * member of the online index family (text / vector / image / audio
@@ -580,7 +470,7 @@ object NearDup {
   case class MediaPosting(band: String, media_id: Long, kind: String,
     bands: Array[Int], fhs: Array[String], ts: java.sql.Timestamp)
   case class MediaSig(id: Long, bands: Array[Int], fhs: Array[String],
-    ts: Long = Long.MinValue)
+    ts: Long = Long.MinValue) extends AgedBand.Entry
   case class MediaBandState(items: List[MediaSig])
   case class DroppedMedia(media_id: Long)
 
@@ -611,44 +501,22 @@ object NearDup {
       maxHamming: Int, minShared: Int, maxPerBand: Int,
       horizonMs: Long, streaming: Boolean)(
       band: String, rows: Iterator[MediaPosting],
-      state: GroupState[MediaBandState]): Iterator[DroppedMedia] = {
-    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-    val out = scala.collection.mutable.ArrayBuffer.empty[DroppedMedia]
-    var seen = state.getOption.map(_.items).getOrElse(Nil)
-    var nSeen = seen.size
-    // seed the removal clock from RETAINED entries, not just this
-    // micro-batch: a late-but-within-watermark arrival alone must not
-    // re-arm the key's timeout behind the newest retained entry's
-    // horizon (null-ts entries sit at Long.MinValue — no-ops here)
-    var maxTs = seen.foldLeft(Long.MinValue)((m, p) => math.max(m, p.ts))
-    rows.toArray.sortBy(d => (tsMs(d.ts), d.media_id)).foreach { d =>
-      val dts = tsMs(d.ts)
-      if (horizonMs > 0 && dts > Long.MinValue) {
-        val cutoff = dts - horizonMs
-        // null-ts entries (ts = Long.MinValue) are exempt — they carry
-        // no event time to age by and would otherwise be silently
-        // discarded before they could pair
-        if (seen.exists(p => p.ts != Long.MinValue && p.ts < cutoff)) {
-          seen = seen.filter(p => p.ts == Long.MinValue || p.ts >= cutoff)
-          nSeen = seen.size
-        }
-        if (dts > maxTs) maxTs = dts
-      }
-      val dropped =
-        if (d.kind == "video") seen.exists(p => sharedSorted(p.fhs, d.fhs) >= minShared)
-        else seen.exists(p => hammingBands(p.bands, d.bands) <= maxHamming)
-      if (dropped) out += DroppedMedia(d.media_id)
-      // insert regardless of the verdict — "earlier" means any prior
-      // arrival, so the decision replays in one SQL pass (dropped =
-      // later element of any verified pair; see processBandFirstWins)
-      if (nSeen < maxPerBand) { seen = MediaSig(d.media_id, d.bands, d.fhs, dts) :: seen; nSeen += 1 }
-    }
-    state.update(MediaBandState(seen))
-    if (horizonMs > 0 && streaming && maxTs > Long.MinValue)
-      state.setTimeoutTimestamp(
-        math.max(maxTs + horizonMs, state.getCurrentWatermarkMs + 1))
-    out.iterator
-  }
+      state: GroupState[MediaBandState]): Iterator[DroppedMedia] =
+    AgedBand.process(state, rows, (d: MediaPosting) => tsMs(d.ts), (d: MediaPosting) => d.media_id,
+      state.getOption.map(_.items).getOrElse(Nil),
+      horizonMs, maxPerBand, streaming)(
+      // the arriving row's kind picks the verify (a band group only
+      // ever holds one kind — the key prefixes keep them disjoint);
+      // drop verdict only, the shared cycle inserts regardless (see
+      // processBandFirstWins)
+      (seen, d) => {
+        val dropped =
+          if (d.kind == "video") seen.exists(p => sharedSorted(p.fhs, d.fhs) >= minShared)
+          else seen.exists(p => hammingBands(p.bands, d.bands) <= maxHamming)
+        if (dropped) Iterator.single(DroppedMedia(d.media_id)) else Iterator.empty
+      },
+      (d, dts) => MediaSig(d.media_id, d.bands, d.fhs, dts),
+      seen => state.update(MediaBandState(seen)))
 
   /** Online COMPOSED media dedup evidence — the media twin of
     * [[droppedByIndex]] and the online counterpart of the batch
@@ -685,7 +553,7 @@ object NearDup {
   case class BandVec(bucket: Int, vec_id: Long, v: Array[Double], norm: Double,
     ts: java.sql.Timestamp)
   case class VecSig(id: Long, v: Array[Double], norm: Double,
-    ts: Long = Long.MinValue)
+    ts: Long = Long.MinValue) extends AgedBand.Entry
   case class VecBandState(vecs: List[VecSig])
   case class VecPair(id_a: Long, id_b: Long, cos: Double)
 
@@ -734,44 +602,15 @@ object NearDup {
   private def processVecBand(threshold: Double, maxPerBand: Int,
       horizonMs: Long, streaming: Boolean)(
       bucket: Int, rows: Iterator[BandVec],
-      state: GroupState[VecBandState]): Iterator[VecPair] = {
-    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-    val out = scala.collection.mutable.ArrayBuffer.empty[VecPair]
-    var seen = state.getOption.map(_.vecs).getOrElse(Nil)
-    var nSeen = seen.size
-    // seed the removal clock from RETAINED entries, not just this
-    // micro-batch: a late-but-within-watermark arrival alone must not
-    // re-arm the key's timeout behind the newest retained entry's
-    // horizon (null-ts entries sit at Long.MinValue — no-ops here)
-    var maxTs = seen.foldLeft(Long.MinValue)((m, p) => math.max(m, p.ts))
-    rows.toArray.sortBy(d => (tsMs(d.ts), d.vec_id)).foreach { d =>
-      val dts = tsMs(d.ts)
-      if (horizonMs > 0 && dts > Long.MinValue) {
-        val cutoff = dts - horizonMs
-        // null-ts entries (ts = Long.MinValue) are exempt — they carry
-        // no event time to age by and would otherwise be silently
-        // discarded before they could pair
-        if (seen.exists(p => p.ts != Long.MinValue && p.ts < cutoff)) {
-          seen = seen.filter(p => p.ts == Long.MinValue || p.ts >= cutoff)
-          nSeen = seen.size
-        }
-        if (dts > maxTs) maxTs = dts
-      }
-      var cur = seen
-      while (cur.nonEmpty) {
-        val p = cur.head
-        val cos = dotSeq(p.v, d.v) / (p.norm * d.norm)
-        if (cos >= threshold) out += VecPair(p.id, d.vec_id, cos)
-        cur = cur.tail
-      }
-      if (nSeen < maxPerBand) { seen = VecSig(d.vec_id, d.v, d.norm, dts) :: seen; nSeen += 1 }
-    }
-    state.update(VecBandState(seen))
-    if (horizonMs > 0 && streaming && maxTs > Long.MinValue)
-      state.setTimeoutTimestamp(
-        math.max(maxTs + horizonMs, state.getCurrentWatermarkMs + 1))
-    out.iterator
-  }
+      state: GroupState[VecBandState]): Iterator[VecPair] =
+    AgedBand.process(state, rows, (d: BandVec) => tsMs(d.ts), (d: BandVec) => d.vec_id,
+      state.getOption.map(_.vecs).getOrElse(Nil),
+      horizonMs, maxPerBand, streaming)(
+      (seen, d) => seen.iterator
+        .map(p => VecPair(p.id, d.vec_id, dotSeq(p.v, d.v) / (p.norm * d.norm)))
+        .filter(_.cos >= threshold),
+      (d, dts) => VecSig(d.vec_id, d.v, d.norm, dts),
+      seen => state.update(VecBandState(seen)))
 
   /** Verified cosine near-dup pairs of arriving embeddings against
     * everything that arrived before them — the vector twin of
