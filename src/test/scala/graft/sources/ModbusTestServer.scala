@@ -15,13 +15,21 @@ import java.util.concurrent.atomic.AtomicInteger
   * Fault injection for the client's error paths:
   *  - `responseDelayMs` > soTimeout forces a read timeout;
   *  - `dropEveryNth` kills the connection instead of answering every
-  *    Nth request (transport failure mid-conversation).
+  *    Nth request (transport failure mid-conversation);
+  *  - `maxRequests` answers exactly N requests then closes the whole
+  *    server — a deterministic DEVICE OUTAGE start for flap tests;
+  *  - `fixedPort` rebinds a restarted instance on the dead server's
+  *    port (the flap's "device comes back at the same address").
   */
 final class ModbusTestServer(
     responseDelayMs: Int = 0,
-    dropEveryNth: Int = 0) extends AutoCloseable {
+    dropEveryNth: Int = 0,
+    maxRequests: Int = 0,
+    fixedPort: Int = 0) extends AutoCloseable {
 
-  private val server = new ServerSocket(0) // ephemeral port
+  private val server = new ServerSocket()
+  server.setReuseAddress(true) // flap restarts rebind the same port
+  server.bind(new java.net.InetSocketAddress(fixedPort))
   val port: Int = server.getLocalPort
   private val requests = new AtomicInteger(0)
   @volatile private var closed = false
@@ -70,6 +78,7 @@ final class ModbusTestServer(
           while (i < count) { out.writeShort(addr + i); i += 1 }
         }
         out.flush()
+        if (maxRequests > 0 && n >= maxRequests) { close(); sock.close(); return }
       }
     } catch {
       case _: EOFException | _: IOException | _: InterruptedException => ()

@@ -173,4 +173,79 @@ class DaemonSpec extends AnyFunSuite with SparkSpec {
     assert(rows(urlB) == rows(urlA),
       "killed-and-restarted run diverged from the no-kill run")
   }
+
+  test("live-TCP flap soak: device dies mid-stream and returns on the same port — clean tail, no dup, no lost answered tick") {
+    import spark.implicits._
+    // the reference's reconnect story (bus.py:94-100) at exactly-once
+    // grade: the DEVICE flaps while the daemon's fact sink and in-loop
+    // retention (truncIntervalSec = 0 -> compaction every trigger)
+    // keep running. Failed reads map to status=-1 rows the fact filter
+    // drops (Ingest.scala:49 — the reference's own no-fact-row-on-error
+    // behavior); every tick the device ANSWERED must land exactly once.
+    val dir = Files.createTempDirectory("graft_daemon_flap").toString
+    val maxTicks = 20
+    // first server instance answers exactly 6 requests (= 6 ticks of
+    // the single channel), then closes: a deterministic outage start
+    val s1 = new graft.sources.ModbusTestServer(maxRequests = 6)
+    var s2: graft.sources.ModbusTestServer = null
+    val channels = Seq((1L, 4, 0L, 100))
+      .toDF("id", "format_code", "conversion_id", "history_len")
+    val daemon = new Daemon(
+      spark, channels, Seq.empty,
+      Map("mode" -> "tcp", "host" -> "127.0.0.1", "port" -> s1.port.toString,
+        "timeoutMs" -> "500", "channels" -> "1@5", "registers" -> "4",
+        "startEpochSec" -> "0", "periodSec" -> "1",
+        "maxTicks" -> maxTicks.toString),
+      dir, pulseSec = 3600, truncIntervalSec = 0)
+    daemon.start()
+    try {
+      // wait for the outage to begin (server self-closes after tick 6)
+      val deadline = System.currentTimeMillis() + 60000
+      while (s1.requestCount < 6 && System.currentTimeMillis() < deadline)
+        Thread.sleep(10)
+      assert(s1.requestCount >= 6, "device never reached its outage point")
+      // hold the device down until >= 2 further micro-batches COMPLETE:
+      // at least one full trigger (one tick) polls entirely inside the
+      // dead window, deterministically — its read fails to a status=-1
+      // row — before the device returns on the SAME port
+      val b0 = daemon.monitoring.batches.size
+      while (daemon.monitoring.batches.size < b0 + 2
+          && System.currentTimeMillis() < deadline)
+        Thread.sleep(10)
+      assert(daemon.monitoring.batches.size >= b0 + 2,
+        "no micro-batch completed during the outage window")
+      s2 = new graft.sources.ModbusTestServer(fixedPort = s1.port)
+      daemon.ingest.processAllAvailable()
+
+      assert(s2.requestCount > 0, "restarted device was never polled")
+      val fact = Ingest.readFact(spark, daemon.factDir)
+        .select($"ts".cast("long"), $"value".cast("double")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      // no duplicate (channel_id, ts) — single channel, so ts alone keys
+      assert(fact.map(_._1).distinct.size == fact.size,
+        s"duplicate ticks landed: $fact")
+      // every landed value is the golden hr[5] == 5 read
+      assert(fact.forall(_._2 == 5.0), s"corrupt values after flap: $fact")
+      val ts = fact.map(_._1).toSet
+      // ticks the first server answered: all present
+      assert((1L to 6L).forall(ts), s"lost pre-outage ticks: $ts")
+      // the outage dropped at least one tick (the 500 ms blackout)
+      assert(ts.size < maxTicks, "flap produced no failed tick — outage window never hit")
+      // recovery: from the first post-restart success to the end, every
+      // tick answered landed — a contiguous tail with nothing lost
+      val tail = fact.map(_._1).filter(_ > 6L)
+      assert(tail.nonEmpty, "no ticks landed after the device returned")
+      assert(tail.last == maxTicks.toLong, "stream never reached the final tick")
+      assert(tail == (tail.head to maxTicks.toLong).toSeq,
+        s"post-recovery tail has holes (lost answered ticks): $tail")
+      // the status table kept its shape through the flap (D7 + D10)
+      val params = spark.read.parquet(daemon.statusDir)
+        .select("parameter").collect().map(_.getString(0)).toSet
+      assert(params == Set("CHL: 1", "daq-3i"))
+    } finally {
+      daemon.stop()
+      s1.close()
+      if (s2 != null) s2.close()
+    }
+  }
 }

@@ -1,0 +1,162 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The online index family under the PRODUCTION state backend: a real
+  * StreamingQuery holding the near-dup band index in the RocksDB state
+  * store, killed mid-stream and resumed from its checkpoint. This is
+  * the deployment shape every heap-guard message and 100× caveat
+  * points at ("a streaming deployment holds the same state in the
+  * state store") — previously only ConfigStoreSpec exercised RocksDB;
+  * this spec pins the INDEX family on it: multi-micro-batch arrival,
+  * kill/restart recovery, and the emitted pair set equal to the batch
+  * oracle run on the same corpus. */
+class StreamIndexRocksDbSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val rocksCls =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run body with the RocksDB provider set on the shared session,
+    * restoring the previous provider after. */
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, rocksCls)
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("near-dup index on RocksDB: kill/restart mid-stream, pair set == batch oracle run") {
+    import spark.implicits._
+    withRocksDb {
+      val dir = Files.createTempDirectory("graft_rocks_idx").toString
+      val (in, out, ckpt) = (s"$dir/in", s"$dir/out", s"$dir/ckpt")
+
+      // id-ordered arrival in 3 file batches -> stream pair orientation
+      // matches the batch run (same convention as StreamNearDupSpec)
+      val docs = graft.model.Tables.table(spark, sf, "documents")
+        .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+      val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+      assert(chunks.length == 3)
+      def land(chunk: Seq[(Long, String)]): Unit =
+        chunk.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+
+      land(chunks(0))
+      val schema = spark.read.parquet(in).schema
+      def start() = NearDup
+        .nearDupPairs(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(in),
+          $"doc_id", $"text", 0.5)
+        .toDF()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+
+      val q1 = start()
+      q1.processAllAvailable()
+      // the band index is a stateful operator and the store is RocksDB
+      val progress = q1.lastProgress
+      assert(progress != null && progress.stateOperators.nonEmpty,
+        "expected the band-index stateful operator")
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        == rocksCls)
+      land(chunks(1))
+      q1.processAllAvailable()
+      q1.stop() // kill mid-stream: band state lives only in the checkpoint
+
+      // the last chunk lands while the query is down
+      land(chunks(2))
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+
+      // recovery must neither lose state (pairs spanning the kill
+      // still emit) nor replay state (no duplicate beyond the
+      // per-shared-band emission the operator documents)
+      val got = spark.read.parquet(out)
+        .select($"id_a", $"id_b").distinct()
+        .as[(Long, Long)].collect().toSet
+      val expect = NearDup
+        .nearDupPairs(
+          graft.model.Tables.table(spark, sf, "documents"),
+          $"doc_id", $"text", 0.5)
+        .toDF().select($"id_a", $"id_b").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(expect.nonEmpty, "corpus must produce near-dup pairs")
+      assert(got == expect,
+        s"RocksDB recovery diverged: missing=${(expect -- got).take(5)} " +
+          s"extra=${(got -- expect).take(5)}")
+    }
+  }
+
+  test("AGED near-dup index on RocksDB: EventTimeTimeout state survives restart on the retained window") {
+    import spark.implicits._
+    withRocksDb {
+      val dir = Files.createTempDirectory("graft_rocks_aged").toString
+      val (in, out, ckpt) = (s"$dir/in", s"$dir/out", s"$dir/ckpt")
+
+      // synthesized monotone ts (epoch + 1e6 + id seconds; clear of
+      // epoch 0 — the initial watermark is 0 and the stateful operator
+      // filters rows at-or-behind it as late) — the aged-oracle trick:
+      // the aged pair set is exactly the unaged set filtered by
+      // id_b - id_a <= horizon seconds
+      val horizonSec = 60L
+      val docs = graft.model.Tables.table(spark, sf, "documents")
+        .select($"doc_id", $"text",
+          timestamp_seconds(lit(1000000L) + $"doc_id").as("ts"))
+      val rows = docs.as[(Long, String, java.sql.Timestamp)]
+        .collect().sortBy(_._1)
+      val chunks = rows.grouped((rows.length + 2) / 3).toSeq
+      def land(chunk: Seq[(Long, String, java.sql.Timestamp)]): Unit =
+        chunk.toDF("doc_id", "text", "ts").coalesce(1)
+          .write.mode("append").parquet(in)
+
+      land(chunks(0))
+      val schema = spark.read.parquet(in).schema
+      def start() = {
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(in)
+          .withWatermark("ts", "10 seconds")
+        NearDup.nearDupPairs(src, $"doc_id", $"text", 0.5,
+            aging = Some(NearDup.Aging($"ts", horizonSec * 1000)))
+          .toDF()
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+      }
+
+      val q1 = start()
+      q1.processAllAvailable()
+      land(chunks(1))
+      q1.processAllAvailable()
+      q1.stop()
+      land(chunks(2))
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+
+      val got = spark.read.parquet(out)
+        .select($"id_a", $"id_b").distinct()
+        .as[(Long, Long)].collect().toSet
+      val expect = NearDup
+        .nearDupPairs(
+          graft.model.Tables.table(spark, sf, "documents"),
+          $"doc_id", $"text", 0.5)
+        .toDF()
+        .filter($"id_b" - $"id_a" <= horizonSec)
+        .select($"id_a", $"id_b").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(expect.nonEmpty, "horizon must retain some pairs")
+      assert(got == expect,
+        s"aged RocksDB recovery diverged: missing=${(expect -- got).take(5)} " +
+          s"extra=${(got -- expect).take(5)}")
+    }
+  }
+}
