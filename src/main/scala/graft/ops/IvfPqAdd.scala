@@ -172,7 +172,8 @@ object IvfPqAdd {
     * the artifacts come from the in-session lease (s_ann_ivfpq_add) or
     * a reloaded [[IndexStore]] dump (s_ann_ivfpq_stored). */
   private[graft] def pqAddAndServe(
-      s: SparkSession, frozen: Frozen, nprobe: Int, m: Int, k: Int): DataFrame = {
+      s: SparkSession, frozen: Frozen, nprobe: Int, m: Int, k: Int,
+      tombstones: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     val Frozen(coarse, centroids, book, baseCodes) = frozen
     // base index: v̂ = centroid[cell] + recon(residual codes)
@@ -195,10 +196,19 @@ object IvfPqAdd {
       .join(reconOf(encodeAgainst(residualOf(incAssigned, centroids), book), book),
         Seq("vec_id")))
     // append-only union index: co-shaped projections, zero shuffle;
-    // leased — serving reads it three times (queries, ADC, re-rank)
-    val index = Checkpoints.lease("ivfpqadd_idx", baseIdx.unionByName(incIdx))
+    // leased — serving reads it three times (queries, ADC, re-rank).
+    // FAISS remove_ids(): deletion is one broadcast anti-join against
+    // the tombstone id set BEFORE the lease — no rebuild, no code
+    // rewrite, no retraining of quantizer or codebooks (the same
+    // closure the raw-IVF family carries via s_ann_ivf_del)
+    val index0 = Checkpoints.lease("ivfpqadd_idx", baseIdx.unionByName(incIdx))
+    val index = tombstones
+      .map(t => index0.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .getOrElse(index0)
     // serving, unchanged from ivfPqResTopK
-    val q = index.filter($"vec_id" < 20 && $"nrm" > 0)
+    // queries come from the PRE-tombstone lease: remove_ids() deletes
+    // an id as a NEIGHBOR only — the query set is external to the index
+    val q = index0.filter($"vec_id" < 20 && $"nrm" > 0)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
     val wProbe = Window.partitionBy($"query_id")
       .orderBy($"c_cos".desc, $"c_label".asc)
@@ -241,7 +251,8 @@ object IvfPqAdd {
     * round's row_number form against the FINAL `p_fcb`), the
     * reconstruction, and the UNION ALL index; serving is the standard
     * probe → cell-bounded ADC → exact re-rank over the union. */
-  private def ivfPqAddOracle(nprobe: Int, m: Int, k: Int): String = {
+  private def ivfPqAddOracle(nprobe: Int, m: Int, k: Int,
+      removePred: Option[String] = None): String = {
     val dim = PqDim
     s"""WITH e AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -307,12 +318,14 @@ object IvfPqAdd {
                 JOIN ia ON ia.vec_id = i.vec_id
                 JOIN fcn f ON f.c_label = ia.cell
                 JOIN irc r ON r.vec_id = i.vec_id),
-              uni AS (
+              uni0 AS (
                 SELECT cell, vec_id, v, nrm, hv, hn FROM base
                 UNION ALL
                 SELECT cell, vec_id, v, nrm, hv,
                        sqrt(list_dot_product(hv, hv)) AS hn
                 FROM ivh),
+              uni AS (SELECT * FROM uni0${
+                removePred.map(p => s" WHERE NOT ($p)").getOrElse("")}),
               q AS (
                 SELECT vec_id AS query_id, v AS qv, nrm AS qn
                 FROM e WHERE vec_id < 20 AND nrm > 0),
@@ -369,6 +382,26 @@ object IvfPqAdd {
     QueryDef(
       "s_ann_ivfpq_stored",
       (s, d) => ivfPqStoredTopK(s, d, nprobe = 4, m = 10, k = 5),
-      Some(ivfPqAddOracle(nprobe = 4, m = 10, k = 5)))
+      Some(ivfPqAddOracle(nprobe = 4, m = 10, k = 5))),
+
+    // FAISS remove_ids() on the QUANTIZED index — closing the family
+    // symmetry with s_ann_ivf_del: tombstone both base ids 5-9 (their
+    // shifted twins keep serving) and added ids 1,000,010-1,000,019
+    // (their originals keep serving), the two deletion classes a
+    // deployment sees. One broadcast anti-join over the union index;
+    // codes, codebooks, and quantizer untouched — compaction, when the
+    // tombstone fraction grows, is IndexStore.compact's rewrite of the
+    // stored codes frame, never a retrain.
+    QueryDef(
+      "s_ann_ivfpq_del",
+      (s, d) => {
+        import s.implicits._
+        val tomb = s.range(5, 10).select($"id".as("vec_id"))
+          .unionByName(s.range(1000010L, 1000020L).select($"id".as("vec_id")))
+        pqAddAndServe(s, frozenArtifacts(s, d), nprobe = 4, m = 10, k = 5,
+          tombstones = Some(tomb))
+      },
+      Some(ivfPqAddOracle(nprobe = 4, m = 10, k = 5, removePred =
+        Some("vec_id BETWEEN 5 AND 9 OR vec_id BETWEEN 1000010 AND 1000019"))))
   )
 }

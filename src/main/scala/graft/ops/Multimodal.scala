@@ -749,36 +749,58 @@ object Multimodal {
     * eligible reps' 8-band fingerprints — defines `${p}b` and
     * `${p}prs`. */
   private[graft] def bandedPairDomCtes(
-      p: String, bandsExpr: String, maxHamming: Int): String = {
+      p: String, bandsExpr: String, maxHamming: Int,
+      agedGapSec: Option[Long] = None): String = {
     val ham = (1 to 8)
       .map(i => s"CAST(bit_count(xor(a.bands[$i], c.bands[$i])) AS INT)")
       .mkString(" + ")
-    s"""${p}b AS (SELECT media_id, $bandsExpr AS bands FROM ${p}el),
+    // aged form: the eligible set carries a synthesized `ets` column;
+    // pairs orient by (ets, media_id) — the processor's arrival sort —
+    // and survive iff the event-time gap clears the horizon
+    agedGapSec match {
+      case None =>
+        s"""${p}b AS (SELECT media_id, $bandsExpr AS bands FROM ${p}el),
             ${p}prs AS (
               SELECT c.media_id AS id_b
               FROM ${p}b a JOIN ${p}b c ON a.media_id < c.media_id
               WHERE $ham <= $maxHamming)"""
+      case Some(gap) =>
+        s"""${p}b AS (SELECT media_id, ets, $bandsExpr AS bands FROM ${p}el),
+            ${p}prs AS (
+              SELECT c.media_id AS id_b
+              FROM ${p}b a JOIN ${p}b c
+                ON (a.ets < c.ets OR (a.ets = c.ets AND a.media_id < c.media_id))
+              WHERE $ham <= $maxHamming AND c.ets - a.ets <= $gap)"""
+    }
   }
 
   /** Pair-dominated evidence for the video kind: the shared-sampled-
     * frame counting of [[videoFramePairs]] over the eligible reps —
     * defines `${p}f`/`${p}ch`/`${p}p` and `${p}prs`. Requires `nf` on
     * the eligible-rep set. */
-  private[graft] def framePairDomCtes(p: String, minShared: Int): String =
+  private[graft] def framePairDomCtes(p: String, minShared: Int,
+      agedGapSec: Option[Long] = None): String = {
+    val (etsCol, etsJoin, etsGap) = agedGapSec match {
+      case None => ("", "a.media_id < b.media_id", "")
+      case Some(gap) => (", ets",
+        "(a.ets < b.ets OR (a.ets = b.ets AND a.media_id < b.media_id))",
+        s" AND b.ets - a.ets <= $gap")
+    }
     s"""${p}f AS (
-              SELECT media_id, text, len, nf, greatest(len // nf, 1) AS fl
+              SELECT media_id$etsCol, text, len, nf, greatest(len // nf, 1) AS fl
               FROM ${p}el),
             ${p}ch AS (
-              SELECT media_id, md5(sub) AS fh
-              FROM (SELECT media_id, substring(text, x * fl + 1, fl) AS sub
+              SELECT media_id$etsCol, md5(sub) AS fh
+              FROM (SELECT media_id$etsCol, substring(text, x * fl + 1, fl) AS sub
                     FROM (SELECT *, unnest(range(0, nf, 3)) AS x FROM ${p}f))
               WHERE length(sub) > 0),
-            ${p}p AS (SELECT DISTINCT media_id, fh FROM ${p}ch),
+            ${p}p AS (SELECT DISTINCT media_id$etsCol, fh FROM ${p}ch),
             ${p}prs AS (
               SELECT b.media_id AS id_b
-              FROM ${p}p a JOIN ${p}p b ON a.fh = b.fh AND a.media_id < b.media_id
+              FROM ${p}p a JOIN ${p}p b ON a.fh = b.fh AND $etsJoin$etsGap
               GROUP BY a.media_id, b.media_id
               HAVING count(*) >= $minShared)"""
+  }
 
   val queries: Seq[QueryDef] = Seq(
 

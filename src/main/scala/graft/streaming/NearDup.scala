@@ -931,6 +931,60 @@ object NearDup {
             ORDER BY id_a, id_b"""
       }),
 
+    // The AGED online image index — the perceptual member of the aged
+    // family (text pair / drop / vector / image now all have one).
+    // The replayed copies get a VARYING event-time gap behind their
+    // originals (10·media_id seconds, ids 0,3,...,27), so horizon 150 s
+    // deterministically splits them: copies of ids <= 15 pair, copies
+    // of 18-27 arrive after their original expired — at EVERY sf.
+    // Replay event times interleave with natural ones (a copy of id 3
+    // lands at +33 s, beside natural id 33), so the pair orientation
+    // is (earlier (ts, id), later) — the processor's own arrival sort —
+    // and the oracle orients and gap-filters by the same synthesized
+    // ts. The survives-iff-gap<=horizon equivalence needs no monotone
+    // ids: for ts-sorted arrivals, an intermediate arrival that could
+    // have evicted entry a before b verifies would itself witness
+    // ts_b - ts_a > horizon.
+    QueryDef(
+      "w_phash_aged",
+      (s, d) => {
+        import s.implicits._
+        val base = graft.ops.Multimodal.synthesize(s, d).toDF()
+          .filter($"kind" === "image")
+        val nat = base
+          .withColumn("ets", timestamp_seconds(lit(1000000L) + $"media_id"))
+        val rep = base.filter($"media_id" < 30)
+          .withColumn("ets", timestamp_seconds(lit(1000000L) + $"media_id" * 11))
+          .withColumn("media_id", $"media_id" + 1000000L)
+        imageNearDupPairs(nat.unionByName(rep), maxHamming = 6,
+            aging = Some(Aging($"ets", 150000L)))
+          .toDF().distinct()
+          .orderBy($"id_a", $"id_b")
+      },
+      Some {
+        val bands = graft.ops.Multimodal.stubBandExprs("text", "len")
+          .mkString("[", ", ", "]")
+        val ham = (1 to 8)
+          .map(i => s"CAST(bit_count(xor(a.bands[$i], c.bands[$i])) AS INT)")
+          .mkString(" + ")
+        s"""WITH m AS (
+              SELECT doc_id AS media_id, 1000000 + doc_id AS ets,
+                     text, length(text) AS len
+              FROM documents WHERE doc_id % 3 = 0 AND length(text) >= 1
+              UNION ALL
+              SELECT doc_id + 1000000 AS media_id, 1000000 + 11 * doc_id AS ets,
+                     text, length(text) AS len
+              FROM documents
+              WHERE doc_id % 3 = 0 AND doc_id < 30 AND length(text) >= 1),
+            b AS (SELECT media_id, ets, $bands AS bands FROM m)
+            SELECT a.media_id AS id_a, c.media_id AS id_b,
+                   CAST($ham AS INT) AS hamming
+            FROM b a JOIN b c
+              ON (a.ets < c.ets OR (a.ets = c.ets AND a.media_id < c.media_id))
+            WHERE $ham <= 6 AND c.ets - a.ets <= 150
+            ORDER BY id_a, id_b"""
+      }),
+
     // The online audio fingerprint index under batch execution — the
     // audio twin of w_phash, sharing mm_audio_pairs' naive all-pairs
     // oracle; StreamAudioSpec asserts the multi-micro-batch streaming
@@ -1052,6 +1106,67 @@ object NearDup {
               FROM documents
               UNION ALL
               SELECT doc_id + 1000000 AS media_id,
+                     ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+                     text, length(text) AS len, (doc_id % 30 + 1) AS nf
+              FROM documents WHERE doc_id < 30),
+            i_el AS (SELECT * FROM am WHERE kind = 'image' AND len >= 1),
+            $img,
+            a_el AS (SELECT * FROM am WHERE kind = 'audio' AND len >= 1),
+            $aud,
+            v_el AS (SELECT * FROM am WHERE kind = 'video' AND len >= 1),
+            $vid,
+            dom AS (
+              SELECT DISTINCT id_b AS media_id FROM i_prs
+              UNION SELECT id_b FROM a_prs
+              UNION SELECT id_b FROM v_prs)
+            SELECT media_id, kind, md5(text) AS content_md5 FROM am
+            WHERE media_id NOT IN (SELECT media_id FROM dom)
+            ORDER BY media_id"""
+      }),
+
+    // The AGED composed media index — w_media under the event-time
+    // horizon, closing the aged family over the unified kind-prefixed
+    // processor (its verify branches per kind, so the aged cycle runs
+    // under all three verifies in ONE query). Same varying-gap replay
+    // scheme as w_phash_aged (copy of id o lands 10·o s behind its
+    // original): horizon 150 s splits the 30 copies deterministically —
+    // copies of ids <= 15 verify against their original and drop,
+    // copies of 16-29 outlive their original's horizon and SURVIVE,
+    // per kind, at every sf. The oracle's per-kind pair fragments
+    // orient and gap-filter by the same synthesized ts.
+    QueryDef(
+      "w_media_aged",
+      (s, d) => {
+        import s.implicits._
+        val base = graft.ops.Multimodal.synthesize(s, d).toDF()
+        val nat = base
+          .withColumn("ets", timestamp_seconds(lit(1000000L) + $"media_id"))
+        val rep = base.filter($"media_id" < 30)
+          .withColumn("ets", timestamp_seconds(lit(1000000L) + $"media_id" * 11))
+          .withColumn("media_id", $"media_id" + 1000000L)
+        val corpus = nat.unionByName(rep)
+        val drops = mediaDroppedByIndex(corpus,
+          aging = Some(Aging($"ets", 150000L))).toDF().distinct()
+        corpus.join(drops, Seq("media_id"), "left_anti")
+          .select($"media_id", $"kind", md5($"content").as("content_md5"))
+          .orderBy($"media_id")
+      },
+      Some {
+        import graft.ops.Multimodal.{audioBandExprs, bandedPairDomCtes, framePairDomCtes, stubBandExprs}
+        val img = bandedPairDomCtes("i_",
+          stubBandExprs("text", "len").mkString("[", ", ", "]"), 6,
+          agedGapSec = Some(150L))
+        val aud = bandedPairDomCtes("a_",
+          audioBandExprs("text", "len").mkString("[", ", ", "]"), 6,
+          agedGapSec = Some(150L))
+        val vid = framePairDomCtes("v_", 2, agedGapSec = Some(150L))
+        s"""WITH am AS (
+              SELECT doc_id AS media_id, 1000000 + doc_id AS ets,
+                     ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+                     text, length(text) AS len, (doc_id % 30 + 1) AS nf
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS media_id, 1000000 + 11 * doc_id AS ets,
                      ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
                      text, length(text) AS len, (doc_id % 30 + 1) AS nf
               FROM documents WHERE doc_id < 30),

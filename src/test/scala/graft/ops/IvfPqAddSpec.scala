@@ -98,4 +98,31 @@ class IvfPqAddSpec extends AnyFunSuite with SparkSpec {
         s"query $q: twin cos ${twin.get.getDouble(4)}")
     }
   }
+
+  test("remove_ids on the quantized index: tombstoned ids vanish as neighbors, queries and survivors untouched") {
+    import spark.implicits._
+    // both deletion classes: base ids 5-9 and added ids 1,000,010+
+    val tomb = spark.range(5, 10).select($"id".as("vec_id"))
+      .unionByName(spark.range(1000010L, 1000020L).select($"id".as("vec_id")))
+    val tombIds = (5L until 10L).toSet ++ (1000010L until 1000020L).toSet
+    val del = IvfPqAdd.pqAddAndServe(spark, IvfPqAdd.frozenArtifacts(spark, sf),
+        nprobe = 4, m = 10, k = 5, tombstones = Some(tomb)).collect()
+    assert(del.nonEmpty)
+    // no tombstoned id serves as a NEIGHBOR anywhere
+    assert(!del.exists(r => tombIds(r.getLong(3))),
+      "tombstoned id surfaced as a neighbor")
+    // deletion removes index entries only — tombstoned base ids still
+    // QUERY (remove_ids has no effect on the external query set)
+    assert((5L until 10L).forall(q => del.exists(_.getLong(0) == q)),
+      "tombstoned base id stopped querying")
+    // surviving twins: a query whose twin was NOT tombstoned still
+    // finds it at cos ~ 1 (the rest of the index is untouched)
+    val untouched = del.filter(r => !tombIds(r.getLong(0) + 1000000L))
+      .groupBy(_.getLong(0))
+    untouched.foreach { case (q, rows) =>
+      val twin = rows.find(_.getLong(3) == q + 1000000L)
+      assert(twin.isDefined && math.abs(twin.get.getDouble(4) - 1.0) < 1e-9,
+        s"query $q: surviving twin missing or off-cos")
+    }
+  }
 }
