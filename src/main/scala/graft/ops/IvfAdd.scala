@@ -267,6 +267,36 @@ object IvfAdd {
         addAndServe(s, d, baseIdx, centroids, nprobe = 4, k = 5, Some(tomb))
       },
       Some(ivfAddOracle(nprobe = 4, k = 5, removePred =
+        Some("vec_id BETWEEN 5 AND 9 OR vec_id BETWEEN 1000010 AND 1000019")))),
+
+    // The two removal mechanisms COMPOSED, under s_ann_ivf_del's
+    // oracle verbatim: old tombstones (base ids 5-9) are absorbed into
+    // the STORED artifact by IndexStore.compact's anti-join rewrite —
+    // the serving plan carries no trace of them — while fresh
+    // tombstones (the just-added ids 1,000,010+, which the stored base
+    // frame cannot contain) ride the live serve-time anti-join. This
+    // is the deployment's steady state: compaction periodically folds
+    // the accumulated tombstone set into the artifact, and removals
+    // since the last compaction stay live — results identical to
+    // deleting everything at serve time, which is exactly what the
+    // shared oracle asserts.
+    QueryDef(
+      "s_ann_ivf_compact",
+      (s, d) => {
+        import s.implicits._
+        val root = IndexStore.scratchRoot(s, "ivfcompact",
+          storeSeq.incrementAndGet())
+        val (baseIdx, centroids) = frozenIndex(s, d)
+        IndexStore.save(root, "base" -> baseIdx, "centroids" -> centroids)
+        IndexStore.compact(s, root, "base",
+          s.range(5, 10).select($"id".as("vec_id")))
+        addAndServe(s, d,
+          IndexStore.load(s, root, "base"),
+          IndexStore.load(s, root, "centroids"),
+          nprobe = 4, k = 5,
+          Some(s.range(1000010L, 1000020L).select($"id".as("vec_id"))))
+      },
+      Some(ivfAddOracle(nprobe = 4, k = 5, removePred =
         Some("vec_id BETWEEN 5 AND 9 OR vec_id BETWEEN 1000010 AND 1000019"))))
   )
 }

@@ -1022,6 +1022,49 @@ object NearDup {
             ORDER BY id_a, id_b"""
       }),
 
+    // The AGED online audio index — w_phash_aged's scheme on the
+    // energy-delta fingerprint (audio kind: doc_id % 3 = 1; copies of
+    // ids 1,4,...,13 are within the 150 s horizon, 16,...,28 are not).
+    QueryDef(
+      "w_audio_aged",
+      (s, d) => {
+        import s.implicits._
+        val base = graft.ops.Multimodal.synthesize(s, d).toDF()
+          .filter($"kind" === "audio")
+        val nat = base
+          .withColumn("ets", timestamp_seconds(lit(1000000L) + $"media_id"))
+        val rep = base.filter($"media_id" < 30)
+          .withColumn("ets", timestamp_seconds(lit(1000000L) + $"media_id" * 11))
+          .withColumn("media_id", $"media_id" + 1000000L)
+        audioNearDupPairs(nat.unionByName(rep), maxHamming = 6,
+            aging = Some(Aging($"ets", 150000L)))
+          .toDF().distinct()
+          .orderBy($"id_a", $"id_b")
+      },
+      Some {
+        val bands = graft.ops.Multimodal.audioBandExprs("text", "len")
+          .mkString("[", ", ", "]")
+        val ham = (1 to 8)
+          .map(i => s"CAST(bit_count(xor(a.bands[$i], c.bands[$i])) AS INT)")
+          .mkString(" + ")
+        s"""WITH m AS (
+              SELECT doc_id AS media_id, 1000000 + doc_id AS ets,
+                     text, length(text) AS len
+              FROM documents WHERE doc_id % 3 = 1 AND length(text) >= 1
+              UNION ALL
+              SELECT doc_id + 1000000 AS media_id, 1000000 + 11 * doc_id AS ets,
+                     text, length(text) AS len
+              FROM documents
+              WHERE doc_id % 3 = 1 AND doc_id < 30 AND length(text) >= 1),
+            b AS (SELECT media_id, ets, $bands AS bands FROM m)
+            SELECT a.media_id AS id_a, c.media_id AS id_b,
+                   CAST($ham AS INT) AS hamming
+            FROM b a JOIN b c
+              ON (a.ets < c.ets OR (a.ets = c.ets AND a.media_id < c.media_id))
+            WHERE $ham <= 6 AND c.ets - a.ets <= 150
+            ORDER BY id_a, id_b"""
+      }),
+
     // The online video shared-frame index under batch execution — the
     // video twin of w_phash/w_audio, completing the online family
     // across every media kind; same replayed-copies corpus and pair
@@ -1063,6 +1106,58 @@ object NearDup {
                 SELECT a.media_id AS id_a, b.media_id AS id_b,
                        CAST(count(*) AS BIGINT) AS n_shared
                 FROM p a JOIN p b ON a.fh = b.fh AND a.media_id < b.media_id
+                GROUP BY a.media_id, b.media_id
+                HAVING count(*) >= 2)
+              SELECT id_a, id_b, n_shared FROM prs
+              ORDER BY id_a, id_b""")),
+
+    // The AGED online video index — the varying-gap scheme on the
+    // shared-sampled-frame verify (video kind: doc_id % 3 = 2). Unlike
+    // the fingerprint kinds, a copy additionally needs >= 2 distinct
+    // sampled frames to verify its original (a 1-frame video can never
+    // reach minShared) — the oracle computes both the frame
+    // intersection and the event-time gap exactly, so the split stays
+    // deterministic without being trivially id-arithmetic.
+    QueryDef(
+      "w_video_aged",
+      (s, d) => {
+        import s.implicits._
+        val base = graft.ops.Multimodal.synthesize(s, d).toDF()
+          .filter($"kind" === "video")
+        val nat = base
+          .withColumn("ets", timestamp_seconds(lit(1000000L) + $"media_id"))
+        val rep = base.filter($"media_id" < 30)
+          .withColumn("ets", timestamp_seconds(lit(1000000L) + $"media_id" * 11))
+          .withColumn("media_id", $"media_id" + 1000000L)
+        videoNearDupPairs(nat.unionByName(rep), minShared = 2,
+            aging = Some(Aging($"ets", 150000L)))
+          .toDF().distinct()
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH m AS (
+                SELECT doc_id AS media_id, 1000000 + doc_id AS ets,
+                       text, length(text) AS len, (doc_id % 30 + 1) AS nf
+                FROM documents WHERE doc_id % 3 = 2 AND length(text) >= 1
+                UNION ALL
+                SELECT doc_id + 1000000 AS media_id, 1000000 + 11 * doc_id AS ets,
+                       text, length(text) AS len, (doc_id % 30 + 1) AS nf
+                FROM documents
+                WHERE doc_id % 3 = 2 AND doc_id < 30 AND length(text) >= 1),
+              f AS (
+                SELECT media_id, ets, text, len, nf, greatest(len // nf, 1) AS fl
+                FROM m),
+              ch AS (
+                SELECT media_id, ets, md5(sub) AS fh
+                FROM (SELECT media_id, ets, substring(text, x * fl + 1, fl) AS sub
+                      FROM (SELECT *, unnest(range(0, nf, 3)) AS x FROM f))
+                WHERE length(sub) > 0),
+              p AS (SELECT DISTINCT media_id, ets, fh FROM ch),
+              prs AS (
+                SELECT a.media_id AS id_a, b.media_id AS id_b,
+                       CAST(count(*) AS BIGINT) AS n_shared
+                FROM p a JOIN p b ON a.fh = b.fh
+                  AND (a.ets < b.ets OR (a.ets = b.ets AND a.media_id < b.media_id))
+                  AND b.ets - a.ets <= 150
                 GROUP BY a.media_id, b.media_id
                 HAVING count(*) >= 2)
               SELECT id_a, id_b, n_shared FROM prs

@@ -7,6 +7,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+case class AgedAud(media_id: Long, kind: String, content: Array[Byte], ets: java.sql.Timestamp)
+
 /** Online audio fingerprint index: micro-batch replay == batch run,
   * and the planted copies pair their originals at hamming 0 — the
   * audio twin of StreamPhashSpec. */
@@ -45,6 +47,46 @@ class StreamAudioSpec extends AnyFunSuite with SparkSpec {
       val banded = graft.SparkEntry.queries("mm_audio_pairs")(spark, sf)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
       assert(streamed == banded)
+    } finally q.stop()
+  }
+  test("AGED audio fingerprint: streaming == batch on the retained window; out-of-horizon copies never pair") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the w_audio_aged construction: copies land 10*o seconds behind
+    // their originals, horizon 150 s
+    val base = Multimodal.synthesize(spark, sf).toDF()
+      .filter($"kind" === "audio")
+    val nat = base
+      .withColumn("ets", timestamp_seconds(lit(1000000L) + $"media_id"))
+    val rep = base.filter($"media_id" < 30)
+      .withColumn("ets", timestamp_seconds(lit(1000000L) + $"media_id" * 11))
+      .withColumn("media_id", $"media_id" + 1000000L)
+    val corpus = nat.unionByName(rep)
+    val aging = Some(NearDup.Aging($"ets", 150000L))
+    val batched = NearDup.audioNearDupPairs(corpus, maxHamming = 6, aging = aging)
+      .toDF().distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val copies = base.filter($"media_id" < 30)
+      .select($"media_id").as[Long].collect().toSet
+    copies.foreach { o =>
+      assert(batched.contains((o, o + 1000000L)) == (10 * o <= 150),
+        s"copy of $o: gap ${10 * o}s vs horizon 150s") }
+
+    val arrivals = corpus.select($"media_id", $"kind", $"content", $"ets")
+      .as[AgedAud].collect().toSeq.sortBy(a => (a.ets.getTime, a.media_id))
+    val mem = MemoryStream[AgedAud]
+    val q = NearDup.audioNearDupPairs(
+        mem.toDF().withWatermark("ets", "10 seconds"),
+        maxHamming = 6, aging = aging)
+      .toDF()
+      .writeStream.format("memory").queryName("waudio_aged")
+      .outputMode("append").start()
+    try {
+      arrivals.grouped(40).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      val streamed = spark.table("waudio_aged").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batched,
+        s"stream != batch on the retained window: missing=${batched -- streamed} extra=${streamed -- batched}")
     } finally q.stop()
   }
 }
