@@ -902,6 +902,31 @@ object Dedup {
       batch, threshold, h, b)
   }
 
+  /** TAKEDOWN + admit: the stored corpus index is compacted by a
+    * document tombstone set (one `IndexStore.compact` anti-join
+    * rewrite of the signature frame; the band postings REBUILD from
+    * the compacted primary, so no stale posting can resurrect a
+    * forgotten document), then the batch is admitted against the
+    * compacted index. Values equal admitting against the corpus minus
+    * the tombstoned documents — `dd_lsh_takedown` pins that under the
+    * increment oracle with the corpus relation filtered. */
+  def lshTakedownSurvivors(
+      base: DataFrame, batch: DataFrame, tombstones: DataFrame,
+      threshold: Double = 0.5, h: Int = 32, b: Int = 16): DataFrame = {
+    val s = batch.sparkSession
+    val root = IndexStore.scratchRoot(s, "lshtakedown", lshStoreSeq.incrementAndGet())
+    IndexStore.save(root,
+      "lsh_sigs" -> minhashSignatures(base, col("doc_id"), col("text"), h))
+    IndexStore.compact(s, root, "lsh_sigs", tombstones, idCol = "id")
+    val sigStored = IndexStore.load(s, root, "lsh_sigs")
+    IndexStore.save(root, "lsh_bands" -> sigStored.select(col("id"),
+      explode(array(minhashBandKeys(h, b): _*)).as("band")))
+    lshIncrementFromIndex(
+      IndexStore.load(s, root, "lsh_sigs"),
+      IndexStore.load(s, root, "lsh_bands"),
+      batch, threshold, h, b)
+  }
+
   /** Incremental EMBEDDING dedup — the vector twin of
     * [[lshIncrementSurvivors]], completing the incremental-admission
     * closure across both near-dup families: the corpus keeps its
@@ -950,6 +975,27 @@ object Dedup {
     val s = batch.sparkSession
     val root = IndexStore.scratchRoot(s, "embstore", embStoreSeq.incrementAndGet())
     IndexStore.save(root, "vec_sigs" -> prepVecs(base))
+    val sigStored = IndexStore.load(s, root, "vec_sigs")
+    IndexStore.save(root, "vec_buckets" -> vecBuckets(sigStored))
+    embedIncrementFromIndex(
+      IndexStore.load(s, root, "vec_sigs"),
+      IndexStore.load(s, root, "vec_buckets"),
+      batch, threshold)
+  }
+
+  /** TAKEDOWN + admit for the VECTOR corpus index — the embedding
+    * twin of [[lshTakedownSurvivors]]: compact the stored vector
+    * frame by the tombstone set, rebuild bucket postings from the
+    * compacted primary, admit the batch. Values equal admitting
+    * against the corpus minus the tombstoned vectors
+    * (`dd_embed_takedown`'s filtered-corpus oracle). */
+  def embedTakedownSurvivors(
+      base: DataFrame, batch: DataFrame, tombstones: DataFrame,
+      threshold: Double = 0.4): DataFrame = {
+    val s = batch.sparkSession
+    val root = IndexStore.scratchRoot(s, "embtakedown", embStoreSeq.incrementAndGet())
+    IndexStore.save(root, "vec_sigs" -> prepVecs(base))
+    IndexStore.compact(s, root, "vec_sigs", tombstones)
     val sigStored = IndexStore.load(s, root, "vec_sigs")
     IndexStore.save(root, "vec_buckets" -> vecBuckets(sigStored))
     embedIncrementFromIndex(
@@ -1769,7 +1815,24 @@ object Dedup {
     QueryDef(
       "dd_lsh_stored",
       (s, d) => lshIncrementQuery(s, d)(lshStoredSurvivors(_, _)),
-      Some(lshIncrementOracle))
+      Some(lshIncrementOracle)),
+
+    // Dedup-index TAKEDOWN under the oracle: the stored corpus index
+    // is COMPACTED by a document tombstone set (ids < 10 — "forget
+    // these documents") before the batch is admitted. Forgotten
+    // originals provably stop suppressing their verbatim twins: the
+    // +1M copies of docs 0-9 now survive the corpus check (their
+    // within-batch fate unchanged), and the replay is the increment
+    // oracle against `documents` minus the forgotten ids — which is
+    // exactly the compaction contract IndexStoreSpec pins bit-equal.
+    QueryDef(
+      "dd_lsh_takedown",
+      (s, d) => {
+        import s.implicits._
+        lshIncrementQuery(s, d)(lshTakedownSurvivors(_, _,
+          s.range(0, 10).select($"id")))
+      },
+      Some(lshIncrementOracleFor("(SELECT * FROM documents WHERE doc_id >= 10)")))
   ) ++ querySeq2
 
   /** The shared day-2 fixture of `dd_lsh_increment` / `dd_lsh_stored`:
@@ -1791,7 +1854,12 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  private lazy val lshIncrementOracle: String = {
+  private lazy val lshIncrementOracle: String = lshIncrementOracleFor("documents")
+
+  /** The increment replay parameterized by the CORPUS relation — the
+    * takedown form replays admission against `documents` minus the
+    * forgotten ids, which is exactly what compaction must equal. */
+  private def lshIncrementOracleFor(corpusRel: String): String = {
         val jac = (a: String, o: String) =>
           s"""CAST(len(list_intersect($a.xs, $o.xs)) AS DOUBLE)
                 / (len($a.xs) + len($o.xs) - len(list_intersect($a.xs, $o.xs)))"""
@@ -1804,7 +1872,7 @@ object Dedup {
               UNION ALL
               SELECT doc_id + 3000000 AS doc_id, substring(text, 1, 40) AS text
               FROM documents WHERE doc_id < 30),
-            ${minhashSideCtes("o_", "documents")},
+            ${minhashSideCtes("o_", corpusRel)},
             ${minhashSideCtes("n_", "nb")},
             candc AS (
               SELECT DISTINCT a.doc_id AS id_n, o.doc_id AS id_o
@@ -1847,7 +1915,11 @@ object Dedup {
       .orderBy($"vec_id")
   }
 
-  private lazy val embedIncrementOracle: String = {
+  private lazy val embedIncrementOracle: String = embedIncrementOracleFor("embeddings")
+
+  /** The vector-increment replay parameterized by the CORPUS relation
+    * — the takedown twin of [[lshIncrementOracleFor]]. */
+  private def embedIncrementOracleFor(corpusRel: String): String = {
     def side(p: String, rel: String) =
       s"""${p}e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -1867,7 +1939,7 @@ object Dedup {
           SELECT vec_id + 3000000 AS vec_id,
                  [-x for x in embedding] AS embedding
           FROM embeddings WHERE vec_id < 30),
-        ${side("o_", "embeddings")},
+        ${side("o_", corpusRel)},
         ${side("n_", "nb")},
         candc AS (
           SELECT DISTINCT a.vec_id AS id_n, o.vec_id AS id_o
@@ -1923,6 +1995,20 @@ object Dedup {
       "dd_embed_stored",
       (s, d) => embedIncrementQuery(s, d)(embedStoredSurvivors(_, _)),
       Some(embedIncrementOracle)),
+
+    // VECTOR-index takedown under the oracle — the embedding twin of
+    // dd_lsh_takedown: the stored vector index compacted by vec_ids
+    // < 10 before admission; the forgotten originals stop dominating
+    // their verbatim +1M twins, and the replay is the increment
+    // oracle against `embeddings` minus the forgotten ids.
+    QueryDef(
+      "dd_embed_takedown",
+      (s, d) => {
+        import s.implicits._
+        embedIncrementQuery(s, d)(embedTakedownSurvivors(_, _,
+          s.range(0, 10).select($"id".as("vec_id"))))
+      },
+      Some(embedIncrementOracleFor("(SELECT * FROM embeddings WHERE vec_id >= 10)"))),
 
     // Decontamination: scrub the training split of everything that
     // near-matches the benchmark split (the held-out 20% by the same

@@ -206,9 +206,12 @@ object IvfPqAdd {
       .map(t => index0.join(broadcast(t), Seq("vec_id"), "left_anti"))
       .getOrElse(index0)
     // serving, unchanged from ivfPqResTopK
-    // queries come from the PRE-tombstone lease: remove_ids() deletes
-    // an id as a NEIGHBOR only — the query set is external to the index
-    val q = index0.filter($"vec_id" < 20 && $"nrm" > 0)
+    // queries come from the COARSE frame, not the index: remove_ids()
+    // (live anti-join) and codes-frame compaction both delete an id as
+    // a NEIGHBOR only — the query set is external to the index (for an
+    // untombstoned run this is the same (vec_id, v, nrm) row set the
+    // index's base side carries, so values are unchanged)
+    val q = coarse.filter($"vec_id" < 20 && $"nrm" > 0)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
     val wProbe = Window.partitionBy($"query_id")
       .orderBy($"c_cos".desc, $"c_label".asc)
@@ -400,6 +403,36 @@ object IvfPqAdd {
           .unionByName(s.range(1000010L, 1000020L).select($"id".as("vec_id")))
         pqAddAndServe(s, frozenArtifacts(s, d), nprobe = 4, m = 10, k = 5,
           tombstones = Some(tomb))
+      },
+      Some(ivfPqAddOracle(nprobe = 4, m = 10, k = 5, removePred =
+        Some("vec_id BETWEEN 5 AND 9 OR vec_id BETWEEN 1000010 AND 1000019")))),
+
+    // The two removal mechanisms COMPOSED on the QUANTIZED index —
+    // the PQ twin of s_ann_ivf_compact, under s_ann_ivfpq_del's
+    // oracle verbatim: old tombstones (base ids 5-9) folded into the
+    // STORED codes frame by IndexStore.compact (the inner join from
+    // coarse to reconstructed codes then drops them from the index;
+    // quantizer, codebooks, and every surviving code untouched),
+    // fresh tombstones (the just-added ids, absent from any stored
+    // frame by construction) riding the live serve-time anti-join.
+    QueryDef(
+      "s_ann_ivfpq_compact",
+      (s, d) => {
+        import s.implicits._
+        val root = IndexStore.scratchRoot(s, "pqcompact",
+          pqStoreSeq.incrementAndGet())
+        val f = frozenArtifacts(s, d)
+        IndexStore.save(root, "coarse" -> f.coarse,
+          "centroids" -> f.centroids, "book" -> f.book, "codes" -> f.codes)
+        IndexStore.compact(s, root, "codes",
+          s.range(5, 10).select($"id".as("vec_id")))
+        pqAddAndServe(s, Frozen(
+          IndexStore.load(s, root, "coarse"),
+          IndexStore.load(s, root, "centroids"),
+          IndexStore.load(s, root, "book"),
+          IndexStore.load(s, root, "codes")), nprobe = 4, m = 10, k = 5,
+          tombstones = Some(
+            s.range(1000010L, 1000020L).select($"id".as("vec_id"))))
       },
       Some(ivfPqAddOracle(nprobe = 4, m = 10, k = 5, removePred =
         Some("vec_id BETWEEN 5 AND 9 OR vec_id BETWEEN 1000010 AND 1000019"))))
