@@ -50,19 +50,25 @@ object AnnServe {
     * s_ann_adc corpus pass), zero-vectors dropped (cos undefined),
     * collected behind a loud cap — an unbounded corpus must fail
     * here, not OOM the driver. */
-  def buildAnnIndex(
-      corpus: DataFrame, id: Column, vec: Column,
-      maxCodes: Long = 256L << 20): AnnIndex = {
+  /** The coded-corpus projection — the frame the broadcast index
+    * collects from AND the durable artifact `w_ann_stored` dumps:
+    * (id, int8 codes, exact-integer self-dot), zero-vectors dropped.
+    * Every value is an int-valued double or an exact integer ≪ 2^53,
+    * so a parquet round-trip is bit-exact. */
+  private[streaming] def codedFrame(
+      corpus: DataFrame, id: Column, vec: Column): DataFrame = {
     import graft.ops.Similarity.{asDouble, dot}
-    // the build issues TWO actions (guard aggregate + collect); lease the
-    // coded projection so the corpus scan + quantization runs once and
-    // both actions read the materialized stage (same discipline as
-    // LmServe.buildLmModel)
-    val coded = graft.ops.Checkpoints.lease("ann_build_codes", corpus
+    corpus
       .select(id.as("id"),
         graft.functions.VectorExpressions.int8QuantCodes(asDouble(vec)).as("codes"))
       .withColumn("cc", dot(col("codes"), col("codes")))
-      .filter(col("cc") > 0))
+      .filter(col("cc") > 0)
+  }
+
+  /** Collect a coded frame into the broadcast index behind the loud
+    * cap — an unbounded corpus must fail here, not OOM the driver. */
+  def annIndexFromFrame(
+      coded: DataFrame, maxCodes: Long = 256L << 20): AnnIndex = {
     val totalCodes = coded
       .agg(coalesce(sum(size(col("codes"))), lit(0L))).head().getLong(0)
     require(totalCodes <= maxCodes,
@@ -73,6 +79,17 @@ object AnnServe {
     }
     AnnIndex(entries)
   }
+
+  def buildAnnIndex(
+      corpus: DataFrame, id: Column, vec: Column,
+      maxCodes: Long = 256L << 20): AnnIndex =
+    // the build issues TWO actions (guard aggregate + collect); lease the
+    // coded projection so the corpus scan + quantization runs once and
+    // both actions read the materialized stage (same discipline as
+    // LmServe.buildLmModel)
+    annIndexFromFrame(
+      graft.ops.Checkpoints.lease("ann_build_codes", codedFrame(corpus, id, vec)),
+      maxCodes)
 
   private val outSchema = StructType(Seq(
     StructField("query_id", LongType, nullable = false),
@@ -139,24 +156,9 @@ object AnnServe {
     }(enc)
   }
 
-  val queries: Seq[QueryDef] = Seq(
+  private val annStoreSeq = new java.util.concurrent.atomic.AtomicLong()
 
-    // Streaming ANN serving under batch execution: the first 20
-    // vectors replayed as queries against the full quantized corpus,
-    // top-5 by ADC cosine each. The oracle replays quantization and
-    // scoring in DuckDB; StreamAnnSpec asserts the multi-micro-batch
-    // streaming run emits exactly these rows.
-    QueryDef(
-      "w_ann",
-      (s, d) => {
-        import s.implicits._
-        val emb = table(s, d, "embeddings")
-        val idx = buildAnnIndex(emb, $"vec_id", $"embedding")
-        withOnlineAnn(emb.filter($"vec_id" < 20), $"vec_id", $"embedding",
-            idx, k = 5)
-          .orderBy($"query_id", $"rank")
-      },
-      Some("""WITH e AS (
+  private lazy val annOracle: String = """WITH e AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               q8 AS (
                 SELECT vec_id, v, list_max([abs(x) for x in v]) AS maxabs FROM e),
@@ -177,5 +179,49 @@ object AnnServe {
                   ORDER BY cos_adc DESC, neighbor_id ASC) AS rank
                 FROM pairs)
               SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_adc
-              FROM r WHERE rank <= 5 ORDER BY query_id, rank""")))
+              FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // Streaming ANN serving under batch execution: the first 20
+    // vectors replayed as queries against the full quantized corpus,
+    // top-5 by ADC cosine each. The oracle replays quantization and
+    // scoring in DuckDB; StreamAnnSpec asserts the multi-micro-batch
+    // streaming run emits exactly these rows.
+    QueryDef(
+      "w_ann",
+      (s, d) => {
+        import s.implicits._
+        val emb = table(s, d, "embeddings")
+        val idx = buildAnnIndex(emb, $"vec_id", $"embedding")
+        withOnlineAnn(emb.filter($"vec_id" < 20), $"vec_id", $"embedding",
+            idx, k = 5)
+          .orderBy($"query_id", $"rank")
+      },
+      Some(annOracle)),
+
+    // The PRODUCTION serving topology: the coded corpus artifact is
+    // WRITTEN to parquet and RELOADED before the broadcast index is
+    // collected — the serving job needs zero knowledge of how the
+    // index was built (no quantization subtree, no lease; a plain
+    // parquet scan feeds the guard + collect). Values bit-identical
+    // to w_ann (every stored value is an int-valued double or an
+    // exact integer ≪ 2^53 — parquet round-trips them exactly), so
+    // the same oracle covers both; StreamAnnSpec pins the equality.
+    QueryDef(
+      "w_ann_stored",
+      (s, d) => {
+        import s.implicits._
+        val emb = table(s, d, "embeddings")
+        val root = graft.ops.IndexStore.scratchRoot(s, "annstore",
+          annStoreSeq.incrementAndGet())
+        graft.ops.IndexStore.save(root,
+          "ann_codes" -> codedFrame(emb, $"vec_id", $"embedding"))
+        val idx = annIndexFromFrame(
+          graft.ops.IndexStore.load(s, root, "ann_codes"))
+        withOnlineAnn(emb.filter($"vec_id" < 20), $"vec_id", $"embedding",
+            idx, k = 5)
+          .orderBy($"query_id", $"rank")
+      },
+      Some(annOracle)))
 }

@@ -50,13 +50,14 @@ object LmServe {
   /** Train the model with the exact aggregates `t_lm_score` runs,
     * collected behind a loud cap — an unbounded model must fail here,
     * not OOM the driver. */
-  def buildLmModel(
-      corpus: DataFrame, text: Column,
-      maxEntries: Long = 64L << 20): LmModel = {
-    // the build issues FOUR actions (two guard counts, two collects);
+  /** The model's two count frames — the artifact `w_lm_stored` dumps:
+    * bigram counts (w1, w2, cb) and unigram counts (w1, cw). Strings
+    * and exact longs — parquet round-trips them exactly. */
+  private[streaming] def lmCountFrames(
+      corpus: DataFrame, text: Column): (DataFrame, DataFrame) = {
     // lease the tokenize pass and both aggregates so the corpus is
-    // scanned once and each action reads a materialized stage, not a
-    // re-derived lineage
+    // scanned once and each consuming action reads a materialized
+    // stage, not a re-derived lineage
     val toks = graft.ops.Checkpoints.lease("lm_build_toks", corpus.select(
       graft.functions.TextShingles.wordTokens(text).as("toks")))
     val m = greatest(size(col("toks")) - 1, lit(0))
@@ -69,6 +70,14 @@ object LmServe {
     val uni = graft.ops.Checkpoints.lease("lm_build_uni",
       toks.select(explode(col("toks")).as("w1"))
         .groupBy(col("w1")).agg(count(lit(1)).as("cw")))
+    (bg, uni)
+  }
+
+  /** Collect count frames into the broadcast model behind the loud
+    * cap — an unbounded model must fail here, not OOM the driver. */
+  def lmModelFromFrames(
+      bg: DataFrame, uni: DataFrame,
+      maxEntries: Long = 64L << 20): LmModel = {
     val nEntries = bg.agg(count(lit(1))).head().getLong(0) +
       uni.agg(count(lit(1))).head().getLong(0)
     require(nEntries <= maxEntries,
@@ -80,6 +89,13 @@ object LmServe {
     val umap = new java.util.HashMap[String, Long]()
     uni.collect().foreach(r => umap.put(r.getString(0), r.getLong(1)))
     LmModel(bmap, umap, umap.size.toLong)
+  }
+
+  def buildLmModel(
+      corpus: DataFrame, text: Column,
+      maxEntries: Long = 64L << 20): LmModel = {
+    val (bg, uni) = lmCountFrames(corpus, text)
+    lmModelFromFrames(bg, uni, maxEntries)
   }
 
   private val outSchema = StructType(Seq(
@@ -158,24 +174,9 @@ object LmServe {
     }(enc)
   }
 
-  val queries: Seq[QueryDef] = Seq(
+  private val lmStoreSeq = new java.util.concurrent.atomic.AtomicLong()
 
-    // Streaming LM scoring under batch execution: the first 100
-    // documents replayed as arrivals against the model trained on the
-    // FULL corpus. Every arrival is in-corpus, so the scores are
-    // exactly t_lm_score's rows for those ids — the oracle is the
-    // batch oracle restricted, which holds the JVM shift-loop scorer
-    // to bit-equality with the column-algebra form.
-    QueryDef(
-      "w_lm_score",
-      (s, d) => {
-        import s.implicits._
-        val docs = table(s, d, "documents")
-        val model = buildLmModel(docs, $"text")
-        withOnlineLmScore(docs.filter($"doc_id" < 100), $"doc_id", $"text", model)
-          .orderBy($"doc_id")
-      },
-      Some("""WITH t AS (
+  private lazy val lmOracle: String = """WITH t AS (
                 SELECT doc_id,
                        [x for x in string_split_regex(lower(text), '\s+') if x != ''] AS toks
                 FROM documents),
@@ -205,5 +206,47 @@ object LmServe {
                      CAST(sum(bits) AS BIGINT) AS sum_bits,
                      CAST(sum(bits) AS DOUBLE) / count(*) AS avg_bits
               FROM k WHERE doc_id < 100
-              GROUP BY doc_id ORDER BY doc_id""")))
+              GROUP BY doc_id ORDER BY doc_id"""
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // Streaming LM scoring under batch execution: the first 100
+    // documents replayed as arrivals against the model trained on the
+    // FULL corpus. Every arrival is in-corpus, so the scores are
+    // exactly t_lm_score's rows for those ids — the oracle is the
+    // batch oracle restricted, which holds the JVM shift-loop scorer
+    // to bit-equality with the column-algebra form.
+    QueryDef(
+      "w_lm_score",
+      (s, d) => {
+        import s.implicits._
+        val docs = table(s, d, "documents")
+        val model = buildLmModel(docs, $"text")
+        withOnlineLmScore(docs.filter($"doc_id" < 100), $"doc_id", $"text", model)
+          .orderBy($"doc_id")
+      },
+      Some(lmOracle)),
+
+    // The durable LM-serving cycle: the model's two count frames are
+    // WRITTEN to parquet and RELOADED before the broadcast model is
+    // collected — the scoring job needs zero knowledge of how the
+    // model was trained (no tokenize/aggregate subtree, no lease;
+    // plain parquet scans feed the guard + collects). Strings and
+    // exact longs round-trip exactly, so the same oracle covers both.
+    QueryDef(
+      "w_lm_stored",
+      (s, d) => {
+        import s.implicits._
+        val docs = table(s, d, "documents")
+        val root = graft.ops.IndexStore.scratchRoot(s, "lmstore",
+          lmStoreSeq.incrementAndGet())
+        val (bg, uni) = lmCountFrames(docs, $"text")
+        graft.ops.IndexStore.save(root, "lm_bigrams" -> bg, "lm_unigrams" -> uni)
+        val model = lmModelFromFrames(
+          graft.ops.IndexStore.load(s, root, "lm_bigrams"),
+          graft.ops.IndexStore.load(s, root, "lm_unigrams"))
+        withOnlineLmScore(docs.filter($"doc_id" < 100), $"doc_id", $"text", model)
+          .orderBy($"doc_id")
+      },
+      Some(lmOracle)))
 }

@@ -656,13 +656,30 @@ object NearDup {
     * driver. `maxGrams` mirrors [[graft.ops.Dedup.decontaminate]]'s
     * broadcast guard: a corpus-sized "blocklist" must fail loudly here,
     * not OOM the driver. */
-  def buildBlocklistIndex(
-      blocklist: DataFrame, id: Column, text: Column, threshold: Double,
-      maxGrams: Long = 32L << 20): BlocklistIndex = {
-    val sigs = graft.ops.Dedup.minhashSignatures(blocklist, id, text, 32)
+  private val blockStoreSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** The blocklist's signature frame — the artifact
+    * `w_decontaminate_stored` dumps: (id, sorted gram hashes, band
+    * keys). Longs and md5 strings — parquet round-trips them
+    * exactly. */
+  private[streaming] def blocklistSigFrame(
+      blocklist: DataFrame, id: Column, text: Column): DataFrame =
+    graft.ops.Dedup.minhashSignatures(blocklist, id, text, 32)
       .withColumn("xs", sort_array(col("xs")))
       .select(col("id"), col("xs"),
         array(graft.ops.Dedup.minhashBandKeys(32, 16): _*).as("bands"))
+
+  def buildBlocklistIndex(
+      blocklist: DataFrame, id: Column, text: Column, threshold: Double,
+      maxGrams: Long = 32L << 20): BlocklistIndex =
+    blocklistFromFrame(blocklistSigFrame(blocklist, id, text), threshold, maxGrams)
+
+  /** Collect a signature frame into the driver blocklist index behind
+    * the loud cap — a corpus-sized "blocklist" must fail here, not
+    * OOM the driver. */
+  def blocklistFromFrame(
+      sigs: DataFrame, threshold: Double,
+      maxGrams: Long = 32L << 20): BlocklistIndex = {
     val totalGrams = sigs.agg(coalesce(sum(size(col("xs"))), lit(0L)))
       .head().getLong(0)
     require(totalGrams <= maxGrams,
@@ -886,6 +903,36 @@ object NearDup {
         val training = docs.filter($"__bucket" >= 20).drop("__bucket")
         val benchmark = docs.filter($"__bucket" < 20).drop("__bucket")
         val idx = buildBlocklistIndex(benchmark, $"doc_id", $"text", 0.5)
+        withOnlineDecontamination(training, $"text", "__clean", idx)
+          .filter($"__clean")
+          .select($"doc_id", $"source", $"n_chars")
+          .orderBy($"doc_id")
+      },
+      Some(graft.ops.Dedup.decontaminateOracleSql)),
+
+    // The durable decontamination cycle: the blocklist's signature
+    // frame is WRITTEN to parquet and RELOADED before the driver
+    // index is collected — production decontamination serves one
+    // benchmark blocklist artifact across every ingest job, and the
+    // scrubbing job needs zero knowledge of how it was built (no
+    // signature subtree; a plain parquet scan feeds the guard +
+    // collect). Longs and md5 strings round-trip exactly, so the
+    // oracle is dd_decontaminate's verbatim, like w_decontaminate's.
+    QueryDef(
+      "w_decontaminate_stored",
+      (s, d) => {
+        import s.implicits._
+        val bucket = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+          .cast("int") % 100
+        val docs = table(s, d, "documents").withColumn("__bucket", bucket)
+        val training = docs.filter($"__bucket" >= 20).drop("__bucket")
+        val benchmark = docs.filter($"__bucket" < 20).drop("__bucket")
+        val root = graft.ops.IndexStore.scratchRoot(s, "blockstore",
+          blockStoreSeq.incrementAndGet())
+        graft.ops.IndexStore.save(root,
+          "blocklist_sigs" -> blocklistSigFrame(benchmark, $"doc_id", $"text"))
+        val idx = blocklistFromFrame(
+          graft.ops.IndexStore.load(s, root, "blocklist_sigs"), 0.5)
         withOnlineDecontamination(training, $"text", "__clean", idx)
           .filter($"__clean")
           .select($"doc_id", $"source", $"n_chars")
