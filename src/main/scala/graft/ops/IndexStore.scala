@@ -37,7 +37,16 @@ object IndexStore {
     * first: a reader racing that exact window can see the frame
     * briefly missing (never partial) — deployments that need fully
     * lock-free replacement should version `root` per save and flip a
-    * pointer. */
+    * pointer.
+    *
+    * Concurrency contract: ONE writer per (root, name) at a time.
+    * The pre-write sweep below deletes every orphaned `.name.tmp-*`
+    * dir under `root`, so two concurrent save() calls for the SAME
+    * frame would sweep each other's in-flight temp dirs. All engine
+    * callers honor this already (each `*_stored` query writes under a
+    * per-invocation [[scratchRoot]]); a deployment sharing a root
+    * must serialize writers per frame (readers are always safe — they
+    * only ever see the atomically renamed dst). */
   def save(root: String, frames: (String, DataFrame)*): Unit =
     frames.foreach { case (name, df) =>
       val dst = new org.apache.hadoop.fs.Path(s"$root/$name")

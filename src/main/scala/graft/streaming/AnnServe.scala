@@ -28,20 +28,26 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructFiel
   * cosine is a composition of exactly-rounded double ops — so the
   * DuckDB oracle replays the streamed scores bit-identically.
   *
-  * Scale shape: the broadcast index is the 4x-compressed code table —
-  * the guard caps it at the same order as the decontamination
-  * blocklist guard (serving 10^9 vectors from one broadcast is not
-  * the design; that deployment shards the corpus and feeds each
-  * shard's top-k into a tournament merge, or bounds the scan with the
-  * batch family's IVF cells — both already shipped batch-side). Query
-  * throughput scales linearly with executors: rows never meet each
-  * other.
+  * Scale shape: the broadcast index packs each int8 code into ONE
+  * byte (`CodeEntry.codes: Array[Byte]` — the 256M-code guard
+  * ceiling is ~256 MiB of code payload at rest, not the 2 GiB the
+  * former `Array[Double]` layout cost), so the guard caps it at the
+  * same order as the decontamination blocklist guard. Serving 10^9
+  * vectors from ONE broadcast is still not the design; that
+  * deployment is [[withShardedAnn]]: shard the coded corpus, serve
+  * each shard from its own (separately capped) broadcast, and feed
+  * the per-shard top-k into a tournament re-rank — provably equal to
+  * the single-index serve. Query throughput scales linearly with
+  * executors: rows never meet each other.
   */
 object AnnServe {
 
-  /** One indexed corpus vector: id, int-valued codes, integer
-    * self-dot (kept as Long — exact). */
-  case class CodeEntry(id: Long, codes: Array[Double], cc: Double)
+  /** One indexed corpus vector: id, int8 codes packed one-per-byte,
+    * integer self-dot (kept as Double — exact: ≤ 127²·dim ≪ 2^53).
+    * Codes widen byte→double at score time losslessly (every int8 is
+    * exactly representable as a double), so packing changes no bit of
+    * any emitted score — StoredServeSpec / StreamAnnSpec pin that. */
+  case class CodeEntry(id: Long, codes: Array[Byte], cc: Double)
 
   case class AnnIndex(entries: Array[CodeEntry]) extends Serializable
 
@@ -66,16 +72,25 @@ object AnnServe {
   }
 
   /** Collect a coded frame into the broadcast index behind the loud
-    * cap — an unbounded corpus must fail here, not OOM the driver. */
+    * cap — an unbounded corpus must fail here, not OOM the driver.
+    * The default cap (256M codes) bounds the broadcast's code payload
+    * at ~256 MiB: codes are packed one byte each (int8 values are in
+    * [-127, 127] by construction of `int8QuantCodes`), plus 16 B/row
+    * of id + self-dot. */
   def annIndexFromFrame(
       coded: DataFrame, maxCodes: Long = 256L << 20): AnnIndex = {
     val totalCodes = coded
       .agg(coalesce(sum(size(col("codes"))), lit(0L))).head().getLong(0)
     require(totalCodes <= maxCodes,
       s"corpus too large to serve from one broadcast index: " +
-        s"$totalCodes codes > $maxCodes — shard the corpus or serve IVF cells")
+        s"$totalCodes codes > $maxCodes (~${maxCodes >> 20} MiB packed) — " +
+        "shard the corpus (withShardedAnn) or serve IVF cells")
     val entries = coded.collect().map { r =>
-      CodeEntry(r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+      val cs = r.getSeq[Double](1)
+      val packed = new Array[Byte](cs.length)
+      var j = 0
+      while (j < cs.length) { packed(j) = cs(j).toByte; j += 1 }
+      CodeEntry(r.getLong(0), packed, r.getDouble(2))
     }
     AnnIndex(entries)
   }
@@ -156,6 +171,62 @@ object AnnServe {
     }(enc)
   }
 
+  /** Build the SHARDED serving deployment's indexes: the coded corpus
+    * is leased once (one scan + quantization pass), split by
+    * `pmod(id, shards)`, and each shard collected into its OWN
+    * broadcast index behind a PER-SHARD cap — the path a corpus takes
+    * when it no longer fits one broadcast. Shard membership is a pure
+    * function of the id, so the split is deterministic and
+    * exhaustive (every corpus vector lands in exactly one shard). */
+  def buildShardedAnnIndex(
+      corpus: DataFrame, id: Column, vec: Column, shards: Int,
+      maxCodesPerShard: Long = 256L << 20): Seq[AnnIndex] = {
+    require(shards > 0, s"shards must be positive: $shards")
+    val coded = graft.ops.Checkpoints.lease(
+      "ann_build_codes_sharded", codedFrame(corpus, id, vec))
+    (0 until shards).map { sh =>
+      annIndexFromFrame(
+        coded.filter(pmod(col("id"), lit(shards)) === sh), maxCodesPerShard)
+    }
+  }
+
+  /** Tournament top-k over sharded broadcast indexes — the 10^9-vector
+    * serving topology: each shard runs the SAME per-row k-bounded
+    * scan as [[withOnlineAnn]] against its own broadcast (a separate
+    * map stage per shard, so no single broadcast ever exceeds the
+    * per-shard cap), the per-shard top-k candidates union, and one
+    * window re-rank picks the global top-k.
+    *
+    * Provably identical to the single-index serve: the score order is
+    * TOTAL (cos desc, then unique neighbor id asc), every global
+    * top-k neighbor is by definition within the top-k of its own
+    * shard (at most k-1 corpus vectors beat it anywhere), and the
+    * re-rank applies the identical total order to the ≤ shards·k
+    * survivors — so `w_ann_sharded` runs under `w_ann`'s oracle
+    * VERBATIM. Scale shape: per-query work is unchanged (every corpus
+    * code is still scanned exactly once, across shards), the merge
+    * shuffles only ≤ shards·k candidate rows per query, and each
+    * broadcast is separately bounded — shards trade one oversized
+    * broadcast for `shards` bounded ones. (The window re-rank makes
+    * this the BATCH serving form; a streaming deployment keeps the
+    * single-broadcast [[withOnlineAnn]] per shard and merges shard
+    * outputs downstream.) */
+  def withShardedAnn(
+      queries: DataFrame, id: Column, vec: Column,
+      indexes: Seq[AnnIndex], k: Int): DataFrame = {
+    require(indexes.nonEmpty, "withShardedAnn needs at least one shard")
+    val perShard = indexes.map { ix =>
+      withOnlineAnn(queries, id, vec, ix, k).drop("rank")
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_adc").desc, col("neighbor_id").asc)
+    perShard.reduce(_.union(_))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_adc"))
+  }
+
   private val annStoreSeq = new java.util.concurrent.atomic.AtomicLong()
 
   private lazy val annOracle: String = """WITH e AS (
@@ -221,6 +292,26 @@ object AnnServe {
           graft.ops.IndexStore.load(s, root, "ann_codes"))
         withOnlineAnn(emb.filter($"vec_id" < 20), $"vec_id", $"embedding",
             idx, k = 5)
+          .orderBy($"query_id", $"rank")
+      },
+      Some(annOracle)),
+
+    // The SHARDED serving topology — what a corpus does when it
+    // outgrows one broadcast: 3 per-id shards, each served from its
+    // own capped broadcast index, per-shard top-5 unioned and
+    // tournament re-ranked to the global top-5. Identical output to
+    // w_ann by the total-order argument on withShardedAnn, so the
+    // same oracle covers it; ShardedAnnSpec pins bit-equality against
+    // the single-index serve and that a cap the FULL corpus exceeds
+    // still admits every shard.
+    QueryDef(
+      "w_ann_sharded",
+      (s, d) => {
+        import s.implicits._
+        val emb = table(s, d, "embeddings")
+        val idxs = buildShardedAnnIndex(emb, $"vec_id", $"embedding", shards = 3)
+        withShardedAnn(emb.filter($"vec_id" < 20), $"vec_id", $"embedding",
+            idxs, k = 5)
           .orderBy($"query_id", $"rank")
       },
       Some(annOracle)))

@@ -183,7 +183,7 @@ class DaemonSpec extends AnyFunSuite with SparkSpec {
     // drops (Ingest.scala:49 — the reference's own no-fact-row-on-error
     // behavior); every tick the device ANSWERED must land exactly once.
     val dir = Files.createTempDirectory("graft_daemon_flap").toString
-    val maxTicks = 20
+    val maxTicks = 30
     // first server instance answers exactly 6 requests (= 6 ticks of
     // the single channel), then closes: a deterministic outage start
     val s1 = new graft.sources.ModbusTestServer(maxRequests = 6)
@@ -214,6 +214,17 @@ class DaemonSpec extends AnyFunSuite with SparkSpec {
         Thread.sleep(10)
       assert(daemon.monitoring.batches.size >= b0 + 2,
         "no micro-batch completed during the outage window")
+      // gate the restart on tick headroom: if the outage batches had
+      // already drained the source near maxTicks, the post-recovery
+      // tail assertions below would fail FLAKILY rather than wrong —
+      // fail loudly here instead (maxTicks=30 leaves ~24 ticks of
+      // headroom after the 6-tick pre-outage phase, so this gate
+      // only trips if the box stalls pathologically)
+      val consumedTicks = daemon.monitoring.batches.map(_.numInputRows).sum
+      assert(consumedTicks <= maxTicks - 4,
+        s"outage window drained the tick source ($consumedTicks of " +
+          s"$maxTicks ticks consumed before device restart) — the " +
+          "post-recovery tail would be empty; raise maxTicks")
       s2 = new graft.sources.ModbusTestServer(fixedPort = s1.port)
       daemon.ingest.processAllAvailable()
 
