@@ -159,4 +159,179 @@ class StreamIndexRocksDbSpec extends AnyFunSuite with SparkSpec {
           s"extra=${(got -- expect).take(5)}")
     }
   }
+
+  /** The COMPOSED media corpus of the w_media query family: synthetic
+    * media plus the first-30 replays — the corpus whose drop set the
+    * batch form oracles. */
+  private def mediaCorpus = {
+    import spark.implicits._
+    val base = graft.ops.Multimodal.synthesize(spark, sf).toDF()
+    val replayed = base.filter($"media_id" < 30)
+      .withColumn("media_id", $"media_id" + 1000000L)
+    base.unionByName(replayed)
+  }
+
+  test("composed media sum-type state on RocksDB: kill/restart, drop set == batch run") {
+    import spark.implicits._
+    withRocksDb {
+      val dir = Files.createTempDirectory("graft_rocks_media").toString
+      val (in, out, ckpt) = (s"$dir/in", s"$dir/out", s"$dir/ckpt")
+
+      // id-ordered arrival (the batch form's keep-first orientation)
+      val rows = mediaCorpus.collect().sortBy(_.getLong(0))
+      val chunks = rows.grouped((rows.length + 2) / 3).toSeq
+      val schema = mediaCorpus.schema
+      def land(chunk: Seq[org.apache.spark.sql.Row]): Unit =
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(chunk, 1), schema)
+          .coalesce(1).write.mode("append").parquet(in)
+
+      land(chunks(0))
+      def start() = NearDup
+        .mediaDroppedByIndex(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(in))
+        .toDF()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+
+      val q1 = start()
+      q1.processAllAvailable()
+      assert(q1.lastProgress != null && q1.lastProgress.stateOperators.nonEmpty,
+        "expected the sum-type media-band stateful operator")
+      land(chunks(1))
+      q1.processAllAvailable()
+      q1.stop() // kill: the kind-prefixed sum-type state lives only in RocksDB
+      land(chunks(2))
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+
+      val got = spark.read.parquet(out)
+        .select($"media_id").distinct().as[Long].collect().toSet
+      val expect = NearDup.mediaDroppedByIndex(mediaCorpus)
+        .toDF().select($"media_id").distinct().as[Long].collect().toSet
+      assert(expect.nonEmpty, "replayed media must produce drops")
+      assert(got == expect,
+        s"media RocksDB recovery diverged: missing=${(expect -- got).take(5)} " +
+          s"extra=${(got -- expect).take(5)}")
+    }
+  }
+
+  test("AGED composed media state on RocksDB: EventTimeTimeout sum-type state survives restart") {
+    import spark.implicits._
+    withRocksDb {
+      val dir = Files.createTempDirectory("graft_rocks_media_aged").toString
+      val (in, out, ckpt) = (s"$dir/in", s"$dir/out", s"$dir/ckpt")
+
+      // w_media_aged's varying-gap scheme: replays land 11 s/id behind
+      // their originals; horizon 150 s splits them deterministically
+      val base = graft.ops.Multimodal.synthesize(spark, sf).toDF()
+      val nat = base
+        .withColumn("ets", timestamp_seconds(lit(1000000L) + $"media_id"))
+      val rep = base.filter($"media_id" < 30)
+        .withColumn("ets", timestamp_seconds(lit(1000000L) + $"media_id" * 11))
+        .withColumn("media_id", $"media_id" + 1000000L)
+      val corpus = nat.unionByName(rep)
+      val schema = corpus.schema
+      // event-time-ordered arrival, ties by id — watermark-safe
+      val rows = corpus.collect()
+        .sortBy(r => (r.getTimestamp(r.fieldIndex("ets")).getTime, r.getLong(0)))
+      val chunks = rows.grouped((rows.length + 2) / 3).toSeq
+      def land(chunk: Seq[org.apache.spark.sql.Row]): Unit =
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(chunk, 1), schema)
+          .coalesce(1).write.mode("append").parquet(in)
+
+      land(chunks(0))
+      def start() = NearDup
+        .mediaDroppedByIndex(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(in)
+            .withWatermark("ets", "10 seconds"),
+          aging = Some(NearDup.Aging($"ets", 150000L)))
+        .toDF()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+
+      val q1 = start()
+      q1.processAllAvailable()
+      land(chunks(1))
+      q1.processAllAvailable()
+      q1.stop()
+      land(chunks(2))
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+
+      val got = spark.read.parquet(out)
+        .select($"media_id").distinct().as[Long].collect().toSet
+      val expect = NearDup.mediaDroppedByIndex(corpus,
+          aging = Some(NearDup.Aging($"ets", 150000L)))
+        .toDF().select($"media_id").distinct().as[Long].collect().toSet
+      assert(expect.nonEmpty, "horizon must retain some media drops")
+      assert(got == expect,
+        s"aged media RocksDB recovery diverged: missing=${(expect -- got).take(5)} " +
+          s"extra=${(got -- expect).take(5)}")
+    }
+  }
+
+  test("stored-ANN serve under a checkpoint-restarted StreamingQuery == batch serve") {
+    import spark.implicits._
+    withRocksDb {
+      val dir = Files.createTempDirectory("graft_rocks_annstored").toString
+      val (in, out, ckpt) = (s"$dir/in", s"$dir/out", s"$dir/ckpt")
+
+      // the production cycle: coded artifact dumped + reloaded, index
+      // collected from the PARQUET frame (no build lineage), served
+      // against a restartable stream of query vectors
+      val emb = graft.model.Tables.table(spark, sf, "embeddings")
+      val root = s"$dir/index"
+      graft.ops.IndexStore.save(root,
+        "ann_codes" -> AnnServe.codedFrame(emb, $"vec_id", $"embedding"))
+      val idx = AnnServe.annIndexFromFrame(
+        graft.ops.IndexStore.load(spark, root, "ann_codes"))
+
+      val queries = emb.filter($"vec_id" < 20)
+        .select($"vec_id", $"embedding")
+      val schema = queries.schema
+      val rows = queries.collect().sortBy(_.getLong(0))
+      val chunks = rows.grouped(7).toSeq
+      def land(chunk: Seq[org.apache.spark.sql.Row]): Unit =
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(chunk, 1), schema)
+          .coalesce(1).write.mode("append").parquet(in)
+
+      land(chunks(0))
+      def start() = AnnServe
+        .withOnlineAnn(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(in),
+          $"vec_id", $"embedding", idx, k = 5)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+
+      val q1 = start()
+      q1.processAllAvailable()
+      land(chunks(1))
+      q1.processAllAvailable()
+      q1.stop() // kill between micro-batches; source offsets live in the checkpoint
+      chunks.drop(2).foreach(c => land(c.toSeq))
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+      val got = spark.read.parquet(out).collect().map(key).toSet
+      val expect = AnnServe
+        .withOnlineAnn(emb.filter($"vec_id" < 20), $"vec_id", $"embedding",
+          idx, k = 5)
+        .collect().map(key).toSet
+      assert(expect.size == 20 * 5)
+      assert(got == expect,
+        s"stored-ANN streaming restart diverged: missing=${(expect -- got).take(5)} " +
+          s"extra=${(got -- expect).take(5)}")
+    }
+  }
 }
