@@ -550,6 +550,36 @@ ${entries.mkString(",\n")}
           graft.ops.Dedup.embedIncrementSurvivors(
             spark.read.parquet(s"$dir/embeddings.parquet"),
             hotEmbBatch).count())
+        // Takedown/compact under the hot band: the tombstone set is
+        // ~20% of the corpus, HALF drawn from the hot band (every
+        // other hot variant) and half from the background copies. The
+        // IndexStore.compact rewrite is a broadcast anti-join on
+        // UNIQUE ids — no join-key skew is possible there by
+        // construction — so the skew stress lands on what follows:
+        // band postings REBUILT over the half-emptied hot bucket, and
+        // the hot-batch admission joins against it. Those are the
+        // same plain equi-joins AQE must keep off a straggler.
+        val hotTombDocs = spark.range(variants / 2)
+          .select(($"id" * 2 + lit(500000000L)).as("id"))
+          .unionByName(spark.range(n / 10).select($"id"))
+        measure("dd_lsh_takedown(hot-tombstones)")(
+          graft.ops.Dedup.lshTakedownSurvivors(
+            table(spark, dir, "documents").select($"doc_id", $"text"),
+            hotDocBatch, hotTombDocs).count())
+        val hotTombVecs = spark.range(variants / 2)
+          .select(($"id" * 2 + lit(500000000L)).as("vec_id"))
+          .unionByName(spark.range(nE / 10).select($"id".as("vec_id")))
+        measure("dd_embed_takedown(hot-tombstones)")(
+          graft.ops.Dedup.embedTakedownSurvivors(
+            spark.read.parquet(s"$dir/embeddings.parquet"),
+            hotEmbBatch, hotTombVecs).count())
+        // the quantized-index compact queries over the hot-bucket
+        // corpus: tombstoned cells fold into the artifact while the
+        // hot bucket concentrates assignment/probe keys
+        measure("s_ann_ivf_compact")(
+          graft.SparkEntry.queries("s_ann_ivf_compact")(spark, dir).count())
+        measure("s_ann_ivfpq_compact")(
+          graft.SparkEntry.queries("s_ann_ivfpq_compact")(spark, dir).count())
       } finally spark.sparkContext.removeSparkListener(listener)
     } finally {
       val p = new org.apache.hadoop.fs.Path(dir)
