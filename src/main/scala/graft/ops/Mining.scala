@@ -35,17 +35,26 @@ import org.apache.spark.sql.functions._
 object Mining {
   import Similarity.{IvfIters, IvfNlist, asDouble, dot, l2norm}
 
-  def hardNegativesTopK(
-      s: SparkSession, d: String, nprobe: Int, k: Int): DataFrame = {
+  /** The labeled trained-index frame the mining pass runs against:
+    * (vec_id, label, v, nrm, cell) — the s_ann_ivf build joined with
+    * the corpus labels. The durable artifact `s_hard_negatives_stored`
+    * dumps/reloads (every value is a long/string/double — parquet
+    * round-trips it exactly). */
+  private def labeledIndex(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val embBase = table(s, d, "embeddings")
       .select($"vec_id", $"label", asDouble($"embedding").as("v"))
       .withColumn("nrm", l2norm($"v"))
-    // one-shot trained index (the s_ann_ivf build), leased: centroid
-    // recompute, query projection, and postings scan all read it
-    val idx = Checkpoints.lease("hardneg", embBase
-      .join(Similarity.kmeansCells(embBase.select($"vec_id", $"v")), Seq("vec_id")))
-    val centroids = idx
+    embBase
+      .join(Similarity.kmeansCells(embBase.select($"vec_id", $"v")), Seq("vec_id"))
+  }
+
+  /** The serving centroids recomputed from a labeled index frame's
+    * recorded cells — the same fixed-point integer averaging the IVF
+    * family serves by. */
+  private def centroidsOf(idx: DataFrame): DataFrame = {
+    import idx.sparkSession.implicits._
+    idx
       .select($"cell", posexplode($"v").as(Seq("pos", "x")))
       .groupBy($"cell", $"pos").agg(
         (sum(floor($"x" * lit(1e6)).cast("long")).cast("double") /
@@ -54,6 +63,50 @@ object Mining {
       .select($"cell".as("c_label"),
         transform($"pc", p => p.getField("cx")).as("cv"))
       .withColumn("cn", l2norm($"cv"))
+  }
+
+  def hardNegativesTopK(
+      s: SparkSession, d: String, nprobe: Int, k: Int): DataFrame = {
+    // one-shot trained index (the s_ann_ivf build), leased: centroid
+    // recompute, query projection, and postings scan all read it
+    val idx = Checkpoints.lease("hardneg", labeledIndex(s, d))
+    mineFromIndex(s, idx, centroidsOf(idx), nprobe, k)
+  }
+
+  private val mineStoreSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** The durable round-trip for the MINING consumer — the family
+    * convention applied to the index's second reader: the labeled
+    * trained index is SAVED as a parquet artifact, RELOADED, and
+    * mined with zero training lineage. The serving centroids are
+    * derived FROM the stored primary and stored alongside it (the
+    * dd_lsh_stored bands convention — the payload scans once), so an
+    * alternating ANCE loop's mining job is two parquet scans with no
+    * knowledge of how the index was trained. Values bit-identical to
+    * [[hardNegativesTopK]] — parquet round-trips every stored
+    * long/double/double-array exactly and the downstream arithmetic
+    * is shared — so `s_hard_negatives_stored` runs under the same
+    * oracle verbatim (MiningSpec pins the equality). */
+  def hardNegativesStoredTopK(
+      s: SparkSession, d: String, nprobe: Int, k: Int): DataFrame = {
+    val root = IndexStore.scratchRoot(s, "minestore",
+      mineStoreSeq.incrementAndGet())
+    IndexStore.save(root, "mine_base" -> labeledIndex(s, d))
+    val base = IndexStore.load(s, root, "mine_base")
+    IndexStore.save(root, "mine_centroids" -> centroidsOf(base))
+    mineFromIndex(s,
+      IndexStore.load(s, root, "mine_base"),
+      IndexStore.load(s, root, "mine_centroids"),
+      nprobe, k)
+  }
+
+  /** The mining serve over a built OR reloaded labeled index frame
+    * plus its serving centroids: nprobe-bounded probe, label-excluded
+    * cell-bounded top-k. */
+  private def mineFromIndex(
+      s: SparkSession, idx: DataFrame, centroids: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    import s.implicits._
     val q = idx.filter($"vec_id" < 20 && $"nrm" > 0)
       .select($"vec_id".as("query_id"), $"label".as("q_label"),
         $"v".as("qv"), $"nrm".as("qn"))
@@ -124,6 +177,17 @@ object Mining {
     QueryDef(
       "s_hard_negatives",
       (s, d) => hardNegativesTopK(s, d, nprobe = 4, k = 5),
+      Some(hardNegOracle(nprobe = 4, k = 5))),
+
+    // The same mining pass from the DUMPED-AND-RELOADED labeled index
+    // artifact — the deployment form of an alternating training loop's
+    // mining job (train once, mine every epoch from the stored
+    // artifact). Bit-identical to s_hard_negatives, so the oracle is
+    // shared; MiningSpec pins the equality and the parquet-only
+    // reloaded lineage.
+    QueryDef(
+      "s_hard_negatives_stored",
+      (s, d) => hardNegativesStoredTopK(s, d, nprobe = 4, k = 5),
       Some(hardNegOracle(nprobe = 4, k = 5)))
   )
 }

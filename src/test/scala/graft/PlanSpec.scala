@@ -293,6 +293,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("Union"), p)
   }
 
+  test("s_hard_negatives_stored: mining lineage is pure parquet — no lease, no training subtree, no centroid recompute") {
+    val p = plan("s_hard_negatives_stored")
+    // both artifacts (labeled index + serving centroids) reload as
+    // plain FileScans; the posexplode-based centroid recompute ran in
+    // the build job, not here
+    assert(!p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("Scan parquet"), p)
+    assert(count(p, "posexplode") == 0, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("s_ann_ivfpq_add: quantized add serves from the leased union index — no training subtree, no posexplode") {
     val p = plan("s_ann_ivfpq_add")
     // both iterative trainings AND the three-broadcast add path sit

@@ -50,4 +50,20 @@ class MiningSpec extends AnyFunSuite with SparkSpec {
     assert(mined == bf,
       s"mined ${mined.size} vs brute ${bf.size}; diff ${(mined diff bf).take(3)} / ${(bf diff mined).take(3)}")
   }
+
+  test("stored mining == built mining, bit-exact (incl. cosines), fresh session") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4),
+        r.getDouble(5))
+    val built = Mining.hardNegativesTopK(spark, sf, nprobe = 4, k = 5)
+      .collect().map(key).toSet
+    // fresh session: the stored path must reload everything it needs
+    // from the parquet artifact — no shared lease can leak in
+    val s2 = spark.newSession()
+    val stored = Mining.hardNegativesStoredTopK(s2, sf, nprobe = 4, k = 5)
+      .collect().map(key).toSet
+    assert(built.nonEmpty)
+    assert(stored == built,
+      s"diff ${(stored diff built).take(3)} / ${(built diff stored).take(3)}")
+  }
 }
