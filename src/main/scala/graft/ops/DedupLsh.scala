@@ -304,12 +304,20 @@ trait DedupLshPart { this: Dedup.type =>
     * broadcast-index online form): identical semantics by
     * construction, so the driver's hash-compare holds the two plans to
     * bit-equality. */
-  private[graft] lazy val decontaminateOracleSql: String = {
+  private[graft] lazy val decontaminateOracleSql: String =
+    decontaminateOracleSqlFor("TRUE")
+
+  /** The decontamination replay parameterized by a BLOCKLIST-side
+    * predicate — the takedown form (`w_decontaminate_takedown`)
+    * replays scrubbing against the benchmark minus the tombstoned
+    * ids, which is exactly what compacting the stored blocklist
+    * artifact must equal (the training side is untouched). */
+  private[graft] def decontaminateOracleSqlFor(bmPred: String): String = {
     val split = """(SELECT *,
                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 AS bucket
                     FROM documents)"""
     s"""WITH tr AS (SELECT doc_id, text, source, n_chars FROM $split WHERE bucket >= 20),
-        bm AS (SELECT doc_id, text FROM $split WHERE bucket < 20),
+        bm AS (SELECT doc_id, text FROM $split WHERE bucket < 20 AND ($bmPred)),
         ${minhashSideCtes("a_", "tr")},
         ${minhashSideCtes("b_", "bm")},
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

@@ -229,7 +229,12 @@ object AnnServe {
 
   private val annStoreSeq = new java.util.concurrent.atomic.AtomicLong()
 
-  private lazy val annOracle: String = """WITH e AS (
+  /** The ADC serving replay parameterized by a NEIGHBOR-side
+    * predicate — the takedown form replays serving against the corpus
+    * minus the tombstoned ids, which is exactly what compaction of
+    * the coded artifact must equal (queries are raw vectors, so only
+    * the index side shrinks). */
+  private def annOracleFor(neighborPred: String): String = s"""WITH e AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               q8 AS (
                 SELECT vec_id, v, list_max([abs(x) for x in v]) AS maxabs FROM e),
@@ -244,13 +249,16 @@ object AnnServe {
               pairs AS (
                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                        list_dot_product(q.codes, c.codes) / sqrt(q.cc * c.cc) AS cos_adc
-                FROM cn q JOIN cn c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+                FROM cn q JOIN cn c ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+                  AND ($neighborPred)),
               r AS (
                 SELECT *, row_number() OVER (PARTITION BY query_id
                   ORDER BY cos_adc DESC, neighbor_id ASC) AS rank
                 FROM pairs)
               SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_adc
               FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  private lazy val annOracle: String = annOracleFor("TRUE")
 
   val queries: Seq[QueryDef] = Seq(
 
@@ -314,5 +322,66 @@ object AnnServe {
             idxs, k = 5)
           .orderBy($"query_id", $"rank")
       },
-      Some(annOracle)))
+      Some(annOracle)),
+
+    // The sharded topology's DURABLE form — what a 10^9-vector
+    // deployment actually stores: ONE coded artifact per shard (the
+    // build leases the quantization pass once and writes the 3
+    // per-id splits), each reloaded and collected into its own
+    // capped broadcast, tournament re-ranked. The serving job's
+    // lineage is 3 plain parquet scans — no quantization subtree, no
+    // shard-split logic (shard membership was decided at build
+    // time). Bit-identical to w_ann by both equality arguments at
+    // once (parquet round-trip + tournament totality), so the same
+    // oracle covers it; ShardedAnnSpec pins the equality.
+    QueryDef(
+      "w_ann_sharded_stored",
+      (s, d) => {
+        import s.implicits._
+        val emb = table(s, d, "embeddings")
+        val root = graft.ops.IndexStore.scratchRoot(s, "annshardstore",
+          annStoreSeq.incrementAndGet())
+        val coded = graft.ops.Checkpoints.lease("ann_sharded_store",
+          codedFrame(emb, $"vec_id", $"embedding"))
+        val shards = 3
+        (0 until shards).foreach { sh =>
+          graft.ops.IndexStore.save(root,
+            s"ann_codes_$sh" -> coded.filter(pmod($"id", lit(shards)) === sh))
+        }
+        val idxs = (0 until shards).map { sh =>
+          annIndexFromFrame(graft.ops.IndexStore.load(s, root, s"ann_codes_$sh"))
+        }
+        withShardedAnn(emb.filter($"vec_id" < 20), $"vec_id", $"embedding",
+            idxs, k = 5)
+          .orderBy($"query_id", $"rank")
+      },
+      Some(annOracle)),
+
+    // Serving-index TAKEDOWN — right-to-be-forgotten for the
+    // broadcast class, completing the removal symmetry the batch
+    // index families already carry (s_ann_ivf_del / dd_lsh_takedown):
+    // the stored coded artifact is compacted by a vector tombstone
+    // set (ids 30-39) before the serving collect, so forgotten
+    // vectors provably stop being served as neighbors. Queries are
+    // raw vectors (unaffected); the replay is the serving oracle
+    // with the neighbor side filtered to the surviving corpus —
+    // exactly the compaction contract.
+    QueryDef(
+      "w_ann_takedown",
+      (s, d) => {
+        import s.implicits._
+        val emb = table(s, d, "embeddings")
+        val root = graft.ops.IndexStore.scratchRoot(s, "anntakedown",
+          annStoreSeq.incrementAndGet())
+        graft.ops.IndexStore.save(root,
+          "ann_codes" -> codedFrame(emb, $"vec_id", $"embedding"))
+        graft.ops.IndexStore.compact(s, root, "ann_codes",
+          s.range(30, 40).select($"id"), idCol = "id")
+        val idx = annIndexFromFrame(
+          graft.ops.IndexStore.load(s, root, "ann_codes"))
+        withOnlineAnn(emb.filter($"vec_id" < 20), $"vec_id", $"embedding",
+            idx, k = 5)
+          .orderBy($"query_id", $"rank")
+      },
+      Some(annOracleFor("c.vec_id < 30 OR c.vec_id >= 40"))))
 }

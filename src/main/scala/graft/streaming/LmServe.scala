@@ -176,10 +176,17 @@ object LmServe {
 
   private val lmStoreSeq = new java.util.concurrent.atomic.AtomicLong()
 
-  private lazy val lmOracle: String = """WITH t AS (
+  private lazy val lmOracle: String = lmOracleFor("documents")
+
+  /** The LM scoring replay parameterized by the TRAINING corpus
+    * relation — the takedown form replays training on the corpus
+    * minus the tombstoned documents, which is exactly what count
+    * subtraction on the stored artifact must equal (scored documents
+    * stay the untombstoned first 100, in-corpus either way). */
+  private def lmOracleFor(corpusRel: String): String = s"""WITH t AS (
                 SELECT doc_id,
-                       [x for x in string_split_regex(lower(text), '\s+') if x != ''] AS toks
-                FROM documents),
+                       [x for x in string_split_regex(lower(text), '\\s+') if x != ''] AS toks
+                FROM $corpusRel),
               uni AS (
                 SELECT w1, count(*) AS cw
                 FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY w1),
@@ -248,5 +255,98 @@ object LmServe {
         withOnlineLmScore(docs.filter($"doc_id" < 100), $"doc_id", $"text", model)
           .orderBy($"doc_id")
       },
-      Some(lmOracle)))
+      Some(lmOracle)),
+
+    // Model TAKEDOWN — EXACT count-model unlearning by artifact
+    // surgery: per-document bigram/unigram counts are additive with
+    // no cross-document terms, so "forget documents 100-199" is ONE
+    // count pass over just the tombstoned docs subtracted from the
+    // stored frames (rows at zero drop out, and the vocabulary size
+    // recounts itself from the surviving unigram frame) — provably
+    // equal to retraining on the corpus minus the tombstones, WITHOUT
+    // ever rescanning the surviving corpus. At 100 TB that is the
+    // difference between a bounded forget-job (scan only what is
+    // forgotten, rewrite two count artifacts) and a full retrain. The
+    // oracle IS the retrain: lmOracle over the filtered corpus —
+    // scored docs (< 100) are untombstoned and in-corpus either way,
+    // so every count they touch stays >= 1 and the replay is total.
+    QueryDef(
+      "w_lm_takedown",
+      (s, d) => {
+        import s.implicits._
+        val docs = table(s, d, "documents")
+        val root = graft.ops.IndexStore.scratchRoot(s, "lmtakedown",
+          lmStoreSeq.incrementAndGet())
+        val (bg, uni) = lmCountFrames(docs, $"text")
+        graft.ops.IndexStore.save(root, "lm_bigrams" -> bg, "lm_unigrams" -> uni)
+        // the forget-side counts: the SAME aggregates over ONLY the
+        // tombstoned docs (the second lmCountFrames call releases the
+        // build leases, which save() already consumed)
+        val (bgT, uniT) = lmCountFrames(
+          docs.filter($"doc_id" >= 100 && $"doc_id" < 200), $"text")
+        val bgLive = graft.ops.IndexStore.load(s, root, "lm_bigrams")
+          .join(bgT.select($"w1", $"w2", $"cb".as("__ct")), Seq("w1", "w2"), "left")
+          .select($"w1", $"w2", ($"cb" - coalesce($"__ct", lit(0L))).as("cb"))
+          .filter($"cb" > 0)
+        val uniLive = graft.ops.IndexStore.load(s, root, "lm_unigrams")
+          .join(uniT.select($"w1", $"cw".as("__ct")), Seq("w1"), "left")
+          .select($"w1", ($"cw" - coalesce($"__ct", lit(0L))).as("cw"))
+          .filter($"cw" > 0)
+        // in-place rewrite is safe: save() stages to a temp dir before
+        // the atomic rename, so the subtraction reads the old frames
+        // in full while writing the new ones
+        graft.ops.IndexStore.save(root,
+          "lm_bigrams" -> bgLive, "lm_unigrams" -> uniLive)
+        val model = lmModelFromFrames(
+          graft.ops.IndexStore.load(s, root, "lm_bigrams"),
+          graft.ops.IndexStore.load(s, root, "lm_unigrams"))
+        withOnlineLmScore(docs.filter($"doc_id" < 100), $"doc_id", $"text", model)
+          .orderBy($"doc_id")
+      },
+      Some(lmOracleFor(
+        "(SELECT * FROM documents WHERE doc_id < 100 OR doc_id >= 200)"))),
+
+    // Model ADD — the day-2 half of the same additivity argument:
+    // ingesting a new batch into the count model is one count pass
+    // over JUST the batch summed into the stored frames (union +
+    // group-sum; new words simply appear, and the vocabulary recounts
+    // itself) — provably equal to retraining on corpus + batch,
+    // without rescanning the corpus. Together with w_lm_takedown this
+    // closes the add/remove symmetry for the LM broadcast class the
+    // way s_ann_ivf_add / s_ann_ivf_del close it for the batch index
+    // classes. The batch is the first 30 docs' 40-char prefixes under
+    // shifted ids (the dd_lsh_increment fixture), so the oracle is
+    // the retrain over the unioned relation.
+    QueryDef(
+      "w_lm_add",
+      (s, d) => {
+        import s.implicits._
+        val docs = table(s, d, "documents")
+        val root = graft.ops.IndexStore.scratchRoot(s, "lmadd",
+          lmStoreSeq.incrementAndGet())
+        val (bg, uni) = lmCountFrames(docs, $"text")
+        graft.ops.IndexStore.save(root, "lm_bigrams" -> bg, "lm_unigrams" -> uni)
+        val batch = docs.filter($"doc_id" < 30)
+          .select(($"doc_id" + 2000000L).as("doc_id"),
+            substring($"text", 1, 40).as("text"))
+        val (bgB, uniB) = lmCountFrames(batch, $"text")
+        val bgLive = graft.ops.IndexStore.load(s, root, "lm_bigrams")
+          .unionByName(bgB)
+          .groupBy($"w1", $"w2").agg(sum($"cb").as("cb"))
+        val uniLive = graft.ops.IndexStore.load(s, root, "lm_unigrams")
+          .unionByName(uniB)
+          .groupBy($"w1").agg(sum($"cw").as("cw"))
+        graft.ops.IndexStore.save(root,
+          "lm_bigrams" -> bgLive, "lm_unigrams" -> uniLive)
+        val model = lmModelFromFrames(
+          graft.ops.IndexStore.load(s, root, "lm_bigrams"),
+          graft.ops.IndexStore.load(s, root, "lm_unigrams"))
+        withOnlineLmScore(docs.filter($"doc_id" < 100), $"doc_id", $"text", model)
+          .orderBy($"doc_id")
+      },
+      Some(lmOracleFor(
+        """(SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 2000000 AS doc_id, substring(text, 1, 40) AS text
+            FROM documents WHERE doc_id < 30)"""))))
 }

@@ -940,6 +940,40 @@ object NearDup {
       },
       Some(graft.ops.Dedup.decontaminateOracleSql)),
 
+    // Blocklist TAKEDOWN — the decontamination twin of w_ann_takedown,
+    // completing the removal symmetry across the broadcast serving
+    // class: the stored blocklist signature artifact is compacted by a
+    // benchmark tombstone set (benchmark ids < 100 — "this eval set
+    // was retired") before the driver index is collected, so retired
+    // benchmark docs provably stop suppressing training docs. The
+    // replay is the decontamination oracle with the blocklist side
+    // filtered to the surviving benchmark — exactly the compaction
+    // contract.
+    QueryDef(
+      "w_decontaminate_takedown",
+      (s, d) => {
+        import s.implicits._
+        val bucket = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+          .cast("int") % 100
+        val docs = table(s, d, "documents").withColumn("__bucket", bucket)
+        val training = docs.filter($"__bucket" >= 20).drop("__bucket")
+        val benchmark = docs.filter($"__bucket" < 20).drop("__bucket")
+        val root = graft.ops.IndexStore.scratchRoot(s, "blocktakedown",
+          blockStoreSeq.incrementAndGet())
+        graft.ops.IndexStore.save(root,
+          "blocklist_sigs" -> blocklistSigFrame(benchmark, $"doc_id", $"text"))
+        graft.ops.IndexStore.compact(s, root, "blocklist_sigs",
+          benchmark.filter($"doc_id" < 100).select($"doc_id".as("id")),
+          idCol = "id")
+        val idx = blocklistFromFrame(
+          graft.ops.IndexStore.load(s, root, "blocklist_sigs"), 0.5)
+        withOnlineDecontamination(training, $"text", "__clean", idx)
+          .filter($"__clean")
+          .select($"doc_id", $"source", $"n_chars")
+          .orderBy($"doc_id")
+      },
+      Some(graft.ops.Dedup.decontaminateOracleSqlFor("doc_id >= 100"))),
+
     // The online image phash index under batch execution: the same
     // replayed-copies corpus and the same pair set as mm_phash_pairs
     // (both emit every verified (earlier, later) pair), so the oracle

@@ -53,4 +53,48 @@ class ShardedAnnSpec extends AnyFunSuite with SparkSpec {
       emb.filter($"vec_id" < 20), $"vec_id", $"embedding", single, k = 5))
     assert(got == want)
   }
+
+  test("per-shard stored artifacts serve bit-identically to the in-session shards") {
+    import spark.implicits._
+    val emb = graft.model.Tables.table(spark, sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shardstore").toString
+    val coded = AnnServe.codedFrame(emb, $"vec_id", $"embedding")
+    (0 until 3).foreach { sh =>
+      graft.ops.IndexStore.save(dir,
+        s"ann_codes_$sh" -> coded.filter(org.apache.spark.sql.functions
+          .pmod($"id", org.apache.spark.sql.functions.lit(3)) === sh))
+    }
+    val stored = (0 until 3).map { sh =>
+      AnnServe.annIndexFromFrame(
+        graft.ops.IndexStore.load(spark, dir, s"ann_codes_$sh"))
+    }
+    val live = AnnServe.buildShardedAnnIndex(emb, $"vec_id", $"embedding", 3)
+    // the artifacts partition identically to the live shards
+    assert(stored.map(_.entries.length) == live.map(_.entries.length))
+    val q = emb.filter($"vec_id" < 20)
+    val got = rows(AnnServe.withShardedAnn(q, $"vec_id", $"embedding", stored, k = 5))
+    val want = rows(AnnServe.withShardedAnn(q, $"vec_id", $"embedding", live, k = 5))
+    assert(got == want)
+  }
+
+  test("takedown serve == serve over the corpus minus the tombstoned vectors") {
+    import spark.implicits._
+    val emb = graft.model.Tables.table(spark, sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_takedown").toString
+    graft.ops.IndexStore.save(dir,
+      "ann_codes" -> AnnServe.codedFrame(emb, $"vec_id", $"embedding"))
+    graft.ops.IndexStore.compact(spark, dir, "ann_codes",
+      spark.range(30, 40).select($"id"), idCol = "id")
+    val compacted = AnnServe.annIndexFromFrame(
+      graft.ops.IndexStore.load(spark, dir, "ann_codes"))
+    // reference: an index built directly from the surviving corpus
+    val direct = AnnServe.buildAnnIndex(
+      emb.filter($"vec_id" < 30 || $"vec_id" >= 40), $"vec_id", $"embedding")
+    assert(compacted.entries.map(_.id).toSet == direct.entries.map(_.id).toSet)
+    assert(!compacted.entries.exists(e => e.id >= 30 && e.id < 40))
+    val q = emb.filter($"vec_id" < 20)
+    val got = rows(AnnServe.withOnlineAnn(q, $"vec_id", $"embedding", compacted, k = 5))
+    val want = rows(AnnServe.withOnlineAnn(q, $"vec_id", $"embedding", direct, k = 5))
+    assert(got == want)
+  }
 }

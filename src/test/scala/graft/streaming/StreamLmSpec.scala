@@ -61,4 +61,32 @@ class StreamLmSpec extends AnyFunSuite with SparkSpec {
     val expectBits = (63 - java.lang.Long.numberOfLeadingZeros(model.v)).toLong
     assert(key(rows(0)) == ((999L, 2L, 2 * expectBits, expectBits.toDouble)))
   }
+
+  test("count subtraction == retraining on the corpus minus the tombstones, map-exact") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val docs = graft.model.Tables.table(spark, sf, "documents")
+    // the takedown path's arithmetic, replayed directly on frames:
+    // full counts minus the tombstoned docs' counts, zeros dropped
+    val (bg, uni) = LmServe.lmCountFrames(docs, $"text")
+    val bgAll = bg.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val uniAll = uni.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tomb = docs.filter($"doc_id" >= 100 && $"doc_id" < 200)
+    val (bgT, uniT) = LmServe.lmCountFrames(tomb, $"text")
+    val bgTm = bgT.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val uniTm = uniT.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bgSub = bgAll.map { case (k, c) => k -> (c - bgTm.getOrElse(k, 0L)) }
+      .filter(_._2 > 0)
+    val uniSub = uniAll.map { case (k, c) => k -> (c - uniTm.getOrElse(k, 0L)) }
+      .filter(_._2 > 0)
+    // retrained reference on the surviving corpus
+    val retr = LmServe.buildLmModel(
+      docs.filter($"doc_id" < 100 || $"doc_id" >= 200), $"text")
+    val retrBg = retr.bigram.asScala.map { case (k, v) =>
+      val Array(w1, w2) = k.split(" ", 2); (w1, w2) -> v.longValue()
+    }.toMap
+    assert(bgSub == retrBg)
+    assert(uniSub == retr.unigram.asScala.map { case (k, v) => k -> v.longValue() }.toMap)
+    assert(uniSub.size.toLong == retr.v)
+  }
 }
