@@ -312,12 +312,22 @@ trait DedupLshPart { this: Dedup.type =>
     * replays scrubbing against the benchmark minus the tombstoned
     * ids, which is exactly what compacting the stored blocklist
     * artifact must equal (the training side is untouched). */
-  private[graft] def decontaminateOracleSqlFor(bmPred: String): String = {
+  private[graft] def decontaminateOracleSqlFor(bmPred: String): String =
+    decontaminateOracleSqlSplit(20, 20, bmPred)
+
+  /** The replay with the md5-bucket SPLIT itself parameterized:
+    * training = bucket >= `trMin`, blocklist = bucket < `bmMax`
+    * (+ `bmPred`) — the add form (`w_decontaminate_add`) carves a
+    * second benchmark slice out of the bucket space, so the stored
+    * blocklist plus the appended slice must equal scrubbing against
+    * the whole `bucket < bmMax` range. */
+  private[graft] def decontaminateOracleSqlSplit(
+      trMin: Int, bmMax: Int, bmPred: String = "TRUE"): String = {
     val split = """(SELECT *,
                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 AS bucket
                     FROM documents)"""
-    s"""WITH tr AS (SELECT doc_id, text, source, n_chars FROM $split WHERE bucket >= 20),
-        bm AS (SELECT doc_id, text FROM $split WHERE bucket < 20 AND ($bmPred)),
+    s"""WITH tr AS (SELECT doc_id, text, source, n_chars FROM $split WHERE bucket >= $trMin),
+        bm AS (SELECT doc_id, text FROM $split WHERE bucket < $bmMax AND ($bmPred)),
         ${minhashSideCtes("a_", "tr")},
         ${minhashSideCtes("b_", "bm")},
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

@@ -229,13 +229,15 @@ object AnnServe {
 
   private val annStoreSeq = new java.util.concurrent.atomic.AtomicLong()
 
-  /** The ADC serving replay parameterized by a NEIGHBOR-side
-    * predicate — the takedown form replays serving against the corpus
-    * minus the tombstoned ids, which is exactly what compaction of
-    * the coded artifact must equal (queries are raw vectors, so only
-    * the index side shrinks). */
-  private def annOracleFor(neighborPred: String): String = s"""WITH e AS (
-                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** The ADC serving replay parameterized by the CORPUS relation and
+    * a NEIGHBOR-side predicate — the takedown form replays serving
+    * against the corpus minus the tombstoned ids, the add form
+    * against corpus + batch; both are exactly what the corresponding
+    * artifact surgery must equal (queries are raw vectors drawn from
+    * the original id range, so only the index side changes). */
+  private def annOracleFor(neighborPred: String,
+      corpusRel: String = "embeddings"): String = s"""WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $corpusRel),
               q8 AS (
                 SELECT vec_id, v, list_max([abs(x) for x in v]) AS maxabs FROM e),
               c8 AS (
@@ -383,5 +385,39 @@ object AnnServe {
             idx, k = 5)
           .orderBy($"query_id", $"rank")
       },
-      Some(annOracleFor("c.vec_id < 30 OR c.vec_id >= 40"))))
+      Some(annOracleFor("c.vec_id < 30 OR c.vec_id >= 40"))),
+
+    // Serving-index ADD — the day-2 half of w_ann_takedown's artifact
+    // surgery, completing build/stored/add/takedown across the
+    // broadcast class: a batch of new vectors (the first 10 under
+    // shifted ids — the deterministic-positive convention) is coded
+    // by the SAME quantization pass and APPENDED to the stored coded
+    // artifact; only the batch is scanned, never the existing corpus.
+    // Each query's verbatim twin now serves at cos_adc 1.0; the
+    // oracle is the serving replay over corpus + batch.
+    QueryDef(
+      "w_ann_add",
+      (s, d) => {
+        import s.implicits._
+        val emb = table(s, d, "embeddings")
+        val root = graft.ops.IndexStore.scratchRoot(s, "annadd",
+          annStoreSeq.incrementAndGet())
+        graft.ops.IndexStore.save(root,
+          "ann_codes" -> codedFrame(emb, $"vec_id", $"embedding"))
+        val batch = emb.filter($"vec_id" < 10)
+          .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+        graft.ops.IndexStore.save(root, "ann_codes" ->
+          graft.ops.IndexStore.load(s, root, "ann_codes")
+            .unionByName(codedFrame(batch, $"vec_id", $"embedding")))
+        val idx = annIndexFromFrame(
+          graft.ops.IndexStore.load(s, root, "ann_codes"))
+        withOnlineAnn(emb.filter($"vec_id" < 20), $"vec_id", $"embedding",
+            idx, k = 5)
+          .orderBy($"query_id", $"rank")
+      },
+      Some(annOracleFor("TRUE",
+        """(SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000 AS vec_id, embedding
+            FROM embeddings WHERE vec_id < 10)"""))))
 }

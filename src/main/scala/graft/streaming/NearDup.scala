@@ -974,6 +974,42 @@ object NearDup {
       },
       Some(graft.ops.Dedup.decontaminateOracleSqlFor("doc_id >= 100"))),
 
+    // Blocklist ADD — "a new eval set was released": its signature
+    // frame is computed from JUST the new slice and APPENDED to the
+    // stored blocklist artifact, then scrubbing runs against the
+    // grown blocklist. The md5-bucket space is carved three ways
+    // (blocklist < 20, new slice 20-25, training >= 26) so the
+    // replay is the decontamination oracle over the whole
+    // bucket < 26 blocklist — exactly what append must equal. With
+    // w_decontaminate_takedown this closes add/remove symmetry for
+    // the blocklist artifact.
+    QueryDef(
+      "w_decontaminate_add",
+      (s, d) => {
+        import s.implicits._
+        val bucket = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+          .cast("int") % 100
+        val docs = table(s, d, "documents").withColumn("__bucket", bucket)
+        val training = docs.filter($"__bucket" >= 26).drop("__bucket")
+        val bench1 = docs.filter($"__bucket" < 20).drop("__bucket")
+        val bench2 = docs.filter($"__bucket" >= 20 && $"__bucket" < 26)
+          .drop("__bucket")
+        val root = graft.ops.IndexStore.scratchRoot(s, "blockadd",
+          blockStoreSeq.incrementAndGet())
+        graft.ops.IndexStore.save(root,
+          "blocklist_sigs" -> blocklistSigFrame(bench1, $"doc_id", $"text"))
+        graft.ops.IndexStore.save(root, "blocklist_sigs" ->
+          graft.ops.IndexStore.load(s, root, "blocklist_sigs")
+            .unionByName(blocklistSigFrame(bench2, $"doc_id", $"text")))
+        val idx = blocklistFromFrame(
+          graft.ops.IndexStore.load(s, root, "blocklist_sigs"), 0.5)
+        withOnlineDecontamination(training, $"text", "__clean", idx)
+          .filter($"__clean")
+          .select($"doc_id", $"source", $"n_chars")
+          .orderBy($"doc_id")
+      },
+      Some(graft.ops.Dedup.decontaminateOracleSqlSplit(26, 26))),
+
     // The online image phash index under batch execution: the same
     // replayed-copies corpus and the same pair set as mm_phash_pairs
     // (both emit every verified (earlier, later) pair), so the oracle
