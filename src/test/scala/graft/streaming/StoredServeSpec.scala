@@ -30,4 +30,74 @@ class StoredServeSpec extends AnyFunSuite with SparkSpec {
       assert(a == b, s"$stored diverged from $built")
     }
   }
+
+  test("artifact-surgery forms == direct rebuilds: ANN add/takedown, LM add/takedown, blocklist add/takedown") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val emb = graft.model.Tables.table(spark, sf, "embeddings")
+    val docs = graft.model.Tables.table(spark, sf, "documents")
+
+    def rowsOf(name: String) =
+      graft.SparkEntry.queries(name)(spark, sf).collect().map(_.toSeq).toSeq
+
+    // w_ann_takedown == serve from an index BUILT on corpus minus ids 30-39
+    locally {
+      val direct = AnnServe.buildAnnIndex(
+        emb.filter($"vec_id" < 30 || $"vec_id" >= 40), $"vec_id", $"embedding")
+      val want = AnnServe.withOnlineAnn(
+          emb.filter($"vec_id" < 20), $"vec_id", $"embedding", direct, k = 5)
+        .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+      assert(rowsOf("w_ann_takedown") == want, "w_ann_takedown != direct rebuild")
+    }
+    // w_ann_add == serve from an index BUILT on corpus + shifted batch
+    locally {
+      val batch = emb.filter($"vec_id" < 10)
+        .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+      val direct = AnnServe.buildAnnIndex(
+        emb.select($"vec_id", $"embedding").unionByName(batch),
+        $"vec_id", $"embedding")
+      val want = AnnServe.withOnlineAnn(
+          emb.filter($"vec_id" < 20), $"vec_id", $"embedding", direct, k = 5)
+        .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+      assert(want.exists(r => r(3) == 1.0),
+        "add fixture must serve a verbatim twin at cos 1.0")
+      assert(rowsOf("w_ann_add") == want, "w_ann_add != direct rebuild")
+    }
+    // w_lm_takedown / w_lm_add == models TRAINED directly on the
+    // filtered / unioned corpus
+    def lmServeWith(corpus: org.apache.spark.sql.DataFrame) = {
+      val model = LmServe.buildLmModel(corpus, $"text")
+      LmServe.withOnlineLmScore(
+          docs.filter($"doc_id" < 100), $"doc_id", $"text", model)
+        .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    }
+    assert(rowsOf("w_lm_takedown") ==
+      lmServeWith(docs.filter($"doc_id" < 100 || $"doc_id" >= 200)),
+      "w_lm_takedown != direct retrain")
+    assert(rowsOf("w_lm_add") ==
+      lmServeWith(docs.select($"doc_id", $"text").unionByName(
+        docs.filter($"doc_id" < 30).select(($"doc_id" + 2000000L).as("doc_id"),
+          substring($"text", 1, 40).as("text")))),
+      "w_lm_add != direct retrain")
+    // w_decontaminate_takedown / _add == blocklists BUILT directly on
+    // the filtered / widened benchmark slice
+    def deconServeWith(trMin: Int, bmMax: Int, bmPred: org.apache.spark.sql.Column) = {
+      val bucket = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100
+      val all = docs.withColumn("__bucket", bucket)
+      val training = all.filter($"__bucket" >= trMin).drop("__bucket")
+      val blocklist = all.filter($"__bucket" < bmMax && bmPred).drop("__bucket")
+      val idx = NearDup.buildBlocklistIndex(blocklist, $"doc_id", $"text", 0.5)
+      NearDup.withOnlineDecontamination(training, $"text", "__clean", idx)
+        .filter($"__clean")
+        .select($"doc_id", $"source", $"n_chars")
+        .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    }
+    assert(rowsOf("w_decontaminate_takedown") ==
+      deconServeWith(20, 20, $"doc_id" >= 100),
+      "w_decontaminate_takedown != direct rebuild")
+    assert(rowsOf("w_decontaminate_add") ==
+      deconServeWith(26, 26, lit(true)),
+      "w_decontaminate_add != direct rebuild")
+  }
 }
