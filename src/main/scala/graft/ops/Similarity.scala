@@ -701,6 +701,56 @@ object Similarity {
               SELECT query_id, rank, neighbor_id, cos, cos_adc, adc_rank
               FROM r2 WHERE rank <= $k ORDER BY query_id, rank"""
 
+  /** Deterministic random-projection coordinates (Johnson-
+    * Lindenstrauss style dimensionality reduction): `k` dot products
+    * of `v` against the engine's exact-integer LCG plane family at
+    * stream offset 4096 (disjoint from every bucketing plane stream —
+    * global plane indices there stay < 64). Projection is the STORAGE
+    * path of the similarity family: project once at ingest and every
+    * downstream distance pass touches k doubles instead of dim — at
+    * 100 TB, a dim/k shrink of both the vector table and the
+    * brute-force/IVF scan cost, traded against recall the
+    * oracle-checked query measures honestly. Same replay property as
+    * the bucketing planes: coefficients are exact integer arithmetic,
+    * dots are the shared [[dot]]/list_dot_product pairing, so the
+    * projected vectors — and any ranking over them — are
+    * bit-identical in DuckDB. */
+  private def projPlaneCoeffs(j: Int, dim: Int): Column =
+    array((0 until dim).map { i =>
+      lit(((1103515245L * ((j + 4096L) * 1048576L + i) + 12345L)
+        % 2147483648L).toDouble / 2.147483648e9 - 0.5)
+    }: _*)
+
+  /** Column (HOF) form — the dim-agnostic fallback; bit-identical to
+    * the fixed form (left-to-right fold == the fused DotProduct,
+    * SimilaritySpec asserts it). */
+  def randomProjectionCol(v: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), j =>
+      aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x *
+            (((lit(1103515245L) * ((j.cast("long") + lit(4096L)) * lit(1048576L) + i.cast("long")) + lit(12345L))
+              % lit(2147483648L)).cast("double") / lit(2.147483648E9) - lit(0.5))),
+        lit(0.0), (acc, x) => acc + x))
+
+  /** Fixed-dimension form: k codegen'd constant-vector dots. */
+  def randomProjectionFixed(v: Column, dim: Int, k: Int): Column =
+    array((0 until k).map(j => dot(v, projPlaneCoeffs(j, dim))): _*)
+
+  /** Probed dispatch, same contract as [[bandBucketsProbed]]: LIMIT-1
+    * dimension probe, loud per-row mismatch guard, HOF fallback on an
+    * empty table. */
+  def randomProjection(df: DataFrame, v: Column, k: Int = 16): Column =
+    probedDim(df, v) match {
+      case None => randomProjectionCol(v, k)
+      case Some(dim) =>
+        when(v.isNull, lit(null))
+          .when(size(v) =!= dim, raise_error(concat(
+            lit(s"embedding dimension mismatch: expected $dim, got "),
+            size(v).cast("string"))))
+          .otherwise(randomProjectionFixed(v, dim, k))
+    }
+
   val queries: Seq[QueryDef] = Seq(
 
     // Quantized-ADC ANN with exact re-rank: integer-code first pass
@@ -865,6 +915,67 @@ object Similarity {
                          ORDER BY cos DESC, neighbor_id ASC) AS rank
                 FROM pairs)
               SELECT query_id, neighbor_id, cos, rank
-              FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""))
+              FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""")),
+
+    // Random-projection ANN (see randomProjection): the corpus is
+    // projected 64 -> 16 dims through the exact-integer LCG plane
+    // family, then brute-force top-5 by cosine IN THE PROJECTED
+    // SPACE — the storage-reduction path (project once at ingest;
+    // every later scan touches 4x fewer doubles). The oracle replays
+    // projection and ranking exactly (the plane coefficients and the
+    // dot/list_dot_product pairing are both integer-exact), so what
+    // the compare pins is the projected ranking itself — the recall
+    // tradeoff is visible by diffing against s_ann_bruteforce, not
+    // hidden behind a tolerance. The first 10 vectors re-ingest as
+    // verbatim twins (+1,000,000 — the family's deterministic-
+    // positive convention): identical vectors project identically, so
+    // each such query's twin MUST serve at rank 1 at every sf — the
+    // structure JL projection provably preserves, while the top-5
+    // tail honestly shows what 16 dims keep of an isotropic corpus's
+    // concentrated cosine margins (SimilaritySpec measures both).
+    QueryDef(
+      "s_ann_proj",
+      (s, d) => {
+        import s.implicits._
+        val base = table(s, d, "embeddings")
+          .select($"vec_id", $"embedding")
+        val corpus = base.unionByName(base.filter($"vec_id" < 10)
+          .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"))
+        val emb0 = corpus.select($"vec_id", asDouble($"embedding").as("v"))
+        val proj = emb0.select($"vec_id".as("id"),
+          randomProjection(emb0, $"v", 16).as("vec"))
+        bruteForceTopK(proj.filter($"id" < 20), proj, 5)
+          .select($"query_id", $"rank", $"neighbor_id",
+            $"cos".as("cos_proj"))
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      UNION ALL
+                      SELECT vec_id + 1000000 AS vec_id, embedding
+                      FROM embeddings WHERE vec_id < 10)),
+              p AS (
+                SELECT vec_id,
+                       [list_dot_product(v,
+                          [CAST(((1103515245::BIGINT * ((j + 4096) * 1048576 + i) + 12345) % 2147483648) AS DOUBLE)
+                             / 2147483648.0 - 0.5
+                           for i in range(len(v))])
+                        for j in range(16)] AS pv
+                FROM e),
+              n AS (
+                SELECT vec_id, pv, sqrt(list_dot_product(pv, pv)) AS pn
+                FROM p),
+              pairs AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_dot_product(q.pv, c.pv) / (q.pn * c.pn) AS cos_proj
+                FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+              ranked AS (
+                SELECT query_id, neighbor_id, cos_proj,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos_proj DESC, neighbor_id ASC) AS rank
+                FROM pairs)
+              SELECT query_id, rank, neighbor_id, cos_proj
+              FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
   )
 }

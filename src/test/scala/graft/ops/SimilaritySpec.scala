@@ -336,4 +336,44 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       if (t == null) Nil else t.toString +: causes(t.getCause)
     assert(causes(e).exists(_.contains("dimension mismatch")), e.toString)
   }
+
+  test("randomProjection: fixed form == column form bit for bit; projected top-5 overlaps exact top-5") {
+    import spark.implicits._
+    import graft.ops.Similarity._
+    val emb = graft.model.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select($"vec_id", asDouble($"embedding").as("v"))
+    val both = emb.select(
+        randomProjection(emb, $"v", 16).as("fx"),
+        randomProjectionCol($"v", 16).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Double](0) == r.getSeq[Double](1),
+        "fixed and HOF projections diverged")
+    }
+    // what JL projection provably preserves: identical vectors
+    // project identically, so every verbatim twin in the registered
+    // query's corpus must serve at rank 1 in projected space
+    val rows = graft.SparkEntry.queries("s_ann_proj")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    (0L until 10L).foreach { q =>
+      val r1 = rows.find(r => r._1 == q && r._2 == 1).map(_._3)
+      assert(r1.contains(1000000L + q),
+        s"query $q: projected rank-1 is $r1, not its verbatim twin")
+    }
+    // and the honest tradeoff measurement: on THIS isotropic corpus
+    // (concentrated cosines, tiny top-5 margins) the non-twin tail
+    // keeps little of the exact top-5 — record it as a floor so a
+    // silent projection bug (e.g. constant output) still trips
+    def top5(vec: org.apache.spark.sql.DataFrame) = bruteForceTopK(
+        vec.filter($"id" < 20), vec, 5)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = top5(emb.select($"vec_id".as("id"), $"v".as("vec")))
+    val proj = top5(emb.select($"vec_id".as("id"),
+      randomProjection(emb, $"v", 16).as("vec")))
+    val overlap = (exact intersect proj).size.toDouble / exact.size
+    assert(overlap > 0.0, s"projected top-5 shares nothing with exact: $overlap")
+  }
 }
