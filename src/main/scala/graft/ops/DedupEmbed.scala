@@ -205,6 +205,54 @@ trait DedupEmbedPart { this: Dedup.type =>
     inherited.unionByName(singletons)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — PAPERS.md):
+    * semantic dedup with candidates bounded by a TRAINED k-means
+    * partitioning instead of the family's hyperplane LSH. The corpus
+    * is clustered by the exact coarse quantizer the IVF family trains
+    * ([[Similarity.kmeansCells]] — deterministic md5-mod init +
+    * quantized-integer centroid means, so the assignment replays
+    * bit-for-bit in the oracle); within each cell a vector is DROPPED
+    * iff some lower-id cell-mate sits at cosine >= `threshold` (the
+    * paper's keep-lowest-index rule — deliberately NOT transitive
+    * closure: dominance by a vector that is itself dropped still
+    * drops you, exactly as the paper's per-cluster sim-matrix sweep
+    * behaves). Zero-norm vectors take a cell like any other row but
+    * never pair (cosine is 0/0 = NaN; both engines would pass
+    * NaN >= t, so the norm > 0 gate is load-bearing) — they always
+    * survive, the family's explicit gate.
+    *
+    * Scale shape: clustering is the already-audited IVF build (per
+    * round one exact-integer centroid aggregate + a broadcast-fold
+    * assignment map); the pairing self-join shuffles once on `cell`
+    * and is CELL-bounded — at 100 TB nlist grows with the corpus so
+    * cells stay ~corpus/nlist sized and the quadratic never goes
+    * global (the paper's own scaling argument), with AQE splitting
+    * any skewed cell. Returns (vec_id, cell) survivors. */
+  def semDedupSurvivors(
+      emb: DataFrame, threshold: Double = 0.4,
+      nlist: Int = Similarity.IvfNlist,
+      iters: Int = Similarity.IvfIters): DataFrame = {
+    val vecs = emb
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Similarity.l2norm(col("v")))
+    val assign = Similarity.kmeansCells(vecs.select(col("vec_id"), col("v")), nlist, iters)
+    // one lease: the trained (vec_id, v, nrm, cell) frame fans out to
+    // both sides of the pairing join and the survivor anti-join —
+    // without it the 4-round Lloyd subtree would re-train 3x
+    val cells = Checkpoints.lease("semdedup_cells", vecs.join(assign, Seq("vec_id")))
+    val pos = cells.filter(col("nrm") > 0)
+    val xs = pos.select(col("vec_id").as("xid"), col("cell"),
+      col("v").as("xv"), col("nrm").as("xn"))
+    val ys = pos.select(col("vec_id").as("yid"), col("cell"),
+      col("v").as("yv"), col("nrm").as("yn"))
+    val dominated = xs.join(ys, Seq("cell"))
+      .filter(col("yid") < col("xid"))
+      .filter(Similarity.dot(col("xv"), col("yv")) / (col("xn") * col("yn")) >= threshold)
+      .select(col("xid").as("vec_id")).distinct()
+    cells.join(dominated, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
+
   /** Embedding-space decontamination — asymmetric near-dup scrub over
     * vectors: remove from `docs` every row whose embedding's cosine to
     * ANY `blocklist` vector reaches `threshold`. The semantic twin of
@@ -612,5 +660,38 @@ trait DedupEmbedPart { this: Dedup.type =>
             WHERE g.mn NOT IN (SELECT tid FROM contam)
             ORDER BY t.vec_id"""
       }),
+
+    // SemDeDup (see semDedupSurvivors): k-means-partitioned semantic
+    // dedup — the candidate bound is the trained IVF coarse quantizer
+    // (the SAME 4-round Lloyd build s_ann_ivf serves from, unrolled in
+    // the oracle as CTEs), and within each cell the paper's
+    // keep-lowest-index rule drops any vector with a lower-id
+    // cell-mate at cosine >= 0.4. Complements dd_embed_apply, which
+    // answers the same question with LSH-banded connected components:
+    // the two variants bound the quadratic differently (learned cells
+    // vs hyperplane bands) and the engine carries both.
+    QueryDef(
+      "dd_semdedup",
+      (s, d) => {
+        import s.implicits._
+        semDedupSurvivors(table(s, d, "embeddings")).orderBy($"vec_id")
+      },
+      Some(s"""WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS nrm
+                FROM embeddings),
+              ${Similarity.kmeansOracleCtes(Similarity.IvfNlist, Similarity.IvfIters)},
+              s AS (
+                SELECT e.vec_id, e.v, e.nrm, a.cell
+                FROM e JOIN asn${Similarity.IvfIters} a ON a.vec_id = e.vec_id),
+              p AS (SELECT * FROM s WHERE nrm > 0),
+              dom AS (
+                SELECT DISTINCT x.vec_id FROM p x JOIN p y
+                  ON x.cell = y.cell AND y.vec_id < x.vec_id
+                WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4)
+              SELECT vec_id, cell FROM s
+              WHERE vec_id NOT IN (SELECT vec_id FROM dom)
+              ORDER BY vec_id""")),
   )
 }

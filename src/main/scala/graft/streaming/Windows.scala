@@ -58,6 +58,53 @@ object Windows {
   def tumblingCountsStream(events: DataFrame, width: String, lateness: String): DataFrame =
     tumblingCounts(events.withWatermark("ts", lateness), width)
 
+  /** The two sides of the purchase<-click interval join, shaped once
+    * so the batch query and the streaming twin run the IDENTICAL join
+    * (the module's no-second-code-path rule). */
+  def purchaseSide(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+
+  def clickSide(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+
+  /** Stream-stream interval join core: each purchase enriched with the
+    * same user's clicks from the preceding `window`. Batch: one
+    * equi-join shuffle on user_id with the time bound as a residual
+    * predicate (filters push to both parquet scans). Streaming: the
+    * SAME call on two watermarked sides becomes Spark's stream-stream
+    * inner join — the event-time bound lets the state store evict a
+    * click once the purchase watermark passes c_ts + window, so state
+    * is (clicks-per-user x window), not history (StreamJoinSpec pins
+    * the cross-micro-batch behavior; the batch-equality test replays
+    * the full table through MemoryStreams). */
+  def purchaseClickJoin(
+      purchases: DataFrame, clicks: DataFrame, window: String,
+      joinType: String = "inner"): DataFrame =
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $window"),
+      joinType)
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("click_id"), col("c_ts"))
+
+  /** Watermarked streaming form of [[purchaseClickJoin]]. With
+    * `leftOuter`, a clickless purchase emits its null row only once
+    * the watermark proves no in-window click can still arrive — the
+    * state-eviction semantics StreamJoinSpec pins. */
+  def purchaseClickJoinStream(
+      purchases: DataFrame, clicks: DataFrame,
+      window: String, lateness: String,
+      joinType: String = "inner"): DataFrame =
+    purchaseClickJoin(
+      purchaseSide(purchases).withWatermark("p_ts", lateness),
+      clickSide(clicks).withWatermark("c_ts", lateness),
+      window, joinType)
+
   /** Batch form of exact streaming dedup: the first event per key
     * (earliest ts, unique id tie-break). The streaming twin is
     * [[firstPerKeyStream]]; WindowsStreamSpec asserts they agree when
@@ -150,6 +197,49 @@ object Windows {
                      user_id, count(*) AS n_events,
                      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
               FROM numbered GROUP BY user_id, sid
-              ORDER BY user_id, session_start"""))
+              ORDER BY user_id, session_start""")),
+
+    // Stream-stream interval join, batch form (see purchaseClickJoin):
+    // purchases enriched with the same user's clicks from the
+    // preceding 24 hours. The streaming twin is the identical call on
+    // two watermarked sides (purchaseClickJoinStream); StreamJoinSpec
+    // asserts stream == batch on this very table plus the
+    // state-eviction behavior across micro-batches.
+    QueryDef(
+      "w_join_interval",
+      (s, d) => {
+        import s.implicits._
+        val ev = table(s, d, "events")
+        purchaseClickJoin(purchaseSide(ev), clickSide(ev), "24 hours")
+          .orderBy($"purchase_id", $"click_id")
+      },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+                     c.event_id AS click_id, c.ts AS c_ts
+              FROM events p JOIN events c
+                ON p.event_type = 'purchase' AND c.event_type = 'click'
+               AND c.user_id = p.user_id
+               AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 24 HOUR
+              ORDER BY purchase_id, click_id""")),
+
+    // LEFT-OUTER form: every purchase, with null click columns when no
+    // click preceded it within 24h — the streaming semantics corner
+    // where an outer row may only emit after the watermark proves no
+    // in-window click can still arrive (StreamJoinSpec pins that
+    // deferred emission and stream == batch equality).
+    QueryDef(
+      "w_join_outer",
+      (s, d) => {
+        import s.implicits._
+        val ev = table(s, d, "events")
+        purchaseClickJoin(purchaseSide(ev), clickSide(ev), "24 hours", "left_outer")
+          .orderBy($"purchase_id", $"click_id")
+      },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+                     c.event_id AS click_id, c.ts AS c_ts
+              FROM events p LEFT JOIN events c
+                ON c.event_type = 'click' AND c.user_id = p.user_id
+               AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 24 HOUR
+              WHERE p.event_type = 'purchase'
+              ORDER BY purchase_id, click_id"""))
   )
 }

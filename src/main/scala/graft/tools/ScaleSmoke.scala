@@ -69,7 +69,8 @@ object ScaleSmoke {
       case "skew"  => hotBand(args.drop(1))
       case "dedup" => dedupSaturation(args.drop(1))
       case "ann"   => annScale(args.drop(1))
-      case other   => sys.error(s"unknown mode '$other' (full|fulld|dedup|skew|ann)")
+      case "semdedup" => semDedupScale(args.drop(1))
+      case other   => sys.error(s"unknown mode '$other' (full|fulld|dedup|skew|ann|semdedup)")
     }
   }
 
@@ -90,6 +91,94 @@ object ScaleSmoke {
     * size is m × ksub × dsub — dimension-bound, INDEPENDENT of N — so
     * its honesty number here is just the 100× build+serve time at the
     * contract codebook. */
+  /** `semdedup <sfDir> <copies> <outJson>` — the scaled-parameter
+    * honesty pass on dd_semdedup, mirroring [[annScale]]: the
+    * oracle-pinned query runs nlist = 10, but SemDeDup's whole scaling
+    * argument is that the within-cluster quadratic stays bounded
+    * because nlist grows with the corpus (cells stay ~N/nlist sized).
+    * Amplifies embeddings `copies`× (id-shifted verbatim vectors — a
+    * duplicate-SATURATED corpus: every copy pair is cosine 1.0, the
+    * family's worst case) and measures the full cluster+prune at
+    * √N-scale cell counts, emitting wall, straggler fraction, cell
+    * balance, and the survivor count (which must stay ≈ the 1×
+    * survivor set: the 99 extra copies of every vector are dominated
+    * by their lowest-copy twin — within-cell recall of exact dups is
+    * total because identical vectors share a cell by construction). */
+  def semDedupScale(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.drop(1).headOption.map(_.toInt).getOrElse(100)
+    val outJson = args.drop(2).headOption.getOrElse("SCALE100SEMDEDUP.json")
+    val off = 1000000000L
+    val ampDir = java.nio.file.Files.createTempDirectory("graft_sdamp").toString
+    locally {
+      val s = buildSession()
+      try {
+        import s.implicits._
+        val df = s.read.parquet(s"$sfDir/embeddings.parquet")
+        df.crossJoin(s.range(copies).select($"id".as("__copy")))
+          .select(df.schema.fields.toSeq.map { f =>
+            if (f.name == "vec_id")
+              (col(f.name) + $"__copy" * lit(off)).cast(f.dataType).as(f.name)
+            else col(f.name)
+          }: _*)
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$ampDir/embeddings.parquet")
+      } finally s.stop()
+    }
+    println(s"SCALE semdedup: ${copies}x embeddings at $ampDir")
+
+    def run(dir: String, nlist: Int): (Double, Double, Long) = {
+      val spark = buildSession()
+      val durations = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          durations.add(te.taskInfo.duration); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        spark.range(1000).selectExpr("sum(id)").collect()
+        var survivors = 0L
+        def force(): Double = {
+          val t0 = System.nanoTime()
+          val out = graft.ops.Dedup.semDedupSurvivors(
+            table(spark, dir, "embeddings"), nlist = nlist)
+          survivors = out.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        force() // codegen warmup
+        durations.clear()
+        val t = force()
+        val maxTask = { import scala.jdk.CollectionConverters._
+          durations.iterator().asScala.foldLeft(0L)(math.max) / 1e3 }
+        println(f"SCALE semdedup nlist=$nlist%d: $t%.2f s " +
+          f"(straggler ${maxTask / math.max(t, 1e-9)}%.2f, survivors $survivors%d)")
+        (t, maxTask / math.max(t, 1e-9), survivors)
+      } finally {
+        spark.sparkContext.removeSparkListener(listener)
+        spark.stop()
+      }
+    }
+
+    val (t1, _, surv1) = run(sfDir, graft.ops.Similarity.IvfNlist)
+    val cfgs = Seq(256, 1024).map { nlist =>
+      val (tN, st, survN) = run(ampDir, nlist)
+      (nlist, tN, st, survN)
+    }
+    val cfgJson = cfgs.map { case (nl, t, st, sv) =>
+      f"""    {"nlist": $nl%d, "tN": $t%.3f, "ratio": ${t / math.max(t1, 1e-9)}%.2f, "straggler": $st%.2f, "survivors": $sv%d}"""
+    }.mkString("[\n", ",\n", "\n  ]")
+    val json =
+      s"""{
+  "mode": "semdedup_scaled_params", "copies": $copies,
+  "t1": ${f"$t1%.3f"}, "survivors_1x": $surv1,
+  "configs": $cfgJson
+}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"SCALE semdedup wrote $outJson")
+  }
+
   def annScale(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = args.drop(1).headOption.map(_.toInt).getOrElse(100)

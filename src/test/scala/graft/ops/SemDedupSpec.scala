@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** dd_semdedup (SemDeDup, k-means-partitioned semantic dedup) pinned
+  * against an independent driver-side brute-force replay: the trained
+  * cell assignment is collected once, and the paper's
+  * keep-lowest-index rule (dominated by ANY lower-id cell-mate at
+  * cosine >= t, transitivity deliberately absent — a dropped vector
+  * still dominates) is recomputed in plain Scala over every within-
+  * cell pair. The planted rows exercise the two fixed points: an
+  * exact twin (same final cell by construction — assignment is a pure
+  * function of the vector — cosine 1.0, higher id, so it must drop)
+  * and a zero-norm vector (cosine undefined, never pairs, must
+  * survive). */
+class SemDedupSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planted() = {
+    import spark.implicits._
+    val raw = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val twin = raw.filter($"vec_id" === 0L)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val zero = spark.range(1).select(
+      lit(1000001L).as("vec_id"),
+      array_repeat(lit(0.0f), 64).as("embedding"))
+    raw.unionByName(twin).unionByName(zero)
+  }
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("semDedupSurvivors == per-cell brute-force keep-lowest-index; twin drops, zero-norm survives") {
+    import spark.implicits._
+    val emb = planted()
+    val got = Dedup.semDedupSurvivors(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val vecs = emb.select($"vec_id", Similarity.asDouble($"embedding").as("v"))
+    val vmap = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val asn = Similarity.kmeansCells(vecs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dominated = asn.groupBy(_._2).values.flatMap { cellIds =>
+      val ids = cellIds.keys.toArray.sorted
+      ids.filter { x =>
+        val vx = vmap(x)
+        vx.exists(_ != 0.0) && ids.exists { y =>
+          y < x && {
+            val vy = vmap(y)
+            vy.exists(_ != 0.0) && cos(vx, vy) >= 0.4
+          }
+        }
+      }
+    }.toSet
+    val expected = asn.filter { case (id, _) => !dominated(id) }
+    assert(got == expected)
+    assert(!got.contains(1000000L), "exact twin (higher id, cosine 1.0) must drop")
+    assert(got.contains(1000001L), "zero-norm vector must survive")
+    // the twin shares its original's cell: assignment is value-pure
+    assert(asn(1000000L) == asn(0L))
+  }
+
+  test("survivor set is partition-invariant (exact-integer centroid sums)") {
+    val emb = planted()
+    val a = Dedup.semDedupSurvivors(emb).collect().map(_.getLong(0)).toSet
+    val b = Dedup.semDedupSurvivors(emb.repartition(7)).collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+}
