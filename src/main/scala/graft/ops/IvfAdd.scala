@@ -65,15 +65,10 @@ object IvfAdd {
     val baseIdx = Checkpoints.lease("ivfadd_base", embBase
       .join(Similarity.kmeansCells(embBase.select($"vec_id", $"v")), Seq("vec_id")))
     // frozen serving centroids (quantized mean per trained cell)
-    val centroids = Checkpoints.lease("ivfadd_cents", baseIdx
-      .select($"cell", posexplode($"v").as(Seq("pos", "x")))
-      .groupBy($"cell", $"pos").agg(
-        (sum(floor($"x" * lit(1e6)).cast("long")).cast("double") /
-          (count(lit(1)) * lit(1e6))).as("cx"))
-      .groupBy($"cell").agg(array_sort(collect_list(struct($"pos", $"cx"))).as("pc"))
-      .select($"cell".as("c_label"),
-        transform($"pc", p => p.getField("cx")).as("cv"))
-      .withColumn("cn", l2norm($"cv")))
+    val centroids = Checkpoints.lease("ivfadd_cents",
+      Similarity.quantMeanCv(baseIdx, Seq("cell"))
+        .select($"cell".as("c_label"), $"cv")
+        .withColumn("cn", l2norm($"cv")))
     (baseIdx, centroids)
   }
 

@@ -48,14 +48,8 @@ object IvfPq {
       .join(ProductQuant.pqRecon(emb.select($"vec_id", $"v")), Seq("vec_id")))
     // serving centroids of the trained cells (quantized mean — the
     // same stage ivfProbedWith runs; zero-norm centroids kept)
-    val centroids = index
-      .select($"cell", posexplode($"v").as(Seq("pos", "x")))
-      .groupBy($"cell", $"pos").agg(
-        (sum(floor($"x" * lit(1e6)).cast("long")).cast("double") /
-          (count(lit(1)) * lit(1e6))).as("cx"))
-      .groupBy($"cell").agg(array_sort(collect_list(struct($"pos", $"cx"))).as("pc"))
-      .select($"cell".as("c_label"),
-        transform($"pc", p => p.getField("cx")).as("cv"))
+    val centroids = Similarity.quantMeanCv(index, Seq("cell"))
+      .select($"cell".as("c_label"), $"cv")
       .withColumn("cn", l2norm($"cv"))
     val q = index.filter($"vec_id" < 20 && $"nrm" > 0)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
@@ -181,15 +175,10 @@ object IvfPq {
     // nlist-row centroid table, leased: three consumers (residual
     // derivation, index v̂ join, probe) must not each re-run the
     // corpus-wide centroid aggregate
-    val centroids = Checkpoints.lease("ivfpq_res_cents", coarse
-      .select($"cell", posexplode($"v").as(Seq("pos", "x")))
-      .groupBy($"cell", $"pos").agg(
-        (sum(floor($"x" * lit(1e6)).cast("long")).cast("double") /
-          (count(lit(1)) * lit(1e6))).as("cx"))
-      .groupBy($"cell").agg(array_sort(collect_list(struct($"pos", $"cx"))).as("pc"))
-      .select($"cell".as("c_label"),
-        transform($"pc", p => p.getField("cx")).as("cv"))
-      .withColumn("cn", l2norm($"cv")))
+    val centroids = Checkpoints.lease("ivfpq_res_cents",
+      Similarity.quantMeanCv(coarse, Seq("cell"))
+        .select($"cell".as("c_label"), $"cv")
+        .withColumn("cn", l2norm($"cv")))
     // residuals: r = v − centroid[cell] (broadcast nlist-row join)
     val resid = coarse
       .join(broadcast(centroids.select($"c_label".as("cell"), $"cv")), Seq("cell"))

@@ -59,15 +59,10 @@ object IvfPqAdd {
       .withColumn("nrm", l2norm($"v"))
     val coarse = Checkpoints.lease("ivfpqadd_coarse", emb
       .join(Similarity.kmeansCells(emb.select($"vec_id", $"v")), Seq("vec_id")))
-    val centroids = Checkpoints.lease("ivfpqadd_cents", coarse
-      .select($"cell", posexplode($"v").as(Seq("pos", "x")))
-      .groupBy($"cell", $"pos").agg(
-        (sum(floor($"x" * lit(1e6)).cast("long")).cast("double") /
-          (count(lit(1)) * lit(1e6))).as("cx"))
-      .groupBy($"cell").agg(array_sort(collect_list(struct($"pos", $"cx"))).as("pc"))
-      .select($"cell".as("c_label"),
-        transform($"pc", p => p.getField("cx")).as("cv"))
-      .withColumn("cn", l2norm($"cv")))
+    val centroids = Checkpoints.lease("ivfpqadd_cents",
+      Similarity.quantMeanCv(coarse, Seq("cell"))
+        .select($"cell".as("c_label"), $"cv")
+        .withColumn("cn", l2norm($"cv")))
     // residuals: r = v − centroid[cell] (broadcast nlist-row join); PQ
     // trains on THEM (the FAISS default, as s_ann_ivfpq_res)
     val resid = coarse

@@ -54,14 +54,8 @@ object Mining {
     * family serves by. */
   private def centroidsOf(idx: DataFrame): DataFrame = {
     import idx.sparkSession.implicits._
-    idx
-      .select($"cell", posexplode($"v").as(Seq("pos", "x")))
-      .groupBy($"cell", $"pos").agg(
-        (sum(floor($"x" * lit(1e6)).cast("long")).cast("double") /
-          (count(lit(1)) * lit(1e6))).as("cx"))
-      .groupBy($"cell").agg(array_sort(collect_list(struct($"pos", $"cx"))).as("pc"))
-      .select($"cell".as("c_label"),
-        transform($"pc", p => p.getField("cx")).as("cv"))
+    Similarity.quantMeanCv(idx, Seq("cell"))
+      .select($"cell".as("c_label"), $"cv")
       .withColumn("cn", l2norm($"cv"))
   }
 

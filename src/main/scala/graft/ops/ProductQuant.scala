@@ -102,15 +102,9 @@ object ProductQuant {
     * dot(cv, cv) is carried so the assignment score is one fused dot
     * plus one multiply-subtract per candidate. */
   private[ops] def codebookPerSub(sub: DataFrame, assign: DataFrame): DataFrame =
-    sub.join(assign, Seq("vec_id", "sub"))
-      .select(col("sub"), col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
-      .groupBy(col("sub"), col("cell"), col("pos")).agg(
-        (sum(floor(col("x") * lit(1e6)).cast("long")).cast("double") /
-          (count(lit(1)) * lit(1e6))).as("cx"))
-      .groupBy(col("sub"), col("cell"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pc"))
-      .select(col("sub"), col("cell").as("c_label"),
-        transform(col("pc"), p => p.getField("cx")).as("cv"))
+    Similarity.quantMeanCv(
+      sub.join(assign, Seq("vec_id", "sub")), Seq("sub", "cell"), "sv")
+      .select(col("sub"), col("cell").as("c_label"), col("cv"))
       .withColumn("cself", graft.ops.Similarity.dot(col("cv"), col("cv")))
 
   /** The training init: random-partition codes from the portable hash

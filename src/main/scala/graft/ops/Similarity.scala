@@ -203,6 +203,30 @@ object Similarity {
     * assignment once and serves from it; the serving queries run it
     * once per build behind a [[Checkpoints]] lease so the oracle can
     * see the whole pipeline without the plan re-instantiating it. */
+  /** Quantized-mean vectors per key group — the exact-integer centroid
+    * kernel of every trained-index build — as ONE native aggregate
+    * ([[graft.functions.QuantVecSumAgg]]): per group it accumulates
+    * `sum(floor(x_i * 1e6) as long)` and a per-position row count
+    * in-row, then divides once. Value-identical to the
+    * posexplode + (key, pos) aggregate + sorted reassembly it
+    * replaces — same order-insensitive exact-integer sums, same single
+    * deterministic double division, and positions are contiguous per
+    * row so the reassembled arrays coincide even on ragged groups
+    * (VecSumAggSpec pins bit-equality against the explode form on the
+    * real corpus and on ragged/null synthetics) — so every oracle
+    * replays unchanged. Cost: ~dim-fold fewer aggregate input rows
+    * (no 64x row fan-out through the hash aggregate) and ONE shuffle
+    * per centroid stage instead of two; at 100 TB each Lloyd round
+    * becomes a single map-side-combined pass over the corpus.
+    * Returns `keys :+ cv`. */
+  private[graft] def quantMeanCv(
+      df: DataFrame, keys: Seq[String], v: String = "v"): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(graft.functions.QuantVecSumAgg.quantVecSum(col(v)).as("__qs"))
+      .select(keys.map(col) :+
+        zip_with(col("__qs").getField("sums"), col("__qs").getField("counts"),
+          (s, c) => s.cast("double") / (c.cast("double") * lit(1e6))).as("cv"): _*)
+
   private[graft] def kmeansCells(
       emb: DataFrame, nlist: Int = IvfNlist, iters: Int = IvfIters): DataFrame = {
     var assign = emb.select(col("vec_id"),
@@ -220,14 +244,8 @@ object Similarity {
       // on a STRICTLY greater score, so among tied maxima the first
       // (= lowest cell, by the sort) wins — exactly row_number over
       // (score DESC, cell ASC).
-      val cents1 = emb.join(assign, Seq("vec_id"))
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos")).agg(
-          (sum(floor(col("x") * lit(1e6)).cast("long")).cast("double") /
-            (count(lit(1)) * lit(1e6))).as("cx"))
-        .groupBy(col("cell")).agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pc"))
-        .select(col("cell").as("c_label"),
-          transform(col("pc"), p => p.getField("cx")).as("cv"))
+      val cents1 = quantMeanCv(emb.join(assign, Seq("vec_id")), Seq("cell"))
+        .select(col("cell").as("c_label"), col("cv"))
         .withColumn("cn", l2norm(col("cv")))
         .filter(col("cn") > 0)
         .groupBy().agg(array_sort(collect_list(
@@ -315,16 +333,10 @@ object Similarity {
     // block count).
     val emb = Checkpoints.lease("ivf", embBase.join(
       assignCells(embBase.select($"vec_id", $"v", $"label")), Seq("vec_id")))
-    // centroid per trained cell: element-wise quantized mean via
-    // posexplode (the same exact-integer mean the training rounds use)
-    val centroids = emb
-      .select($"cell", posexplode($"v").as(Seq("pos", "x")))
-      .groupBy($"cell", $"pos").agg(
-        (sum(floor($"x" * lit(1e6)).cast("long")).cast("double") /
-          (count(lit(1)) * lit(1e6))).as("cx"))
-      .groupBy($"cell").agg(array_sort(collect_list(struct($"pos", $"cx"))).as("pc"))
-      .select($"cell".as("c_label"),
-        transform($"pc", p => p.getField("cx")).as("cv"))
+    // centroid per trained cell: element-wise quantized mean (the same
+    // exact-integer kernel the training rounds use — see quantMeanCv)
+    val centroids = quantMeanCv(emb, Seq("cell"))
+      .select($"cell".as("c_label"), $"cv")
       .withColumn("cn", l2norm($"cv"))
     // probe: each query joins every centroid (nlist rows -> broadcast),
     // keeps its nprobe nearest cells
