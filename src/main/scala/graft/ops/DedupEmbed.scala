@@ -253,6 +253,57 @@ trait DedupEmbedPart { this: Dedup.type =>
       .select(col("vec_id"), col("cell"))
   }
 
+  /** Incremental SemDeDup admission — the day-2 form of
+    * [[semDedupSurvivors]], completing the family's operational
+    * symmetry: the corpus is clustered ONCE and frozen as
+    * {assignment + the round-`iters` centroid row that produced it}
+    * (freezing the quantizer itself is what makes admission
+    * deterministic: a verbatim twin argmaxes the SAME centroids as
+    * its original, so it provably lands in the original's cell and
+    * is dominated at cosine 1.0). An arriving batch row is assigned
+    * by the same in-row fold, then DROPPED iff some corpus member of
+    * its cell sits at cosine >= `threshold` (the corpus always wins —
+    * even a corpus vector dd_semdedup itself would drop still
+    * dominates, the family's non-transitive rule) or some lower-id
+    * batch-mate assigned to the same cell does (keep-first within
+    * the batch). Zero-norm batch rows take a cell but never pair —
+    * they always survive. Candidates are CELL-bounded on the batch
+    * side of every join; the corpus never re-pairs with itself.
+    * Returns surviving batch rows as (vec_id, cell). */
+  def semDedupIncrementSurvivors(
+      base: DataFrame, batch: DataFrame, threshold: Double = 0.4,
+      nlist: Int = Similarity.IvfNlist,
+      iters: Int = Similarity.IvfIters): DataFrame = {
+    def prep(df: DataFrame) = df
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Similarity.l2norm(col("v")))
+    val baseVecs = prep(base)
+    // two leases: the trained centroid row (1 row — training runs
+    // once, here), then the corpus assigned FROM the leased quantizer
+    // (a map pass, not a second training)
+    val cents = Checkpoints.lease("semddinc_cents",
+      Similarity.kmeansCents(baseVecs.select(col("vec_id"), col("v")), nlist, iters))
+    val corpus = Checkpoints.lease("semddinc_corpus",
+      Similarity.withNearestCell(baseVecs, cents))
+    val bA = Similarity.withNearestCell(prep(batch), cents)
+    val xs = bA.select(col("vec_id").as("xid"), col("cell"),
+      col("v").as("xv"), col("nrm").as("xn"))
+    val domCorpus = xs.join(
+      corpus.select(col("cell"), col("v").as("yv"), col("nrm").as("yn")), Seq("cell"))
+      .filter(col("xn") > 0 && col("yn") > 0)
+      .filter(Similarity.dot(col("xv"), col("yv")) / (col("xn") * col("yn")) >= threshold)
+      .select(col("xid"))
+    val ys = bA.select(col("vec_id").as("yid"), col("cell"),
+      col("v").as("yv"), col("nrm").as("yn"))
+    val domBatch = xs.join(ys, Seq("cell"))
+      .filter(col("yid") < col("xid") && col("xn") > 0 && col("yn") > 0)
+      .filter(Similarity.dot(col("xv"), col("yv")) / (col("xn") * col("yn")) >= threshold)
+      .select(col("xid"))
+    val dominated = domCorpus.unionByName(domBatch).distinct().toDF("vec_id")
+    bA.join(dominated, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
+
   /** Embedding-space decontamination — asymmetric near-dup scrub over
     * vectors: remove from `docs` every row whose embedding's cosine to
     * ANY `blocklist` vector reaches `threshold`. The semantic twin of
@@ -692,6 +743,72 @@ trait DedupEmbedPart { this: Dedup.type =>
                 WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4)
               SELECT vec_id, cell FROM s
               WHERE vec_id NOT IN (SELECT vec_id FROM dom)
+              ORDER BY vec_id""")),
+
+    // Incremental SemDeDup (see semDedupIncrementSurvivors): the
+    // family's standard day-2 batch (verbatim twins at +1M, the same
+    // 30 vectors negated at +2M AND +3M) admitted against the frozen
+    // clustered corpus. The +1M twins argmax the same frozen centroids
+    // as their originals — same cell, cosine 1.0, all dominated; a
+    // negated copy only falls to the corpus if its assigned cell holds
+    // an anti-correlated member at <= -0.4, while the two negated
+    // copies share a cell at cosine 1.0, so keep-first retains +2M and
+    // drops +3M. The oracle replays training (cnn4), the batch argmax,
+    // and both dominance joins verbatim.
+    QueryDef(
+      "dd_semdedup_increment",
+      (s, d) => {
+        import s.implicits._
+        val base = table(s, d, "embeddings").select($"vec_id", $"embedding")
+        val b0 = base.filter($"vec_id" < 30)
+        val neg = transform($"embedding", x => -x).as("embedding")
+        val batch = b0.select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+          .unionByName(b0.select(($"vec_id" + 2000000L).as("vec_id"), neg))
+          .unionByName(b0.select(($"vec_id" + 3000000L).as("vec_id"), neg))
+        semDedupIncrementSurvivors(base, batch).orderBy($"vec_id")
+      },
+      Some(s"""WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              ${Similarity.kmeansOracleCtes(Similarity.IvfNlist, Similarity.IvfIters)},
+              s AS (
+                SELECT e.vec_id, e.v,
+                       sqrt(list_dot_product(e.v, e.v)) AS nrm, a.cell
+                FROM e JOIN asn${Similarity.IvfIters} a ON a.vec_id = e.vec_id),
+              nb AS (
+                SELECT vec_id + 1000000 AS vec_id, embedding
+                FROM embeddings WHERE vec_id < 30
+                UNION ALL
+                SELECT vec_id + 2000000 AS vec_id,
+                       [-x for x in embedding] AS embedding
+                FROM embeddings WHERE vec_id < 30
+                UNION ALL
+                SELECT vec_id + 3000000 AS vec_id,
+                       [-x for x in embedding] AS embedding
+                FROM embeddings WHERE vec_id < 30),
+              be AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS nrm
+                FROM nb),
+              bsc AS (
+                SELECT b.vec_id, b.v, b.nrm, c.c_label,
+                       row_number() OVER (PARTITION BY b.vec_id
+                         ORDER BY list_dot_product(b.v, c.cv) / c.cn DESC,
+                                  c.c_label ASC) AS rk
+                FROM be b CROSS JOIN cnn${Similarity.IvfIters} c),
+              basn AS (SELECT vec_id, v, nrm, c_label AS cell FROM bsc WHERE rk = 1),
+              domc AS (
+                SELECT DISTINCT b.vec_id FROM basn b JOIN s x ON x.cell = b.cell
+                WHERE b.nrm > 0 AND x.nrm > 0
+                  AND list_dot_product(b.v, x.v) / (b.nrm * x.nrm) >= 0.4),
+              domb AS (
+                SELECT DISTINCT b.vec_id FROM basn b JOIN basn y
+                  ON y.cell = b.cell AND y.vec_id < b.vec_id
+                WHERE b.nrm > 0 AND y.nrm > 0
+                  AND list_dot_product(b.v, y.v) / (b.nrm * y.nrm) >= 0.4)
+              SELECT vec_id, cell FROM basn
+              WHERE vec_id NOT IN
+                (SELECT vec_id FROM domc UNION SELECT vec_id FROM domb)
               ORDER BY vec_id""")),
   )
 }

@@ -227,47 +227,69 @@ object Similarity {
         zip_with(col("__qs").getField("sums"), col("__qs").getField("counts"),
           (s, c) => s.cast("double") / (c.cast("double") * lit(1e6))).as("cv"): _*)
 
-  private[graft] def kmeansCells(
+  /** Appends the nearest-centroid `cell` of each row's `v` against a
+    * broadcast single-row centroid frame (`cents` = one row holding
+    * the cell-ascending array of (c_label, cv, cn) structs): the
+    * in-row strictly-greater fold over ≤ nlist candidates — one map
+    * pass, no shuffle. Value-identical to row_number over
+    * (score DESC, cell ASC): the fold keeps a candidate only on a
+    * STRICTLY greater score, so among tied maxima the first
+    * (= lowest cell, by the sort) wins. An EMPTY centroid row (the
+    * all-zero degenerate corpus) yields an empty frame, mirroring the
+    * window form's crossJoin against zero centroid rows. */
+  private[graft] def withNearestCell(df: DataFrame, cents: DataFrame): DataFrame =
+    df.crossJoin(broadcast(cents))
+      .filter(size(col("cents")) > 0)
+      .withColumn("cell",
+        aggregate(col("cents"),
+          struct(lit(Long.MaxValue).as("cell"),
+            lit(Double.NegativeInfinity).as("best")),
+          (acc, c) => {
+            val score = dot(col("v"), c.getField("cv")) / c.getField("cn")
+            when(score > acc.getField("best"),
+              struct(c.getField("c_label").as("cell"), score.as("best")))
+              .otherwise(acc)
+          }).getField("cell"))
+      .drop("cents")
+
+  /** The trained quantizer ITSELF: the round-`iters` centroid row the
+    * final assignment is the argmax of — what an incremental consumer
+    * must freeze so that a later batch assigns into exactly the cells
+    * the corpus was recorded under (a verbatim twin provably lands in
+    * its original's cell because both argmax the SAME centroids).
+    * [[kmeansCells]] is withNearestCell over this, so the restructure
+    * is value-identical to the historical in-loop-assignment form:
+    * round r's centroids come from round r-1's assignment, and the
+    * returned assignment is the argmax of round `iters`' centroids —
+    * the same recurrence, same plan depth. */
+  private[graft] def kmeansCents(
       emb: DataFrame, nlist: Int = IvfNlist, iters: Int = IvfIters): DataFrame = {
     var assign = emb.select(col("vec_id"),
       pmod(graft.functions.PortableHash.md5Hash60(col("vec_id").cast("string")),
         lit(nlist.toLong)).as("cell"))
-    for (_ <- 1 to iters) {
+    var cents: DataFrame = null
+    for (r <- 1 to iters) {
       // centroids rolled into ONE row (nlist entries, cell-ascending —
       // array_sort on struct(c_label, …) orders by the leading field),
-      // broadcast against the corpus so the argmax runs IN-ROW: a fold
-      // over ≤ nlist candidates replaces the crossJoin fan-out + vec_id
-      // window shuffle a row_number argmax costs — per round that is
-      // one shuffle instead of two, and at 100 TB the assignment step
-      // becomes a pure map over the corpus. Value-identical to the
-      // window form the oracle replays: the fold keeps a candidate only
-      // on a STRICTLY greater score, so among tied maxima the first
-      // (= lowest cell, by the sort) wins — exactly row_number over
-      // (score DESC, cell ASC).
-      val cents1 = quantMeanCv(emb.join(assign, Seq("vec_id")), Seq("cell"))
+      // broadcast against the corpus so the argmax runs IN-ROW (see
+      // withNearestCell) — per round that is one shuffle (the
+      // quantMeanCv aggregate) and a pure map over the corpus.
+      cents = quantMeanCv(emb.join(assign, Seq("vec_id")), Seq("cell"))
         .select(col("cell").as("c_label"), col("cv"))
         .withColumn("cn", l2norm(col("cv")))
         .filter(col("cn") > 0)
         .groupBy().agg(array_sort(collect_list(
           struct(col("c_label"), col("cv"), col("cn")))).as("cents"))
-      assign = emb.crossJoin(broadcast(cents1))
-        // degenerate guard: an all-zero corpus drops every centroid;
-        // the window form yields an EMPTY assignment there (crossJoin
-        // against zero centroid rows) — mirror it, not a sentinel cell
-        .filter(size(col("cents")) > 0)
-        .select(col("vec_id"),
-          aggregate(col("cents"),
-            struct(lit(Long.MaxValue).as("cell"),
-              lit(Double.NegativeInfinity).as("best")),
-            (acc, c) => {
-              val score = dot(col("v"), c.getField("cv")) / c.getField("cn")
-              when(score > acc.getField("best"),
-                struct(c.getField("c_label").as("cell"), score.as("best")))
-                .otherwise(acc)
-            }).getField("cell").as("cell"))
+      if (r < iters)
+        assign = withNearestCell(emb, cents).select(col("vec_id"), col("cell"))
     }
-    assign
+    cents
   }
+
+  private[graft] def kmeansCells(
+      emb: DataFrame, nlist: Int = IvfNlist, iters: Int = IvfIters): DataFrame =
+    withNearestCell(emb, kmeansCents(emb, nlist, iters))
+      .select(col("vec_id"), col("cell"))
 
   /** The trained coarse-quantizer assignment for the `embeddings`
     * table at `d` — what the IVF queries index on (exposed for specs:

@@ -68,6 +68,34 @@ class SemDedupSpec extends AnyFunSuite with SparkSpec {
     assert(asn(1000000L) == asn(0L))
   }
 
+  test("incremental admission: twins fall to the corpus, keep-first among negated copies, zero-norm survives") {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val b0 = base.filter($"vec_id" < 30)
+    val neg = transform($"embedding", x => -x).as("embedding")
+    val zero = spark.range(1).select(
+      lit(4000000L).as("vec_id"), array_repeat(lit(0.0f), 64).as("embedding"))
+    val batch = b0.select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+      .unionByName(b0.select(($"vec_id" + 2000000L).as("vec_id"), neg))
+      .unionByName(b0.select(($"vec_id" + 3000000L).as("vec_id"), neg))
+      .unionByName(zero)
+    val got = Dedup.semDedupIncrementSurvivors(base, batch)
+      .collect().map(_.getLong(0)).toSet
+    // every verbatim twin argmaxes the SAME frozen centroids as its
+    // original -> same cell, cosine 1.0, dominated by the corpus
+    assert(got.forall(id => id >= 2000000L),
+      s"a +1M verbatim twin survived: ${got.filter(_ < 2000000L)}")
+    // each +3M copy is identical to its +2M twin (same cell, cosine
+    // 1.0, higher id) -> keep-first drops ALL of +3M
+    assert(!got.exists(id => id >= 3000000L && id < 4000000L),
+      "a +3M negated copy survived its +2M twin")
+    // zero-norm: takes a cell, never pairs, must survive
+    assert(got.contains(4000000L))
+    assert(got.exists(id => id >= 2000000L && id < 3000000L),
+      "no +2M negated copy survived — the negation fixture collapsed")
+  }
+
   test("survivor set is partition-invariant (exact-integer centroid sums)") {
     val emb = planted()
     val a = Dedup.semDedupSurvivors(emb).collect().map(_.getLong(0)).toSet
