@@ -274,10 +274,7 @@ trait DedupEmbedPart { this: Dedup.type =>
       base: DataFrame, batch: DataFrame, threshold: Double = 0.4,
       nlist: Int = Similarity.IvfNlist,
       iters: Int = Similarity.IvfIters): DataFrame = {
-    def prep(df: DataFrame) = df
-      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", Similarity.l2norm(col("v")))
-    val baseVecs = prep(base)
+    val baseVecs = semDedupPrep(base)
     // two leases: the trained centroid row (1 row — training runs
     // once, here), then the corpus assigned FROM the leased quantizer
     // (a map pass, not a second training)
@@ -285,7 +282,42 @@ trait DedupEmbedPart { this: Dedup.type =>
       Similarity.kmeansCents(baseVecs.select(col("vec_id"), col("v")), nlist, iters))
     val corpus = Checkpoints.lease("semddinc_corpus",
       Similarity.withNearestCell(baseVecs, cents))
-    val bA = Similarity.withNearestCell(prep(batch), cents)
+    semDedupAdmit(cents, corpus, batch, threshold)
+  }
+
+  private def semDedupPrep(df: DataFrame): DataFrame = df
+    .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    .withColumn("nrm", Similarity.l2norm(col("v")))
+
+  /** The durable round-trip of [[semDedupIncrementSurvivors]]: the
+    * frozen SemDeDup index — the trained centroid row AND the corpus
+    * assigned under it — is SAVED as parquet artifacts, RELOADED, and
+    * the batch admitted against the reloaded frames. Values are
+    * bit-identical to the leased path (parquet round-trips the
+    * long / double-array / nested-struct schema exactly), so the same
+    * oracle covers both; SemDedupSpec pins decision equality. */
+  def semDedupStoredSurvivors(
+      base: DataFrame, batch: DataFrame, threshold: Double = 0.4,
+      nlist: Int = Similarity.IvfNlist,
+      iters: Int = Similarity.IvfIters): DataFrame = {
+    val s = batch.sparkSession
+    val root = IndexStore.scratchRoot(s, "semddstore", embStoreSeq.incrementAndGet())
+    val baseVecs = semDedupPrep(base)
+    IndexStore.save(root, "sd_cents" ->
+      Similarity.kmeansCents(baseVecs.select(col("vec_id"), col("v")), nlist, iters))
+    val cents = IndexStore.load(s, root, "sd_cents")
+    IndexStore.save(root, "sd_corpus" -> Similarity.withNearestCell(baseVecs, cents))
+    semDedupAdmit(cents, IndexStore.load(s, root, "sd_corpus"), batch, threshold)
+  }
+
+  /** [[semDedupIncrementSurvivors]]'s admission core against a
+    * PRE-BUILT frozen index (leased in-session, or reloaded from
+    * [[IndexStore]] parquet): `cents` the trained single-row centroid
+    * frame, `corpus` the (vec_id, v, nrm, cell) assignment under it. */
+  private def semDedupAdmit(
+      cents: DataFrame, corpus: DataFrame, batch: DataFrame,
+      threshold: Double): DataFrame = {
+    val bA = Similarity.withNearestCell(semDedupPrep(batch), cents)
     val xs = bA.select(col("vec_id").as("xid"), col("cell"),
       col("v").as("xv"), col("nrm").as("xn"))
     val domCorpus = xs.join(
@@ -767,7 +799,30 @@ trait DedupEmbedPart { this: Dedup.type =>
           .unionByName(b0.select(($"vec_id" + 3000000L).as("vec_id"), neg))
         semDedupIncrementSurvivors(base, batch).orderBy($"vec_id")
       },
-      Some(s"""WITH e AS (
+      Some(semDedupIncrementOracle)),
+
+    // Durable SemDeDup-index round-trip (see semDedupStoredSurvivors):
+    // the same day-2 admission, but the trained centroid row and the
+    // assigned corpus are WRITTEN to parquet and RELOADED first —
+    // under dd_semdedup_increment's oracle verbatim (the round-trip is
+    // value-exact; SemDedupSpec pins decision equality).
+    QueryDef(
+      "dd_semdedup_stored",
+      (s, d) => {
+        import s.implicits._
+        val base = table(s, d, "embeddings").select($"vec_id", $"embedding")
+        val b0 = base.filter($"vec_id" < 30)
+        val neg = transform($"embedding", x => -x).as("embedding")
+        val batch = b0.select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+          .unionByName(b0.select(($"vec_id" + 2000000L).as("vec_id"), neg))
+          .unionByName(b0.select(($"vec_id" + 3000000L).as("vec_id"), neg))
+        semDedupStoredSurvivors(base, batch).orderBy($"vec_id")
+      },
+      Some(semDedupIncrementOracle)),
+  )
+
+  private lazy val semDedupIncrementOracle: String =
+    s"""WITH e AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               ${Similarity.kmeansOracleCtes(Similarity.IvfNlist, Similarity.IvfIters)},
               s AS (
@@ -809,6 +864,5 @@ trait DedupEmbedPart { this: Dedup.type =>
               SELECT vec_id, cell FROM basn
               WHERE vec_id NOT IN
                 (SELECT vec_id FROM domc UNION SELECT vec_id FROM domb)
-              ORDER BY vec_id""")),
-  )
+              ORDER BY vec_id"""
 }

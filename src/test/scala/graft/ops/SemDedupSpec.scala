@@ -96,6 +96,22 @@ class SemDedupSpec extends AnyFunSuite with SparkSpec {
       "no +2M negated copy survived — the negation fixture collapsed")
   }
 
+  test("stored admission == leased admission, decision for decision") {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val b0 = base.filter($"vec_id" < 30)
+    val neg = transform($"embedding", x => -x).as("embedding")
+    val batch = b0.select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+      .unionByName(b0.select(($"vec_id" + 2000000L).as("vec_id"), neg))
+      .unionByName(b0.select(($"vec_id" + 3000000L).as("vec_id"), neg))
+    val inc = Dedup.semDedupIncrementSurvivors(base, batch)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stored = Dedup.semDedupStoredSurvivors(base, batch)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc.nonEmpty && inc == stored)
+  }
+
   test("survivor set is partition-invariant (exact-integer centroid sums)") {
     val emb = planted()
     val a = Dedup.semDedupSurvivors(emb).collect().map(_.getLong(0)).toSet
