@@ -276,6 +276,66 @@ class StreamIndexRocksDbSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("stream-stream interval join on RocksDB: kill/restart mid-stream, matches == batch twin") {
+    import spark.implicits._
+    withRocksDb {
+      val dir = Files.createTempDirectory("graft_rocks_ssj").toString
+      val (inP, inC, out, ckpt) = (s"$dir/inp", s"$dir/inc", s"$dir/out", s"$dir/ckpt")
+
+      // event-time-ordered arrival in 3 file batches on EACH side; the
+      // 48h lateness keeps every click within 24h of a future purchase
+      // alive in the join state across chunk boundaries AND the kill
+      val events = graft.model.Tables.table(spark, sf, "events")
+        .select($"event_id", $"ts", $"event_type", $"user_id")
+        .as[(Long, java.sql.Timestamp, String, Long)].collect().sortBy(_._2.getTime)
+      val chunks = events.grouped((events.length + 2) / 3).toSeq
+      assert(chunks.length == 3)
+      def land(chunk: Seq[(Long, java.sql.Timestamp, String, Long)]): Unit = {
+        val df = chunk.toDF("event_id", "ts", "event_type", "user_id").coalesce(1)
+        df.write.mode("append").parquet(inP)
+        df.write.mode("append").parquet(inC)
+      }
+
+      land(chunks(0))
+      val schema = spark.read.parquet(inP).schema
+      def start() = Windows.purchaseClickJoinStream(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(inP),
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(inC),
+        "24 hours", "48 hours")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+
+      val q1 = start()
+      q1.processAllAvailable()
+      val progress = q1.lastProgress
+      assert(progress != null && progress.stateOperators.nonEmpty,
+        "expected the stream-stream join's stateful operator")
+      land(chunks(1))
+      q1.processAllAvailable()
+      q1.stop() // kill mid-stream: both sides' join state only in the checkpoint
+
+      land(chunks(2))
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+
+      // cross-kill matches (purchase in chunk 2, click buffered before
+      // the kill) must emit exactly once from the recovered state
+      val got = spark.read.parquet(out)
+        .select($"purchase_id", $"click_id")
+        .as[(Long, Long)].collect().toSeq
+      assert(got.size == got.distinct.size, "a recovered match emitted twice")
+      val ev = graft.model.Tables.table(spark, sf, "events")
+      val want = Windows.purchaseClickJoin(
+        Windows.purchaseSide(ev), Windows.clickSide(ev), "24 hours")
+        .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+      assert(want.nonEmpty)
+      assert(got.toSet == want)
+    }
+  }
+
   test("stored-ANN serve under a checkpoint-restarted StreamingQuery == batch serve") {
     import spark.implicits._
     withRocksDb {
