@@ -759,23 +759,7 @@ trait DedupEmbedPart { this: Dedup.type =>
         import s.implicits._
         semDedupSurvivors(table(s, d, "embeddings")).orderBy($"vec_id")
       },
-      Some(s"""WITH e AS (
-                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                             CAST(embedding AS DOUBLE[]))) AS nrm
-                FROM embeddings),
-              ${Similarity.kmeansOracleCtes(Similarity.IvfNlist, Similarity.IvfIters)},
-              s AS (
-                SELECT e.vec_id, e.v, e.nrm, a.cell
-                FROM e JOIN asn${Similarity.IvfIters} a ON a.vec_id = e.vec_id),
-              p AS (SELECT * FROM s WHERE nrm > 0),
-              dom AS (
-                SELECT DISTINCT x.vec_id FROM p x JOIN p y
-                  ON x.cell = y.cell AND y.vec_id < x.vec_id
-                WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4)
-              SELECT vec_id, cell FROM s
-              WHERE vec_id NOT IN (SELECT vec_id FROM dom)
-              ORDER BY vec_id""")),
+      Some(semDedupOracle())),
 
     // Incremental SemDeDup (see semDedupIncrementSurvivors): the
     // family's standard day-2 batch (verbatim twins at +1M, the same
@@ -820,6 +804,31 @@ trait DedupEmbedPart { this: Dedup.type =>
       },
       Some(semDedupIncrementOracle)),
   )
+
+  /** DuckDB replay of [[semDedupSurvivors]] — shared verbatim by
+    * dd_semdedup and the online w_semdedup (identical semantics:
+    * arrival order == id order, and the online index retains every
+    * arrival, so "dominated by any lower id in the cell" replays both
+    * forms). `domExtra` appends a predicate to the dominance join —
+    * the aged online form adds its monotone-event-time horizon there. */
+  private[graft] def semDedupOracle(domExtra: String = ""): String =
+    s"""WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS nrm
+                FROM embeddings),
+              ${Similarity.kmeansOracleCtes(Similarity.IvfNlist, Similarity.IvfIters)},
+              s AS (
+                SELECT e.vec_id, e.v, e.nrm, a.cell
+                FROM e JOIN asn${Similarity.IvfIters} a ON a.vec_id = e.vec_id),
+              p AS (SELECT * FROM s WHERE nrm > 0),
+              dom AS (
+                SELECT DISTINCT x.vec_id FROM p x JOIN p y
+                  ON x.cell = y.cell AND y.vec_id < x.vec_id $domExtra
+                WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4)
+              SELECT vec_id, cell FROM s
+              WHERE vec_id NOT IN (SELECT vec_id FROM dom)
+              ORDER BY vec_id"""
 
   private lazy val semDedupIncrementOracle: String =
     s"""WITH e AS (

@@ -632,6 +632,111 @@ object NearDup {
           aging.map(_.horizonMs).getOrElse(0L), embeddings.isStreaming))
   }
 
+  // ---- Online SemDeDup: frozen-quantizer cell index -----------------
+
+  /** One frozen centroid: label + vector + norm, cells ascending in
+    * the collected array so the strictly-greater argmax keeps the
+    * lowest cell on ties (the trained quantizer's tie rule). */
+  case class CentEntry(label: Long, cv: Array[Double], cn: Double) extends Serializable
+  case class CellVec(cell: Long, vec_id: Long, v: Array[Double], norm: Double,
+    ts: java.sql.Timestamp)
+  case class CellSurvivor(vec_id: Long, cell: Long)
+
+  /** Collect a trained single-row centroid frame
+    * ([[graft.ops.Similarity.kmeansCents]]'s output, or its reloaded
+    * parquet artifact) to the driver for broadcast into the stream.
+    * Loud cap first — the payload is nlist x dim doubles, bounded by
+    * construction (a quantizer is trained, not corpus-sized), and a
+    * mis-wired corpus-sized frame must fail here, not OOM the driver. */
+  def collectCentroids(cents: DataFrame, maxCents: Int = 1 << 20): Array[CentEntry] = {
+    val rows = cents.select(explode(col("cents")).as("c"))
+      .select(col("c.c_label"), col("c.cv"), col("c.cn"))
+    val n = rows.count()
+    require(n > 0, "online SemDeDup needs a non-degenerate trained quantizer")
+    require(n <= maxCents,
+      s"online SemDeDup centroid frame holds $n cells (> $maxCents): " +
+        "that is not a trained quantizer — train nlist cells, not one per row")
+    rows.collect()
+      .map(r => CentEntry(r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_.label)
+  }
+
+  /** The executor-side twin of the in-row assignment fold
+    * ([[graft.ops.Similarity.withNearestCell]]): strictly-greater
+    * argmax over cells ascending, scores via [[dotSeq]] — all three
+    * forms (Catalyst fold, this loop, the oracle's row_number) agree
+    * bitwise. */
+  private[streaming] def assignCellJvm(v: Array[Double], cents: Array[CentEntry]): Long = {
+    var best = Double.NegativeInfinity
+    var cell = Long.MaxValue
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i)
+      val s = dotSeq(v, c.cv) / c.cn
+      if (s > best) { best = s; cell = c.label }
+      i += 1
+    }
+    cell
+  }
+
+  private def processSemDedupCell(threshold: Double, maxPerCell: Int,
+      horizonMs: Long, streaming: Boolean)(
+      cell: Long, rows: Iterator[CellVec],
+      state: GroupState[VecBandState]): Iterator[CellSurvivor] =
+    AgedBand.process(state, rows, (d: CellVec) => tsMs(d.ts), (d: CellVec) => d.vec_id,
+      state.getOption.map(_.vecs).getOrElse(Nil),
+      horizonMs, maxPerCell, streaming)(
+      // survivor iff NO retained cell-mate reaches the threshold. A
+      // zero-norm arrival scores NaN against everything and NaN >= t
+      // is false on the JVM, so it neither falls nor dominates — the
+      // family's gate, with no explicit norm filter needed here
+      (seen, d) => if (seen.exists(p =>
+          dotSeq(p.v, d.v) / (p.norm * d.norm) >= threshold)) Iterator.empty
+        else Iterator.single(CellSurvivor(d.vec_id, cell)),
+      (d, dts) => VecSig(d.vec_id, d.v, d.norm, dts),
+      seen => state.update(VecBandState(seen)))
+
+  /** ONLINE SemDeDup — the streaming form of
+    * [[graft.ops.Dedup.semDedupSurvivors]]: the quantizer is trained
+    * offline and FROZEN (`cents`, collected behind
+    * [[collectCentroids]]'s cap and shipped in the closure); each
+    * arriving vector is assigned its cell executor-side and survives
+    * iff no retained cell-mate that arrived before it reaches
+    * `threshold` cosine. The cell index retains EVERY arrival
+    * (dominance by a vector that was itself dropped still drops you —
+    * the paper's rule, and what lets the batch replay run under
+    * dd_semdedup's oracle verbatim when arrival order is id order).
+    * State is bounded by maxPerCell and, with `aging`, the event-time
+    * horizon + whole-key timeout — the same [[AgedBand]] cycle every
+    * online index runs. Runs on a streaming OR batch frame unchanged;
+    * batch runs are heap-guarded. */
+  def semDedupOnline(
+      embeddings: DataFrame, id: Column, vec: Column,
+      cents: Array[CentEntry], threshold: Double,
+      maxPerCell: Int = Int.MaxValue,
+      maxIndexBytes: Long = DefaultMaxIndexBytes,
+      aging: Option[Aging] = None): Dataset[CellSurvivor] = {
+    import embeddings.sparkSession.implicits._
+    require(cents.nonEmpty,
+      "online SemDeDup needs a non-degenerate trained quantizer")
+    val ts = aging.map(_.ts).getOrElse(noTs)
+    val prepped = embeddings
+      .select(id.as("vec_id"), graft.ops.Similarity.asDouble(vec).as("v"),
+        ts.as("ts"))
+      .withColumn("norm", graft.ops.Similarity.l2norm(col("v")))
+    requireIndexFits("SemDeDup cell",
+      size(col("v")).cast("long"), prepped, maxIndexBytes)
+    prepped
+      .select(col("vec_id"), col("v"), col("norm"), col("ts"))
+      .as[(Long, Array[Double], Double, java.sql.Timestamp)]
+      .map { case (vid, v, nrm, t) =>
+        CellVec(assignCellJvm(v, cents), vid, v, nrm, t) }
+      .groupByKey(_.cell)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf(embeddings, aging))(
+        processSemDedupCell(threshold, maxPerCell,
+          aging.map(_.horizonMs).getOrElse(0L), embeddings.isStreaming))
+  }
+
   // ---- Online decontamination: broadcast blocklist index -----------
 
   /** A driver-built LSH index of a benchmark/blocklist corpus:
@@ -886,6 +991,48 @@ object NearDup {
                 AND epoch(to_timestamp(1000000 + cand.id_b))
                   - epoch(to_timestamp(1000000 + cand.id_a)) <= 150
               ORDER BY id_a, id_b""")),
+
+    // ONLINE SemDeDup under batch execution (see semDedupOnline): the
+    // quantizer is trained offline (kmeansCents — the same frozen
+    // centroid row dd_semdedup_increment admits against), collected
+    // behind the loud cap, and the whole corpus streams through the
+    // cell index in id order — so the survivor set IS dd_semdedup's
+    // and the oracle is shared verbatim (the online index retains
+    // every arrival; dominance by a dropped vector still drops you).
+    QueryDef(
+      "w_semdedup",
+      (s, d) => {
+        import s.implicits._
+        val emb = table(s, d, "embeddings")
+        val cents = collectCentroids(graft.ops.Similarity.kmeansCents(
+          emb.select($"vec_id", graft.ops.Similarity.asDouble($"embedding").as("v"))))
+        semDedupOnline(emb, $"vec_id", $"embedding", cents, 0.4)
+          .toDF().orderBy($"vec_id")
+      },
+      Some(graft.ops.Dedup.semDedupOracle())),
+
+    // The AGED online SemDeDup index: the same synthesized monotone
+    // event time the family's aged forms use (ts = epoch 1,000,000 +
+    // vec_id seconds, 150 s horizon) — a vector only falls to
+    // cell-mates that arrived within the horizon before it, which the
+    // shared oracle replays as the id-distance predicate on the
+    // dominance join (monotone ts makes per-arrival eviction coincide
+    // with the dominator's own cutoff).
+    QueryDef(
+      "w_semdedup_aged",
+      (s, d) => {
+        import s.implicits._
+        val emb = table(s, d, "embeddings")
+          .withColumn("ets", timestamp_seconds(lit(1000000L) + $"vec_id"))
+        val cents = collectCentroids(graft.ops.Similarity.kmeansCents(
+          emb.select($"vec_id", graft.ops.Similarity.asDouble($"embedding").as("v"))))
+        semDedupOnline(emb, $"vec_id", $"embedding", cents, 0.4,
+            aging = Some(Aging($"ets", 150000L)))
+          .toDF().orderBy($"vec_id")
+      },
+      Some(graft.ops.Dedup.semDedupOracle(
+        """AND epoch(to_timestamp(1000000 + x.vec_id))
+             - epoch(to_timestamp(1000000 + y.vec_id)) <= 150"""))),
 
     // Online decontamination under batch execution: the broadcast
     // blocklist index probed per row must reproduce the batch form's
