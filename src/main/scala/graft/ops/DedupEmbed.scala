@@ -310,6 +310,32 @@ trait DedupEmbedPart { this: Dedup.type =>
     semDedupAdmit(cents, IndexStore.load(s, root, "sd_corpus"), batch, threshold)
   }
 
+  /** TAKEDOWN + admit for the SemDeDup index: compact the STORED
+    * assigned-corpus frame by the tombstone set, then admit the batch
+    * against the compacted index — WITHOUT retraining the quantizer
+    * (the centroid artifact is untouched: a right-to-be-forgotten
+    * request removes the vector from the index; it does not entitle
+    * anyone to a new clustering, and keeping the quantizer frozen is
+    * what keeps every surviving vector's recorded cell valid). Equal
+    * to admitting against the corpus minus the tombstoned vectors
+    * under the FULL-corpus-trained centroids — the increment oracle
+    * with only its corpus-side CTE filtered. */
+  def semDedupTakedownSurvivors(
+      base: DataFrame, batch: DataFrame, tombstones: DataFrame,
+      threshold: Double = 0.4,
+      nlist: Int = Similarity.IvfNlist,
+      iters: Int = Similarity.IvfIters): DataFrame = {
+    val s = batch.sparkSession
+    val root = IndexStore.scratchRoot(s, "semddtakedown", embStoreSeq.incrementAndGet())
+    val baseVecs = semDedupPrep(base)
+    IndexStore.save(root, "sd_cents" ->
+      Similarity.kmeansCents(baseVecs.select(col("vec_id"), col("v")), nlist, iters))
+    val cents = IndexStore.load(s, root, "sd_cents")
+    IndexStore.save(root, "sd_corpus" -> Similarity.withNearestCell(baseVecs, cents))
+    IndexStore.compact(s, root, "sd_corpus", tombstones)
+    semDedupAdmit(cents, IndexStore.load(s, root, "sd_corpus"), batch, threshold)
+  }
+
   /** [[semDedupIncrementSurvivors]]'s admission core against a
     * PRE-BUILT frozen index (leased in-session, or reloaded from
     * [[IndexStore]] parquet): `cents` the trained single-row centroid
@@ -803,6 +829,28 @@ trait DedupEmbedPart { this: Dedup.type =>
         semDedupStoredSurvivors(base, batch).orderBy($"vec_id")
       },
       Some(semDedupIncrementOracle)),
+
+    // SemDeDup-index takedown under the oracle (see
+    // semDedupTakedownSurvivors): the stored assigned-corpus frame is
+    // compacted by vec_ids < 10 before admission — the forgotten
+    // originals stop dominating their verbatim +1M twins (those twins
+    // now survive), while the quantizer stays frozen, so the replay
+    // is the increment oracle with ONLY its corpus-side dominance CTE
+    // filtered (training still runs on the full corpus).
+    QueryDef(
+      "dd_semdedup_takedown",
+      (s, d) => {
+        import s.implicits._
+        val base = table(s, d, "embeddings").select($"vec_id", $"embedding")
+        val b0 = base.filter($"vec_id" < 30)
+        val neg = transform($"embedding", x => -x).as("embedding")
+        val batch = b0.select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+          .unionByName(b0.select(($"vec_id" + 2000000L).as("vec_id"), neg))
+          .unionByName(b0.select(($"vec_id" + 3000000L).as("vec_id"), neg))
+        semDedupTakedownSurvivors(base, batch,
+          s.range(0, 10).select($"id".as("vec_id"))).orderBy($"vec_id")
+      },
+      Some(semDedupIncrementOracleFor("WHERE e.vec_id >= 10"))),
   )
 
   /** DuckDB replay of [[semDedupSurvivors]] — shared verbatim by
@@ -830,14 +878,22 @@ trait DedupEmbedPart { this: Dedup.type =>
               WHERE vec_id NOT IN (SELECT vec_id FROM dom)
               ORDER BY vec_id"""
 
-  private lazy val semDedupIncrementOracle: String =
+  private lazy val semDedupIncrementOracle: String = semDedupIncrementOracleFor()
+
+  /** The SemDeDup-increment replay, parameterized by a filter on the
+    * CORPUS-side dominance CTE only — training (`e` -> cnn4/asn4)
+    * always runs on the FULL corpus, which is exactly the takedown
+    * semantics: forgetting removes a vector from the index without
+    * retraining the quantizer it was recorded under. */
+  private def semDedupIncrementOracleFor(sWhere: String = ""): String =
     s"""WITH e AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               ${Similarity.kmeansOracleCtes(Similarity.IvfNlist, Similarity.IvfIters)},
               s AS (
                 SELECT e.vec_id, e.v,
                        sqrt(list_dot_product(e.v, e.v)) AS nrm, a.cell
-                FROM e JOIN asn${Similarity.IvfIters} a ON a.vec_id = e.vec_id),
+                FROM e JOIN asn${Similarity.IvfIters} a ON a.vec_id = e.vec_id
+                $sWhere),
               nb AS (
                 SELECT vec_id + 1000000 AS vec_id, embedding
                 FROM embeddings WHERE vec_id < 30

@@ -112,6 +112,30 @@ class SemDedupSpec extends AnyFunSuite with SparkSpec {
     assert(inc.nonEmpty && inc == stored)
   }
 
+  test("takedown ends suppression: twins of forgotten originals are admitted, others still fall") {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val b0 = base.filter($"vec_id" < 30)
+    val batch = b0.select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val tombs = spark.range(0, 10).select($"id".as("vec_id"))
+    val kept = Dedup.semDedupTakedownSurvivors(base, batch, tombs)
+      .collect().map(_.getLong(0)).toSet
+    // a forgotten original no longer dominates its verbatim twin —
+    // UNLESS some other surviving cell-mate also reaches the
+    // threshold; at minimum the twin of vec 0 must come back only if
+    // nothing else dominates it, so pin the aggregate instead: more
+    // twins survive than under the un-compacted index, and every
+    // surviving twin's original is either tombstoned or it had no
+    // surviving dominator
+    val keptInc = Dedup.semDedupIncrementSurvivors(base, batch)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptInc.isEmpty, "verbatim twins must all fall to the intact corpus")
+    assert(kept.nonEmpty, "takedown freed no twin — compaction did nothing")
+    assert(kept.forall(id => id - 1000000L < 10L),
+      s"a twin of a NON-forgotten original survived: ${kept.filter(_ - 1000000L >= 10L)}")
+  }
+
   test("survivor set is partition-invariant (exact-integer centroid sums)") {
     val emb = planted()
     val a = Dedup.semDedupSurvivors(emb).collect().map(_.getLong(0)).toSet
