@@ -92,6 +92,43 @@ object Windows {
       .select(col("purchase_id"), col("user_id"), col("p_ts"),
         col("click_id"), col("c_ts"))
 
+  /** Skew-resistant BATCH form of [[purchaseClickJoin]] — what the
+    * registered queries run. The plain form's equi-key is user_id
+    * alone, and a hot user's output is QUADRATIC in its event count
+    * while its shuffle INPUT stays tiny — invisible to AQE's skew
+    * split, which keys on partition bytes (measured: a planted
+    * 20%-hot user serialized 99.9% of a 52M-row join into one task,
+    * straggler 0.87 — `SKEW_JOIN_r15.json`'s `plain` entry). Here the
+    * equi-key is (user_id, day): each click is exploded to the two
+    * calendar days whose purchases it can serve, each purchase keeps
+    * its own day, and the time bound stays as the residual predicate
+    * — a matching pair joins exactly once (via the purchase's day),
+    * so the output is value-identical for inner AND left-outer, while
+    * a hot user's work now splits across its active days (and at
+    * 100 TB across the whole retention window). Requires the window
+    * to fit within one day — the two-day cover is what makes the
+    * rewrite lossless. */
+  def purchaseClickJoinBucketed(
+      purchases: DataFrame, clicks: DataFrame, window: String,
+      joinType: String = "inner"): DataFrame = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(window))
+    require(iv.months == 0 &&
+        iv.days * 86400000000L + iv.microseconds <= 86400000000L,
+      s"day-bucketed interval join requires window <= 24 hours, got '$window'")
+    val p = purchases.withColumn("__pday", to_date(col("p_ts")))
+    val c = clicks.withColumn("__cday",
+      explode(array(to_date(col("c_ts")), date_add(to_date(col("c_ts")), 1))))
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("__pday") === col("__cday") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $window"),
+      joinType)
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("click_id"), col("c_ts"))
+  }
+
   /** Watermarked streaming form of [[purchaseClickJoin]]. With
     * `leftOuter`, a clickless purchase emits its null row only once
     * the watermark proves no in-window click can still arrive — the
@@ -210,7 +247,7 @@ object Windows {
       (s, d) => {
         import s.implicits._
         val ev = table(s, d, "events")
-        purchaseClickJoin(purchaseSide(ev), clickSide(ev), "24 hours")
+        purchaseClickJoinBucketed(purchaseSide(ev), clickSide(ev), "24 hours")
           .orderBy($"purchase_id", $"click_id")
       },
       Some("""SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
@@ -231,7 +268,7 @@ object Windows {
       (s, d) => {
         import s.implicits._
         val ev = table(s, d, "events")
-        purchaseClickJoin(purchaseSide(ev), clickSide(ev), "24 hours", "left_outer")
+        purchaseClickJoinBucketed(purchaseSide(ev), clickSide(ev), "24 hours", "left_outer")
           .orderBy($"purchase_id", $"click_id")
       },
       Some("""SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,

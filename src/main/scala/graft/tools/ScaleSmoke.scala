@@ -70,7 +70,8 @@ object ScaleSmoke {
       case "dedup" => dedupSaturation(args.drop(1))
       case "ann"   => annScale(args.drop(1))
       case "semdedup" => semDedupScale(args.drop(1))
-      case other   => sys.error(s"unknown mode '$other' (full|fulld|dedup|skew|ann|semdedup)")
+      case "joinskew" => joinSkew(args.drop(1))
+      case other   => sys.error(s"unknown mode '$other' (full|fulld|dedup|skew|ann|semdedup|joinskew)")
     }
   }
 
@@ -177,6 +178,94 @@ object ScaleSmoke {
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"SCALE semdedup wrote $outJson")
+  }
+
+  /** `joinskew <sfDir> <copies> <outJson>` — the adversarial-skew
+    * witness for the stream-stream-join batch twins: the events table
+    * is amplified `copies`× and ~20% of ALL rows are reassigned to ONE
+    * hot user (md5-bucket selection, so the plant is deterministic),
+    * then the purchase<-click interval join runs over it. user_id is
+    * the join key, so the hot user is one shuffle partition holding
+    * 20% of both sides AND a quadratic share of the output — exactly
+    * the shape AQE's skew-join split must break across tasks. The
+    * artifact records wall, the max-task/wall straggler fraction, and
+    * the hot user's share of the output. */
+  def joinSkew(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val outJson = args.drop(2).headOption.getOrElse("SKEW_JOIN_r15.json")
+    val hotUser = 999999999L
+    val ampDir = java.nio.file.Files.createTempDirectory("graft_jskew").toString
+    locally {
+      val s = buildSession()
+      try {
+        import s.implicits._
+        val ev = s.read.parquet(s"$sfDir/events.parquet")
+        val amp = ev.crossJoin(s.range(copies).select($"id".as("__copy")))
+          .select(
+            ($"event_id" + $"__copy" * lit(1000000000L)).as("event_id"),
+            $"ts", $"event_type",
+            // ~20% of rows -> the hot user; the rest keep per-copy
+            // disjoint user spaces (joins land exactly as at 1x)
+            when(conv(substring(md5(($"event_id" + $"__copy" * lit(1000000000L))
+              .cast("string")), 1, 4), 16, 10).cast("int") % 100 < 20, lit(hotUser))
+              .otherwise($"user_id" + $"__copy" * lit(1000000L)).as("user_id"),
+            $"value", $"props")
+        amp.repartition(32).write.mode("overwrite").parquet(s"$ampDir/events.parquet")
+      } finally s.stop()
+    }
+    println(s"SCALE joinskew: ${copies}x events, 20% on one user, at $ampDir")
+    val spark = buildSession()
+    val durations = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        durations.add(te.taskInfo.duration); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      import spark.implicits._
+      spark.range(1000).selectExpr("sum(id)").collect()
+      val ev = table(spark, ampDir, "events")
+      def measure(tag: String,
+          join: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+            String) => org.apache.spark.sql.DataFrame): (Double, Double, Long, Long) = {
+        def joined = join(
+          graft.streaming.Windows.purchaseSide(ev),
+          graft.streaming.Windows.clickSide(ev), "24 hours")
+        joined.write.format("noop").mode("overwrite").save() // codegen warmup
+        durations.clear()
+        val t0 = System.nanoTime()
+        val agg = joined.agg(count(lit(1)),
+          sum(when($"user_id" === hotUser, 1L).otherwise(0L))).head()
+        val t = (System.nanoTime() - t0) / 1e9
+        val (rows, hotRows) = (agg.getLong(0), agg.getLong(1))
+        val maxTask = { import scala.jdk.CollectionConverters._
+          durations.iterator().asScala.foldLeft(0L)(math.max) / 1e3 }
+        val straggler = maxTask / math.max(t, 1e-9)
+        println(f"SCALE joinskew[$tag]: $t%.2f s, straggler $straggler%.2f, " +
+          f"rows $rows%d (hot ${100.0 * hotRows / math.max(rows, 1)}%.1f%%)")
+        (t, straggler, rows, hotRows)
+      }
+      val (tp, sp, rp, hp) = measure("plain",
+        graft.streaming.Windows.purchaseClickJoin(_, _, _))
+      val (tb, sb, rb, hb) = measure("bucketed",
+        graft.streaming.Windows.purchaseClickJoinBucketed(_, _, _))
+      require(rp == rb && hp == hb,
+        s"bucketed rewrite changed the output: plain ($rp, $hp) vs bucketed ($rb, $hb)")
+      val json = f"""{
+  "mode": "join_hot_user", "copies": $copies%d, "hot_frac": 0.2,
+  "rows": $rp%d, "hot_rows": $hp%d,
+  "plain":    {"t": $tp%.3f, "straggler": $sp%.2f},
+  "bucketed": {"t": $tb%.3f, "straggler": $sb%.2f}
+}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"SCALE joinskew wrote $outJson")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.stop()
+    }
   }
 
   def annScale(args: Array[String]): Unit = {
