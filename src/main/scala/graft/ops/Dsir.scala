@@ -1,0 +1,180 @@
+package graft.ops
+
+import graft.QueryDef
+import graft.model.Tables.table
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+  * arXiv:2302.03169; PAPERS.md): select raw-pool documents whose
+  * hashed-n-gram distribution resembles a TARGET domain. Each document
+  * is a bag of hashed features (word unigrams + bigrams, md5-portable
+  * hash mod `buckets`); two add-one-smoothed feature models are
+  * counted — target (here: the `lang = 'en'` slice, the pool's
+  * dominant quality domain) and raw (the whole pool) — and a
+  * document's importance weight is the sum over its feature
+  * OCCURRENCES of the per-feature log-likelihood ratio
+  * `log p_target(f) - log p_raw(f)`. The top `topFrac` by
+  * length-normalized weight (avg bits/feature, doc_id tie-break) are
+  * flagged selected.
+  *
+  * Cross-engine exactness — the [[LmScore]] move, generalized to
+  * SIGNED ratios: no float `ln()` anywhere. The per-feature ratio is
+  * the exact rational `num/den = (c_t(f)+1)(N_r+B) / ((c_r(f)+1)(N_t+B))`
+  * and the weight is quantized to INTEGER bits `floor(log2(num/den))`,
+  * computed purely in integer arithmetic: candidate k0 =
+  * bitlen(num) - bitlen(den) (which is negative when the ratio is
+  * < 1 — raw-typical features), corrected by one exact shift-compare
+  * on whichever side the shift stays left (`den << k0 <= num` for
+  * k0 >= 0, `num << -k0 >= den` below). DuckDB replays every step
+  * bit-for-bit. The long products hold while each side's total
+  * feature count stays under ~2^31 (num, den < 2^63); a 100 TB
+  * deployment right-shifts BOTH counts by a common power of two
+  * first — same decision variable on a coarser grid, same machinery.
+  *
+  * Scale shape (100 TB): the hashed-feature frame is leased once and
+  * fans out to the raw counts, the target counts, and the scoring
+  * join. Both model tables are B rows — bounded by the hash-bucket
+  * count, NOT the corpus — so the per-feature ratio table broadcasts,
+  * and scoring is one map-side-combined aggregate over the feature
+  * stream. Selection is a single total-order window on (avg, doc_id)
+  * — the one rank the operator needs.
+  */
+object Dsir {
+
+  import TextAnalysis.tokens
+
+  /** (doc_id, is_target, f) — one row per hashed feature OCCURRENCE
+    * (unigrams then bigrams; order is irrelevant, scoring sums). */
+  private def hashedFeats(
+      toksDf: DataFrame, buckets: Int): DataFrame = {
+    import toksDf.sparkSession.implicits._
+    val h = graft.functions.PortableHash.md5Hash60(_: Column)
+    val uni = toksDf.select($"doc_id", $"is_target",
+      explode($"toks").as("w"))
+      .select($"doc_id", $"is_target", pmod(h($"w"), lit(buckets.toLong)).as("f"))
+    val m = greatest(size($"toks") - 1, lit(0))
+    val bg = toksDf
+      .select($"doc_id", $"is_target", explode(arrays_zip(
+        slice($"toks", lit(1), m).as("w1"),
+        slice($"toks", lit(2), m).as("w2"))).as("b"))
+      .select($"doc_id", $"is_target",
+        pmod(h(concat_ws(" ", $"b.w1", $"b.w2")), lit(buckets.toLong)).as("f"))
+    uni.unionByName(bg)
+  }
+
+  /** Per-document DSIR weights + selection flag. Output:
+    * (doc_id, n_feats, dsir_sum_bits, dsir_avg_bits, selected) for
+    * every document with at least one token. */
+  def dsirWeights(
+      docs: DataFrame, docId: Column, text: Column, isTarget: Column,
+      buckets: Int = 256, topFrac: Double = 0.25): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toksL = Checkpoints.lease("dsir_toks",
+      docs.select(docId.as("doc_id"), isTarget.as("is_target"),
+        tokens(text).as("toks")))
+    val featsL = Checkpoints.lease("dsir_feats", hashedFeats(toksL, buckets))
+    val cr = featsL.groupBy($"f").agg(count(lit(1)).as("crn"))
+    val ct = featsL.filter($"is_target").groupBy($"f").agg(count(lit(1)).as("ctn"))
+    val tot = featsL.agg(
+      count(lit(1)).as("nr"),
+      sum(when($"is_target", 1L).otherwise(0L)).as("nt"))
+    // B rows — the model table is bucket-bounded, broadcast it. The
+    // signed integer-bit log ratio: candidate k0 = bitlen(num) -
+    // bitlen(den) (negative for raw-typical features), corrected by
+    // one exact shift-compare on whichever side the shift stays left.
+    val lam = broadcast(
+      cr.join(ct, Seq("f"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("num",
+          (coalesce($"ctn", lit(0L)) + 1L) * ($"nr" + lit(buckets.toLong)))
+        .withColumn("den", ($"crn" + 1L) * ($"nt" + lit(buckets.toLong)))
+        .withColumn("k0", length(bin($"num")) - length(bin($"den")))
+        .withColumn("lam",
+          when($"k0" >= 0,
+            when(expr("shiftleft(den, k0)") <= $"num", $"k0").otherwise($"k0" - 1))
+            .otherwise(
+              when(expr("shiftleft(num, -k0)") >= $"den", $"k0").otherwise($"k0" - 1))
+            .cast("long"))
+        .select($"f", $"lam"))
+    val perDoc = featsL.join(lam, Seq("f"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        sum($"lam").cast("long").as("dsir_sum_bits"))
+      .withColumn("dsir_avg_bits",
+        $"dsir_sum_bits".cast("double") / $"n_feats")
+    val total = perDoc.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"dsir_avg_bits".desc, $"doc_id".asc)
+    perDoc
+      .withColumn("__rn", row_number().over(w))
+      .crossJoin(broadcast(total))
+      .withColumn("selected", $"__rn" <= ceil($"n_docs" * lit(topFrac)))
+      .select($"doc_id", $"n_feats", $"dsir_sum_bits", $"dsir_avg_bits", $"selected")
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // DSIR over the documents pool, target = the English slice: every
+    // document scored by its hashed-n-gram importance weight against
+    // the en model, top 25% by avg bits/feature flagged selected. The
+    // oracle replays hashing, both smoothed models, the signed
+    // integer-bit log ratio, and the selection window bit-for-bit.
+    QueryDef(
+      "t_dsir",
+      (s, d) => {
+        import s.implicits._
+        dsirWeights(table(s, d, "documents"), $"doc_id", $"text",
+          $"lang" === "en")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, lang = 'en' AS is_target,
+                       [x for x in string_split_regex(lower(text), '\s+') if x != ''] AS toks
+                FROM documents),
+              feats AS (
+                SELECT doc_id, is_target,
+                       ('0x' || substring(md5(w), 1, 15))::BIGINT % 256 AS f
+                FROM (SELECT doc_id, is_target, unnest(toks) AS w FROM t)
+                UNION ALL
+                SELECT doc_id, is_target,
+                       ('0x' || substring(md5(b.w1 || ' ' || b.w2), 1, 15))::BIGINT % 256 AS f
+                FROM (SELECT doc_id, is_target,
+                             unnest([{'w1': toks[i], 'w2': toks[i+1]}
+                                     for i in range(1, len(toks))]) AS b
+                      FROM t)),
+              cr AS (SELECT f, count(*) AS crn FROM feats GROUP BY f),
+              ct AS (SELECT f, count(*) AS ctn FROM feats WHERE is_target GROUP BY f),
+              tot AS (
+                SELECT count(*) AS nr,
+                       (SELECT count(*) FROM feats WHERE is_target) AS nt
+                FROM feats),
+              lam AS (
+                SELECT f, num, den,
+                       CASE WHEN k0 >= 0
+                            THEN CASE WHEN (den << k0) <= num THEN k0 ELSE k0 - 1 END
+                            ELSE CASE WHEN (num << -k0) >= den THEN k0 ELSE k0 - 1 END
+                       END AS lam
+                FROM (
+                  SELECT cr.f,
+                         (coalesce(ct.ctn, 0) + 1) * (tot.nr + 256) AS num,
+                         (cr.crn + 1) * (tot.nt + 256) AS den,
+                         length(bin((coalesce(ct.ctn, 0) + 1) * (tot.nr + 256)))
+                           - length(bin((cr.crn + 1) * (tot.nt + 256))) AS k0
+                  FROM cr LEFT JOIN ct USING (f) CROSS JOIN tot)),
+              perdoc AS (
+                SELECT feats.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_feats,
+                       CAST(sum(lam.lam) AS BIGINT) AS dsir_sum_bits,
+                       CAST(sum(lam.lam) AS DOUBLE) / count(*) AS dsir_avg_bits
+                FROM feats JOIN lam USING (f) GROUP BY feats.doc_id),
+              ranked AS (
+                SELECT *, row_number() OVER
+                         (ORDER BY dsir_avg_bits DESC, doc_id ASC) AS rn,
+                       count(*) OVER () AS n_docs
+                FROM perdoc)
+              SELECT doc_id, n_feats, dsir_sum_bits, dsir_avg_bits,
+                     rn <= ceil(n_docs * 0.25) AS selected
+              FROM ranked ORDER BY doc_id"""))
+  )
+}
