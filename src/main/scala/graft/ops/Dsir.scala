@@ -63,6 +63,33 @@ object Dsir {
     uni.unionByName(bg)
   }
 
+  /** The per-bucket ratio table — B rows, bucket-bounded, broadcast by
+    * every consumer. The signed integer-bit log ratio: candidate
+    * k0 = bitlen(num) - bitlen(den) (negative for raw-typical
+    * features), corrected by one exact shift-compare on whichever
+    * side the shift stays left. */
+  private def lamFrame(featsL: DataFrame, buckets: Int): DataFrame = {
+    import featsL.sparkSession.implicits._
+    val cr = featsL.groupBy($"f").agg(count(lit(1)).as("crn"))
+    val ct = featsL.filter($"is_target").groupBy($"f").agg(count(lit(1)).as("ctn"))
+    val tot = featsL.agg(
+      count(lit(1)).as("nr"),
+      sum(when($"is_target", 1L).otherwise(0L)).as("nt"))
+    cr.join(ct, Seq("f"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("num",
+        (coalesce($"ctn", lit(0L)) + 1L) * ($"nr" + lit(buckets.toLong)))
+      .withColumn("den", ($"crn" + 1L) * ($"nt" + lit(buckets.toLong)))
+      .withColumn("k0", length(bin($"num")) - length(bin($"den")))
+      .withColumn("lam",
+        when($"k0" >= 0,
+          when(expr("shiftleft(den, k0)") <= $"num", $"k0").otherwise($"k0" - 1))
+          .otherwise(
+            when(expr("shiftleft(num, -k0)") >= $"den", $"k0").otherwise($"k0" - 1))
+          .cast("long"))
+      .select($"f", $"lam")
+  }
+
   /** Per-document DSIR weights + selection flag. Output:
     * (doc_id, n_feats, dsir_sum_bits, dsir_avg_bits, selected) for
     * every document with at least one token. */
@@ -74,30 +101,7 @@ object Dsir {
       docs.select(docId.as("doc_id"), isTarget.as("is_target"),
         tokens(text).as("toks")))
     val featsL = Checkpoints.lease("dsir_feats", hashedFeats(toksL, buckets))
-    val cr = featsL.groupBy($"f").agg(count(lit(1)).as("crn"))
-    val ct = featsL.filter($"is_target").groupBy($"f").agg(count(lit(1)).as("ctn"))
-    val tot = featsL.agg(
-      count(lit(1)).as("nr"),
-      sum(when($"is_target", 1L).otherwise(0L)).as("nt"))
-    // B rows — the model table is bucket-bounded, broadcast it. The
-    // signed integer-bit log ratio: candidate k0 = bitlen(num) -
-    // bitlen(den) (negative for raw-typical features), corrected by
-    // one exact shift-compare on whichever side the shift stays left.
-    val lam = broadcast(
-      cr.join(ct, Seq("f"), "left")
-        .crossJoin(broadcast(tot))
-        .withColumn("num",
-          (coalesce($"ctn", lit(0L)) + 1L) * ($"nr" + lit(buckets.toLong)))
-        .withColumn("den", ($"crn" + 1L) * ($"nt" + lit(buckets.toLong)))
-        .withColumn("k0", length(bin($"num")) - length(bin($"den")))
-        .withColumn("lam",
-          when($"k0" >= 0,
-            when(expr("shiftleft(den, k0)") <= $"num", $"k0").otherwise($"k0" - 1))
-            .otherwise(
-              when(expr("shiftleft(num, -k0)") >= $"den", $"k0").otherwise($"k0" - 1))
-            .cast("long"))
-        .select($"f", $"lam"))
-    val perDoc = featsL.join(lam, Seq("f"))
+    val perDoc = featsL.join(broadcast(lamFrame(featsL, buckets)), Seq("f"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_feats"),
         sum($"lam").cast("long").as("dsir_sum_bits"))
@@ -111,6 +115,90 @@ object Dsir {
       .crossJoin(broadcast(total))
       .withColumn("selected", $"__rn" <= ceil($"n_docs" * lit(topFrac)))
       .select($"doc_id", $"n_feats", $"dsir_sum_bits", $"dsir_avg_bits", $"selected")
+  }
+
+  /** The broadcast DSIR model: per-bucket integer-bit log ratios plus
+    * the smoothing-only default for buckets no corpus feature hashed
+    * into (an out-of-corpus arrival can still produce them). B
+    * entries — bounded by the hash-bucket count, never the corpus. */
+  case class DsirModel(lam: java.util.HashMap[Long, Long], default: Long,
+    buckets: Int) extends Serializable
+
+  /** Collect the per-bucket ratio table into a [[DsirModel]] behind a
+    * loud cap (the frame is `buckets` rows by construction; a
+    * mis-wired corpus-sized frame must fail here, not OOM the
+    * driver). */
+  def buildDsirModel(
+      docs: DataFrame, docId: Column, text: Column, isTarget: Column,
+      buckets: Int = 256, maxEntries: Long = 1L << 22): DsirModel = {
+    import docs.sparkSession.implicits._
+    val toksL = Checkpoints.lease("dsir_model_toks",
+      docs.select(docId.as("doc_id"), isTarget.as("is_target"),
+        tokens(text).as("toks")))
+    val featsL = Checkpoints.lease("dsir_model_feats", hashedFeats(toksL, buckets))
+    val lamDf = lamFrame(featsL, buckets)
+    val n = lamDf.agg(count(lit(1))).head().getLong(0)
+    require(n <= maxEntries,
+      s"DSIR ratio table holds $n entries (> $maxEntries) — that is not " +
+        "a hash-bucketed model; lower `buckets`")
+    val m = new java.util.HashMap[Long, Long]()
+    lamDf.collect().foreach(r => m.put(r.getLong(0), r.getLong(1)))
+    val tot = featsL.agg(count(lit(1)).as("nr"),
+      sum(when($"is_target", 1L).otherwise(0L)).as("nt")).head()
+    val (nr, nt) = (tot.getLong(0), tot.getLong(1))
+    // default = both counts zero under the same smoothing
+    def floorLog2(num: Long, den: Long): Long = {
+      var k0 = (63 - java.lang.Long.numberOfLeadingZeros(num)) -
+        (63 - java.lang.Long.numberOfLeadingZeros(den))
+      val ok = if (k0 >= 0) (den << k0) <= num else (num << -k0) >= den
+      if (ok) k0 else k0 - 1
+    }
+    DsirModel(m, floorLog2(nr + buckets, nt + buckets), buckets)
+  }
+
+  /** Score each row of a batch OR streaming frame against the frozen
+    * broadcast model: tokenize, hash unigrams + bigrams with the
+    * portable JVM hash twin ([[graft.functions.PortableHash
+    * .md5Hash60Jvm]] — bit-identical to the column expression and the
+    * oracle), sum the per-bucket bits. Documents with no tokens emit
+    * nothing. Stateless map, batch == stream — the DSIR twin of
+    * [[graft.streaming.LmServe.withOnlineLmScore]]. */
+  def withOnlineDsirScore(
+      docs: DataFrame, id: Column, text: Column, model: DsirModel): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val bModel = docs.sparkSession.sparkContext.broadcast(model)
+    val prepped = docs.select(id.as("__id"), tokens(text).as("__toks"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_feats", LongType, nullable = false),
+      StructField("dsir_sum_bits", LongType, nullable = false),
+      StructField("dsir_avg_bits", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    prepped.mapPartitions { rows =>
+      val m = bModel.value
+      val b = m.buckets.toLong
+      def lamOf(s: String): Long = {
+        val f = graft.functions.PortableHash.md5Hash60Jvm(s) % b
+        m.lam.getOrDefault(f, m.default)
+      }
+      rows.flatMap { r =>
+        val did = r.getLong(0)
+        val toks = r.getSeq[String](1)
+        if (toks.isEmpty) Iterator.empty
+        else {
+          var sum = 0L
+          var n = 0L
+          var i = 0
+          while (i < toks.length) {
+            sum += lamOf(toks(i)); n += 1
+            if (i > 0) { sum += lamOf(toks(i - 1) + " " + toks(i)); n += 1 }
+            i += 1
+          }
+          Iterator.single(Row(did, n, sum, sum.toDouble / n))
+        }
+      }
+    }(enc)
   }
 
   val queries: Seq[QueryDef] = Seq(
@@ -128,7 +216,43 @@ object Dsir {
           $"lang" === "en")
           .orderBy($"doc_id")
       },
-      Some("""WITH t AS (
+      Some(s"""WITH $dsirPerDocCtes,
+              ranked AS (
+                SELECT *, row_number() OVER
+                         (ORDER BY dsir_avg_bits DESC, doc_id ASC) AS rn,
+                       count(*) OVER () AS n_docs
+                FROM perdoc)
+              SELECT doc_id, n_feats, dsir_sum_bits, dsir_avg_bits,
+                     rn <= ceil(n_docs * 0.25) AS selected
+              FROM ranked ORDER BY doc_id""")),
+
+    // ONLINE DSIR scoring under batch execution: the first 100
+    // documents replayed as arrivals against the frozen ratio table
+    // trained on the FULL pool (buildDsirModel's loud-capped collect).
+    // Every arrival is in-corpus, so the weights are exactly t_dsir's
+    // rows for those ids — the oracle is the batch replay restricted,
+    // holding the JVM hash+shift scorer to bit-equality with the
+    // column-algebra form.
+    QueryDef(
+      "w_dsir",
+      (s, d) => {
+        import s.implicits._
+        val docs = table(s, d, "documents")
+        val model = buildDsirModel(docs, $"doc_id", $"text", $"lang" === "en")
+        withOnlineDsirScore(docs.filter($"doc_id" < 100), $"doc_id", $"text", model)
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH $dsirPerDocCtes
+              SELECT doc_id, n_feats, dsir_sum_bits, dsir_avg_bits
+              FROM perdoc WHERE doc_id < 100 ORDER BY doc_id"""))
+  )
+
+  /** Shared oracle CTE chain: tokenize + hashed features + both
+    * smoothed models + the signed integer-bit ratio + per-doc sums —
+    * everything up to `perdoc`, shared verbatim by t_dsir (which adds
+    * the selection window) and w_dsir (which restricts to the served
+    * arrivals). */
+  private lazy val dsirPerDocCtes: String = """t AS (
                 SELECT doc_id, lang = 'en' AS is_target,
                        [x for x in string_split_regex(lower(text), '\s+') if x != ''] AS toks
                 FROM documents),
@@ -167,14 +291,5 @@ object Dsir {
                        CAST(count(*) AS BIGINT) AS n_feats,
                        CAST(sum(lam.lam) AS BIGINT) AS dsir_sum_bits,
                        CAST(sum(lam.lam) AS DOUBLE) / count(*) AS dsir_avg_bits
-                FROM feats JOIN lam USING (f) GROUP BY feats.doc_id),
-              ranked AS (
-                SELECT *, row_number() OVER
-                         (ORDER BY dsir_avg_bits DESC, doc_id ASC) AS rn,
-                       count(*) OVER () AS n_docs
-                FROM perdoc)
-              SELECT doc_id, n_feats, dsir_sum_bits, dsir_avg_bits,
-                     rn <= ceil(n_docs * 0.25) AS selected
-              FROM ranked ORDER BY doc_id"""))
-  )
+                FROM feats JOIN lam USING (f) GROUP BY feats.doc_id)"""
 }
