@@ -27,8 +27,10 @@ import org.apache.spark.sql.functions._
   * < 1 — raw-typical features), corrected by one exact shift-compare
   * on whichever side the shift stays left (`den << k0 <= num` for
   * k0 >= 0, `num << -k0 >= den` below). DuckDB replays every step
-  * bit-for-bit. The long products hold while each side's total
-  * feature count stays under ~2^31 (num, den < 2^63); a 100 TB
+  * bit-for-bit. The long products hold while the total feature count
+  * plus `buckets` stays under 2^31 (then num, den < 2^62) — ENFORCED
+  * loudly, both in the plan ([[lamFrame]]'s assert_true guard) and at
+  * model-collect time ([[buildDsirModel]]'s require); a 100 TB
   * deployment right-shifts BOTH counts by a common power of two
   * first — same decision variable on a coarser grid, same machinery.
   *
@@ -37,8 +39,10 @@ import org.apache.spark.sql.functions._
   * join. Both model tables are B rows — bounded by the hash-bucket
   * count, NOT the corpus — so the per-feature ratio table broadcasts,
   * and scoring is one map-side-combined aggregate over the feature
-  * stream. Selection is a single total-order window on (avg, doc_id)
-  * — the one rank the operator needs.
+  * stream. Selection — the one corpus-wide rank the operator needs —
+  * rides [[Selection.topFracByOrder]]'s two-phase bucketed plan: the
+  * only globally-ordered structure is the ~32k-row bucket-totals
+  * table, never a single-partition sort of the per-doc frame.
   */
 object Dsir {
 
@@ -75,10 +79,22 @@ object Dsir {
     val tot = featsL.agg(
       count(lit(1)).as("nr"),
       sum(when($"is_target", 1L).otherwise(0L)).as("nt"))
+    // loud overflow guard, IN the plan so column pruning can't drop
+    // it: the long products are exact only while nr + B < 2^31 (then
+    // num <= (nt+1)(nr+B) < 2^62 and den likewise, since ctn <= nt <=
+    // nr and crn <= nr). assert_true returns NULL when the bound
+    // holds, so the `when` below is the identity — and a corpus past
+    // the bound fails HERE with the documented mitigation instead of
+    // silently wrapping.
+    val guard = assert_true($"nr" + lit(buckets.toLong) < lit(1L << 31),
+      lit("DSIR ratio table: total feature count + buckets >= 2^31 — the " +
+        "exact long products would overflow; right-shift both counts by a " +
+        "common power of two first (same decision variable on a coarser " +
+        "grid) or raise the quantization grid"))
     cr.join(ct, Seq("f"), "left")
       .crossJoin(broadcast(tot))
-      .withColumn("num",
-        (coalesce($"ctn", lit(0L)) + 1L) * ($"nr" + lit(buckets.toLong)))
+      .withColumn("num", when(guard.isNull,
+        (coalesce($"ctn", lit(0L)) + 1L) * ($"nr" + lit(buckets.toLong))))
       .withColumn("den", ($"crn" + 1L) * ($"nt" + lit(buckets.toLong)))
       .withColumn("k0", length(bin($"num")) - length(bin($"den")))
       .withColumn("lam",
@@ -107,13 +123,16 @@ object Dsir {
         sum($"lam").cast("long").as("dsir_sum_bits"))
       .withColumn("dsir_avg_bits",
         $"dsir_sum_bits".cast("double") / $"n_feats")
-    val total = perDoc.agg(count(lit(1)).as("n_docs"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy($"dsir_avg_bits".desc, $"doc_id".asc)
-    perDoc
-      .withColumn("__rn", row_number().over(w))
-      .crossJoin(broadcast(total))
-      .withColumn("selected", $"__rn" <= ceil($"n_docs" * lit(topFrac)))
+    // top-fraction selection via the bucketed two-phase rank
+    // ([[Selection.topFracByOrder]]) — NOT an unpartitioned window.
+    // The bucket is the avg quantized to 1/256 bit, negated for the
+    // descending order: per-feature bits satisfy |lam| <= 63, so the
+    // bucket table holds at most ~2 * 63 * 256 ≈ 32k totals no matter
+    // the corpus size, and floor() is monotone in -avg, so earlier
+    // (higher-avg) rows never land in a later bucket.
+    Selection.topFracByOrder(perDoc,
+      floor(-$"dsir_avg_bits" * lit(256.0)),
+      Seq($"dsir_avg_bits".desc, $"doc_id".asc), topFrac, "selected")
       .select($"doc_id", $"n_feats", $"dsir_sum_bits", $"dsir_avg_bits", $"selected")
   }
 
@@ -146,6 +165,11 @@ object Dsir {
     val tot = featsL.agg(count(lit(1)).as("nr"),
       sum(when($"is_target", 1L).otherwise(0L)).as("nt")).head()
     val (nr, nt) = (tot.getLong(0), tot.getLong(1))
+    require(nr + buckets < (1L << 31),
+      s"DSIR model: total feature count $nr + $buckets buckets >= 2^31 — " +
+        "the exact long products would overflow; right-shift both counts " +
+        "by a common power of two first (same decision variable on a " +
+        "coarser grid)")
     // default = both counts zero under the same smoothing
     def floorLog2(num: Long, den: Long): Long = {
       var k0 = (63 - java.lang.Long.numberOfLeadingZeros(num)) -

@@ -176,6 +176,8 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val toks = counts
       .withColumn("__bucket", floor(col("doc_id") / lit(bucketWidth)))
+    // bounded-global-window: runs over the per-bucket totals table
+    // (min(distinct ids, idRange / bucketWidth) rows), never the corpus
     val wB = Window.orderBy(col("__bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = toks.groupBy(col("__bucket"))
@@ -217,6 +219,8 @@ object TextAnalysis {
       .withColumn("__h",
         graft.functions.PortableHash.md5Hash60(col("doc_id").cast("string")))
       .withColumn("__bucket", expr(s"shiftright(__h, $bucketShift)"))
+    // bounded-global-window: runs over the per-bucket totals table
+    // (at most 2^(60 - bucketShift) rows), never the corpus
     val wB = Window.orderBy(col("__bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = counts.groupBy(col("__bucket"))

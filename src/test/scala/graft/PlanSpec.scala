@@ -146,6 +146,25 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("t_dsir: selection rank is bucketed two-phase — corpus never crosses a single-partition window") {
+    val p = plan("t_dsir")
+    // the corpus-side row_number is PARTITIONED by the quantized-score
+    // bucket (round 15 shipped this as an unpartitioned global window
+    // — a single-task sort of the whole per-doc frame at 100 TB)
+    assert(p.contains("windowspecdefinition(__sel_bucket"), p)
+    assert(p.contains("Exchange hashpartitioning(__sel_bucket"), p)
+    // SinglePartition exchanges only above AGGREGATED bounded frames:
+    // the 1-row nr/nt totals (twice pre-AQE — exchange reuse collapses
+    // it at runtime) and the ~32k-row bucket-offset table
+    assert(count(p, "Exchange SinglePartition") <= 3, p)
+    // the corpus count rides the broadcast bucket table — no third
+    // scan, no extra cross join beyond lamFrame's 1-row totals frame
+    // (which appears twice pre-AQE, once per consumer of the leased
+    // feature frame, and collapses to a ReusedExchange at runtime)
+    assert(count(p, "BroadcastNestedLoopJoin") <= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
+  }
+
   test("q_rolling_range: RANGE frame ranks inside one key shuffle") {
     val p = plan("q_rolling_range")
     assert(p.contains("Window"), p)
