@@ -25,11 +25,14 @@ import org.apache.spark.sql.types._
   *
   * Per-position counts (not one row count) reproduce the explode
   * form's semantics exactly: a short row contributes to positions it
-  * has, a NULL element is summed as 0 but still counted (the explode
-  * form's `count(lit(1))` counts the row at that position while `sum`
-  * skips its NULL), and a NULL array contributes nothing at all.
-  * Buffers grow to the longest row seen, so ragged corpora keep the
-  * explode form's per-position denominators.
+  * has, a NULL element is skipped by the sum but still counted (the
+  * explode form's `count(lit(1))` counts the row at that position
+  * while `sum` skips its NULL), a position whose EVERY row is NULL
+  * yields a NULL sum (a `sum()` over only NULLs is NULL, not 0 — a
+  * per-position non-null tally distinguishes it from a true zero sum),
+  * and a NULL array contributes nothing at all. Buffers grow to the
+  * longest row seen, so ragged corpora keep the explode form's
+  * per-position denominators.
   *
   * Output: struct(sums array<long>, counts array<long>); the caller
   * divides `sums / (counts * 1e6)` to get the quantized mean — the
@@ -46,7 +49,7 @@ case class QuantVecSumAgg(
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = StructType(Seq(
-    StructField("sums", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("sums", ArrayType(LongType, containsNull = true), nullable = false),
     StructField("counts", ArrayType(LongType, containsNull = false), nullable = false)))
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -55,7 +58,8 @@ case class QuantVecSumAgg(
       s"quantVecSum requires array<double>, got ${t.sql}")
   }
 
-  override def createAggregationBuffer(): Buf = new Buf(new Array[Long](0), new Array[Long](0))
+  override def createAggregationBuffer(): Buf =
+    new Buf(new Array[Long](0), new Array[Long](0), new Array[Long](0))
 
   override def update(buf: Buf, input: InternalRow): Buf = {
     val v = child.eval(input)
@@ -65,8 +69,10 @@ case class QuantVecSumAgg(
     val b = buf.grow(n)
     var i = 0
     while (i < n) {
-      if (!arr.isNullAt(i))
+      if (!arr.isNullAt(i)) {
         b.sums(i) += math.floor(arr.getDouble(i) * 1e6).toLong
+        b.nonNull(i) += 1L
+      }
       b.counts(i) += 1L
       i += 1
     }
@@ -79,6 +85,7 @@ case class QuantVecSumAgg(
     while (i < b.sums.length) {
       m.sums(i) += b.sums(i)
       m.counts(i) += b.counts(i)
+      m.nonNull(i) += b.nonNull(i)
       i += 1
     }
     m
@@ -86,24 +93,33 @@ case class QuantVecSumAgg(
 
   override def eval(buf: Buf): Any =
     InternalRow(
-      new GenericArrayData(buf.sums.map(l => l: Any)),
+      // an all-NULL position is a NULL sum, exactly like sum() over
+      // only NULLs in the explode form — not a zero
+      new GenericArrayData(buf.sums.indices.map(i =>
+        if (buf.nonNull(i) == 0L) null else (buf.sums(i): Any)).toArray),
       new GenericArrayData(buf.counts.map(l => l: Any)))
 
   override def serialize(buf: Buf): Array[Byte] = {
     val n = buf.sums.length
-    val bb = java.nio.ByteBuffer.allocate(4 + 16 * n)
+    val bb = java.nio.ByteBuffer.allocate(4 + 24 * n)
     bb.putInt(n)
     var i = 0
-    while (i < n) { bb.putLong(buf.sums(i)); bb.putLong(buf.counts(i)); i += 1 }
+    while (i < n) {
+      bb.putLong(buf.sums(i)); bb.putLong(buf.counts(i))
+      bb.putLong(buf.nonNull(i)); i += 1
+    }
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Buf = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val n = bb.getInt()
-    val b = new Buf(new Array[Long](n), new Array[Long](n))
+    val b = new Buf(new Array[Long](n), new Array[Long](n), new Array[Long](n))
     var i = 0
-    while (i < n) { b.sums(i) = bb.getLong(); b.counts(i) = bb.getLong(); i += 1 }
+    while (i < n) {
+      b.sums(i) = bb.getLong(); b.counts(i) = bb.getLong()
+      b.nonNull(i) = bb.getLong(); i += 1
+    }
     b
   }
 
@@ -118,12 +134,15 @@ case class QuantVecSumAgg(
 }
 
 object QuantVecSumAgg {
-  /** Mutable (sums, counts) pair; grows to the longest vector seen. */
-  final class Buf(var sums: Array[Long], var counts: Array[Long]) {
+  /** Mutable (sums, counts, non-null counts) triple; grows to the
+    * longest vector seen. */
+  final class Buf(var sums: Array[Long], var counts: Array[Long],
+      var nonNull: Array[Long]) {
     def grow(n: Int): Buf = {
       if (n > sums.length) {
         sums = java.util.Arrays.copyOf(sums, n)
         counts = java.util.Arrays.copyOf(counts, n)
+        nonNull = java.util.Arrays.copyOf(nonNull, n)
       }
       this
     }

@@ -80,7 +80,14 @@ object NearDup {
     * supply a non-null `ts` for every row that should age. The cycle
     * itself lives in ONE place, [[AgedBand.process]], shared by all
     * six online processors. */
-  case class Aging(ts: Column, horizonMs: Long) {
+  /** Event-time aging config. `lateness` is only consulted by
+    * processors that must RE-declare the watermark themselves because
+    * their prep severs event-time propagation (a typed MapElements
+    * drops the watermark tag — see [[semDedupOnline]]); the banded
+    * processors' pure-column prep lets the caller's source watermark
+    * flow through and ignore it. */
+  case class Aging(ts: Column, horizonMs: Long,
+      lateness: String = "10 seconds") {
     require(horizonMs > 0, s"aging horizon must be positive, got $horizonMs")
   }
 
@@ -649,14 +656,23 @@ object NearDup {
     * construction (a quantizer is trained, not corpus-sized), and a
     * mis-wired corpus-sized frame must fail here, not OOM the driver. */
   def collectCentroids(cents: DataFrame, maxCents: Int = 1 << 20): Array[CentEntry] = {
-    val rows = cents.select(explode(col("cents")).as("c"))
+    // ONE action: a count() before the collect() would execute the
+    // whole Lloyd training subtree twice when `cents` is the un-leased
+    // trained frame. The cap check runs on the collected length — the
+    // payload it bounds is exactly what was just materialized, and the
+    // single-ROW frame (one array of nlist cells) can't meaningfully
+    // exceed it without having OOM'd the row first; the guard exists
+    // to fail a mis-wired corpus-sized frame loudly before BROADCAST.
+    val collected = cents.select(explode(col("cents")).as("c"))
       .select(col("c.c_label"), col("c.cv"), col("c.cn"))
-    val n = rows.count()
-    require(n > 0, "online SemDeDup needs a non-degenerate trained quantizer")
-    require(n <= maxCents,
-      s"online SemDeDup centroid frame holds $n cells (> $maxCents): " +
-        "that is not a trained quantizer — train nlist cells, not one per row")
-    rows.collect()
+      .collect()
+    require(collected.nonEmpty,
+      "online SemDeDup needs a non-degenerate trained quantizer")
+    require(collected.length <= maxCents,
+      s"online SemDeDup centroid frame holds ${collected.length} cells " +
+        s"(> $maxCents): that is not a trained quantizer — train nlist " +
+        "cells, not one per row")
+    collected
       .map(r => CentEntry(r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .sortBy(_.label)
   }
@@ -709,7 +725,14 @@ object NearDup {
     * State is bounded by maxPerCell and, with `aging`, the event-time
     * horizon + whole-key timeout — the same [[AgedBand]] cycle every
     * online index runs. Runs on a streaming OR batch frame unchanged;
-    * batch runs are heap-guarded. */
+    * batch runs are heap-guarded.
+    *
+    * Watermark: the executor-side cell assignment is a typed
+    * MapElements, which severs Spark's event-time propagation (a
+    * source-side withWatermark does NOT survive it), so under
+    * streaming WITH aging this operator re-declares the watermark on
+    * its own post-map `ts` from [[Aging.lateness]] — callers set the
+    * horizon and lateness here, not on the source. */
   def semDedupOnline(
       embeddings: DataFrame, id: Column, vec: Column,
       cents: Array[CentEntry], threshold: Double,
@@ -726,11 +749,16 @@ object NearDup {
       .withColumn("norm", graft.ops.Similarity.l2norm(col("v")))
     requireIndexFits("SemDeDup cell",
       size(col("v")).cast("long"), prepped, maxIndexBytes)
-    prepped
+    val assigned = prepped
       .select(col("vec_id"), col("v"), col("norm"), col("ts"))
       .as[(Long, Array[Double], Double, java.sql.Timestamp)]
       .map { case (vid, v, nrm, t) =>
         CellVec(assignCellJvm(v, cents), vid, v, nrm, t) }
+    val watermarked =
+      if (embeddings.isStreaming && aging.isDefined)
+        assigned.withWatermark("ts", aging.get.lateness)
+      else assigned
+    watermarked
       .groupByKey(_.cell)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf(embeddings, aging))(
         processSemDedupCell(threshold, maxPerCell,

@@ -107,7 +107,15 @@ object Windows {
     * a hot user's work now splits across its active days (and at
     * 100 TB across the whole retention window). Requires the window
     * to fit within one day — the two-day cover is what makes the
-    * rewrite lossless. */
+    * rewrite lossless.
+    *
+    * The "day" is a LONG day number whose buckets are provably 24h of
+    * the type's own timeline, so the cover survives any session
+    * timezone: wall-clock days for TIMESTAMP_NTZ (its interval
+    * arithmetic is wall-clock, so every day is exactly 24h by
+    * construction) and PHYSICAL epoch days (floor(epoch/86400)) for
+    * zoned timestamps — where a calendar `to_date` would shrink to
+    * 23h across a DST transition and silently drop a boundary match. */
   def purchaseClickJoinBucketed(
       purchases: DataFrame, clicks: DataFrame, window: String,
       joinType: String = "inner"): DataFrame = {
@@ -116,9 +124,20 @@ object Windows {
     require(iv.months == 0 &&
         iv.days * 86400000000L + iv.microseconds <= 86400000000L,
       s"day-bucketed interval join requires window <= 24 hours, got '$window'")
-    val p = purchases.withColumn("__pday", to_date(col("p_ts")))
+    val (ptype, ctype) = (purchases.schema("p_ts").dataType,
+      clicks.schema("c_ts").dataType)
+    require(ptype == ctype,
+      s"day-bucketed interval join requires matching timestamp types, " +
+        s"got $ptype vs $ctype")
+    val dayOf: Column => Column = ptype match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        ts => datediff(ts.cast("date"), lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast("long")
+      case _ => ts => floor(unix_timestamp(ts) / lit(86400L))
+    }
+    val p = purchases.withColumn("__pday", dayOf(col("p_ts")))
     val c = clicks.withColumn("__cday",
-      explode(array(to_date(col("c_ts")), date_add(to_date(col("c_ts")), 1))))
+      explode(array(dayOf(col("c_ts")), dayOf(col("c_ts")) + lit(1L))))
     p.join(c,
       col("user_id") === col("c_user") &&
         col("__pday") === col("__cday") &&

@@ -63,6 +63,23 @@ class VecSumAggSpec extends AnyFunSuite with SparkSpec {
     assert(a == b)
   }
 
+  test("an all-null position yields a NULL mean, exactly like the explode form's sum() over only NULLs") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Seq(Some(1.25), None)),
+      (0L, Seq(Some(-2.5), None)) // position 1 is NULL in EVERY row
+    ).toDF("cell", "v").select($"cell", $"v".cast("array<double>").as("v"))
+    val ours = graft.ops.Similarity.quantMeanCv(df, Seq("cell"))
+    val theirs = explodeForm(df, Seq("cell"), "v")
+    // position 0 is a real mean; position 1 must be NULL (not 0.0 — a
+    // zero would be indistinguishable from a true zero-sum position)
+    val row = ours.select(element_at($"cv", 1), element_at($"cv", 2)).head()
+    assert(row.getDouble(0) == (1250000L - 2500000L) / (2 * 1e6))
+    assert(row.isNullAt(1), s"all-null position was ${row.get(1)}, expected NULL")
+    val trow = theirs.select(element_at($"cv", 1), element_at($"cv", 2)).head()
+    assert(trow.isNullAt(1) && trow.getDouble(0) == row.getDouble(0))
+  }
+
   test("per-subspace keys (the PQ codebook shape) match the explode form") {
     import spark.implicits._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -394,4 +394,133 @@ class StreamIndexRocksDbSpec extends AnyFunSuite with SparkSpec {
           s"extra=${(got -- expect).take(5)}")
     }
   }
+
+  test("SemDeDup cell index on RocksDB: kill/restart mid-stream, survivor set == batch replay") {
+    import spark.implicits._
+    withRocksDb {
+      val dir = Files.createTempDirectory("graft_rocks_semdd").toString
+      val (in, out, ckpt) = (s"$dir/in", s"$dir/out", s"$dir/ckpt")
+
+      // frozen quantizer trained offline on the full corpus — the
+      // production cycle w_semdedup documents (train once, serve the
+      // stream against the broadcast centroids)
+      val emb = graft.model.Tables.table(spark, sf, "embeddings")
+        .select($"vec_id", $"embedding")
+      val cents = NearDup.collectCentroids(graft.ops.Similarity.kmeansCents(
+        emb.select($"vec_id",
+          graft.ops.Similarity.asDouble($"embedding").as("v"))))
+
+      // id-ordered arrival in 3 file batches, incl. a verbatim twin of
+      // vec 0 landing AFTER the kill — its drop requires the cell
+      // index recovered from RocksDB to still hold vec 0
+      val rows = emb.as[(Long, Seq[Float])].collect().sortBy(_._1)
+      val twin = (1000000L, rows.find(_._1 == 0L).get._2)
+      val chunks = rows.grouped((rows.length + 2) / 3).toSeq
+      assert(chunks.length == 3)
+      def land(chunk: Seq[(Long, Seq[Float])]): Unit =
+        chunk.toDF("vec_id", "embedding").coalesce(1)
+          .write.mode("append").parquet(in)
+
+      land(chunks(0))
+      val schema = spark.read.parquet(in).schema
+      def start() = NearDup
+        .semDedupOnline(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(in),
+          $"vec_id", $"embedding", cents, 0.4)
+        .toDF()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+
+      val q1 = start()
+      q1.processAllAvailable()
+      val progress = q1.lastProgress
+      assert(progress != null && progress.stateOperators.nonEmpty,
+        "expected the cell-index stateful operator")
+      land(chunks(1))
+      q1.processAllAvailable()
+      q1.stop() // kill mid-stream: the cell index lives only in RocksDB
+
+      land(chunks(2) :+ twin)
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+
+      val got = spark.read.parquet(out).select($"vec_id", $"cell")
+        .as[(Long, Long)].collect().toSet
+      val expect = NearDup.semDedupOnline(
+          (rows :+ twin).toSeq.toDF("vec_id", "embedding"),
+          $"vec_id", $"embedding", cents, 0.4)
+        .toDF().select($"vec_id", $"cell").as[(Long, Long)].collect().toSet
+      assert(expect.nonEmpty)
+      assert(!got.exists(_._1 == 1000000L),
+        "post-restart twin survived: the recovered cell index lost vec 0")
+      assert(got == expect,
+        s"SemDeDup RocksDB recovery diverged: missing=${(expect -- got).take(5)} " +
+          s"extra=${(got -- expect).take(5)}")
+    }
+  }
+
+  test("AGED SemDeDup cell index on RocksDB: EventTimeTimeout state survives restart on the retained window") {
+    import spark.implicits._
+    withRocksDb {
+      val dir = Files.createTempDirectory("graft_rocks_semdda").toString
+      val (in, out, ckpt) = (s"$dir/in", s"$dir/out", s"$dir/ckpt")
+
+      val emb = graft.model.Tables.table(spark, sf, "embeddings")
+        .select($"vec_id", $"embedding")
+      val cents = NearDup.collectCentroids(graft.ops.Similarity.kmeansCents(
+        emb.select($"vec_id",
+          graft.ops.Similarity.asDouble($"embedding").as("v"))))
+
+      // synthesized monotone ts (epoch + 1e6 + vec_id seconds) with
+      // the w_semdedup_aged horizon: a vector only falls to cell-mates
+      // within 150 s before it
+      val horizonMs = 150000L
+      val rows = emb
+        .withColumn("ets", timestamp_seconds(lit(1000000L) + $"vec_id"))
+        .as[(Long, Seq[Float], java.sql.Timestamp)].collect().sortBy(_._1)
+      val chunks = rows.grouped((rows.length + 2) / 3).toSeq
+      def land(chunk: Seq[(Long, Seq[Float], java.sql.Timestamp)]): Unit =
+        chunk.toDF("vec_id", "embedding", "ets").coalesce(1)
+          .write.mode("append").parquet(in)
+
+      land(chunks(0))
+      val schema = spark.read.parquet(in).schema
+      // no source-side watermark: the operator re-declares it from
+      // Aging.lateness (its typed cell-assignment map severs
+      // event-time propagation — the contract its scaladoc pins)
+      def start() = NearDup
+        .semDedupOnline(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(in),
+          $"vec_id", $"embedding", cents, 0.4,
+          aging = Some(NearDup.Aging($"ets", horizonMs)))
+        .toDF()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+
+      val q1 = start()
+      q1.processAllAvailable()
+      land(chunks(1))
+      q1.processAllAvailable()
+      q1.stop()
+      land(chunks(2))
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+
+      val got = spark.read.parquet(out).select($"vec_id", $"cell")
+        .as[(Long, Long)].collect().toSet
+      val expect = NearDup.semDedupOnline(
+          emb.withColumn("ets", timestamp_seconds(lit(1000000L) + $"vec_id")),
+          $"vec_id", $"embedding", cents, 0.4,
+          aging = Some(NearDup.Aging($"ets", horizonMs)))
+        .toDF().select($"vec_id", $"cell").as[(Long, Long)].collect().toSet
+      assert(expect.nonEmpty)
+      assert(got == expect,
+        s"aged SemDeDup RocksDB recovery diverged: missing=${(expect -- got).take(5)} " +
+          s"extra=${(got -- expect).take(5)}")
+    }
+  }
 }
