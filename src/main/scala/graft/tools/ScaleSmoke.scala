@@ -71,7 +71,8 @@ object ScaleSmoke {
       case "ann"   => annScale(args.drop(1))
       case "semdedup" => semDedupScale(args.drop(1))
       case "joinskew" => joinSkew(args.drop(1))
-      case other   => sys.error(s"unknown mode '$other' (full|fulld|dedup|skew|ann|semdedup|joinskew)")
+      case "dsir"  => dsirScale(args.drop(1))
+      case other   => sys.error(s"unknown mode '$other' (full|fulld|dedup|skew|ann|semdedup|joinskew|dsir)")
     }
   }
 
@@ -92,6 +93,99 @@ object ScaleSmoke {
     * size is m × ksub × dsub — dimension-bound, INDEPENDENT of N — so
     * its honesty number here is just the 100× build+serve time at the
     * contract codebook. */
+  /** `dsir <sfDir> <copies> <outJson>` — the 100× pass on t_dsir's
+    * bucketed two-phase selection (the round-15 verdict's missing
+    * artifact: its predecessor was an unpartitioned global window —
+    * a single-task sort of the whole per-doc frame — and this mode
+    * exists to show the [[graft.ops.Selection]] rewrite scales).
+    * Amplifies documents `copies`× with VERBATIM text (ids shifted):
+    * the ratio-model table stays `buckets` rows regardless, feature
+    * volume grows linearly, and — the adversarial part — every
+    * selection-order bucket now holds `copies` exact-tie rows per 1×
+    * doc, the worst tie-density the bucketed rank can see (ties
+    * concentrate in the per-bucket LOCAL sorts, which must stay
+    * parallel across buckets). What must hold: wall ratio ≲ copies
+    * (linear work, no quadratic or single-task stage), no straggler
+    * task dominating the run, and the selected fraction still exactly
+    * ceil(0.25·n). */
+  def dsirScale(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.drop(1).headOption.map(_.toInt).getOrElse(100)
+    val outJson = args.drop(2).headOption.getOrElse("SCALE100DSIR.json")
+    val off = 1000000000L
+    val ampDir = java.nio.file.Files.createTempDirectory("graft_dsamp").toString
+    locally {
+      val s = buildSession()
+      try {
+        import s.implicits._
+        val df = s.read.parquet(s"$sfDir/documents.parquet")
+        df.crossJoin(s.range(copies).select($"id".as("__copy")))
+          .select(df.schema.fields.toSeq.map { f =>
+            if (f.name == "doc_id")
+              (col(f.name) + $"__copy" * lit(off)).cast(f.dataType).as(f.name)
+            else col(f.name)
+          }: _*)
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$ampDir/documents.parquet")
+      } finally s.stop()
+    }
+    println(s"SCALE dsir: ${copies}x documents at $ampDir")
+
+    def run(dir: String): (Double, Double, Long, Long) = {
+      val spark = buildSession()
+      val durations = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          durations.add(te.taskInfo.duration); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        import spark.implicits._
+        spark.range(1000).selectExpr("sum(id)").collect()
+        var rows = 0L
+        var selected = 0L
+        def force(): Double = {
+          val t0 = System.nanoTime()
+          val out = graft.ops.Dsir.dsirWeights(
+            table(spark, dir, "documents"), $"doc_id", $"text",
+            $"lang" === "en")
+          val agg = out.agg(count(lit(1)),
+            sum(when($"selected", 1L).otherwise(0L))).head()
+          rows = agg.getLong(0); selected = agg.getLong(1)
+          (System.nanoTime() - t0) / 1e9
+        }
+        force() // codegen warmup
+        durations.clear()
+        val t = force()
+        val maxTask = { import scala.jdk.CollectionConverters._
+          durations.iterator().asScala.foldLeft(0L)(math.max) / 1e3 }
+        println(f"SCALE dsir $dir: $t%.2f s " +
+          f"(straggler ${maxTask / math.max(t, 1e-9)}%.2f, rows $rows%d, selected $selected%d)")
+        (t, maxTask / math.max(t, 1e-9), rows, selected)
+      } finally {
+        spark.sparkContext.removeSparkListener(listener)
+        spark.stop()
+      }
+    }
+
+    val (t1, st1, rows1, sel1) = run(sfDir)
+    val (tN, stN, rowsN, selN) = run(ampDir)
+    require(selN == math.ceil(rowsN * 0.25).toLong,
+      s"selected $selN != ceil(0.25 * $rowsN) at ${copies}x")
+    val json =
+      f"""{
+  "mode": "dsir_bucketed_selection", "copies": $copies%d,
+  "t1": $t1%.3f, "tN": $tN%.3f, "ratio": ${tN / math.max(t1, 1e-9)}%.2f,
+  "straggler_1x": $st1%.2f, "straggler_Nx": $stN%.2f,
+  "rows_1x": $rows1%d, "rows_Nx": $rowsN%d,
+  "selected_1x": $sel1%d, "selected_Nx": $selN%d
+}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"SCALE dsir wrote $outJson")
+  }
+
   /** `semdedup <sfDir> <copies> <outJson>` — the scaled-parameter
     * honesty pass on dd_semdedup, mirroring [[annScale]]: the
     * oracle-pinned query runs nlist = 10, but SemDeDup's whole scaling
