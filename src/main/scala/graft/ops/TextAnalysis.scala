@@ -238,6 +238,37 @@ object TextAnalysis {
       .drop("__bucket", "__boff", "__h")
   }
 
+  /** CURRICULUM-ordered shard packing — the training-order composition
+    * of the quality family with the packing family: documents are laid
+    * out highest-[[qualityScoreOf]] first (clean-first curriculum; the
+    * common LLM-pretraining schedule that front-loads the cleanest
+    * data), doc_id tie-break, and each gets its global token offset
+    * and fixed-budget shard IN THAT ORDER. The corpus-wide running sum
+    * over a VALUE order (not the id order [[packShardsByCount]]
+    * buckets by, nor [[packShardsShuffled]]'s uniform hash) is exactly
+    * [[Selection.withRunningTotals]]'s job: the bucket is the quality
+    * score quantized to 1/1024 (monotone in the descending order,
+    * ≤ 1025 buckets no matter the corpus — score lives in [0,1]), so
+    * the only global structure is the bounded bucket-totals window and
+    * the per-bucket offset sums run parallel. The oracle replays the
+    * layout with one global window — the bucketed decomposition must
+    * equal it exactly, which also holds the quality doubles to
+    * cross-engine bit-equality through an ORDER, not just a filter. */
+  def packShardsCurriculum(
+      docs: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      budget: Long): org.apache.spark.sql.DataFrame =
+    Selection.withRunningTotals(
+      docs.withColumn("__toks", tokens(text))
+        .select(id.as("doc_id"),
+          size(col("__toks")).cast("long").as("n_tokens"),
+          qualityScoreOf(text, col("__toks")).as("quality")),
+      floor(-col("quality") * lit(1024.0)),
+      Seq(col("quality").desc, col("doc_id").asc),
+      col("n_tokens"), "token_offset", "__ct_total")
+      .withColumn("shard",
+        floor(col("token_offset").cast("double") / lit(budget.toDouble)).cast("long"))
+      .drop("__ct_total")
+
   /** The fixed t_bm25 query: five mid-frequency corpus terms, so tf,
     * df and n_hit all vary across documents. */
   private[graft] val bm25Terms: Seq[String] =
@@ -534,6 +565,38 @@ object TextAnalysis {
                        CAST(coalesce(SUM(n_tokens) OVER (ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
                 FROM t)
               SELECT doc_id, n_tokens, token_offset,
+                     CAST(floor(CAST(token_offset AS DOUBLE) / 5000.0) AS BIGINT) AS shard
+              FROM o ORDER BY doc_id""")),
+
+    // Curriculum packing (see packShardsCurriculum): training order =
+    // cleanest-first by the composite quality score, offsets/shards
+    // via the quantized-quality bucketed running sum. The oracle's
+    // single global window pins the bucketed decomposition AND the
+    // cross-engine bit-equality of the quality doubles under ordering.
+    QueryDef(
+      "t_pack_curriculum",
+      (s, d) => {
+        import s.implicits._
+        packShardsCurriculum(table(s, d, "documents"), $"doc_id", $"text",
+            budget = 5000L)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, text,
+                       [x for x in string_split_regex(lower(text), '\s+') if x != ''] AS toks
+                FROM documents),
+              q AS (
+                SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                       least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+                         + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+                         + least(CAST(len([x for x in toks if list_contains(['the','and','of','to','in','is','that','it','was','for'], x)]) AS DOUBLE)
+                                 / CAST(greatest(len(toks), 1) AS DOUBLE) * 4.0, 1.0) * 0.3 AS quality
+                FROM t),
+              o AS (
+                SELECT doc_id, n_tokens, quality,
+                       CAST(coalesce(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
+                FROM q)
+              SELECT doc_id, n_tokens, quality, token_offset,
                      CAST(floor(CAST(token_offset AS DOUBLE) / 5000.0) AS BIGINT) AS shard
               FROM o ORDER BY doc_id""")),
 

@@ -165,6 +165,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
   }
 
+  test("t_pack_curriculum: quality-ordered prefix sum is bucketed two-phase") {
+    val p = plan("t_pack_curriculum")
+    // the corpus-side running sum is PARTITIONED by the quantized
+    // quality bucket; only the bounded bucket-totals table crosses a
+    // single-partition exchange
+    assert(p.contains("windowspecdefinition(__sel_bucket"), p)
+    assert(p.contains("Exchange hashpartitioning(__sel_bucket"), p)
+    assert(count(p, "Exchange SinglePartition") <= 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
+  }
+
   test("q_rolling_range: RANGE frame ranks inside one key shuffle") {
     val p = plan("q_rolling_range")
     assert(p.contains("Window"), p)
