@@ -173,7 +173,145 @@ object LmScore {
           FROM ${p}k GROUP BY doc_id)"""
   }
 
+  /** EXCESS-surprisal data selection — the document-level form of
+    * RHO-style excess-loss selection (Lin et al. 2024, "Rho-1: Not All
+    * Tokens Are What You Need", arXiv:2404.07965; PAPERS.md): score
+    * every document under TWO bigram add-one LMs — the raw-pool model
+    * and a reference model trained on the target slice — and select
+    * the top `topFrac` by `excess = pool bits − reference bits`
+    * (desc, doc_id tie-break): the documents the reference model
+    * explains most strongly RELATIVE to the pool model. This is the
+    * sequence-LM sibling of [[Dsir]] (which ratios bag-of-feature
+    * counts); both engines replay the integer-bit surprisals
+    * bit-for-bit, and the excess is one IEEE subtraction of two exact
+    * divisions.
+    *
+    * Scale shape: ONE tokenize pass leased and fanned out (the
+    * [[Dsir]] move — two [[withLmScoreAgainst]] calls would lease the
+    * corpus twice and break the lease-lifetime contract); both models
+    * come from the SAME count tables (pool count + target-slice count
+    * per n-gram, map-side combined), scoring is one equi-join per
+    * table, and the top-fraction rank is
+    * [[Selection.topFracByOrder]]'s bucketed two-phase plan — excess
+    * lives in (−64, 64) bits, so the 1/64-quantized bucket table holds
+    * ≤ ~8k rows no matter the corpus. */
+  def excessLmSelect(
+      docs: DataFrame, docId: Column, text: Column, isTarget: Column,
+      topFrac: Double = 0.25): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toksL = Checkpoints.lease("xlm_toks",
+      docs.select(docId.as("doc_id"), isTarget.as("is_target"),
+        tokens(text).as("toks")))
+    val bg = bigramPairs(toksL)
+    val uni = Checkpoints.lease("xlm_uni",
+      toksL.select($"is_target", explode($"toks").as("w1"))
+        .groupBy($"w1").agg(
+          count(lit(1)).as("cwp"),
+          sum(when($"is_target", 1L).otherwise(0L)).as("cwt")))
+    val vocab = uni.agg(
+      count(lit(1)).as("vsp"),
+      sum(when($"cwt" > 0L, 1L).otherwise(0L)).as("vst"))
+    val m = greatest(size($"toks") - 1, lit(0))
+    val cnt = toksL
+      .select($"is_target", explode(arrays_zip(
+        slice($"toks", lit(1), m).as("w1"),
+        slice($"toks", lit(2), m).as("w2"))).as("b"))
+      .groupBy($"b.w1".as("w1"), $"b.w2".as("w2"))
+      .agg(count(lit(1)).as("cbp"),
+        sum(when($"is_target", 1L).otherwise(0L)).as("cbt"))
+    def bits(n: Column, d: Column): Column = {
+      val k0 = length(bin(d)) - length(bin(n))
+      when(call_function("shiftleft", n, k0) <= d, k0)
+        .otherwise(k0 - 1).cast("long")
+    }
+    val perDoc = bg
+      .join(cnt, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("bits_p", bits($"cbp" + 1L, $"cwp" + $"vsp"))
+      .withColumn("bits_t", bits($"cbt" + 1L, $"cwt" + $"vst"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum($"bits_p").cast("long").as("__sp"),
+        sum($"bits_t").cast("long").as("__st"))
+      .withColumn("pool_bits", $"__sp".cast("double") / $"n_bigrams")
+      .withColumn("target_bits", $"__st".cast("double") / $"n_bigrams")
+      .withColumn("excess_bits", $"pool_bits" - $"target_bits")
+      .select($"doc_id", $"n_bigrams", $"pool_bits", $"target_bits",
+        $"excess_bits")
+    Selection.topFracByOrder(perDoc,
+      floor(-$"excess_bits" * lit(64.0)),
+      Seq($"excess_bits".desc, $"doc_id".asc), topFrac, "selected")
+  }
+
   val queries: Seq[QueryDef] = Seq(
+
+    // RHO-style excess-surprisal selection (see excessLmSelect):
+    // target = the en slice, top 25% by pool-minus-target bits. The
+    // oracle replays both integer-bit models from the same counts and
+    // the selection window bit-for-bit.
+    QueryDef(
+      "t_select_excess",
+      (s, d) => {
+        import s.implicits._
+        excessLmSelect(table(s, d, "documents"), $"doc_id", $"text",
+          $"lang" === "en")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, lang = 'en' AS is_target,
+                       [x for x in string_split_regex(lower(text), '\s+') if x != ''] AS toks
+                FROM documents),
+              uni AS (
+                SELECT w1, count(*) AS cwp,
+                       CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS cwt
+                FROM (SELECT is_target, unnest(toks) AS w1 FROM t) GROUP BY w1),
+              v AS (
+                SELECT count(*) AS vsp,
+                       CAST(sum(CASE WHEN cwt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vst
+                FROM uni),
+              bg AS (
+                SELECT doc_id, is_target, b.w1 AS w1, b.w2 AS w2
+                FROM (SELECT doc_id, is_target,
+                             unnest([{'w1': toks[i], 'w2': toks[i+1]}
+                                     for i in range(1, len(toks))]) AS b
+                      FROM t)),
+              cnt AS (
+                SELECT w1, w2, count(*) AS cbp,
+                       CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS cbt
+                FROM bg GROUP BY w1, w2),
+              sc AS (
+                SELECT bg.doc_id,
+                       CAST(cnt.cbp + 1 AS BIGINT) AS np,
+                       CAST(uni.cwp + v.vsp AS BIGINT) AS dp,
+                       CAST(cnt.cbt + 1 AS BIGINT) AS nt,
+                       CAST(uni.cwt + v.vst AS BIGINT) AS dt
+                FROM bg JOIN cnt USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v),
+              k AS (
+                SELECT doc_id,
+                       CASE WHEN (np << (length(bin(dp)) - length(bin(np)))) <= dp
+                            THEN length(bin(dp)) - length(bin(np))
+                            ELSE length(bin(dp)) - length(bin(np)) - 1 END AS bits_p,
+                       CASE WHEN (nt << (length(bin(dt)) - length(bin(nt)))) <= dt
+                            THEN length(bin(dt)) - length(bin(nt))
+                            ELSE length(bin(dt)) - length(bin(nt)) - 1 END AS bits_t
+                FROM sc),
+              perdoc AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                       CAST(sum(bits_p) AS DOUBLE) / count(*) AS pool_bits,
+                       CAST(sum(bits_t) AS DOUBLE) / count(*) AS target_bits,
+                       CAST(sum(bits_p) AS DOUBLE) / count(*)
+                         - CAST(sum(bits_t) AS DOUBLE) / count(*) AS excess_bits
+                FROM k GROUP BY doc_id),
+              ranked AS (
+                SELECT *, row_number() OVER
+                         (ORDER BY excess_bits DESC, doc_id ASC) AS rn,
+                       count(*) OVER () AS n_docs
+                FROM perdoc)
+              SELECT doc_id, n_bigrams, pool_bits, target_bits, excess_bits,
+                     rn <= ceil(n_docs * 0.25) AS selected
+              FROM ranked ORDER BY doc_id""")),
+
     QueryDef(
       "t_lm_score",
       (s, d) => {

@@ -176,6 +176,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
   }
 
+  test("t_select_excess: one tokenize lease, both models from shared counts, bucketed selection") {
+    val p = plan("t_select_excess")
+    // selection rank partitioned by the quantized-excess bucket
+    assert(p.contains("windowspecdefinition(__sel_bucket"), p)
+    assert(p.contains("Exchange hashpartitioning(__sel_bucket"), p)
+    // the leased tokenize pass feeds every consumer (no source re-read)
+    assert(p.contains("Scan ExistingRDD"), p)
+    // both count tables combine map-side before their shuffles
+    assert(count(p, "partial_count") >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
+  }
+
   test("q_rolling_range: RANGE frame ranks inside one key shuffle") {
     val p = plan("q_rolling_range")
     assert(p.contains("Window"), p)
