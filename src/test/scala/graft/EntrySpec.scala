@@ -27,8 +27,11 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
     assert(Bench.floors.nonEmpty, "bench_floors.txt missing or empty")
     assert(Bench.floors.values.forall(_ > 0))
     // every floor must name a live query — a renamed/dropped query whose
-    // floor lingers would silently lose its outlier defense partner
-    val stale = Bench.floors.keySet -- SparkEntry.queries.keySet
+    // floor lingers would silently lose its outlier defense partner.
+    // "__"-prefixed entries are non-query floors (the box-calibration
+    // probe), exempt by convention.
+    val stale = Bench.floors.keySet.filterNot(_.startsWith("__")) --
+      SparkEntry.queries.keySet
     assert(stale.isEmpty, s"floors for unknown queries: $stale")
   }
 }
