@@ -244,21 +244,13 @@ object LmScore {
       Seq($"excess_bits".desc, $"doc_id".asc), topFrac, "selected")
   }
 
-  val queries: Seq[QueryDef] = Seq(
-
-    // RHO-style excess-surprisal selection (see excessLmSelect):
-    // target = the en slice, top 25% by pool-minus-target bits. The
-    // oracle replays both integer-bit models from the same counts and
-    // the selection window bit-for-bit.
-    QueryDef(
-      "t_select_excess",
-      (s, d) => {
-        import s.implicits._
-        excessLmSelect(table(s, d, "documents"), $"doc_id", $"text",
-          $"lang" === "en")
-          .orderBy($"doc_id")
-      },
-      Some("""WITH t AS (
+  /** Shared oracle CTE chain for the excess family: tokenize with the
+    * target flag, shared pool+target count tables, both integer-bit
+    * surprisals, per-doc sums — everything up to `perdoc`, shared
+    * verbatim by t_select_excess (which adds the selection window) and
+    * the online twin `w_select_excess` (which restricts to the served
+    * arrivals). */
+  private[graft] lazy val excessPerDocCtes: String = """t AS (
                 SELECT doc_id, lang = 'en' AS is_target,
                        [x for x in string_split_regex(lower(text), '\s+') if x != ''] AS toks
                 FROM documents),
@@ -302,7 +294,23 @@ object LmScore {
                        CAST(sum(bits_t) AS DOUBLE) / count(*) AS target_bits,
                        CAST(sum(bits_p) AS DOUBLE) / count(*)
                          - CAST(sum(bits_t) AS DOUBLE) / count(*) AS excess_bits
-                FROM k GROUP BY doc_id),
+                FROM k GROUP BY doc_id)"""
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // RHO-style excess-surprisal selection (see excessLmSelect):
+    // target = the en slice, top 25% by pool-minus-target bits. The
+    // oracle replays both integer-bit models from the same counts and
+    // the selection window bit-for-bit.
+    QueryDef(
+      "t_select_excess",
+      (s, d) => {
+        import s.implicits._
+        excessLmSelect(table(s, d, "documents"), $"doc_id", $"text",
+          $"lang" === "en")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH $excessPerDocCtes,
               ranked AS (
                 SELECT *, row_number() OVER
                          (ORDER BY excess_bits DESC, doc_id ASC) AS rn,

@@ -174,6 +174,50 @@ object LmServe {
     }(enc)
   }
 
+  private val excessSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("pool_bits", DoubleType, nullable = false),
+    StructField("target_bits", DoubleType, nullable = false),
+    StructField("excess_bits", DoubleType, nullable = false)))
+
+  /** Score each row of a batch OR streaming frame under TWO frozen
+    * broadcast models — the pool LM and the target-slice reference LM
+    * — emitting per-doc pool/target/excess bits: the online twin of
+    * [[graft.ops.LmScore.excessLmSelect]]'s scoring stage (selection
+    * is a corpus-order statistic and stays batch-side; an online
+    * deployment thresholds on a frozen excess cutoff instead). Both
+    * models ride [[LmModel]] unchanged — the target model is just the
+    * LM trained on the target slice, so its add-one smoothing,
+    * vocabulary size, and OOV handling are exactly the batch form's
+    * shared-count algebra (cwt/cbt with vst). Documents with fewer
+    * than two tokens emit nothing. Stateless map, batch == stream. */
+  def withOnlineExcessScore(
+      docs: DataFrame, id: Column, text: Column,
+      pool: LmModel, target: LmModel): DataFrame = {
+    val bPool = docs.sparkSession.sparkContext.broadcast(pool)
+    val bTarget = docs.sparkSession.sparkContext.broadcast(target)
+    val prepped = docs.select(id.as("__id"),
+      graft.functions.TextShingles.wordTokens(text).as("__toks"))
+    val enc = org.apache.spark.sql.Encoders.row(excessSchema)
+    prepped.mapPartitions { rows =>
+      val mp = bPool.value
+      val mt = bTarget.value
+      rows.flatMap { r =>
+        val did = r.getLong(0)
+        val toks = r.getSeq[String](1)
+        if (toks.length < 2) Iterator.empty
+        else {
+          val (nb, sp) = scorePairs(toks, mp)
+          val (_, st) = scorePairs(toks, mt)
+          val pb = sp.toDouble / nb
+          val tb = st.toDouble / nb
+          Iterator.single(Row(did, nb, pb, tb, pb - tb))
+        }
+      }
+    }(enc)
+  }
+
   private val lmStoreSeq = new java.util.concurrent.atomic.AtomicLong()
 
   private lazy val lmOracle: String = lmOracleFor("documents")
@@ -233,6 +277,27 @@ object LmServe {
           .orderBy($"doc_id")
       },
       Some(lmOracle)),
+
+    // ONLINE excess scoring under batch execution: the first 100
+    // documents replayed as arrivals against TWO frozen models (pool
+    // + en-slice reference, both loud-capped collects). Every arrival
+    // is in-corpus, so the rows are exactly t_select_excess's perdoc
+    // rows for those ids — the shared oracle holds the JVM two-model
+    // shift-loop scorer to bit-equality with the column-algebra form.
+    QueryDef(
+      "w_select_excess",
+      (s, d) => {
+        import s.implicits._
+        val docs = table(s, d, "documents")
+        val pool = buildLmModel(docs, $"text")
+        val target = buildLmModel(docs.filter($"lang" === "en"), $"text")
+        withOnlineExcessScore(docs.filter($"doc_id" < 100), $"doc_id",
+            $"text", pool, target)
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH ${graft.ops.LmScore.excessPerDocCtes}
+              SELECT doc_id, n_bigrams, pool_bits, target_bits, excess_bits
+              FROM perdoc WHERE doc_id < 100 ORDER BY doc_id""")),
 
     // The durable LM-serving cycle: the model's two count frames are
     // WRITTEN to parquet and RELOADED before the broadcast model is
