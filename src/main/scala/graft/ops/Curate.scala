@@ -1,0 +1,168 @@
+package graft.ops
+
+import graft.QueryDef
+import graft.functions.PortableHash
+import graft.model.Tables.table
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs between
+  * dedup and packing: deterministic weighted sampling and
+  * length-bucketed batch assignment. Both ride the
+  * [[Selection]] two-phase bucketed decomposition — no corpus-sized
+  * structure ever crosses a single-partition exchange — and both are
+  * fully hash-oracled: the order key is the portable 60-bit md5 hash,
+  * so DuckDB replays the identical sample / batch assignment.
+  */
+object Curate {
+
+  /** Portable per-document order hash (shared by both operators):
+    * deterministic, uncorrelated with doc_id order, identical in
+    * DuckDB ([[PortableHash]]). */
+  private def orderHash(docId: Column): Column =
+    PortableHash.md5Hash60(docId.cast("string"))
+
+  /** Deterministic SYSTEMATIC weighted sampling: order the corpus by
+    * the portable hash (a fixed random permutation), take the running
+    * token-weight sum S_i, and select every document whose weight
+    * interval (S_i, S_i + w_i] crosses a multiple of total/m — the
+    * classic systematic (fixed-interval) sample, inclusion probability
+    * proportional to token weight, no RNG, no driver round-trip.
+    * Exactly <= m documents are selected (one per crossed boundary; a
+    * document heavier than the stride absorbs several boundaries but
+    * is emitted once).
+    *
+    * Scale shape: the running sum is [[Selection.withRunningTotals]]'s
+    * bucketed two-phase plan keyed on the hash's high bits (<= 2^16
+    * buckets regardless of corpus size), and the corpus total rides
+    * the same broadcast bucket table — two scans of the leased
+    * (doc_id, weight, hash) projection, zero unpartitioned windows.
+    * The boundary test is exact long arithmetic; the in-plan
+    * assert_true fails loudly past w_total * m ~ 2^62 (right-shift the
+    * weights first — the sample is stride-scale-invariant) instead of
+    * silently wrapping. */
+  def systematicSample(
+      docs: DataFrame, docId: Column, text: Column, m: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    require(m > 0, s"sample size m must be positive, got $m")
+    val in = Checkpoints.lease("curate_sample",
+      docs.select(docId.as("doc_id"),
+        size(TextAnalysis.tokens(text)).cast("long").as("n_tokens"),
+        orderHash(docId).as("__h")))
+    val run = Selection.withRunningTotals(in, shiftright($"__h", 44),
+      Seq($"__h".asc, $"doc_id".asc), $"n_tokens", "w_before", "w_total")
+    val guard = assert_true(
+      $"w_total" > 0L && $"w_total" < lit(Long.MaxValue / (2L * m)),
+      lit(s"systematic sample: total weight * m would overflow exact long " +
+        s"arithmetic (or the corpus has zero total weight) — right-shift " +
+        s"the per-document weights by a common power of two first (the " +
+        s"selected set is invariant under a common weight scale)"))
+    run
+      .withColumn("selected", when(guard.isNull,
+        expr(s"((w_before + n_tokens) * $m) div w_total") >
+          expr(s"(w_before * $m) div w_total")))
+      .select($"doc_id", $"n_tokens", $"w_before", $"selected")
+  }
+
+  /** Length-bucketed batch assignment (the padding-minimizing batching
+    * a training loop wants): documents are banded by token length
+    * (`n_tokens div bandWidth`, capped at `maxBand`), ordered inside
+    * each band by the portable hash, and grouped into consecutive
+    * batches of `batchSize`. Same-batch documents therefore have
+    * near-equal lengths — padding waste is bounded by bandWidth — and
+    * the hash order makes each batch an unbiased draw from its band.
+    *
+    * Scale shape: the in-band rank is the GLOBAL two-phase rank along
+    * (band, hash, doc_id) minus the band's start offset — a
+    * [[Selection.withGlobalRank]] over hash-prefix buckets plus one
+    * broadcast join against the (maxBand+1)-row band-offset table.
+    * The naive `row_number() OVER (PARTITION BY band)` would put a
+    * corpus-sized fraction through one task per band at 100 TB; here
+    * the only unpartitioned windows run over the bounded bucket and
+    * band tables. */
+  def lengthBatches(
+      docs: DataFrame, docId: Column, text: Column,
+      bandWidth: Int = 64, maxBand: Int = 16, batchSize: Int = 32): DataFrame = {
+    import docs.sparkSession.implicits._
+    require(bandWidth > 0 && maxBand >= 0 && batchSize > 0,
+      s"bad batching params ($bandWidth, $maxBand, $batchSize)")
+    val in = Checkpoints.lease("curate_bylen",
+      docs.select(docId.as("doc_id"),
+          size(TextAnalysis.tokens(text)).cast("long").as("n_tokens"),
+          orderHash(docId).as("__h"))
+        .withColumn("len_band",
+          least(expr(s"n_tokens div $bandWidth"), lit(maxBand.toLong))))
+    val ranked = Selection.withGlobalRank(in,
+      $"len_band" * lit(65536L) + shiftright($"__h", 44),
+      Seq($"len_band".asc, $"__h".asc, $"doc_id".asc), "__grank")
+    // bounded-global-window: band offsets — one aggregate down to
+    // <= maxBand+1 rows, then the only other global window in the plan
+    // runs over that bounded band table, never the corpus
+    val wPrev = Window.orderBy($"len_band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boff = in.groupBy($"len_band").agg(count(lit(1)).as("__bn"))
+      .withColumn("__boff", coalesce(sum($"__bn").over(wPrev), lit(0L)))
+      .select($"len_band", $"__boff")
+    ranked.join(broadcast(boff), Seq("len_band"))
+      .withColumn("batch", expr(s"(__grank - __boff - 1) div $batchSize"))
+      .select($"doc_id", $"n_tokens", $"len_band", $"batch")
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // Systematic weighted sampling (see systematicSample): m = 200
+    // boundaries over the token-weight line, hash order. The oracle
+    // replays the permutation, the running sum, and the exact integer
+    // boundary test in one global window (sound at oracle scale; the
+    // engine side is the bucketed two-phase plan).
+    QueryDef(
+      "t_sample_weighted",
+      (s, d) => {
+        import s.implicits._
+        systematicSample(table(s, d, "documents"), $"doc_id", $"text", m = 200)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id,
+                       CAST(len([x for x in string_split_regex(lower(text), '\s+') if x != '']) AS BIGINT) AS n_tokens,
+                       ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+                FROM documents),
+              o AS (
+                SELECT doc_id, n_tokens,
+                       CAST(coalesce(SUM(n_tokens) OVER (ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS w_before,
+                       CAST(SUM(n_tokens) OVER () AS BIGINT) AS w_total
+                FROM t)
+              SELECT doc_id, n_tokens, w_before,
+                     ((w_before + n_tokens) * 200) // w_total > (w_before * 200) // w_total AS selected
+              FROM o ORDER BY doc_id""")),
+
+    // Length-bucketed batching (see lengthBatches): 64-token bands
+    // capped at band 16, batches of 32 in portable-hash order. The
+    // oracle's per-band row_number pins the two-phase global-rank
+    // decomposition (global rank minus band offset == in-band rank).
+    QueryDef(
+      "t_batch_bylen",
+      (s, d) => {
+        import s.implicits._
+        lengthBatches(table(s, d, "documents"), $"doc_id", $"text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id,
+                       CAST(len([x for x in string_split_regex(lower(text), '\s+') if x != '']) AS BIGINT) AS n_tokens,
+                       ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+                FROM documents),
+              b AS (
+                SELECT doc_id, n_tokens,
+                       CAST(least(n_tokens // 64, 16) AS BIGINT) AS len_band, h
+                FROM t),
+              r AS (
+                SELECT doc_id, n_tokens, len_band,
+                       row_number() OVER (PARTITION BY len_band ORDER BY h, doc_id) AS rib
+                FROM b)
+              SELECT doc_id, n_tokens, len_band,
+                     CAST((rib - 1) // 32 AS BIGINT) AS batch
+              FROM r ORDER BY doc_id"""))
+  )
+}

@@ -247,10 +247,12 @@ trait DedupClusterPart { this: Dedup.type =>
         .select(col("id_b").as("doc_id")).distinct()
     }
 
-  /** The dd_cluster pipeline body, parameterized by the connected-
-    * components algorithm (min-label propagation or star contraction —
-    * both return (id, label=component min)). */
-  private def clusterQuery(cc: (DataFrame, DataFrame) => DataFrame)(
+  /** The dd_cluster member frame (doc_id, cluster), UNORDERED,
+    * parameterized by the connected-components algorithm (min-label
+    * propagation or star contraction — both return
+    * (id, label=component min)). Shared by the cluster queries and the
+    * keep-best survivor policy below. */
+  private def clusterMembers(cc: (DataFrame, DataFrame) => DataFrame)(
       s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = table(s, d, "documents")
@@ -271,10 +273,19 @@ trait DedupClusterPart { this: Dedup.type =>
       .select($"doc_id", $"cluster")
     val singletons = members.join(eligible, Seq("__min"), "left_anti")
       .select($"doc_id", $"doc_id".as("cluster"))
-    inherited.unionByName(singletons).orderBy($"doc_id")
+    inherited.unionByName(singletons)
   }
 
-  private lazy val clusterOracle: String = {
+  /** The dd_cluster pipeline body ([[clusterMembers]] in registry
+    * output order). */
+  private def clusterQuery(cc: (DataFrame, DataFrame) => DataFrame)(
+      s: SparkSession, d: String): DataFrame =
+    clusterMembers(cc)(s, d).orderBy(col("doc_id"))
+
+  /** Oracle CTE chain ending in `cmemb AS (doc_id, cluster)` — the
+    * member-frame replay shared by the cluster queries and
+    * dd_cluster_keepbest. */
+  private lazy val clusterMemberCtes: String = {
     val reps = """(SELECT doc_id, text FROM (
                     SELECT doc_id, text,
                            min(doc_id) OVER (PARTITION BY md5(lower(text))) AS mn
@@ -291,14 +302,18 @@ trait DedupClusterPart { this: Dedup.type =>
           UNION
           SELECT eg.dst, r.label FROM reach r JOIN eg ON eg.src = r.id
         ),
-        repl AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id)
-        SELECT g.doc_id, r.cluster
-        FROM gm g JOIN ne ON ne.doc_id = g.mn JOIN repl r ON r.id = g.mn
-        UNION ALL
-        SELECT g.doc_id, g.doc_id AS cluster
-        FROM gm g LEFT JOIN ne ON ne.doc_id = g.mn WHERE ne.doc_id IS NULL
-        ORDER BY doc_id"""
+        repl AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id),
+        cmemb AS (
+          SELECT g.doc_id, r.cluster
+          FROM gm g JOIN ne ON ne.doc_id = g.mn JOIN repl r ON r.id = g.mn
+          UNION ALL
+          SELECT g.doc_id, g.doc_id AS cluster
+          FROM gm g LEFT JOIN ne ON ne.doc_id = g.mn WHERE ne.doc_id IS NULL)"""
   }
+
+  private lazy val clusterOracle: String =
+    s"""$clusterMemberCtes
+        SELECT doc_id, cluster FROM cmemb ORDER BY doc_id"""
 
   /** dd_apply (spliced after dd_simhash in the registry). */
   private[ops] lazy val applyQueries: Seq[QueryDef] = Seq(
@@ -435,6 +450,56 @@ trait DedupClusterPart { this: Dedup.type =>
     QueryDef(
       "dd_cluster_star",
       clusterQuery((v, e) => connectedStarContraction(v, e)),
-      Some(clusterOracle))
+      Some(clusterOracle)),
+
+    // Keep-best survivor policy: per near-dup cluster, the KEPT
+    // document is the highest-QUALITY member (composite quality score,
+    // ties to the lowest doc_id) — the curation policy a production
+    // pipeline wants when duplicates differ in cleanliness (dd_cluster
+    // keeps the lowest id; over EXACT-dup groups alone quality is
+    // constant per group, so the policy only becomes distinct at the
+    // near-dup cluster level, which is where it lives). One row per
+    // cluster: keeper, member count, and the winning quality.
+    //
+    // Plan shape: the member frame is dd_cluster's (same CC pipeline),
+    // quality is a second column-pruned (doc_id, text) scan, and the
+    // argmax is ONE map-side-combined hash aggregate — min_by over the
+    // (-quality, doc_id) struct, a total order since doc_id is unique,
+    // so the result is deterministic and the oracle replays it with a
+    // rank-1 window. No corpus-sized window, no extra shuffle beyond
+    // the aggregate's.
+    QueryDef(
+      "dd_cluster_keepbest",
+      (s, d) => {
+        import s.implicits._
+        val memb = clusterMembers((v, e) => connectedMinLabels(v, e))(s, d)
+        val q = table(s, d, "documents")
+          .withColumn("__toks", TextAnalysis.tokens($"text"))
+          .select($"doc_id",
+            TextAnalysis.qualityScoreOf($"text", $"__toks").as("quality"))
+        memb.join(q, Seq("doc_id"))
+          .groupBy($"cluster")
+          .agg(
+            min_by($"doc_id", struct((-$"quality").as("nq"), $"doc_id".as("i")))
+              .as("keeper"),
+            count(lit(1)).as("n_members"),
+            max($"quality").as("best_quality"))
+          .orderBy($"cluster")
+      },
+      Some(s"""$clusterMemberCtes,
+        kbq AS (
+          SELECT doc_id, ${TextAnalysis.duckdbQuality("text", "toks")} AS quality
+          FROM (SELECT doc_id, text,
+                       [x for x in string_split_regex(lower(text), '\\s+') if x != ''] AS toks
+                FROM documents)),
+        kbr AS (
+          SELECT m.cluster, q.doc_id, q.quality,
+                 row_number() OVER (PARTITION BY m.cluster
+                   ORDER BY q.quality DESC, q.doc_id ASC) AS rk,
+                 count(*) OVER (PARTITION BY m.cluster) AS n_members,
+                 max(q.quality) OVER (PARTITION BY m.cluster) AS best_quality
+          FROM cmemb m JOIN kbq q USING (doc_id))
+        SELECT cluster, doc_id AS keeper, n_members, best_quality
+        FROM kbr WHERE rk = 1 ORDER BY cluster"""))
   )
 }

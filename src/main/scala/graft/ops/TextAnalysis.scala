@@ -76,6 +76,17 @@ object TextAnalysis {
   /** Scalar convenience for tiny inputs/specs. */
   def qualityScore(text: Column): Column = qualityScoreOf(text, tokens(text))
 
+  /** DuckDB twin of [[qualityScoreOf]] for oracle builders: `text` /
+    * `toks` are SQL expressions for the raw text and its whitespace
+    * token list. The double is bit-identical cross-engine (pinned by
+    * the t_pack_curriculum oracle, which ORDERS the corpus by it and
+    * hash-compares the resulting running sums). */
+  def duckdbQuality(text: String, toks: String): String =
+    s"""least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+                         + (1.0 - CAST(length($text) - length(regexp_replace($text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length($text)) * 0.3
+                         + least(CAST(len([x for x in $toks if list_contains(['the','and','of','to','in','is','that','it','was','for'], x)]) AS DOUBLE)
+                                 / CAST(greatest(len($toks), 1) AS DOUBLE) * 4.0, 1.0) * 0.3"""
+
   /** Stopword-overlap language ID over the five reference languages;
     * ties break alphabetically, zero evidence => "und". Adds `out` to
     * `df` with the tokenizer and each language score bound to real

@@ -72,7 +72,8 @@ object ScaleSmoke {
       case "semdedup" => semDedupScale(args.drop(1))
       case "joinskew" => joinSkew(args.drop(1))
       case "dsir"  => dsirScale(args.drop(1))
-      case other   => sys.error(s"unknown mode '$other' (full|fulld|dedup|skew|ann|semdedup|joinskew|dsir)")
+      case "curate" => curateScale(args.drop(1))
+      case other   => sys.error(s"unknown mode '$other' (full|fulld|dedup|skew|ann|semdedup|joinskew|dsir|curate)")
     }
   }
 
@@ -184,6 +185,126 @@ object ScaleSmoke {
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"SCALE dsir wrote $outJson")
+  }
+
+  /** `curate <sfDir> <copies> <outJson>` — the 100× pass on the
+    * round-16 selection/curation additions, all riding the
+    * [[graft.ops.Selection]] bucketed two-phase primitive: RHO-style
+    * excess selection (t_select_excess — the heaviest: two bigram
+    * count models + the bucketed rank), systematic weighted sampling
+    * (t_sample_weighted), length-banded batching (t_batch_bylen), and
+    * curriculum packing (t_pack_curriculum). Amplifies documents
+    * `copies`× with VERBATIM text (ids shifted) — for the
+    * quality/excess-quantized buckets that is the worst tie density
+    * (every 1× doc now has `copies` exact-score twins per bucket),
+    * and for the count models it multiplies every n-gram count by
+    * `copies` at constant vocabulary. What must hold per op: wall
+    * ratio ≲ copies, no dominant straggler task, and the semantic
+    * invariants (excess selects exactly ceil(0.25·n); the sample
+    * stays ≤ m; every batch stays ≤ batchSize). */
+  def curateScale(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.drop(1).headOption.map(_.toInt).getOrElse(100)
+    val outJson = args.drop(2).headOption.getOrElse("SCALE100CURATE.json")
+    val off = 1000000000L
+    val ampDir = java.nio.file.Files.createTempDirectory("graft_curamp").toString
+    locally {
+      val s = buildSession()
+      try {
+        import s.implicits._
+        val df = s.read.parquet(s"$sfDir/documents.parquet")
+        df.crossJoin(s.range(copies).select($"id".as("__copy")))
+          .select(df.schema.fields.toSeq.map { f =>
+            if (f.name == "doc_id")
+              (col(f.name) + $"__copy" * lit(off)).cast(f.dataType).as(f.name)
+            else col(f.name)
+          }: _*)
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$ampDir/documents.parquet")
+      } finally s.stop()
+    }
+    println(s"SCALE curate: ${copies}x documents at $ampDir")
+
+    // per-dir measurement: each op timed on its own forcing aggregate,
+    // straggler = max task duration / op wall (same listener protocol
+    // as dsirScale)
+    def run(dir: String): Map[String, (Double, Double, Long)] = {
+      val spark = buildSession()
+      val durations = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          durations.add(te.taskInfo.duration); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        import spark.implicits._
+        spark.range(1000).selectExpr("sum(id)").collect()
+        def docs = table(spark, dir, "documents")
+        def timeOp(body: => Long): (Double, Double, Long) = {
+          body // codegen warmup
+          durations.clear()
+          val t0 = System.nanoTime()
+          val stat = body
+          val t = (System.nanoTime() - t0) / 1e9
+          val maxTask = { import scala.jdk.CollectionConverters._
+            durations.iterator().asScala.foldLeft(0L)(math.max) / 1e3 }
+          (t, maxTask / math.max(t, 1e-9), stat)
+        }
+        val excess = timeOp {
+          val a = graft.ops.LmScore.excessLmSelect(
+              docs, $"doc_id", $"text", $"lang" === "en")
+            .agg(count(lit(1)), sum(when($"selected", 1L).otherwise(0L))).head()
+          require(a.getLong(1) == math.ceil(a.getLong(0) * 0.25).toLong,
+            s"excess selected ${a.getLong(1)} != ceil(0.25 * ${a.getLong(0)})")
+          a.getLong(1)
+        }
+        val sample = timeOp {
+          val a = graft.ops.Curate.systematicSample(docs, $"doc_id", $"text", 200)
+            .agg(sum(when($"selected", 1L).otherwise(0L))).head()
+          require(a.getLong(0) > 0 && a.getLong(0) <= 200,
+            s"sample selected ${a.getLong(0)} not in (0, 200]")
+          a.getLong(0)
+        }
+        val bylen = timeOp {
+          val a = graft.ops.Curate.lengthBatches(docs, $"doc_id", $"text")
+            .groupBy($"len_band", $"batch").agg(count(lit(1)).as("n"))
+            .agg(max($"n"), count(lit(1))).head()
+          require(a.getLong(0) <= 32, s"batch of ${a.getLong(0)} > 32")
+          a.getLong(1)
+        }
+        val curr = timeOp {
+          graft.ops.TextAnalysis.packShardsCurriculum(
+              docs, $"doc_id", $"text", budget = 5000L)
+            .agg(count(lit(1)), max($"shard")).head().getLong(0)
+        }
+        Map("excess" -> excess, "sample" -> sample,
+          "bylen" -> bylen, "curriculum" -> curr)
+      } finally {
+        spark.sparkContext.removeSparkListener(listener)
+        spark.stop()
+      }
+    }
+
+    val r1 = run(sfDir)
+    val rN = run(ampDir)
+    val ops = Seq("excess", "sample", "bylen", "curriculum")
+    val body = ops.map { op =>
+      val (t1, st1, s1) = r1(op)
+      val (tN, stN, sN) = rN(op)
+      println(f"SCALE curate $op: $t1%.2f s -> $tN%.2f s " +
+        f"(ratio ${tN / math.max(t1, 1e-9)}%.2f, straggler $st1%.2f -> $stN%.2f)")
+      f""""$op": {"t1": $t1%.3f, "tN": $tN%.3f, "ratio": ${tN / math.max(t1, 1e-9)}%.2f,
+    "straggler_1x": $st1%.2f, "straggler_Nx": $stN%.2f, "stat_1x": $s1%d, "stat_Nx": $sN%d}"""
+    }.mkString(",\n  ")
+    val json =
+      s"""{
+  "mode": "curate_selection_family", "copies": $copies,
+  $body
+}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"SCALE curate wrote $outJson")
   }
 
   /** `semdedup <sfDir> <copies> <outJson>` — the scaled-parameter

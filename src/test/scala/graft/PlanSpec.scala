@@ -188,6 +188,42 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
   }
 
+  test("t_sample_weighted: running weight sum is bucketed two-phase, boundary test in-row") {
+    val p = plan("t_sample_weighted")
+    // corpus-side running sum PARTITIONED by the hash-prefix bucket;
+    // only the aggregated bucket table crosses a single partition
+    assert(p.contains("windowspecdefinition(__sel_bucket"), p)
+    assert(p.contains("Exchange hashpartitioning(__sel_bucket"), p)
+    assert(count(p, "Exchange SinglePartition") <= 1, p)
+    // offsets + grand total join back by broadcast; the leased
+    // (doc_id, weight, hash) projection feeds both scans
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("t_batch_bylen: in-band rank is global-rank-minus-band-offset — no per-band corpus window") {
+    val p = plan("t_batch_bylen")
+    // the only corpus-sized window is partitioned by the (band, hash)
+    // bucket; the band-offset table (<= maxBand+1 rows) and the bucket
+    // table are the only SinglePartition structures
+    assert(p.contains("windowspecdefinition(__sel_bucket"), p)
+    assert(p.contains("Exchange hashpartitioning(__sel_bucket"), p)
+    assert(count(p, "Exchange SinglePartition") <= 2, p)
+    // a window PARTITIONED by len_band prints the bare column first
+    // (no ASC) — the bounded band-offset table's window ORDERS by it
+    assert(count(p, "windowspecdefinition\\(len_band#\\d+L,") == 0,
+      s"per-band corpus window leaked into the plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("dd_cluster_keepbest: keeper argmax is one map-side-combined aggregate") {
+    val p = plan("dd_cluster_keepbest")
+    assert(p.contains("partial_min_by"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
+  }
+
   test("q_rolling_range: RANGE frame ranks inside one key shuffle") {
     val p = plan("q_rolling_range")
     assert(p.contains("Window"), p)
