@@ -109,6 +109,41 @@ object Curate {
       .select($"doc_id", $"n_tokens", $"len_band", $"batch")
   }
 
+  /** Exact token-boundary packing with document SPILL across shards —
+    * what an LLM dataloader actually materializes: every shard holds
+    * EXACTLY `budget` tokens (the last one excepted), so a document
+    * whose token interval [offset, offset + n) crosses shard
+    * boundaries emits one SEGMENT row per shard it touches, with the
+    * in-document token slice (`tok_start`, `tok_len`) each shard takes.
+    * [[TextAnalysis.packShards]] assigns whole documents by their
+    * START offset (shards overflow by up to one document); this
+    * operator is the exact-budget refinement a tokenizer-side packer
+    * consumes directly.
+    *
+    * Scale shape: the offsets are packShards' bucketed two-phase
+    * prefix sum unchanged; the segment fan-out is one in-row
+    * `explode(sequence(...))` — a document emits
+    * ceil(n / budget) + 1 segments at most, so the output stays
+    * O(corpus tokens / budget + docs) with zero additional shuffles
+    * or windows. Zero-token documents emit nothing (no shard takes a
+    * slice of them). */
+  def packSegments(
+      docs: DataFrame, docId: Column, text: Column,
+      budget: Long, bucketWidth: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    TextAnalysis.packShards(docs, docId, text, budget, bucketWidth)
+      .drop("shard")
+      .filter(col("n_tokens") > 0L)
+      .withColumn("shard", explode(sequence(
+        expr(s"token_offset div $budget"),
+        expr(s"(token_offset + n_tokens - 1) div $budget"))))
+      .withColumn("tok_start",
+        greatest(col("shard") * budget - col("token_offset"), lit(0L)))
+      .withColumn("tok_len",
+        least((col("shard") + 1L) * budget, col("token_offset") + col("n_tokens"))
+          - greatest(col("shard") * budget, col("token_offset")))
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // Systematic weighted sampling (see systematicSample): m = 200
@@ -136,6 +171,37 @@ object Curate {
               SELECT doc_id, n_tokens, w_before,
                      ((w_before + n_tokens) * 200) // w_total > (w_before * 200) // w_total AS selected
               FROM o ORDER BY doc_id""")),
+
+    // Exact-budget segment packing (see packSegments): same layout as
+    // t_pack (id order, 5000-token shards) but with documents SPLIT at
+    // shard boundaries. The oracle replays offsets with one global
+    // window and the segment fan-out with range() — tiling arithmetic
+    // compared bit-for-bit.
+    QueryDef(
+      "t_pack_split",
+      (s, d) => {
+        import s.implicits._
+        packSegments(table(s, d, "documents"), $"doc_id", $"text",
+            budget = 5000L, bucketWidth = 100L)
+          .orderBy($"doc_id", $"shard")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id,
+                       CAST(len([x for x in string_split_regex(lower(text), '\s+') if x != '']) AS BIGINT) AS n_tokens
+                FROM documents),
+              o AS (
+                SELECT doc_id, n_tokens,
+                       CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
+                FROM t),
+              s AS (
+                SELECT doc_id, n_tokens, token_offset,
+                       CAST(unnest(range(token_offset // 5000, (token_offset + n_tokens - 1) // 5000 + 1)) AS BIGINT) AS shard
+                FROM o WHERE n_tokens > 0)
+              SELECT doc_id, n_tokens, token_offset, shard,
+                     CAST(greatest(shard * 5000 - token_offset, 0) AS BIGINT) AS tok_start,
+                     CAST(least((shard + 1) * 5000, token_offset + n_tokens)
+                          - greatest(shard * 5000, token_offset) AS BIGINT) AS tok_len
+              FROM s ORDER BY doc_id, shard""")),
 
     // Length-bucketed batching (see lengthBatches): 64-token bands
     // capped at band 16, batches of 32 in portable-hash order. The

@@ -218,6 +218,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
   }
 
+  test("t_pack_split: t_pack's bucketed prefix sum + one in-row segment fan-out, no extra shuffle") {
+    val p = plan("t_pack_split")
+    // same bounded single-partition structure as t_pack (the bucket
+    // offsets), the segment explosion is a Generate in the same stage
+    assert(count(p, "Exchange SinglePartition") == 1, p)
+    assert(p.contains("Generate explode"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
+  }
+
   test("dd_cluster_keepbest: keeper argmax is one map-side-combined aggregate") {
     val p = plan("dd_cluster_keepbest")
     assert(p.contains("partial_min_by"), p)

@@ -93,6 +93,45 @@ class CurateSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("t_pack_split: segments tile every document exactly and fill every non-final shard to the budget") {
+    import spark.implicits._
+    val docs = graft.model.Tables.table(spark, sf, "documents")
+    val segs = Curate.packSegments(docs, $"doc_id", $"text",
+        budget = 500L, bucketWidth = 100L)
+      .select($"doc_id", $"n_tokens", $"token_offset", $"shard",
+        $"tok_start", $"tok_len")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(segs.nonEmpty)
+    // every document's segments are contiguous from 0 and tile n_tokens
+    segs.groupBy(_._1).foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_._4)
+      assert(sorted.head._5 == 0L, s"doc $id starts at ${sorted.head._5}")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 + a._6 == b._5, s"doc $id gap between segments")
+        case _ =>
+      }
+      assert(sorted.map(_._6).sum == sorted.head._2, s"doc $id tiling != n_tokens")
+      assert(sorted.forall(_._6 > 0), s"doc $id empty segment")
+    }
+    // every shard except the last holds exactly the budget
+    val byShard = segs.groupBy(_._4).view.mapValues(_.map(_._6).sum).toMap
+    val maxShard = byShard.keys.max
+    byShard.foreach { case (sh, tot) =>
+      if (sh < maxShard) assert(tot == 500L, s"shard $sh holds $tot != 500")
+      else assert(tot <= 500L, s"last shard $sh overfull: $tot")
+    }
+    // the small budget forces real spill: some doc spans >= 2 shards
+    assert(segs.groupBy(_._1).values.exists(_.length >= 2), "no doc ever spilled")
+    // zero-token documents emit no segment
+    val zeroDocs = docs.select($"doc_id",
+        size(TextAnalysis.tokens($"text")).as("n")).filter($"n" === 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(zeroDocs.intersect(segs.map(_._1).toSet).isEmpty)
+  }
+
   test("dd_cluster_keepbest: keeper is the cluster's quality argmax (ties to lowest id), counts exact") {
     import spark.implicits._
     val docs = graft.model.Tables.table(spark, sf, "documents")
