@@ -172,6 +172,39 @@ object Curate {
                      ((w_before + n_tokens) * 200) // w_total > (w_before * 200) // w_total AS selected
               FROM o ORDER BY doc_id""")),
 
+    // Corpus-RELATIVE quality selection: keep the top half by the
+    // composite quality score — the threshold adapts to the corpus
+    // (t_quality_filter keeps everything above an ABSOLUTE bar; a
+    // curation pipeline usually wants "the best X% of what we have").
+    // One scan for the score, then topFracByOrder's bucketed rank —
+    // quality lives in [0,1] so the 1/1024-quantized bucket table
+    // holds <= 1025 rows at any corpus size.
+    QueryDef(
+      "t_select_quality",
+      (s, d) => {
+        import s.implicits._
+        val q = table(s, d, "documents")
+          .withColumn("__toks", TextAnalysis.tokens($"text"))
+          .select($"doc_id",
+            TextAnalysis.qualityScoreOf($"text", $"__toks").as("quality"))
+        Selection.topFracByOrder(q,
+            floor(-$"quality" * lit(1024.0)),
+            Seq($"quality".desc, $"doc_id".asc), 0.5, "selected")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH q AS (
+                SELECT doc_id, ${TextAnalysis.duckdbQuality("text", "toks")} AS quality
+                FROM (SELECT doc_id, text,
+                             [x for x in string_split_regex(lower(text), '\\s+') if x != ''] AS toks
+                      FROM documents)),
+              r AS (
+                SELECT doc_id, quality,
+                       row_number() OVER (ORDER BY quality DESC, doc_id ASC) AS rn,
+                       count(*) OVER () AS n_docs
+                FROM q)
+              SELECT doc_id, quality, rn <= ceil(n_docs * 0.5) AS selected
+              FROM r ORDER BY doc_id""")),
+
     // Exact-budget segment packing (see packSegments): same layout as
     // t_pack (id order, 5000-token shards) but with documents SPLIT at
     // shard boundaries. The oracle replays offsets with one global

@@ -93,6 +93,22 @@ class CurateSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("t_select_quality: corpus-relative selection == naive global-window top half") {
+    import spark.implicits._
+    val docs = graft.model.Tables.table(spark, sf, "documents")
+    val got = graft.SparkEntry.queries("t_select_quality")(spark, sf)
+      .filter($"selected").select($"doc_id").collect().map(_.getLong(0)).toSet
+    // bounded-global-window: test-only naive twin at sf0.001
+    val q = docs.withColumn("__toks", TextAnalysis.tokens($"text"))
+      .select($"doc_id", TextAnalysis.qualityScoreOf($"text", $"__toks").as("q"))
+    val n = q.count()
+    val naive = q.withColumn("rn",
+        row_number().over(Window.orderBy($"q".desc, $"doc_id".asc)))
+      .filter($"rn" <= math.ceil(n * 0.5).toLong)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == naive && got.size == math.ceil(n * 0.5).toLong)
+  }
+
   test("t_pack_split: segments tile every document exactly and fill every non-final shard to the budget") {
     import spark.implicits._
     val docs = graft.model.Tables.table(spark, sf, "documents")
