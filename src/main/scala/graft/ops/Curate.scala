@@ -205,6 +205,53 @@ object Curate {
               SELECT doc_id, quality, rn <= ceil(n_docs * 0.5) AS selected
               FROM r ORDER BY doc_id""")),
 
+    // ONLINE quality gating from the FROZEN corpus-relative threshold
+    // — the serving form of t_select_quality, completing the selection
+    // class's batch/online symmetry (DSIR has w_dsir, excess has
+    // w_select_excess): the batch phase fixes the top-half quality
+    // threshold (the ceil(n/2)-th ranked document's score, one
+    // 1-row aggregate over the flagged frame), and arrivals — the
+    // first 100 ids replayed, as in the other online twins — are
+    // admitted by score >= threshold. Boundary ties can admit MORE
+    // than the batch set (a frozen scalar cannot see arrival ranks);
+    // that over-admission is the correct serving semantic and the
+    // oracle replays it exactly.
+    QueryDef(
+      "w_select_quality",
+      (s, d) => {
+        import s.implicits._
+        val q = Checkpoints.lease("curate_selq",
+          table(s, d, "documents")
+            .withColumn("__toks", TextAnalysis.tokens($"text"))
+            .select($"doc_id",
+              TextAnalysis.qualityScoreOf($"text", $"__toks").as("quality")))
+        val thr = Selection.topFracByOrder(q,
+            floor(-$"quality" * lit(1024.0)),
+            Seq($"quality".desc, $"doc_id".asc), 0.5, "selected")
+          .filter($"selected")
+          .agg(min($"quality").as("q_threshold"))
+        q.filter($"doc_id" < 100)
+          .crossJoin(broadcast(thr))
+          .withColumn("admitted", $"quality" >= $"q_threshold")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH q AS (
+                SELECT doc_id, ${TextAnalysis.duckdbQuality("text", "toks")} AS quality
+                FROM (SELECT doc_id, text,
+                             [x for x in string_split_regex(lower(text), '\\s+') if x != ''] AS toks
+                      FROM documents)),
+              r AS (
+                SELECT doc_id, quality,
+                       row_number() OVER (ORDER BY quality DESC, doc_id ASC) AS rn,
+                       count(*) OVER () AS n_docs
+                FROM q),
+              thr AS (
+                SELECT min(quality) AS q_threshold FROM r
+                WHERE rn <= ceil(n_docs * 0.5))
+              SELECT doc_id, quality, thr.q_threshold,
+                     quality >= thr.q_threshold AS admitted
+              FROM q CROSS JOIN thr WHERE doc_id < 100 ORDER BY doc_id""")),
+
     // Exact-budget segment packing (see packSegments): same layout as
     // t_pack (id order, 5000-token shards) but with documents SPLIT at
     // shard boundaries. The oracle replays offsets with one global

@@ -109,6 +109,25 @@ class CurateSpec extends AnyFunSuite with SparkSpec {
     assert(got == naive && got.size == math.ceil(n * 0.5).toLong)
   }
 
+  test("w_select_quality: frozen threshold == batch selection's min kept quality; ties over-admit") {
+    import spark.implicits._
+    val out = graft.SparkEntry.queries("w_select_quality")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out.nonEmpty && out.forall(_._1 < 100))
+    // one frozen threshold on every row
+    assert(out.map(_._3).distinct.length == 1)
+    val thr = out.head._3
+    // the threshold is exactly the batch form's minimum KEPT quality
+    val kept = graft.SparkEntry.queries("t_select_quality")(spark, sf)
+      .filter($"selected").agg(min($"quality")).head().getDouble(0)
+    assert(thr == kept)
+    // admitted == score >= threshold, row by row
+    assert(out.forall { case (_, q, t, a) => a == (q >= t) })
+    // the gate is not degenerate on the replayed slice
+    assert(out.exists(_._4) && out.exists(!_._4))
+  }
+
   test("t_pack_split: segments tile every document exactly and fill every non-final shard to the budget") {
     import spark.implicits._
     val docs = graft.model.Tables.table(spark, sf, "documents")
