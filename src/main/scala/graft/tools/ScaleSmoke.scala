@@ -192,8 +192,11 @@ object ScaleSmoke {
     * [[graft.ops.Selection]] bucketed two-phase primitive: RHO-style
     * excess selection (t_select_excess — the heaviest: two bigram
     * count models + the bucketed rank), systematic weighted sampling
-    * (t_sample_weighted), length-banded batching (t_batch_bylen), and
-    * curriculum packing (t_pack_curriculum). Amplifies documents
+    * (t_sample_weighted), length-banded batching (t_batch_bylen),
+    * curriculum packing (t_pack_curriculum), exact-budget segment
+    * packing (t_pack_split — shard tiling require()d at both scales),
+    * and corpus-relative quality selection (t_select_quality —
+    * exact-count selection require()d). Amplifies documents
     * `copies`× with VERBATIM text (ids shifted) — for the
     * quality/excess-quantized buckets that is the worst tie density
     * (every 1× doc now has `copies` exact-score twins per bucket),
@@ -278,8 +281,30 @@ object ScaleSmoke {
               docs, $"doc_id", $"text", budget = 5000L)
             .agg(count(lit(1)), max($"shard")).head().getLong(0)
         }
+        val split = timeOp {
+          val a = graft.ops.Curate.packSegments(
+              docs, $"doc_id", $"text", budget = 5000L, bucketWidth = 100L)
+            .groupBy($"shard").agg(sum($"tok_len").as("n"))
+            .agg(count(lit(1)).as("shards"), max($"n").as("mx")).head()
+          require(a.getLong(1) <= 5000L, s"shard over budget: ${a.getLong(1)}")
+          a.getLong(0)
+        }
+        val selq = timeOp {
+          val q = docs
+            .withColumn("__toks", graft.ops.TextAnalysis.tokens($"text"))
+            .select($"doc_id",
+              graft.ops.TextAnalysis.qualityScoreOf($"text", $"__toks").as("quality"))
+          val a = graft.ops.Selection.topFracByOrder(q,
+              floor(-$"quality" * lit(1024.0)),
+              Seq($"quality".desc, $"doc_id".asc), 0.5, "selected")
+            .agg(count(lit(1)), sum(when($"selected", 1L).otherwise(0L))).head()
+          require(a.getLong(1) == math.ceil(a.getLong(0) * 0.5).toLong,
+            s"selected ${a.getLong(1)} != ceil(0.5 * ${a.getLong(0)})")
+          a.getLong(1)
+        }
         Map("excess" -> excess, "sample" -> sample,
-          "bylen" -> bylen, "curriculum" -> curr)
+          "bylen" -> bylen, "curriculum" -> curr,
+          "pack_split" -> split, "select_quality" -> selq)
       } finally {
         spark.sparkContext.removeSparkListener(listener)
         spark.stop()
@@ -288,7 +313,8 @@ object ScaleSmoke {
 
     val r1 = run(sfDir)
     val rN = run(ampDir)
-    val ops = Seq("excess", "sample", "bylen", "curriculum")
+    val ops = Seq("excess", "sample", "bylen", "curriculum",
+      "pack_split", "select_quality")
     val body = ops.map { op =>
       val (t1, st1, s1) = r1(op)
       val (tN, stN, sN) = rN(op)
