@@ -18,6 +18,7 @@ object SparkEntry {
       ops.TimeSeries.queries ++ ops.ReferenceOps.queries ++
       ops.TextAnalysis.queries ++ ops.Tokenize.queries ++
       ops.LmScore.queries ++ ops.Dsir.queries ++ ops.Curate.queries ++
+      ops.Classify.queries ++
       ops.Pii.queries ++ ops.Dedup.queries ++
       ops.Similarity.queries ++ ops.ProductQuant.queries ++
       ops.IvfPq.queries ++ ops.IvfAdd.queries ++ ops.IvfPqAdd.queries ++

@@ -234,6 +234,23 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
   }
 
+  test("t_classify_nb: count-model training + scoring all map-side-combined, argmin one aggregate") {
+    val p = plan("t_classify_nb")
+    // count tables and per-(doc, class) sums combine before shuffling
+    assert(count(p, "partial_") >= 4, p)
+    // the per-doc argmin is min_by, not a rank window
+    assert(p.contains("partial_min_by"), p)
+    assert(count(p, "Window") == 0, p)
+    // broadcast nested-loop joins only against the bounded class /
+    // totals frames (|classes| + 1 rows), never data x data: the
+    // n_docs x vocab 1-row totals, prior x totals, tok x prior, and
+    // the pre-AQE duplicates exchange reuse collapses at runtime
+    assert(count(p, "BroadcastNestedLoopJoin") <= 5, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
+    // one tokenize lease feeds training and scoring
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
+
   test("q_rolling_range: RANGE frame ranks inside one key shuffle") {
     val p = plan("q_rolling_range")
     assert(p.contains("Window"), p)
