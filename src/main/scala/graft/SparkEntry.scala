@@ -26,7 +26,8 @@ object SparkEntry {
       ops.Multimodal.queries ++ ops.Pipeline.queries ++
       streaming.Windows.queries ++ streaming.NearDup.queries ++
       streaming.AnnServe.queries ++ streaming.LmServe.queries ++
-      streaming.StreamCorpus.queries ++ streaming.Batching.queries
+      streaming.StreamCorpus.queries ++ streaming.Batching.queries ++
+      streaming.ClassifyServe.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Latest-sample-per-channel — the engine idiom that replaces the

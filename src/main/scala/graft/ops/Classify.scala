@@ -92,7 +92,7 @@ object Classify {
   /** Shared oracle CTE chain up to `nbr` (doc_id, lab, total, rk) —
     * the full NB replay: tokenize, class/count tables, vocabulary,
     * integer-bit scores, per-doc per-class totals, argmin rank. */
-  private[ops] lazy val nbCtes: String = """t AS (
+  private[graft] lazy val nbCtes: String = """t AS (
                 SELECT doc_id, lang AS lab,
                        [x for x in string_split_regex(lower(text), '\s+') if x != ''] AS toks
                 FROM documents),
