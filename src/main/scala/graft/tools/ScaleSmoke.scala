@@ -73,7 +73,8 @@ object ScaleSmoke {
       case "joinskew" => joinSkew(args.drop(1))
       case "dsir"  => dsirScale(args.drop(1))
       case "curate" => curateScale(args.drop(1))
-      case other   => sys.error(s"unknown mode '$other' (full|fulld|dedup|skew|ann|semdedup|joinskew|dsir|curate)")
+      case "classify" => classifyScale(args.drop(1))
+      case other   => sys.error(s"unknown mode '$other' (full|fulld|dedup|skew|ann|semdedup|joinskew|dsir|curate|classify)")
     }
   }
 
@@ -331,6 +332,105 @@ object ScaleSmoke {
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"SCALE curate wrote $outJson")
+  }
+
+  /** `classify <sfDir> <copies> <outJson>` — the 100× pass on the
+    * trained-NB family: t_classify_nb (column-algebra training +
+    * scoring, one tokenize lease) and the model-collect + frozen-serve
+    * path behind w_classify_nb. Amplifies documents `copies`× with
+    * VERBATIM text (ids shifted): every count multiplies by `copies`
+    * at CONSTANT vocabulary — the count tables and the broadcast
+    * artifact stay the same size, only the scoring pass grows
+    * linearly, which is exactly the claim to verify. The class priors
+    * are scale-invariant by construction (bits(100a, 100b) =
+    * bits(a, b) exactly); per-token bits shift by at most the +1
+    * smoothing's dilution, so prediction agreement on the original id
+    * slice is REPORTED as a stat (not required — the smoothing shift
+    * is real arithmetic, not noise). */
+  def classifyScale(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.drop(1).headOption.map(_.toInt).getOrElse(100)
+    val outJson = args.drop(2).headOption.getOrElse("SCALE100CLASSIFY.json")
+    val off = 1000000000L
+    val ampDir = java.nio.file.Files.createTempDirectory("graft_clamp").toString
+    locally {
+      val s = buildSession()
+      try {
+        import s.implicits._
+        val df = s.read.parquet(s"$sfDir/documents.parquet")
+        df.crossJoin(s.range(copies).select($"id".as("__copy")))
+          .select(df.schema.fields.toSeq.map { f =>
+            if (f.name == "doc_id")
+              (col(f.name) + $"__copy" * lit(off)).cast(f.dataType).as(f.name)
+            else col(f.name)
+          }: _*)
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$ampDir/documents.parquet")
+      } finally s.stop()
+    }
+    println(s"SCALE classify: ${copies}x documents at $ampDir")
+
+    def run(dir: String): (Double, Double, Long, Map[Long, String], Double, Long) = {
+      val spark = buildSession()
+      val durations = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          durations.add(te.taskInfo.duration); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        import spark.implicits._
+        spark.range(1000).selectExpr("sum(id)").collect()
+        def docs = table(spark, dir, "documents")
+        def batchRun(): (Long, Map[Long, String]) = {
+          val out = graft.ops.Classify.nbPredict(
+            docs, $"doc_id", $"text", $"lang", "lang")
+          val preds = out.filter($"doc_id" < off)
+            .select($"doc_id", $"pred_lang").collect()
+            .map(r => r.getLong(0) -> r.getString(1)).toMap
+          (out.count(), preds)
+        }
+        batchRun() // codegen warmup
+        durations.clear()
+        var t0 = System.nanoTime()
+        val (rows, preds) = batchRun()
+        val tBatch = (System.nanoTime() - t0) / 1e9
+        val maxTask = { import scala.jdk.CollectionConverters._
+          durations.iterator().asScala.foldLeft(0L)(math.max) / 1e3 }
+        // the frozen-serve path: collect the model, score the 1x slice
+        t0 = System.nanoTime()
+        val model = graft.streaming.ClassifyServe.buildNbModel(
+          docs, $"doc_id", $"text", $"lang")
+        val served = graft.streaming.ClassifyServe.withOnlineNbPredict(
+          docs.filter($"doc_id" < off), $"doc_id", $"text", model).count()
+        val tServe = (System.nanoTime() - t0) / 1e9
+        (tBatch, maxTask / math.max(tBatch, 1e-9), rows, preds, tServe, served)
+      } finally {
+        spark.sparkContext.removeSparkListener(listener)
+        spark.stop()
+      }
+    }
+
+    val (t1, st1, rows1, p1, ts1, sv1) = run(sfDir)
+    val (tN, stN, rowsN, pN, tsN, svN) = run(ampDir)
+    require(rowsN == rows1 * copies,
+      s"classified $rowsN != $rows1 * $copies (verbatim copies all carry tokens alike)")
+    require(sv1 == svN, s"served slice changed: $sv1 != $svN")
+    val agree = p1.count { case (id, p) => pN.get(id).contains(p) }
+    val json =
+      f"""{
+  "mode": "classify_nb", "copies": $copies%d,
+  "t1": $t1%.3f, "tN": $tN%.3f, "ratio": ${tN / math.max(t1, 1e-9)}%.2f,
+  "straggler_1x": $st1%.2f, "straggler_Nx": $stN%.2f,
+  "rows_1x": $rows1%d, "rows_Nx": $rowsN%d,
+  "serve_t1": $ts1%.3f, "serve_tN": $tsN%.3f,
+  "serve_ratio": ${tsN / math.max(ts1, 1e-9)}%.2f,
+  "pred_agreement_on_1x_ids": ${agree.toDouble / math.max(p1.size, 1)}%.4f
+}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"SCALE classify wrote $outJson")
   }
 
   /** `semdedup <sfDir> <copies> <outJson>` — the scaled-parameter
