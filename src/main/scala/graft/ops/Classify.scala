@@ -28,6 +28,17 @@ import org.apache.spark.sql.functions._
   * majority class) — so the shipped query pins the MECHANISM
   * bit-for-bit, not label recovery on that data.
   *
+  * Feature space: the default key is the raw token; the HASHED form
+  * (`featOf` = `pmod(md5Hash60(w), B)`, the [[Dsir]] move) folds the
+  * vocabulary into B buckets, making the model BUCKET-bounded instead
+  * of vocabulary-bounded — at 100 TB the raw vocabulary is unbounded
+  * (every typo is a key) while B is a config constant, so the hashed
+  * model always fits the serving broadcast. The trade is hash-collision
+  * evidence mixing (two tokens sharing a bucket pool their counts),
+  * which a bucket count comfortably above the useful vocabulary keeps
+  * negligible — and the arithmetic stays the exact integer-bit chain,
+  * replayed bucket-for-bucket by the oracle.
+  *
   * Scale shape: one tokenize lease feeds the count tables and the
   * scoring pass; counts are map-side-combined hash aggregates; the
   * class table (|classes| rows) and smoothing totals broadcast; the
@@ -36,6 +47,24 @@ import org.apache.spark.sql.functions._
   * classes are a handful); the per-doc argmin is one min_by
   * aggregate. No windows, no driver round-trip, nothing pairwise. */
 object Classify {
+
+  /** Hashed-feature bucket count for `t_classify_nb_hashed` /
+    * `w_classify_nb_hashed` — comfortably above the fixture
+    * vocabulary (so collisions exist but stay rare) and bounded at
+    * any corpus size. */
+  val HashedFeatureBuckets = 4096
+
+  /** The hashed feature key as a STRING column: the portable 60-bit
+    * hash folded into [[HashedFeatureBuckets]] buckets, stringified so
+    * the entire count/score machinery (string-keyed frames, the
+    * broadcast model map) is shared verbatim with the raw-token form. */
+  def hashedFeat(w: Column): Column =
+    pmod(graft.functions.PortableHash.md5Hash60(w),
+      lit(HashedFeatureBuckets.toLong)).cast("string")
+
+  /** The DuckDB twin of [[hashedFeat]]. */
+  private[graft] def duckdbHashedFeat(expr: String): String =
+    s"CAST(${graft.functions.PortableHash.duckdbHash60(expr)} % $HashedFeatureBuckets AS VARCHAR)"
 
   /** floor(log2(d / n)) for 1 <= n <= d as an exact long: candidate
     * k0 = bitlen(d) - bitlen(n), corrected by one shift-compare. */
@@ -50,15 +79,19 @@ object Classify {
     * document with at least one token — a zero-token document carries
     * no evidence and is not classified. `bits_best` is the winning
     * class's exact total surprisal (prior + per-occurrence token
-    * bits); lower = more probable. */
+    * bits); lower = more probable. `featOf` maps each token occurrence
+    * to its feature key (identity = raw tokens; [[hashedFeat]] = the
+    * bucket-bounded model). */
   def nbPredict(
       docs: DataFrame, docId: Column, text: Column, label: Column,
-      labelName: String): DataFrame = {
+      labelName: String,
+      featOf: Column => Column = identity): DataFrame = {
     import docs.sparkSession.implicits._
     val toksL = Checkpoints.lease("nb_toks",
       docs.select(docId.as("doc_id"), label.as("lab"),
         TextAnalysis.tokens(text).as("toks")))
-    val tok = toksL.select($"doc_id", $"lab", explode($"toks").as("w"))
+    val tok = toksL.select($"doc_id", $"lab", explode($"toks").as("__u"))
+      .select($"doc_id", $"lab", featOf($"__u").as("w"))
     // class table: doc prior numerator + token-total denominators
     val cls = toksL.groupBy($"lab").agg(
       count(lit(1)).as("n_docs_s"),
@@ -91,12 +124,20 @@ object Classify {
 
   /** Shared oracle CTE chain up to `nbr` (doc_id, lab, total, rk) —
     * the full NB replay: tokenize, class/count tables, vocabulary,
-    * integer-bit scores, per-doc per-class totals, argmin rank. */
-  private[graft] lazy val nbCtes: String = """t AS (
+    * integer-bit scores, per-doc per-class totals, argmin rank.
+    * Parameterized by the TRAINING corpus relation (the add/takedown
+    * forms retrain on corpus ± batch — exactly what count-frame
+    * surgery on the stored artifact must equal) and by the feature
+    * key (`wExpr` over the unnested token `u`: raw, or the hashed
+    * bucket). */
+  private[graft] def nbCtesFor(
+      corpusRel: String, wExpr: String = "u"): String = s"""t AS (
                 SELECT doc_id, lang AS lab,
-                       [x for x in string_split_regex(lower(text), '\s+') if x != ''] AS toks
-                FROM documents),
-              tok AS (SELECT doc_id, lab, unnest(toks) AS w FROM t),
+                       [x for x in string_split_regex(lower(text), '\\s+') if x != ''] AS toks
+                FROM $corpusRel),
+              tok AS (
+                SELECT doc_id, lab, $wExpr AS w
+                FROM (SELECT doc_id, lab, unnest(toks) AS u FROM t)),
               cls AS (
                 SELECT lab, count(*) AS n_docs_s,
                        CAST(sum(len(toks)) AS BIGINT) AS n_toks_s
@@ -130,6 +171,8 @@ object Classify {
                          ORDER BY per.tok_bits + prior.prior_bits ASC, per.lab ASC) AS rk
                 FROM per JOIN prior USING (lab))"""
 
+  private[graft] lazy val nbCtes: String = nbCtesFor("documents")
+
   val queries: Seq[QueryDef] = Seq(
 
     // Trained NB language classification (see nbPredict): the corpus's
@@ -144,6 +187,26 @@ object Classify {
           .orderBy($"doc_id")
       },
       Some(s"""WITH $nbCtes
+              SELECT r.doc_id, d.lang, r.lab AS pred_lang,
+                     CAST(r.total AS BIGINT) AS bits_best
+              FROM nbr r JOIN documents d USING (doc_id)
+              WHERE r.rk = 1 ORDER BY r.doc_id""")),
+
+    // HASHED-feature NB (see the object doc): same chain, token key
+    // folded to pmod(md5Hash60(w), 4096) — the bucket-bounded model
+    // that always fits the serving broadcast at 100 TB. The oracle is
+    // the identical chain with the hash substituted, so bucket
+    // assignment, collision pooling, smoothing over the BUCKET
+    // vocabulary, and the argmin all replay bit-for-bit.
+    QueryDef(
+      "t_classify_nb_hashed",
+      (s, d) => {
+        import s.implicits._
+        nbPredict(table(s, d, "documents"), $"doc_id", $"text", $"lang", "lang",
+            featOf = hashedFeat)
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH ${nbCtesFor("documents", duckdbHashedFeat("u"))}
               SELECT r.doc_id, d.lang, r.lab AS pred_lang,
                      CAST(r.total AS BIGINT) AS bits_best
               FROM nbr r JOIN documents d USING (doc_id)

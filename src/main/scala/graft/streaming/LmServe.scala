@@ -114,11 +114,7 @@ object LmServe {
       val w1 = toks(i - 1)
       val cb = m.bigram.getOrDefault(w1 + " " + toks(i), 0L)
       val cw = m.unigram.getOrDefault(w1, 0L)
-      val n = cb + 1L
-      val d = cw + m.v
-      var k = 0
-      while ((n << (k + 1)) <= d) k += 1
-      sum += k
+      sum += graft.functions.IntBits.bits(cb + 1L, cw + m.v)
       i += 1
     }
     (math.max(toks.length - 1, 0).toLong, sum)

@@ -74,6 +74,7 @@ object ScaleSmoke {
       case "dsir"  => dsirScale(args.drop(1))
       case "curate" => curateScale(args.drop(1))
       case "classify" => classifyScale(args.drop(1))
+      case "batchshard" => batchShardScale(args.drop(1))
       case other   => sys.error(s"unknown mode '$other' (full|fulld|dedup|skew|ann|semdedup|joinskew|dsir|curate|classify)")
     }
   }
@@ -347,6 +348,110 @@ object ScaleSmoke {
     * smoothing's dilution, so prediction agreement on the original id
     * slice is REPORTED as a stat (not required — the smoothing shift
     * is real arithmetic, not noise). */
+  /** `batchshard <sfDir> <copies> <outJson> <shards>` — the online
+    * batcher's throughput ceiling and its sharding relief, measured:
+    * the exact-per-band form (`shards = 1`, w_batch_bylen's semantic)
+    * numbers each band serially — under batch replay one task drains
+    * one band, so wall time is bounded below by the LARGEST band no
+    * matter how many cores idle. The sharded form keys state by
+    * (band, hash-shard), cutting the serial unit ~1/shards at the cost
+    * of per-shard (not per-band) numbering. This probe amplifies
+    * documents `copies`×, runs both forms, and emits wall times, the
+    * straggler fraction (max task / wall — ~1.0 IS the expected
+    * signature of the serial form), the largest serial unit each form
+    * drains, and exactness invariants (row conservation; every
+    * (band[, shard]) key's max batch == (n-1) div 32; per-band
+    * totals identical across forms — sharding must never move a doc
+    * across bands). */
+  def batchShardScale(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.drop(1).headOption.map(_.toInt).getOrElse(100)
+    val outJson = args.drop(2).headOption.getOrElse("SCALE100BATCHSHARD.json")
+    val shards = args.drop(3).headOption.map(_.toInt).getOrElse(8)
+    val off = 1000000000L
+    val ampDir = java.nio.file.Files.createTempDirectory("graft_bsamp").toString
+    locally {
+      val s = buildSession()
+      try {
+        import s.implicits._
+        val df = s.read.parquet(s"$sfDir/documents.parquet")
+        df.crossJoin(s.range(copies).select($"id".as("__copy")))
+          .select(df.schema.fields.toSeq.map { f =>
+            if (f.name == "doc_id")
+              (col(f.name) + $"__copy" * lit(off)).cast(f.dataType).as(f.name)
+            else col(f.name)
+          }: _*)
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$ampDir/documents.parquet")
+      } finally s.stop()
+    }
+    println(s"SCALE batchshard: ${copies}x documents at $ampDir")
+
+    val spark = buildSession()
+    val durations = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        durations.add(te.taskInfo.duration); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      import spark.implicits._
+      spark.range(1000).selectExpr("sum(id)").collect()
+      def docs = table(spark, ampDir, "documents")
+
+      // invariants checked per run, Spark-side (nothing corpus-sized
+      // collects): rows in == rows out; each key's max batch ==
+      // (count - 1) div 32; per-band doc totals
+      def checkAndBands(out: DataFrame, keyCols: Seq[String]): Map[Long, Long] = {
+        val perKey = out.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("n"), max(col("batch")).as("mb"))
+        val bad = perKey.filter(col("mb") =!= (col("n") - 1L) / 32L).count()
+        require(bad == 0L, s"$bad keys with max batch != (n-1) div 32")
+        out.groupBy($"len_band").agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+
+      def run(sh: Int): (Double, Double, Long, Long, Map[Long, Long]) = {
+        def once() = graft.streaming.Batching.withOnlineBatchesSharded(
+          docs, $"doc_id", $"text", shards = sh).toDF()
+        once().count() // codegen + scan warmup
+        durations.clear()
+        val t0 = System.nanoTime()
+        val rows = once().count()
+        val t = (System.nanoTime() - t0) / 1e9
+        val maxTask = { import scala.jdk.CollectionConverters._
+          durations.iterator().asScala.foldLeft(0L)(math.max) / 1e3 }
+        val bands = checkAndBands(once(), if (sh == 1) Seq("len_band")
+          else Seq("len_band", "shard"))
+        val serialUnit = bands.values.max / (if (sh == 1) 1L else sh.toLong)
+        (t, maxTask / math.max(t, 1e-9), rows, serialUnit, bands)
+      }
+
+      val (t1, st1, rows1, su1, bands1) = run(1)
+      val (tS, stS, rowsS, suS, bandsS) = run(shards)
+      require(rows1 == rowsS, s"row conservation broke: $rows1 != $rowsS")
+      require(bands1 == bandsS,
+        "sharding moved documents across bands — band membership must be invariant")
+      val json =
+        f"""{
+  "mode": "batchshard", "copies": $copies%d, "shards": $shards%d,
+  "rows": $rows1%d,
+  "t_serial": $t1%.3f, "t_sharded": $tS%.3f,
+  "speedup": ${t1 / math.max(tS, 1e-9)}%.2f,
+  "straggler_serial": $st1%.2f, "straggler_sharded": $stS%.2f,
+  "largest_band": ${bands1.values.max}%d,
+  "serial_unit_serial": $su1%d, "serial_unit_sharded_approx": $suS%d
+}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"SCALE batchshard wrote $outJson")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.stop()
+    }
+  }
+
   def classifyScale(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = args.drop(1).headOption.map(_.toInt).getOrElse(100)

@@ -20,7 +20,8 @@ class StoredServeSpec extends AnyFunSuite with SparkSpec {
     Seq(
       "w_ann" -> "w_ann_stored",
       "w_lm_score" -> "w_lm_stored",
-      "w_decontaminate" -> "w_decontaminate_stored"
+      "w_decontaminate" -> "w_decontaminate_stored",
+      "w_classify_nb" -> "w_classify_stored"
     ).foreach { case (built, stored) =>
       val a = graft.SparkEntry.queries(built)(spark, sf)
         .collect().map(_.toSeq).toSeq
@@ -79,6 +80,23 @@ class StoredServeSpec extends AnyFunSuite with SparkSpec {
         docs.filter($"doc_id" < 30).select(($"doc_id" + 2000000L).as("doc_id"),
           substring($"text", 1, 40).as("text")))),
       "w_lm_add != direct retrain")
+    // w_classify_takedown / w_classify_add == NB models TRAINED
+    // directly on the filtered / unioned corpus (count-frame surgery
+    // must equal the retrain, same additivity argument as the LM)
+    def nbServeWith(corpus: org.apache.spark.sql.DataFrame) = {
+      val model = ClassifyServe.buildNbModel(corpus, $"doc_id", $"text", $"lang")
+      ClassifyServe.withOnlineNbPredict(
+          docs.filter($"doc_id" < 100), $"doc_id", $"text", model)
+        .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    }
+    assert(rowsOf("w_classify_takedown") ==
+      nbServeWith(docs.filter($"doc_id" < 100 || $"doc_id" >= 200)),
+      "w_classify_takedown != direct retrain")
+    assert(rowsOf("w_classify_add") ==
+      nbServeWith(docs.select($"doc_id", $"lang", $"text").unionByName(
+        docs.filter($"doc_id" < 30).select(($"doc_id" + 2000000L).as("doc_id"),
+          $"lang", substring($"text", 1, 40).as("text")))),
+      "w_classify_add != direct retrain")
     // w_decontaminate_takedown / _add == blocklists BUILT directly on
     // the filtered / widened benchmark slice
     def deconServeWith(trMin: Int, bmMax: Int, bmPred: org.apache.spark.sql.Column) = {

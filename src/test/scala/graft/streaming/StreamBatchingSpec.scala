@@ -67,6 +67,53 @@ class StreamBatchingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("sharded form: streamed == batch replay == per-(band, shard) window; shards genuinely split bands") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = graft.model.Tables.table(spark, sf, "documents")
+    val shards = 4
+    def naiveSharded(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long, Long, Long)] = {
+      val in = df.select($"doc_id",
+          size(graft.ops.TextAnalysis.tokens($"text")).cast("long").as("n_tokens"))
+        .withColumn("len_band", least(expr("n_tokens div 64"), lit(16L)))
+        .withColumn("shard",
+          graft.functions.PortableHash.md5Hash60($"doc_id".cast("string")) % shards.toLong)
+      in.withColumn("rib", row_number().over(
+          Window.partitionBy($"len_band", $"shard").orderBy($"doc_id")))
+        .withColumn("batch", expr("(rib - 1) div 32"))
+        .select($"doc_id", $"n_tokens", $"len_band", $"shard", $"batch").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+    }
+    def keyed5(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"n_tokens", $"len_band", $"shard", $"batch").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val rows = docs.select($"doc_id", $"text").as[BlInDoc].collect().sortBy(_.doc_id)
+    val in = MemoryStream[BlInDoc]
+    val q = Batching.withOnlineBatchesSharded(in.toDF(), $"doc_id", $"text",
+        shards = shards)
+      .toDF()
+      .writeStream.format("memory").queryName("w_batching_sharded_stream")
+      .outputMode("append").start()
+    try {
+      rows.grouped((rows.length + 2) / 3).foreach { chunk =>
+        in.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val got = keyed5(spark.table("w_batching_sharded_stream"))
+      val batch = keyed5(Batching.withOnlineBatchesSharded(
+        docs, $"doc_id", $"text", shards = shards).toDF())
+      val want = naiveSharded(docs)
+      assert(want.nonEmpty && got == want, "sharded stream != naive window")
+      assert(batch == want, "sharded batch replay != naive window")
+      // sharding must actually split at least one band across shards,
+      // or the fixture proves nothing about per-shard numbering
+      val perBandShards = want.values.groupBy(_._2).map { case (_, vs) =>
+        vs.map(_._3).toSet.size }
+      assert(perBandShards.exists(_ > 1), "no band split across shards")
+    } finally q.stop()
+  }
+
   test("per-band counters on RocksDB: kill/restart mid-stream, assignment == batch form") {
     import spark.implicits._
     val rocksCls =

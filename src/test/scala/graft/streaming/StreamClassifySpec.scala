@@ -45,4 +45,53 @@ class StreamClassifySpec extends AnyFunSuite with SparkSpec {
       assert(alg == got)
     } finally q.stop()
   }
+
+  test("hashed model: one scorer serves either form, == hashed column-algebra operator") {
+    import spark.implicits._
+    val docs = graft.model.Tables.table(spark, sf, "documents")
+    val (cls, cnt) = ClassifyServe.nbCountFrames(docs, $"text", $"lang",
+      featOf = graft.ops.Classify.hashedFeat)
+    val model = ClassifyServe.nbModelFromFrames(cls, cnt,
+      Some(graft.ops.Classify.HashedFeatureBuckets))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id",
+        org.apache.spark.sql.functions.col(
+          df.columns.find(_.startsWith("pred")).get),
+        $"bits_best").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val served = key(
+      ClassifyServe.withOnlineNbPredict(docs, $"doc_id", $"text", model))
+    val alg = key(graft.ops.Classify.nbPredict(
+      docs, $"doc_id", $"text", $"lang", "lang",
+      featOf = graft.ops.Classify.hashedFeat))
+    assert(served.nonEmpty && served == alg,
+      "hashed JVM serve diverged from the hashed column algebra")
+    // the hashed model's key space is bucket-bounded — the artifact
+    // can never trip the vocabulary cap
+    assert(model.counts.size <= graft.ops.Classify.HashedFeatureBuckets)
+    // collision pooling pinned non-vacuously: at 16 buckets the smoke
+    // vocabulary MUST collide (at 4096 it need not — bit-equal
+    // agreement with the raw model there is expected, not vacuous),
+    // and the JVM scorer must still track the column algebra exactly
+    // through the pooled evidence
+    val b16 = 16
+    val feat16 = (w: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.functions.pmod(
+        graft.functions.PortableHash.md5Hash60(w),
+        org.apache.spark.sql.functions.lit(b16.toLong)).cast("string")
+    val (cls16, cnt16) = ClassifyServe.nbCountFrames(docs, $"text", $"lang",
+      featOf = feat16)
+    val model16 = ClassifyServe.nbModelFromFrames(cls16, cnt16, Some(b16))
+    assert(model16.counts.size <= b16)
+    val served16 = key(
+      ClassifyServe.withOnlineNbPredict(docs, $"doc_id", $"text", model16))
+    val alg16 = key(graft.ops.Classify.nbPredict(
+      docs, $"doc_id", $"text", $"lang", "lang", featOf = feat16))
+    assert(served16 == alg16,
+      "16-bucket JVM serve diverged from the column algebra")
+    val raw = key(ClassifyServe.withOnlineNbPredict(docs, $"doc_id", $"text",
+      ClassifyServe.buildNbModel(docs, $"doc_id", $"text", $"lang")))
+    assert(raw.exists { case (id, v) => served16(id) != v },
+      "16-bucket pooling changed no (pred, bits) — vacuous fixture")
+  }
 }
