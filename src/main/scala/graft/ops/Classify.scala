@@ -210,6 +210,77 @@ object Classify {
               SELECT r.doc_id, d.lang, r.lab AS pred_lang,
                      CAST(r.total AS BIGINT) AS bits_best
               FROM nbr r JOIN documents d USING (doc_id)
-              WHERE r.rk = 1 ORDER BY r.doc_id"""))
+              WHERE r.rk = 1 ORDER BY r.doc_id""")),
+
+    // PREDICTED-domain mixture rebalancing — the classify → mix
+    // composition (the real use of a domain tagger in a mixing
+    // pipeline): t_mix_rebalance's uniform-token-budget machinery with
+    // the source key replaced by the NB classifier's PREDICTED class.
+    // Per predicted domain: token totals, the exact-integer accept
+    // rate in ppm flattening every domain to the smallest predicted
+    // domain's token budget, and the hash-decided kept doc/token
+    // counts — the whole membership function, aggregated. Zero-token
+    // documents carry no prediction (the NB contract) and no tokens,
+    // so their exclusion is semantically free. Scale shape: the
+    // classifier's shape plus two tiny domain-axis aggregates and one
+    // broadcast rates join — nothing new shuffles. The oracle chains
+    // the NB replay into the rebalance replay, pinning the composition
+    // at the (doc, prediction) boundary.
+    QueryDef(
+      "t_mix_classified",
+      (s, d) => {
+        import s.implicits._
+        val docs = table(s, d, "documents")
+        val pred = nbPredict(docs, $"doc_id", $"text", $"lang", "lang")
+          .select($"doc_id", $"pred_lang")
+        // tokenize once for the totals pass AND the keep join
+        val t = Checkpoints.lease("mixc_t", docs
+          .select($"doc_id",
+            size(TextAnalysis.tokens($"text")).cast("long").as("nt"))
+          .join(pred, Seq("doc_id")))
+        val tot = t.groupBy($"pred_lang")
+          .agg(count(lit(1)).as("n_total"), sum($"nt").as("ts"))
+        val mn = tot.agg(min($"ts").as("mts"))
+        val rates = tot.crossJoin(broadcast(mn))
+          .withColumn("rate_ppm", expr("mts * 1000000L div ts"))
+          .select($"pred_lang", $"rate_ppm")
+        t.join(broadcast(rates), Seq("pred_lang"))
+          .withColumn("__keep",
+            graft.functions.PortableHash.md5Hash60($"doc_id".cast("string"))
+              % 1000000L < $"rate_ppm")
+          .groupBy($"pred_lang")
+          .agg(
+            count(lit(1)).as("n_total"),
+            sum($"nt").as("tokens_total"),
+            first($"rate_ppm").as("rate_ppm"),
+            sum(when($"__keep", 1L).otherwise(0L)).as("n_kept"),
+            sum(when($"__keep", $"nt").otherwise(0L)).as("tokens_kept"))
+          .orderBy($"pred_lang")
+      },
+      Some(s"""WITH $nbCtes,
+              mpred AS (SELECT doc_id, lab AS pred_lang FROM nbr WHERE rk = 1),
+              mtt AS (
+                SELECT d.doc_id, p.pred_lang,
+                       CAST(len([x for x in string_split_regex(lower(d.text), '\\s+') if x != '']) AS BIGINT) AS nt
+                FROM documents d JOIN mpred p USING (doc_id)),
+              mtot AS (
+                SELECT pred_lang, count(*) AS n_total, sum(nt) AS ts
+                FROM mtt GROUP BY pred_lang),
+              mmn AS (SELECT min(ts) AS mts FROM mtot),
+              mr AS (
+                SELECT pred_lang, (mts * 1000000) // ts AS rate_ppm
+                FROM mtot CROSS JOIN mmn),
+              mk AS (
+                SELECT mtt.pred_lang, mtt.nt, mr.rate_ppm,
+                       (('0x' || substring(md5(CAST(mtt.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000)
+                         < mr.rate_ppm AS keep
+                FROM mtt JOIN mr USING (pred_lang))
+              SELECT pred_lang,
+                     count(*) AS n_total,
+                     CAST(sum(nt) AS BIGINT) AS tokens_total,
+                     CAST(min(rate_ppm) AS BIGINT) AS rate_ppm,
+                     CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                     CAST(sum(CASE WHEN keep THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept
+              FROM mk GROUP BY pred_lang ORDER BY pred_lang"""))
   )
 }

@@ -253,9 +253,17 @@ trait DedupClusterPart { this: Dedup.type =>
     * (id, label=component min)). Shared by the cluster queries and the
     * keep-best survivor policy below. */
   private def clusterMembers(cc: (DataFrame, DataFrame) => DataFrame)(
-      s: SparkSession, d: String): DataFrame = {
+      s: SparkSession, d: String): DataFrame =
+    clusterMembersOf(cc, table(s, d, "documents"))
+
+  /** [[clusterMembers]] over ANY doc set carrying `doc_id` + `text` —
+    * the form pipeline compositions feed (`pipe_curate` clusters the
+    * quality-selected subset, not the corpus). */
+  private[ops] def clusterMembersOf(
+      cc: (DataFrame, DataFrame) => DataFrame, docsIn: DataFrame): DataFrame = {
+    val s = docsIn.sparkSession
     import s.implicits._
-    val docs = table(s, d, "documents")
+    val docs = docsIn.select($"doc_id", $"text")
     val grp = docs.withColumn("__min",
       min($"doc_id").over(Window.partitionBy(md5(lower($"text")))))
     val reps = grp.filter($"doc_id" === $"__min")
@@ -285,15 +293,22 @@ trait DedupClusterPart { this: Dedup.type =>
   /** Oracle CTE chain ending in `cmemb AS (doc_id, cluster)` — the
     * member-frame replay shared by the cluster queries and
     * dd_cluster_keepbest. */
-  private lazy val clusterMemberCtes: String = {
-    val reps = """(SELECT doc_id, text FROM (
+  private lazy val clusterMemberCtes: String =
+    "WITH RECURSIVE " + clusterMemberChainFrom("documents")
+
+  /** The member-frame chain parameterized by the doc relation and
+    * WITHOUT the leading `WITH RECURSIVE` — spliceable into a larger
+    * statement (pipe_curate roots it at the quality-selected subset;
+    * the enclosing WITH must be RECURSIVE for the `reach` fixpoint). */
+  private[ops] def clusterMemberChainFrom(rel: String): String = {
+    val reps = s"""(SELECT doc_id, text FROM (
                     SELECT doc_id, text,
                            min(doc_id) OVER (PARTITION BY md5(lower(text))) AS mn
-                    FROM documents) WHERE doc_id = mn)"""
-    s"""${minhashOracleCtesFrom(reps).replaceFirst("WITH ", "WITH RECURSIVE ")},
+                    FROM $rel) WHERE doc_id = mn)"""
+    s"""${minhashOracleCtesFrom(reps).stripPrefix("WITH ")},
         gm AS (
           SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(lower(text))) AS mn
-          FROM documents),
+          FROM $rel),
         up AS (SELECT id_a, id_b FROM verified WHERE sim >= 0.5),
         eg AS (SELECT id_a AS src, id_b AS dst FROM up
                UNION ALL SELECT id_b, id_a FROM up),

@@ -430,9 +430,176 @@ object Pipeline {
         FROM feat ORDER BY media_id"""
   }
 
+  private val CurateSampleM = 100
+  private val CuratePackBudget = 2000L
+
+  /** End-to-end CURATION pipeline composition — the selection/curation
+    * family (round 16) run as ONE job, the way a production build runs
+    * it, each stage the exact operator its standalone query ships:
+    *
+    *   1. quality selection  — t_select_quality's corpus-relative
+    *                           top-half by the composite quality score
+    *                           ([[Selection.topFracByOrder]], bucketed);
+    *   2. keep-best dedup    — dd_cluster_keepbest's policy over the
+    *                           SELECTED subset: near-dup clusters
+    *                           (minhash-LSH pairs + connected
+    *                           components) keep their highest-quality
+    *                           member (ties to the lowest id);
+    *   3. weighted sample    — t_sample_weighted's deterministic
+    *                           systematic sample (m = 100 boundaries,
+    *                           token-weight proportional, portable-hash
+    *                           order) over the survivors;
+    *   4. length batching    — t_batch_bylen's padding-minimizing
+    *                           (band, batch) assignment over the
+    *                           sampled set;
+    *   5. segment packing    — t_pack_split's exact-budget shard
+    *                           segmentation (2000-token shards,
+    *                           documents spill across boundaries).
+    *
+    * The oracle replays the whole composition in one DuckDB statement
+    * assembled from the SAME fragment builders the standalone oracles
+    * use ([[Dedup.clusterMemberChainFrom]] rooted at the selected
+    * subset, the quality/sample/batch/pack CTEs re-rooted at each
+    * prior stage), so the cross-engine hash-compare pins every stage
+    * boundary — composition is where stage-boundary bugs live
+    * (round 10 found two oracle-pattern ceilings only under
+    * pipe_corpus), which is exactly why this exists.
+    *
+    * Scale shape: no new shuffle shape is introduced by composing —
+    * stage 1's rank and stage 3/4/5's rank/prefix sums ride the
+    * bounded-bucket two-phase plan (the only global windows run over
+    * bucket/band tables, never the corpus); stage 2 is the banded
+    * equi-join + CC pipeline already 100×-profiled standalone, over
+    * the HALVED corpus. Stage boundaries are leased ([[Checkpoints]])
+    * because each stage's output feeds 2-4 consumers (the pipe_corpus
+    * lesson); at a deployment they are durable materializations
+    * between jobs. */
+  def pipeCurate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = table(s, d, "documents")
+
+    // 1. corpus-relative quality selection (top half)
+    val q = docs
+      .withColumn("__toks", TextAnalysis.tokens($"text"))
+      .select($"doc_id", $"lang", $"text",
+        TextAnalysis.qualityScoreOf($"text", $"__toks").as("quality"))
+    val sel = Selection.topFracByOrder(q,
+        floor(-$"quality" * lit(1024.0)),
+        Seq($"quality".desc, $"doc_id".asc), 0.5, "selected")
+      .filter($"selected").drop("selected")
+    // referenced by the cluster grouping window, the member join, the
+    // keeper quality join, and the survivor join — lease it
+    val selL = Checkpoints.lease("pipe_curate_sel", sel)
+
+    // 2. keep-best near-dup survivors over the SELECTED subset: the
+    // keeper policy of dd_cluster_keepbest, applied (one min_by per
+    // cluster, then the survivor semi-join)
+    val memb = Dedup.clusterMembersOf(
+      (v, e) => Dedup.connectedMinLabels(v, e), selL)
+    val keepers = memb.join(selL.select($"doc_id", $"quality"), Seq("doc_id"))
+      .groupBy($"cluster")
+      .agg(min_by($"doc_id", struct((-$"quality").as("nq"), $"doc_id".as("i")))
+        .as("doc_id"))
+      .select($"doc_id", $"cluster")
+    val survL = Checkpoints.lease("pipe_curate_surv",
+      selL.join(keepers, Seq("doc_id")))
+
+    // 3. deterministic systematic weighted sample over the survivors
+    val samp = Curate.systematicSample(survL, $"doc_id", $"text",
+        m = CurateSampleM)
+      .filter($"selected")
+      .select($"doc_id", $"w_before")
+    val sampL = Checkpoints.lease("pipe_curate_samp",
+      survL.join(samp, Seq("doc_id")))
+
+    // 4. length-banded batching over the sampled set
+    val batches = Curate.lengthBatches(sampL, $"doc_id", $"text")
+      .select($"doc_id", $"len_band", $"batch")
+
+    // 5. exact-budget segment packing over the sampled set
+    val segs = Curate.packSegments(sampL, $"doc_id", $"text",
+      budget = CuratePackBudget, bucketWidth = 100L)
+
+    segs.join(batches, Seq("doc_id"))
+      .join(sampL.select($"doc_id", $"lang", $"quality", $"cluster",
+        $"w_before"), Seq("doc_id"))
+      .select($"doc_id", $"lang", $"quality", $"cluster", $"n_tokens",
+        $"w_before", $"len_band", $"batch", $"token_offset", $"shard",
+        $"tok_start", $"tok_len")
+      .orderBy($"doc_id", $"shard")
+  }
+
+  /** The full curation composition replayed in one DuckDB statement
+    * from the standalone oracles' fragment builders. */
+  private[graft] lazy val pipeCurateOracleSql: String = {
+    val toksExpr =
+      """[x for x in string_split_regex(lower(text), '\s+') if x != '']"""
+    s"""WITH RECURSIVE qt AS (
+          SELECT doc_id, lang, text, $toksExpr AS toks FROM documents),
+        qq AS (
+          SELECT doc_id, lang, text,
+                 ${TextAnalysis.duckdbQuality("text", "toks")} AS quality
+          FROM qt),
+        qr AS (
+          SELECT *, row_number() OVER (ORDER BY quality DESC, doc_id ASC) AS rn,
+                 count(*) OVER () AS nd
+          FROM qq),
+        sel AS MATERIALIZED (
+          SELECT doc_id, lang, text, quality FROM qr
+          WHERE rn <= ceil(nd * 0.5)),
+        ${Dedup.clusterMemberChainFrom("sel")},
+        kbr AS (
+          SELECT m.cluster, m.doc_id,
+                 row_number() OVER (PARTITION BY m.cluster
+                   ORDER BY s.quality DESC, s.doc_id ASC) AS rk
+          FROM cmemb m JOIN sel s USING (doc_id)),
+        surv AS MATERIALIZED (
+          SELECT s.doc_id, s.lang, s.quality, k.cluster,
+                 CAST(len([x for x in string_split_regex(lower(s.text), '\\s+') if x != '']) AS BIGINT) AS n_tokens,
+                 ('0x' || substring(md5(CAST(s.doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM sel s
+          JOIN (SELECT cluster, doc_id FROM kbr WHERE rk = 1) k USING (doc_id)),
+        so AS (
+          SELECT *,
+                 CAST(coalesce(SUM(n_tokens) OVER (ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS w_before,
+                 CAST(SUM(n_tokens) OVER () AS BIGINT) AS w_total
+          FROM surv),
+        samp AS MATERIALIZED (
+          SELECT * FROM so
+          WHERE ((w_before + n_tokens) * $CurateSampleM) // w_total
+                > (w_before * $CurateSampleM) // w_total),
+        brr AS (
+          SELECT doc_id,
+                 CAST(least(n_tokens // 64, 16) AS BIGINT) AS len_band,
+                 row_number() OVER (
+                   PARTITION BY least(n_tokens // 64, 16)
+                   ORDER BY h, doc_id) AS rib
+          FROM samp),
+        po AS (
+          SELECT doc_id, n_tokens,
+                 CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
+          FROM samp),
+        ps AS (
+          SELECT doc_id, n_tokens, token_offset,
+                 CAST(unnest(range(token_offset // $CuratePackBudget,
+                   (token_offset + n_tokens - 1) // $CuratePackBudget + 1)) AS BIGINT) AS shard
+          FROM po WHERE n_tokens > 0)
+        SELECT p.doc_id, m.lang, m.quality, m.cluster, p.n_tokens,
+               m.w_before, b.len_band,
+               CAST((b.rib - 1) // 32 AS BIGINT) AS batch,
+               p.token_offset, p.shard,
+               CAST(greatest(p.shard * $CuratePackBudget - p.token_offset, 0) AS BIGINT) AS tok_start,
+               CAST(least((p.shard + 1) * $CuratePackBudget, p.token_offset + p.n_tokens)
+                    - greatest(p.shard * $CuratePackBudget, p.token_offset) AS BIGINT) AS tok_len
+        FROM ps p JOIN samp m USING (doc_id) JOIN brr b USING (doc_id)
+        ORDER BY p.doc_id, p.shard"""
+  }
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("pipe_corpus", (s, d) => pipeCorpus(s, d),
       Some(pipeCorpusOracleSql)),
     QueryDef("pipe_media", (s, d) => pipeMedia(s, d),
-      Some(pipeMediaOracleSql)))
+      Some(pipeMediaOracleSql)),
+    QueryDef("pipe_curate", (s, d) => pipeCurate(s, d),
+      Some(pipeCurateOracleSql)))
 }

@@ -75,6 +75,7 @@ object ScaleSmoke {
       case "curate" => curateScale(args.drop(1))
       case "classify" => classifyScale(args.drop(1))
       case "batchshard" => batchShardScale(args.drop(1))
+      case "curatepipe" => curatePipeScale(args.drop(1))
       case other   => sys.error(s"unknown mode '$other' (full|fulld|dedup|skew|ann|semdedup|joinskew|dsir|curate|classify)")
     }
   }
@@ -450,6 +451,85 @@ object ScaleSmoke {
       spark.sparkContext.removeSparkListener(listener)
       spark.stop()
     }
+  }
+
+  /** `curatepipe <sfDir> <copies> <outJson>` — the composed curation
+    * pipeline (pipe_curate) at 100×: amplifies documents `copies`×
+    * with VERBATIM texts under shifted ids (the duplicate-saturated
+    * worst case for its dedup stage) and runs the whole five-stage
+    * composition at both scales. The invariant is strong: verbatim
+    * copies collapse in the exact-content window (copy ids are
+    * shifted ABOVE every original, so group minima, cluster labels,
+    * keep-best winners — quality ties break to the lowest id — and
+    * therefore the sample, batches, and segments are IDENTICAL), so
+    * the 100× output must be BIT-EQUAL to the 1× output while the
+    * pipeline grinds 100× the selection/cluster input. Emits wall
+    * times, ratio, straggler fractions, and the equality verdict. */
+  def curatePipeScale(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.drop(1).headOption.map(_.toInt).getOrElse(100)
+    val outJson = args.drop(2).headOption.getOrElse("SCALE100CURATEPIPE.json")
+    val off = 1000000000L
+    val ampDir = java.nio.file.Files.createTempDirectory("graft_cpamp").toString
+    locally {
+      val s = buildSession()
+      try {
+        import s.implicits._
+        val df = s.read.parquet(s"$sfDir/documents.parquet")
+        df.crossJoin(s.range(copies).select($"id".as("__copy")))
+          .select(df.schema.fields.toSeq.map { f =>
+            if (f.name == "doc_id")
+              (col(f.name) + $"__copy" * lit(off)).cast(f.dataType).as(f.name)
+            else col(f.name)
+          }: _*)
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$ampDir/documents.parquet")
+      } finally s.stop()
+    }
+    println(s"SCALE curatepipe: ${copies}x documents at $ampDir")
+
+    def run(dir: String): (Double, Double, Seq[Seq[Any]]) = {
+      val spark = buildSession()
+      val durations = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          durations.add(te.taskInfo.duration); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        graft.ops.Pipeline.pipeCurate(spark, dir).count() // codegen warmup
+        durations.clear()
+        val t0 = System.nanoTime()
+        val rows = graft.ops.Pipeline.pipeCurate(spark, dir)
+          .collect().map(_.toSeq.toSeq).toSeq
+        val t = (System.nanoTime() - t0) / 1e9
+        val maxTask = { import scala.jdk.CollectionConverters._
+          durations.iterator().asScala.foldLeft(0L)(math.max) / 1e3 }
+        (t, maxTask / math.max(t, 1e-9), rows)
+      } finally {
+        spark.sparkContext.removeSparkListener(listener)
+        spark.stop()
+      }
+    }
+
+    val (t1, st1, rows1) = run(sfDir)
+    val (tN, stN, rowsN) = run(ampDir)
+    require(rows1.nonEmpty, "curation pipeline emitted nothing at 1x")
+    val equal = rows1 == rowsN
+    require(equal,
+      s"100x output diverged from 1x: ${rows1.length} vs ${rowsN.length} rows " +
+        "(verbatim copies must collapse to the identical curated set)")
+    val json =
+      f"""{
+  "mode": "curate_pipe", "copies": $copies%d,
+  "t1": $t1%.3f, "tN": $tN%.3f, "ratio": ${tN / math.max(t1, 1e-9)}%.2f,
+  "straggler_1x": $st1%.2f, "straggler_Nx": $stN%.2f,
+  "rows": ${rows1.length}%d, "output_bit_equal": $equal%b
+}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"SCALE curatepipe wrote $outJson")
   }
 
   def classifyScale(args: Array[String]): Unit = {

@@ -597,6 +597,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("pipe_curate: composition has no plan pathologies — no cartesian, no UDF, bounded single-partition exchanges, leased boundaries") {
+    val p = plan("pipe_curate")
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
+    // selection/cluster stages sit behind localCheckpoint leases, so
+    // the final plan starts from truncated ExistingRDD scans and
+    // carries only the sample-join + batching + packing stages
+    assert(p.contains("Scan ExistingRDD"), p)
+    // the only SinglePartition structures are the bounded bucket/band
+    // tables: the batching global-rank bucket window, its ≤ 17-row
+    // band-offset window, and the packing prefix-sum bucket window
+    val sp = count(p, "Exchange SinglePartition")
+    assert(sp >= 1 && sp <= 4, s"$sp single-partition exchanges\n$p")
+    // every corpus-sized rank rides the bucketed two-phase plan
+    assert(p.contains("Exchange hashpartitioning(__sel_bucket") ||
+      p.contains("__sel_bucket"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("pipe_media: staged composition — leased boundaries, anti-join survivors, no cartesian, no UDF") {
     val p = plan("pipe_media")
     assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)

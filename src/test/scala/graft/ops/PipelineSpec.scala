@@ -84,4 +84,65 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(out.forall(_.getAs[Double]("quality") >= 0.6))
     assert(out.forall(_.getAs[Long]("n_ws_tokens") >= 30L))
   }
+
+  test("pipe_curate: stage invariants — selection median, one keeper per cluster, sample bound, exact segment tiling") {
+    import spark.implicits._
+    val rows = Pipeline.pipeCurate(spark, sf).collect()
+    assert(rows.nonEmpty, "curation pipeline emitted nothing at smoke scale")
+    val docs = graft.model.Tables.table(spark, sf, "documents")
+    val n = docs.count()
+
+    // stage 1: every surviving doc's quality is in the corpus top half
+    // — at least as high as the worst selected score (the frozen
+    // threshold w_select_quality freezes)
+    val q = docs.withColumn("__toks", TextAnalysis.tokens($"text"))
+      .select(TextAnalysis.qualityScoreOf($"text", $"__toks").as("q"))
+      .collect().map(_.getDouble(0)).sorted(Ordering[Double].reverse)
+    val thr = q((math.ceil(n * 0.5) - 1).toInt)
+    assert(rows.forall(_.getAs[Double]("quality") >= thr),
+      "a surviving doc is below the corpus-relative selection threshold")
+
+    // stage 2: one doc per cluster (the keep-best policy collapsed
+    // every near-dup cluster to one survivor)
+    val perCluster = rows.map(r =>
+      r.getAs[Long]("cluster") -> r.getAs[Long]("doc_id")).distinct
+    assert(perCluster.map(_._1).distinct.length == perCluster.length,
+      "a cluster kept more than one survivor")
+
+    // stage 3: the systematic sample emits at most m = 100 documents
+    val sampledDocs = rows.map(_.getAs[Long]("doc_id")).distinct
+    assert(sampledDocs.length <= 100, s"${sampledDocs.length} docs > m")
+
+    // stage 4: batches respect the batch size within each (band, batch)
+    rows.groupBy(r => (r.getAs[Long]("len_band"), r.getAs[Long]("batch")))
+      .foreach { case (_, rs) =>
+        assert(rs.map(_.getAs[Long]("doc_id")).distinct.length <= 32) }
+
+    // stage 5: segments tile each document's token interval exactly —
+    // per-doc tok_len sums to n_tokens, segments are contiguous, and
+    // every non-terminal shard boundary is honored exactly
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("shard"))
+      val nt = sorted.head.getAs[Long]("n_tokens")
+      assert(sorted.map(_.getAs[Long]("tok_len")).sum == nt,
+        s"doc $id: segment lengths don't sum to n_tokens")
+      assert(sorted.head.getAs[Long]("tok_start") == 0L,
+        s"doc $id: first segment doesn't start at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("tok_start") + a.getAs[Long]("tok_len") ==
+            b.getAs[Long]("tok_start"), s"doc $id: segment gap")
+          assert(b.getAs[Long]("shard") == a.getAs[Long]("shard") + 1,
+            s"doc $id: non-contiguous shards")
+        case _ => ()
+      }
+    }
+    // global tiling: total segment tokens == total sampled tokens, and
+    // every shard except the last holds EXACTLY the 2000-token budget
+    val byShard = rows.groupBy(_.getAs[Long]("shard"))
+      .map { case (s0, rs) => s0 -> rs.map(_.getAs[Long]("tok_len")).sum }
+    val lastShard = byShard.keys.max
+    byShard.filter(_._1 != lastShard).foreach { case (s0, tot) =>
+      assert(tot == 2000L, s"shard $s0 holds $tot tokens != budget") }
+  }
 }
