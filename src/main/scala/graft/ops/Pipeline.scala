@@ -474,7 +474,14 @@ object Pipeline {
     * because each stage's output feeds 2-4 consumers (the pipe_corpus
     * lesson); at a deployment they are durable materializations
     * between jobs. */
-  def pipeCurate(s: SparkSession, d: String): DataFrame = {
+  /** Stages 1-2 of [[pipeCurate]] (quality selection + keep-best
+    * survivors), exposed so the 100× artifact can check the survivor
+    * set's scale invariants directly — downstream of here the
+    * systematic sample is deliberately input-sensitive (an interval
+    * crossing over cumulative sums: a one-document change reshuffles
+    * later crossings, like a hash), so cross-scale set comparisons
+    * belong at THIS boundary. */
+  private[graft] def curateSurvivors(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = table(s, d, "documents")
 
@@ -501,8 +508,12 @@ object Pipeline {
       .agg(min_by($"doc_id", struct((-$"quality").as("nq"), $"doc_id".as("i")))
         .as("doc_id"))
       .select($"doc_id", $"cluster")
-    val survL = Checkpoints.lease("pipe_curate_surv",
-      selL.join(keepers, Seq("doc_id")))
+    Checkpoints.lease("pipe_curate_surv", selL.join(keepers, Seq("doc_id")))
+  }
+
+  def pipeCurate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val survL = curateSurvivors(s, d)
 
     // 3. deterministic systematic weighted sample over the survivors
     val samp = Curate.systematicSample(survL, $"doc_id", $"text",
