@@ -173,6 +173,67 @@ object Classify {
 
   private[graft] lazy val nbCtes: String = nbCtesFor("documents")
 
+  /** The SERVING split of the NB replay, prefixed: the model — class
+    * table, vocabulary, priors, token counts — is trained on
+    * `corpusRel` (doc_id, lab, text), but the docs SCORED are
+    * `scoreRel` (doc_id, text), which need not be inside the training
+    * corpus at all. Tokens the model never saw left-join to count 0
+    * and smooth to nn = 1 while `dd` and the vocabulary stay frozen on
+    * the training side — exactly what
+    * [[graft.streaming.ClassifyServe.withOnlineNbPredict]] computes
+    * against the broadcast artifact. Ends at `<p>nbr`
+    * (doc_id, lab, total, rk) over `scoreRel`'s tokened docs;
+    * zero-token docs carry no evidence and emit no row (the serve
+    * contract). */
+  private[graft] def nbCtesAgainst(
+      p: String, corpusRel: String, scoreRel: String): String = {
+    val toksExpr =
+      """[x for x in string_split_regex(lower(text), '\s+') if x != '']"""
+    s"""${p}t AS (
+                SELECT doc_id, lab, $toksExpr AS toks FROM $corpusRel),
+              ${p}tok AS (
+                SELECT lab, u AS w
+                FROM (SELECT lab, unnest(toks) AS u FROM ${p}t)),
+              ${p}cls AS (
+                SELECT lab, count(*) AS n_docs_s,
+                       CAST(sum(len(toks)) AS BIGINT) AS n_toks_s
+                FROM ${p}t GROUP BY lab),
+              ${p}tot AS (
+                SELECT (SELECT count(*) FROM ${p}t) AS n_docs,
+                       (SELECT count(DISTINCT w) FROM ${p}tok) AS vocab),
+              ${p}prior AS (
+                SELECT lab,
+                       CASE WHEN (n_docs_s << (length(bin(n_docs)) - length(bin(n_docs_s)))) <= n_docs
+                            THEN length(bin(n_docs)) - length(bin(n_docs_s))
+                            ELSE length(bin(n_docs)) - length(bin(n_docs_s)) - 1 END AS prior_bits,
+                       CAST(n_toks_s + vocab AS BIGINT) AS dd
+                FROM ${p}cls CROSS JOIN ${p}tot),
+              ${p}cnt AS (SELECT w, lab, count(*) AS cws
+                          FROM ${p}tok GROUP BY w, lab),
+              ${p}st AS (
+                SELECT doc_id, $toksExpr AS toks FROM $scoreRel),
+              ${p}stok AS (
+                SELECT doc_id, u AS w
+                FROM (SELECT doc_id, unnest(toks) AS u FROM ${p}st)),
+              ${p}sc AS (
+                SELECT s.doc_id, p2.lab,
+                       CAST(coalesce(c.cws, 0) + 1 AS BIGINT) AS nn, p2.dd
+                FROM ${p}stok s CROSS JOIN ${p}prior p2
+                LEFT JOIN ${p}cnt c ON c.w = s.w AND c.lab = p2.lab),
+              ${p}per AS (
+                SELECT doc_id, lab,
+                       CAST(sum(CASE WHEN (nn << (length(bin(dd)) - length(bin(nn)))) <= dd
+                                     THEN length(bin(dd)) - length(bin(nn))
+                                     ELSE length(bin(dd)) - length(bin(nn)) - 1 END) AS BIGINT) AS tok_bits
+                FROM ${p}sc GROUP BY doc_id, lab),
+              ${p}nbr AS (
+                SELECT per.doc_id, per.lab,
+                       per.tok_bits + prior.prior_bits AS total,
+                       row_number() OVER (PARTITION BY per.doc_id
+                         ORDER BY per.tok_bits + prior.prior_bits ASC, per.lab ASC) AS rk
+                FROM ${p}per per JOIN ${p}prior prior USING (lab))"""
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // Trained NB language classification (see nbPredict): the corpus's

@@ -4,7 +4,7 @@ import graft.QueryDef
 import graft.model.Tables.table
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Pii, TextAnalysis}
+import graft.ops.{Checkpoints, Classify, Dedup, Pii, Selection, TextAnalysis}
 
 /** The ONLINE corpus-cleaning pipeline — `pipe_corpus`'s streaming
   * twin: the stages an INGEST path can run as documents arrive, chained
@@ -40,6 +40,13 @@ import graft.ops.{Dedup, Pii, TextAnalysis}
   * the benchmark split or global offsets), while everything here is
   * decidable per arrival given the frozen artifacts — which is exactly
   * the batch/online split a production build runs.
+  *
+  * `w_corpus_nb` swaps stage 3's LM-surprisal gate for a FROZEN
+  * trained classifier (the FastText-style quality filter of the
+  * published pipelines: a seed labeling trains a classifier, arrivals
+  * keep only the predicted-good class), and `w_curate` is
+  * `pipe_curate`'s online twin under the same split — see each query's
+  * comment.
   */
 object StreamCorpus {
 
@@ -49,9 +56,10 @@ object StreamCorpus {
     * leave the gate untested). */
   val LmGate = 4.45
 
-  /** Stages 1-3: the stateless per-arrival transform (streaming-safe,
-    * no shuffle, no state). */
-  def gatedArrivals(docs: DataFrame, model: LmServe.LmModel): DataFrame = {
+  /** Stages 1-2: redaction + the heuristic quality/repetition gates —
+    * the model-free per-arrival prefix shared by every gate variant
+    * (streaming-safe, no shuffle, no state). */
+  def heuristicArrivals(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val red = docs.withColumn("text",
       regexp_replace(
@@ -59,49 +67,31 @@ object StreamCorpus {
           regexp_replace($"text", Pii.EmailRe, Pii.token("EMAIL")),
           Pii.IpRe, Pii.token("IP")),
         Pii.PhoneRe, Pii.token("PHONE")))
-    val gated = TextAnalysis.withRepetitionStats(red, $"text")
+    TextAnalysis.withRepetitionStats(red, $"text")
       .withColumn("__toks", TextAnalysis.tokens($"text"))
       .withColumn("quality", TextAnalysis.qualityScoreOf($"text", $"__toks"))
       .filter($"dup_bigram_ratio" <= 0.1 && $"dup_trigram_ratio" <= 0.02 &&
         $"quality" >= 0.6 && $"n_tokens" >= 30L)
       .select($"doc_id", $"lang", $"text",
         $"n_tokens".as("n_ws_tokens"), $"quality")
-    LmServe.withLmScoreColumn(gated, $"text", model)
+  }
+
+  /** Stages 1-3: the stateless per-arrival transform (streaming-safe,
+    * no shuffle, no state). */
+  def gatedArrivals(docs: DataFrame, model: LmServe.LmModel): DataFrame = {
+    import docs.sparkSession.implicits._
+    LmServe.withLmScoreColumn(heuristicArrivals(docs), $"text", model)
       .filter($"avg_bits" <= LmGate)
   }
 
-  val queries: Seq[QueryDef] = Seq(
-
-    // The online pipeline under batch execution. The oracle replays
-    // redaction + gates (the pipe_corpus fragments), LM training on
-    // the RAW corpus with OOV-total scoring (LEFT joins — redaction
-    // mints tokens the model never saw), and keep-first dedup as
-    // "dropped = later element of any verified pair" over the gated
-    // survivors.
-    QueryDef(
-      "w_corpus",
-      (s, d) => {
-        import s.implicits._
-        val docs = table(s, d, "documents")
-        val model = LmServe.buildLmModel(docs, $"text")
-        // the gated relation fans out three ways under batch (the
-        // index heap-guard action, the band explode, the anti-join
-        // left side) — lease it so redaction + gates + the LM map run
-        // once (streaming has no such fan-out: the state op is the
-        // only consumer, so gatedArrivals itself stays lease-free)
-        val gated = graft.ops.Checkpoints.lease("w_corpus_gated",
-          gatedArrivals(docs, model))
-        val dropped = NearDup
-          .droppedByIndex(gated, $"doc_id", $"text", 0.5)
-          .toDF().distinct()
-        gated.join(dropped, Seq("doc_id"), "left_anti")
-          .select($"doc_id", $"lang", $"n_ws_tokens", $"quality", $"avg_bits")
-          .orderBy($"doc_id")
-      },
-      Some {
-        val toksExpr =
-          """[x for x in string_split_regex(lower(text), '\s+') if x != '']"""
-        s"""WITH red AS (
+  /** Oracle CTE chain for stages 1-2 (`red` → `ct` → `gates` → `cl`),
+    * shared by every gate variant's replay. `cl` carries
+    * (doc_id, lang, text, toks, n_ws_tokens, quality) with `text`
+    * REDACTED. */
+  private[graft] lazy val corpusGateCtes: String = {
+    val toksExpr =
+      """[x for x in string_split_regex(lower(text), '\s+') if x != '']"""
+    s"""red AS (
               SELECT doc_id, lang,
                      regexp_replace(
                        regexp_replace(
@@ -133,13 +123,14 @@ object StreamCorpus {
               SELECT doc_id, lang, text, toks, n_tokens AS n_ws_tokens, quality
               FROM gates
               WHERE dup_bigram_ratio <= 0.1 AND dup_trigram_ratio <= 0.02
-                AND quality >= 0.6 AND n_tokens >= 30),
-            ${graft.ops.LmScore.lmAgainstCtes("l_", "cl", "documents")},
-            lmg AS (
-              SELECT cl.doc_id, cl.lang, cl.text, cl.n_ws_tokens, cl.quality,
-                     l_lm.avg_bits
-              FROM cl JOIN l_lm USING (doc_id) WHERE l_lm.avg_bits <= $LmGate),
-            ${Dedup.minhashSideCtes("o_", "lmg")},
+                AND quality >= 0.6 AND n_tokens >= 30)"""
+  }
+
+  /** The dedup-keep-first replay over `rel` (must carry doc_id, text):
+    * minhash sides, candidate pairs, dropped = the later element of
+    * any verified pair (prefixed `o_`, ends at `dropped`). */
+  private[graft] def keepFirstCtes(rel: String): String =
+    s"""${Dedup.minhashSideCtes("o_", rel)},
             ocand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                       FROM o_bands a JOIN o_bands b
                         ON a.band = b.band AND a.doc_id < b.doc_id),
@@ -149,10 +140,213 @@ object StreamCorpus {
               JOIN o_xb xa ON xa.doc_id = c.id_a
               JOIN o_xb xb2 ON xb2.doc_id = c.id_b
               WHERE CAST(len(list_intersect(xa.xs, xb2.xs)) AS DOUBLE)
-                    / (len(xa.xs) + len(xb2.xs) - len(list_intersect(xa.xs, xb2.xs))) >= 0.5)
+                    / (len(xa.xs) + len(xb2.xs) - len(list_intersect(xa.xs, xb2.xs))) >= 0.5)"""
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // The online pipeline under batch execution. The oracle replays
+    // redaction + gates (the pipe_corpus fragments), LM training on
+    // the RAW corpus with OOV-total scoring (LEFT joins — redaction
+    // mints tokens the model never saw), and keep-first dedup as
+    // "dropped = later element of any verified pair" over the gated
+    // survivors.
+    QueryDef(
+      "w_corpus",
+      (s, d) => {
+        import s.implicits._
+        val docs = table(s, d, "documents")
+        val model = LmServe.buildLmModel(docs, $"text")
+        // the gated relation fans out three ways under batch (the
+        // index heap-guard action, the band explode, the anti-join
+        // left side) — lease it so redaction + gates + the LM map run
+        // once (streaming has no such fan-out: the state op is the
+        // only consumer, so gatedArrivals itself stays lease-free)
+        val gated = Checkpoints.lease("w_corpus_gated",
+          gatedArrivals(docs, model))
+        val dropped = NearDup
+          .droppedByIndex(gated, $"doc_id", $"text", 0.5)
+          .toDF().distinct()
+        gated.join(dropped, Seq("doc_id"), "left_anti")
+          .select($"doc_id", $"lang", $"n_ws_tokens", $"quality", $"avg_bits")
+          .orderBy($"doc_id")
+      },
+      Some {
+        s"""WITH $corpusGateCtes,
+            ${graft.ops.LmScore.lmAgainstCtes("l_", "cl", "documents")},
+            lmg AS (
+              SELECT cl.doc_id, cl.lang, cl.text, cl.n_ws_tokens, cl.quality,
+                     l_lm.avg_bits
+              FROM cl JOIN l_lm USING (doc_id) WHERE l_lm.avg_bits <= $LmGate),
+            ${keepFirstCtes("lmg")}
             SELECT doc_id, lang, n_ws_tokens, quality, avg_bits
             FROM lmg WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
             ORDER BY doc_id"""
+      }),
+
+    // The FROZEN-CLASSIFIER gate variant — FastText-style quality
+    // filtering, the published pipeline pattern (CCNet/GPT-3/LLaMA
+    // data work): a SEED labeling (here the corpus-relative quality
+    // top-half on the RAW corpus — the heuristic bootstrap a pipeline
+    // uses when no Wikipedia-style positive set ships with the data)
+    // trains a naive-Bayes classifier once; arrivals are then gated by
+    // the frozen model's PREDICTION, not by the heuristic itself — the
+    // model generalizes the seed's signal to token evidence, and
+    // serving never recomputes corpus-relative ranks. Stage 3 is
+    // otherwise w_corpus's exactly: stages 1-2 heuristic prefix, then
+    // the stateless broadcast-model map ('hi' predictions pass — both
+    // verdicts occur on the fixture corpus), then keep-first dedup.
+    // The oracle replays seed labeling, training counts, frozen-model
+    // scoring of the REDACTED gated docs (train/score split —
+    // Classify.nbCtesAgainst), and the dedup evidence chain.
+    QueryDef(
+      "w_corpus_nb",
+      (s, d) => {
+        import s.implicits._
+        val docs = table(s, d, "documents")
+        // seed labels: quality top-half on the RAW corpus (bucketed
+        // two-phase rank — no corpus-wide window)
+        val q = docs
+          .withColumn("__toks", TextAnalysis.tokens($"text"))
+          .select($"doc_id",
+            TextAnalysis.qualityScoreOf($"text", $"__toks").as("quality"))
+        val labeled = Selection.topFracByOrder(q,
+            floor(-$"quality" * lit(1024.0)),
+            Seq($"quality".desc, $"doc_id".asc), 0.5, "selected")
+          .select($"doc_id",
+            when($"selected", lit("hi")).otherwise(lit("lo")).as("lab"))
+        val model = ClassifyServe.buildNbModel(
+          docs.join(labeled, Seq("doc_id")), $"doc_id", $"text", $"lab")
+        // stages 1-2, leased across the scorer + the join-back + the
+        // dedup fan-out
+        val gated = Checkpoints.lease("w_corpus_nb_gated",
+          heuristicArrivals(docs))
+        val admitted = Checkpoints.lease("w_corpus_nb_adm",
+          ClassifyServe.withOnlineNbPredict(gated, $"doc_id", $"text", model)
+            .filter($"pred_lang" === "hi")
+            .select($"doc_id", $"bits_best")
+            .join(gated, Seq("doc_id")))
+        val dropped = NearDup
+          .droppedByIndex(admitted, $"doc_id", $"text", 0.5)
+          .toDF().distinct()
+        admitted.join(dropped, Seq("doc_id"), "left_anti")
+          .select($"doc_id", $"lang", $"n_ws_tokens", $"quality",
+            $"bits_best")
+          .orderBy($"doc_id")
+      },
+      Some {
+        s"""WITH $corpusGateCtes,
+            lq AS (
+              SELECT doc_id, ${TextAnalysis.duckdbQuality("text", "toks")} AS quality
+              FROM (SELECT doc_id, text,
+                           [x for x in string_split_regex(lower(text), '\\s+') if x != ''] AS toks
+                    FROM documents)),
+            lr AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY quality DESC, doc_id ASC) AS rn,
+                     count(*) OVER () AS nd
+              FROM lq),
+            ltrain AS (
+              SELECT d.doc_id,
+                     CASE WHEN r.rn <= ceil(r.nd * 0.5) THEN 'hi' ELSE 'lo' END AS lab,
+                     d.text
+              FROM documents d JOIN lr r USING (doc_id)),
+            ${Classify.nbCtesAgainst("n_", "ltrain", "cl")},
+            nbg AS (
+              SELECT cl.doc_id, cl.lang, cl.text, cl.n_ws_tokens, cl.quality,
+                     CAST(n.total AS BIGINT) AS bits_best
+              FROM cl JOIN n_nbr n USING (doc_id)
+              WHERE n.rk = 1 AND n.lab = 'hi'),
+            ${keepFirstCtes("nbg")}
+            SELECT doc_id, lang, n_ws_tokens, quality, bits_best
+            FROM nbg WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+            ORDER BY doc_id"""
+      }),
+
+    // pipe_curate's ONLINE twin, under the same batch/online split
+    // w_corpus takes from pipe_corpus: the per-arrival-decidable
+    // stages given frozen artifacts —
+    //   1. quality gate from the FROZEN corpus-relative threshold
+    //      (w_select_quality's serving semantic: the batch phase fixes
+    //      the top-half cut, arrivals admit by score — boundary ties
+    //      over-admit, correctly);
+    //   2. near-dup keep-FIRST via the online LSH index (an online
+    //      system cannot revoke an emitted doc, so keep-best's
+    //      whole-cluster argmax degrades to first-wins — the
+    //      per-arrival-decidable keeper policy, same index as
+    //      w_corpus);
+    //   3. online length-banded batch assignment (w_batch_bylen's
+    //      persistent per-band counters).
+    // The corpus-relative stages (systematic weighted sample — needs
+    // global cumulative sums; exact-budget packing — needs global
+    // offsets) stay batch-side, exactly as pipe_corpus's held-out
+    // split and packing do. The oracle replays threshold, admission,
+    // the dedup evidence chain, and the per-band arrival numbering.
+    QueryDef(
+      "w_curate",
+      (s, d) => {
+        import s.implicits._
+        val docs = table(s, d, "documents")
+        // scored corpus fans out to the threshold build AND the
+        // arrival stream — lease the tokenize+score pass
+        val q = Checkpoints.lease("w_curate_q",
+          docs.withColumn("__toks", TextAnalysis.tokens($"text"))
+            .select($"doc_id", $"text",
+              TextAnalysis.qualityScoreOf($"text", $"__toks").as("quality")))
+        val thr = Selection.topFracByOrder(q.select($"doc_id", $"quality"),
+            floor(-$"quality" * lit(1024.0)),
+            Seq($"quality".desc, $"doc_id".asc), 0.5, "selected")
+          .filter($"selected")
+          .agg(min($"quality").as("q_threshold"))
+        val admitted = Checkpoints.lease("w_curate_adm",
+          q.crossJoin(broadcast(thr))
+            .filter($"quality" >= $"q_threshold")
+            .select($"doc_id", $"text", $"quality"))
+        val dropped = NearDup
+          .droppedByIndex(admitted, $"doc_id", $"text", 0.5)
+          .toDF().distinct()
+        val surv = Checkpoints.lease("w_curate_surv",
+          admitted.join(dropped, Seq("doc_id"), "left_anti"))
+        Batching.withOnlineBatches(surv, $"doc_id", $"text")
+          .join(surv.select($"doc_id", $"quality"), Seq("doc_id"))
+          .select($"doc_id", $"quality", $"n_tokens", $"len_band", $"batch")
+          .orderBy($"doc_id")
+      },
+      Some {
+        s"""WITH q AS (
+              SELECT doc_id, text,
+                     ${TextAnalysis.duckdbQuality("text", "toks")} AS quality
+              FROM (SELECT doc_id, text,
+                           [x for x in string_split_regex(lower(text), '\\s+') if x != ''] AS toks
+                    FROM documents)),
+            r AS (
+              SELECT doc_id, quality,
+                     row_number() OVER (ORDER BY quality DESC, doc_id ASC) AS rn,
+                     count(*) OVER () AS nd
+              FROM q),
+            thr AS (
+              SELECT min(quality) AS q_threshold FROM r
+              WHERE rn <= ceil(nd * 0.5)),
+            adm AS (
+              SELECT q.doc_id, q.text, q.quality
+              FROM q CROSS JOIN thr WHERE q.quality >= thr.q_threshold),
+            ${keepFirstCtes("adm")},
+            surv AS (
+              SELECT doc_id, text, quality FROM adm
+              WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+            sb AS (
+              SELECT doc_id, quality,
+                     CAST(len([x for x in string_split_regex(lower(text), '\\s+') if x != '']) AS BIGINT) AS n_tokens
+              FROM surv),
+            rb AS (
+              SELECT doc_id, quality, n_tokens,
+                     CAST(least(n_tokens // 64, 16) AS BIGINT) AS len_band,
+                     row_number() OVER (
+                       PARTITION BY least(n_tokens // 64, 16)
+                       ORDER BY doc_id) AS rib
+              FROM sb)
+            SELECT doc_id, quality, n_tokens, len_band,
+                   CAST((rib - 1) // 32 AS BIGINT) AS batch
+            FROM rb ORDER BY doc_id"""
       })
   )
 }

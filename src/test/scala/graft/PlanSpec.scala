@@ -711,6 +711,27 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("MapGroups"), p)
   }
 
+  test("w_corpus_nb: stateless classifier gate + one stateful band exchange, no cartesian, no UDF") {
+    val p = plan("w_corpus_nb")
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
+    // the gated + admitted relations are leased across their fan-outs
+    assert(p.contains("Scan ExistingRDD"), p)
+    // the frozen-model scorer is the per-partition broadcast map, and
+    // the band-keyed index op executes as MapGroups under batch
+    assert(p.contains("MapGroups") || p.contains("MapPartitions"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("w_curate: frozen-threshold gate + stateful index/batcher, bucketed rank, no cartesian, no UDF") {
+    val p = plan("w_curate")
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
+    // scored corpus / admitted / survivor relations ride leases
+    assert(p.contains("Scan ExistingRDD"), p)
+    // the online batcher's per-band counters (flatMapGroupsWithState
+    // under batch) — state-keyed, never a corpus window
+    assert(p.contains("MapGroups") || p.contains("FlatMapGroupsWithState"), p)
+  }
+
   test("t_pack_shuffled: bucketed two-phase prefix sum, bounded single-partition structure") {
     val p = plan("t_pack_shuffled")
     assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
