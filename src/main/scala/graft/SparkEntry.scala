@@ -27,7 +27,7 @@ object SparkEntry {
       streaming.Windows.queries ++ streaming.NearDup.queries ++
       streaming.AnnServe.queries ++ streaming.LmServe.queries ++
       streaming.StreamCorpus.queries ++ streaming.Batching.queries ++
-      streaming.ClassifyServe.queries
+      streaming.ClassifyServe.queries ++ streaming.MixServe.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Latest-sample-per-channel — the engine idiom that replaces the

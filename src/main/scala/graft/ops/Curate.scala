@@ -309,6 +309,45 @@ object Curate {
                 FROM b)
               SELECT doc_id, n_tokens, len_band,
                      CAST((rib - 1) // 32 AS BIGINT) AS batch
+              FROM r ORDER BY doc_id""")),
+
+    // PER-DOMAIN top-fraction selection — the "best 25% of every
+    // source" operator a mixing pipeline runs after tagging, and the
+    // first user of the Selection primitive's GROUPED form
+    // ([[Selection.topFracByOrderPerGroup]]): rank and count run
+    // WITHIN each source, so a small pristine source is not crowded
+    // out by a large mediocre one (the failure mode of the global
+    // t_select_quality cut under heterogeneous sources). Scale shape:
+    // strictly better than the global form — the bucket table is
+    // |sources| × ≤1025 rows and its prefix window is PARTITIONED by
+    // source, so the plan has NO single-partition structure at all.
+    QueryDef(
+      "t_select_bydomain",
+      (s, d) => {
+        import s.implicits._
+        val q = table(s, d, "documents")
+          .withColumn("__toks", TextAnalysis.tokens($"text"))
+          .select($"doc_id", $"source",
+            TextAnalysis.qualityScoreOf($"text", $"__toks").as("quality"))
+        Selection.topFracByOrderPerGroup(q, $"source",
+            floor(-$"quality" * lit(1024.0)),
+            Seq($"quality".desc, $"doc_id".asc), 0.25, "selected")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH q AS (
+                SELECT doc_id, source,
+                       ${TextAnalysis.duckdbQuality("text", "toks")} AS quality
+                FROM (SELECT doc_id, source, text,
+                             [x for x in string_split_regex(lower(text), '\\s+') if x != ''] AS toks
+                      FROM documents)),
+              r AS (
+                SELECT doc_id, source, quality,
+                       row_number() OVER (PARTITION BY source
+                         ORDER BY quality DESC, doc_id ASC) AS rn,
+                       count(*) OVER (PARTITION BY source) AS n_docs
+                FROM q)
+              SELECT doc_id, source, quality,
+                     rn <= ceil(n_docs * 0.25) AS selected
               FROM r ORDER BY doc_id"""))
   )
 }

@@ -113,4 +113,54 @@ object Selection {
       .withColumn(flagName,
         col("__sel_prevn") + 1L <= ceil(col("__sel_total") * lit(frac)))
       .drop("__sel_prevn", "__sel_total")
+
+  /** The GROUPED form of the two-phase decomposition: rank/total along
+    * `order` WITHIN each `group` value (per-domain, per-source,
+    * per-language selection — the "top X% of every domain" operator a
+    * mixing pipeline runs after tagging). Strictly better-shaped than
+    * the global form at scale: the bucket-totals table is
+    * |groups| × |buckets| rows, and its prefix window is PARTITIONED
+    * by group — there is no single-partition structure anywhere in the
+    * plan, bounded or otherwise. Same `bucket` monotonicity contract
+    * as [[withRunningTotals]], per group. */
+  def withRunningTotalsPerGroup(
+      df: DataFrame, group: Column, bucket: Column, order: Seq[Column],
+      weight: Column, offName: String, totName: String): DataFrame = {
+    val in = df.withColumn("__sel_w", weight.cast("long"))
+      .withColumn("__sel_grp", group)
+      .withColumn("__sel_bucket", bucket)
+    val wPrev = Window.partitionBy(col("__sel_grp"))
+      .orderBy(col("__sel_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("__sel_grp"))
+      .orderBy(col("__sel_bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = in.groupBy(col("__sel_grp"), col("__sel_bucket"))
+      .agg(sum(col("__sel_w")).as("__sel_n"))
+      .withColumn("__sel_boff", coalesce(sum(col("__sel_n")).over(wPrev), lit(0L)))
+      .withColumn(totName, sum(col("__sel_n")).over(wAll))
+    val wL = Window.partitionBy(col("__sel_grp"), col("__sel_bucket"))
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    in.join(
+        broadcast(offsets.select(col("__sel_grp"), col("__sel_bucket"),
+          col("__sel_boff"), col(totName))),
+        Seq("__sel_grp", "__sel_bucket"))
+      .withColumn(offName,
+        col("__sel_boff") + coalesce(sum(col("__sel_w")).over(wL), lit(0L)))
+      .drop("__sel_grp", "__sel_bucket", "__sel_boff", "__sel_w")
+  }
+
+  /** Flag the top `ceil(n_g * frac)` rows WITHIN each `group` along
+    * `order` — per-group top-fraction selection with no
+    * single-partition structure at all (see
+    * [[withRunningTotalsPerGroup]]). */
+  def topFracByOrderPerGroup(
+      df: DataFrame, group: Column, bucket: Column, order: Seq[Column],
+      frac: Double, flagName: String): DataFrame =
+    withRunningTotalsPerGroup(df, group, bucket, order, lit(1L),
+        "__sel_prevn", "__sel_total")
+      .withColumn(flagName,
+        col("__sel_prevn") + 1L <= ceil(col("__sel_total") * lit(frac)))
+      .drop("__sel_prevn", "__sel_total")
 }

@@ -732,6 +732,29 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("MapGroups") || p.contains("FlatMapGroupsWithState"), p)
   }
 
+  test("t_select_bydomain: grouped two-phase rank — NO single-partition structure anywhere") {
+    val p = plan("t_select_bydomain")
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
+    // the grouped primitive's whole point: even the bucket-offsets
+    // window is partitioned (by source), so nothing in the plan ever
+    // collapses to one partition
+    assert(count(p, "Exchange SinglePartition") == 0, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("w_mix_rebalance / w_mix_classified: frozen broadcast rates, no cartesian, no UDF") {
+    for (q <- Seq("w_mix_rebalance", "w_mix_classified")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), s"$q:\n$p")
+      // admission joins the broadcast rates frame; the arrival map is
+      // per-row column algebra (plus the NB scorer's partition map in
+      // the classified form)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q:\n$p")
+      assert(p.contains("Scan ExistingRDD"), s"$q:\n$p") // leased tokenize
+    }
+  }
+
   test("t_pack_shuffled: bucketed two-phase prefix sum, bounded single-partition structure") {
     val p = plan("t_pack_shuffled")
     assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)

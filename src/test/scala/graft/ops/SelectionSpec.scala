@@ -89,4 +89,63 @@ class SelectionSpec extends AnyFunSuite with SparkSpec {
       floor(-$"score" * 4), Seq($"score".desc, $"id".asc), 0.5, "sel")
     assert(out.columns.toSeq == Seq("id", "score", "extra", "sel"))
   }
+
+  // grouped form: 1000 rows over 8 hash-derived groups of unequal
+  // sizes, same tie-heavy score distribution
+  private def grouped() = {
+    import spark.implicits._
+    (0L until 1000L).map { i =>
+      val score = ((i * 2654435761L) % 20L).toDouble / 4.0 - 2.0
+      val g = s"g${(i * -7046029254386353131L >>> 61).toInt}"
+      (i, g, score)
+    }.toDF("id", "grp", "score")
+  }
+
+  test("topFracByOrderPerGroup == per-group partitioned row_number, including ceil boundaries") {
+    import spark.implicits._
+    val df = grouped()
+    for (frac <- Seq(0.1, 0.25, 0.5, 1.0)) {
+      val got = Selection.topFracByOrderPerGroup(df, $"grp",
+          floor(-$"score" * 4), Seq($"score".desc, $"id".asc), frac, "sel")
+        .filter($"sel").select($"id").collect().map(_.getLong(0)).toSet
+      val naive = df
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"grp").orderBy($"score".desc, $"id".asc)))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"grp")))
+        .filter($"rk" <= ceil($"n" * frac))
+        .select($"id").collect().map(_.getLong(0)).toSet
+      assert(got == naive, s"frac=$frac")
+    }
+  }
+
+  test("withRunningTotalsPerGroup: per-group weighted prefix + per-group total == partitioned form") {
+    import spark.implicits._
+    val df = grouped().withColumn("w", (abs(hash($"id")) % 7 + 1).cast("long"))
+    val got = Selection.withRunningTotalsPerGroup(df, $"grp",
+        floor(-$"score" * 4), Seq($"score".desc, $"id".asc), $"w",
+        "off", "tot")
+      .select($"id", $"off", $"tot").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val naive = df
+      .withColumn("off", coalesce(sum($"w").over(
+        Window.partitionBy($"grp").orderBy($"score".desc, $"id".asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("tot", sum($"w").over(Window.partitionBy($"grp")))
+      .select($"id", $"off", $"tot").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == naive)
+  }
+
+  test("grouped form: one group with a single hot bucket stays exact; columns pass through") {
+    import spark.implicits._
+    val df = (0L until 400L).map(i => (i, if (i % 2 == 0) "a" else "b", 1.5))
+      .toDF("id", "grp", "score").withColumn("extra", $"id" * 3)
+    val out = Selection.topFracByOrderPerGroup(df, $"grp",
+      floor(-$"score" * 4), Seq($"score".desc, $"id".asc), 0.25, "sel")
+    assert(out.columns.toSeq == Seq("id", "grp", "score", "extra", "sel"))
+    // 200 per group, constant score → ids ascend within each parity
+    // class; top quarter = the 50 lowest ids of each group
+    val sel = out.filter($"sel").select($"id").collect().map(_.getLong(0)).toSet
+    assert(sel == (0L until 100L).toSet)
+  }
 }
