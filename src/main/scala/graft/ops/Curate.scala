@@ -348,6 +348,57 @@ object Curate {
                 FROM q)
               SELECT doc_id, source, quality,
                      rn <= ceil(n_docs * 0.25) AS selected
-              FROM r ORDER BY doc_id"""))
+              FROM r ORDER BY doc_id""")),
+
+    // ONLINE per-domain quality gating from FROZEN per-domain
+    // thresholds — t_select_bydomain's serving form (the
+    // w_select_quality move, per group): the batch phase fixes each
+    // source's top-quarter threshold (one min per source over the
+    // flagged frame — a |sources|-row broadcast artifact), and
+    // arrivals are admitted by score >= THEIR source's threshold.
+    // Boundary ties can admit more than the batch set per domain (a
+    // frozen scalar cannot see arrival ranks) — the correct serving
+    // semantic, replayed exactly.
+    QueryDef(
+      "w_select_bydomain",
+      (s, d) => {
+        import s.implicits._
+        val q = Checkpoints.lease("curate_seldom",
+          table(s, d, "documents")
+            .withColumn("__toks", TextAnalysis.tokens($"text"))
+            .select($"doc_id", $"source",
+              TextAnalysis.qualityScoreOf($"text", $"__toks").as("quality")))
+        val thr = Selection.topFracByOrderPerGroup(q, $"source",
+            floor(-$"quality" * lit(1024.0)),
+            Seq($"quality".desc, $"doc_id".asc), 0.25, "selected")
+          .filter($"selected")
+          .groupBy($"source")
+          .agg(min($"quality").as("q_threshold"))
+        q.filter($"doc_id" < 100)
+          .join(broadcast(thr), Seq("source"))
+          .withColumn("admitted", $"quality" >= $"q_threshold")
+          .select($"doc_id", $"source", $"quality", $"q_threshold",
+            $"admitted")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH q AS (
+                SELECT doc_id, source,
+                       ${TextAnalysis.duckdbQuality("text", "toks")} AS quality
+                FROM (SELECT doc_id, source, text,
+                             [x for x in string_split_regex(lower(text), '\\s+') if x != ''] AS toks
+                      FROM documents)),
+              r AS (
+                SELECT doc_id, source, quality,
+                       row_number() OVER (PARTITION BY source
+                         ORDER BY quality DESC, doc_id ASC) AS rn,
+                       count(*) OVER (PARTITION BY source) AS n_docs
+                FROM q),
+              thr AS (
+                SELECT source, min(quality) AS q_threshold FROM r
+                WHERE rn <= ceil(n_docs * 0.25) GROUP BY source)
+              SELECT q.doc_id, q.source, q.quality, thr.q_threshold,
+                     q.quality >= thr.q_threshold AS admitted
+              FROM q JOIN thr USING (source)
+              WHERE q.doc_id < 100 ORDER BY q.doc_id"""))
   )
 }

@@ -198,8 +198,11 @@ object ScaleSmoke {
     * (t_sample_weighted), length-banded batching (t_batch_bylen),
     * curriculum packing (t_pack_curriculum), exact-budget segment
     * packing (t_pack_split — shard tiling require()d at both scales),
-    * and corpus-relative quality selection (t_select_quality —
-    * exact-count selection require()d). Amplifies documents
+    * corpus-relative quality selection (t_select_quality —
+    * exact-count selection require()d), and per-domain selection
+    * (t_select_bydomain — the GROUPED primitive, every source
+    * require()d to select exactly ceil(0.25·its size)). Amplifies
+    * documents
     * `copies`× with VERBATIM text (ids shifted) — for the
     * quality/excess-quantized buckets that is the worst tie density
     * (every 1× doc now has `copies` exact-score twins per bucket),
@@ -305,9 +308,28 @@ object ScaleSmoke {
             s"selected ${a.getLong(1)} != ceil(0.5 * ${a.getLong(0)})")
           a.getLong(1)
         }
+        val seldom = timeOp {
+          val q = docs
+            .withColumn("__toks", graft.ops.TextAnalysis.tokens($"text"))
+            .select($"doc_id", $"source",
+              graft.ops.TextAnalysis.qualityScoreOf($"text", $"__toks").as("quality"))
+          // exact per-GROUP counts: every source must select exactly
+          // ceil(0.25 * its own size) — the grouped primitive's claim
+          val bad = graft.ops.Selection.topFracByOrderPerGroup(q, $"source",
+              floor(-$"quality" * lit(1024.0)),
+              Seq($"quality".desc, $"doc_id".asc), 0.25, "selected")
+            .groupBy($"source")
+            .agg(count(lit(1)).as("n"),
+              sum(when($"selected", 1L).otherwise(0L)).as("sel"))
+            .filter($"sel" =!= ceil($"n" * 0.25).cast("long"))
+            .count()
+          require(bad == 0L, s"$bad sources with sel != ceil(0.25 * n)")
+          bad
+        }
         Map("excess" -> excess, "sample" -> sample,
           "bylen" -> bylen, "curriculum" -> curr,
-          "pack_split" -> split, "select_quality" -> selq)
+          "pack_split" -> split, "select_quality" -> selq,
+          "select_bydomain" -> seldom)
       } finally {
         spark.sparkContext.removeSparkListener(listener)
         spark.stop()
@@ -317,7 +339,7 @@ object ScaleSmoke {
     val r1 = run(sfDir)
     val rN = run(ampDir)
     val ops = Seq("excess", "sample", "bylen", "curriculum",
-      "pack_split", "select_quality")
+      "pack_split", "select_quality", "select_bydomain")
     val body = ops.map { op =>
       val (t1, st1, s1) = r1(op)
       val (tN, stN, sN) = rN(op)
