@@ -742,6 +742,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("w_select_bydomain: grouped threshold build + broadcast artifact join, no single-partition structure") {
+    val p = plan("w_select_bydomain")
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
+    assert(count(p, "Exchange SinglePartition") == 0, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("w_mix_rebalance / w_mix_classified: frozen broadcast rates, no cartesian, no UDF") {
     for (q <- Seq("w_mix_rebalance", "w_mix_classified")) {
       val p = plan(q)
