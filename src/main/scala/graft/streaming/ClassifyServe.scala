@@ -53,7 +53,7 @@ object ClassifyServe {
     * per-(feature, class) counts. Strings and exact longs — parquet
     * round-trips them exactly. `featOf` selects the feature space
     * (raw tokens, or [[graft.ops.Classify.hashedFeat]]). */
-  private[streaming] def nbCountFrames(
+  private[graft] def nbCountFrames(
       corpus: DataFrame, text: Column, label: Column,
       featOf: Column => Column = identity): (DataFrame, DataFrame) = {
     val toks = graft.ops.Checkpoints.lease("nb_build_toks", corpus.select(

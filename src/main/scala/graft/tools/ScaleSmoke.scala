@@ -76,7 +76,8 @@ object ScaleSmoke {
       case "classify" => classifyScale(args.drop(1))
       case "batchshard" => batchShardScale(args.drop(1))
       case "curatepipe" => curatePipeScale(args.drop(1))
-      case other   => sys.error(s"unknown mode '$other' (full|fulld|dedup|skew|ann|semdedup|joinskew|dsir|curate|classify)")
+      case "classifylife" => classifyLifeScale(args.drop(1))
+      case other   => sys.error(s"unknown mode '$other' (full|fulld|dedup|skew|ann|semdedup|joinskew|dsir|curate|classify|batchshard|curatepipe|classifylife)")
     }
   }
 
@@ -386,6 +387,161 @@ object ScaleSmoke {
     * (band[, shard]) key's max batch == (n-1) div 32; per-band
     * totals identical across forms — sharding must never move a doc
     * across bands). */
+  /** `classifylife <sfDir> <copies> <outJson>` — the 100× pass on the
+    * NB classifier's OPERATIONAL closure (the round-17 stored/add/
+    * takedown + hashed-feature work): on the 1× and the `copies`×
+    * (verbatim-copy) corpus, measure the lifecycle costs and check
+    * the claims that justify them at 100 TB:
+    *
+    *  - build + store: the one-time cost (grows with the corpus —
+    *    that's fine, it is paid once);
+    *  - hashed build: the bucket-bounded artifact — the model's key
+    *    count must stay ≤ HashedFeatureBuckets at BOTH scales
+    *    (require()d), the property that makes the serving broadcast
+    *    safe at any corpus size;
+    *  - add: folding a FIXED 30-doc batch into the stored count
+    *    frames (union + group-sum + save). The stored frame is
+    *    VOCABULARY-sized, not corpus-sized — verbatim copies keep the
+    *    vocabulary constant (require()d equal across scales) — so the
+    *    edit cost must stay roughly flat while the corpus grows 100×;
+    *  - takedown: subtracting FIXED tombstones (docs 100-199) from
+    *    the live frames — same flat-cost argument, and the edited
+    *    model must be EXACTLY the retrain on (corpus + batch −
+    *    tombstones), field-for-field and count-for-count (require()d
+    *    at both scales: the additivity proof, executed);
+    *  - retrain: the full-rebuild baseline the edits avoid —
+    *    `edit_vs_retrain_Nx` is the measured win.
+    */
+  def classifyLifeScale(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.drop(1).headOption.map(_.toInt).getOrElse(100)
+    val outJson = args.drop(2).headOption.getOrElse("SCALE100CLASSIFYLIFE.json")
+    val off = 1000000000L
+    val ampDir = java.nio.file.Files.createTempDirectory("graft_cllamp").toString
+    locally {
+      val s = buildSession()
+      try {
+        import s.implicits._
+        val df = s.read.parquet(s"$sfDir/documents.parquet")
+        df.crossJoin(s.range(copies).select($"id".as("__copy")))
+          .select(df.schema.fields.toSeq.map { f =>
+            if (f.name == "doc_id")
+              (col(f.name) + $"__copy" * lit(off)).cast(f.dataType).as(f.name)
+            else col(f.name)
+          }: _*)
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$ampDir/documents.parquet")
+      } finally s.stop()
+    }
+    println(s"SCALE classifylife: ${copies}x documents at $ampDir")
+
+    def modelEq(a: graft.streaming.NbModel, b: graft.streaming.NbModel): Boolean =
+      a.classes.sameElements(b.classes) &&
+        a.priorBits.sameElements(b.priorBits) &&
+        a.dd.sameElements(b.dd) &&
+        a.counts.keySet == b.counts.keySet &&
+        a.counts.forall { case (w, arr) => arr.sameElements(b.counts(w)) }
+
+    val seq = new java.util.concurrent.atomic.AtomicLong()
+    def run(dir: String): (Map[String, Double], Long, Long) = {
+      val spark = buildSession()
+      try {
+        import spark.implicits._
+        import graft.streaming.ClassifyServe
+        import graft.ops.IndexStore
+        spark.range(1000).selectExpr("sum(id)").collect()
+        def docs = table(spark, dir, "documents")
+        def time[T](body: => T): (Double, T) = {
+          val t0 = System.nanoTime(); val r = body
+          ((System.nanoTime() - t0) / 1e9, r)
+        }
+        val root = IndexStore.scratchRoot(spark, "nblife", seq.incrementAndGet())
+        val (tBuild, vocab) = time {
+          val (cls, cnt) = ClassifyServe.nbCountFrames(docs, $"text", $"lang")
+          IndexStore.save(root, "nb_classes" -> cls, "nb_counts" -> cnt)
+          ClassifyServe.nbModelFromFrames(
+            IndexStore.load(spark, root, "nb_classes"),
+            IndexStore.load(spark, root, "nb_counts")).counts.size.toLong
+        }
+        val (tHash, hkeys) = time {
+          val (clsH, cntH) = ClassifyServe.nbCountFrames(docs, $"text", $"lang",
+            featOf = graft.ops.Classify.hashedFeat)
+          ClassifyServe.nbModelFromFrames(clsH, cntH,
+            Some(graft.ops.Classify.HashedFeatureBuckets)).counts.size.toLong
+        }
+        require(hkeys <= graft.ops.Classify.HashedFeatureBuckets,
+          s"hashed model $hkeys keys > bucket bound")
+        def batch = docs.filter($"doc_id" < 30)
+          .select(($"doc_id" + 2000000L).as("doc_id"), $"lang",
+            substring($"text", 1, 40).as("text"))
+        val (tAdd, _) = time {
+          val (clsB, cntB) = ClassifyServe.nbCountFrames(batch, $"text", $"lang")
+          val clsLive = IndexStore.load(spark, root, "nb_classes")
+            .unionByName(clsB)
+            .groupBy($"lab").agg(
+              sum($"n_docs_s").as("n_docs_s"), sum($"n_toks_s").as("n_toks_s"))
+          val cntLive = IndexStore.load(spark, root, "nb_counts")
+            .unionByName(cntB)
+            .groupBy($"w", $"lab").agg(sum($"cws").as("cws"))
+          IndexStore.save(root, "nb_classes" -> clsLive, "nb_counts" -> cntLive)
+        }
+        val (tTake, _) = time {
+          val (clsT, cntT) = ClassifyServe.nbCountFrames(
+            docs.filter($"doc_id" >= 100 && $"doc_id" < 200), $"text", $"lang")
+          val clsLive = IndexStore.load(spark, root, "nb_classes")
+            .join(clsT.select($"lab", $"n_docs_s".as("__d"), $"n_toks_s".as("__t")),
+              Seq("lab"), "left")
+            .select($"lab",
+              ($"n_docs_s" - coalesce($"__d", lit(0L))).as("n_docs_s"),
+              ($"n_toks_s" - coalesce($"__t", lit(0L))).as("n_toks_s"))
+            .filter($"n_docs_s" > 0)
+          val cntLive = IndexStore.load(spark, root, "nb_counts")
+            .join(cntT.select($"w", $"lab", $"cws".as("__c")), Seq("w", "lab"), "left")
+            .select($"w", $"lab", ($"cws" - coalesce($"__c", lit(0L))).as("cws"))
+            .filter($"cws" > 0)
+          IndexStore.save(root, "nb_classes" -> clsLive, "nb_counts" -> cntLive)
+        }
+        val (tRetrain, ok) = time {
+          val base = docs
+            .filter(!($"doc_id" >= 100 && $"doc_id" < 200))
+            .select($"doc_id", $"lang", $"text")
+            .unionByName(batch.select($"doc_id", $"lang", $"text"))
+          val mRe = ClassifyServe.buildNbModel(base, $"doc_id", $"text", $"lang")
+          val mEd = ClassifyServe.nbModelFromFrames(
+            IndexStore.load(spark, root, "nb_classes"),
+            IndexStore.load(spark, root, "nb_counts"))
+          modelEq(mEd, mRe)
+        }
+        require(ok, "edited frames != retrain on corpus + batch - tombstones")
+        (Map("build" -> tBuild, "hash_build" -> tHash, "add" -> tAdd,
+          "takedown" -> tTake, "retrain" -> tRetrain), vocab, hkeys)
+      } finally spark.stop()
+    }
+
+    val (m1, v1, h1) = run(sfDir)
+    val (mN, vN, hN) = run(ampDir)
+    require(v1 == vN,
+      s"vocabulary changed under verbatim copies: $v1 -> $vN")
+    val body = Seq("build", "hash_build", "add", "takedown", "retrain")
+      .map { k =>
+        println(f"SCALE classifylife $k: ${m1(k)}%.2f s -> ${mN(k)}%.2f s " +
+          f"(ratio ${mN(k) / math.max(m1(k), 1e-9)}%.2f)")
+        f""""$k": {"t1": ${m1(k)}%.3f, "tN": ${mN(k)}%.3f, "ratio": ${mN(k) / math.max(m1(k), 1e-9)}%.2f}"""
+      }.mkString(",\n  ")
+    val json =
+      f"""{
+  "mode": "classify_lifecycle", "copies": $copies%d,
+  $body,
+  "vocab": $v1%d, "hashed_keys_1x": $h1%d, "hashed_keys_Nx": $hN%d,
+  "edit_vs_retrain_Nx": ${mN("retrain") / math.max(mN("add") + mN("takedown"), 1e-9)}%.2f,
+  "model_surgery_exact": true,
+  "note": "the structural claims are the scale story here: count frames stay vocabulary-sized (vocab constant under verbatim copies, require()d), the hashed model stays bucket-bounded at both scales, and edited frames equal the retrain EXACTLY at both scales; at this fixture's corpus/vocabulary size every phase is scheduling-overhead-dominated, so ~1.0 ratios under 100x data mean no phase's cost grew with the corpus -- for add/takedown that flatness IS the claim (they scan only the delta + vocabulary-sized frames), while at production scale build/retrain would grow linearly and the edit forms would not"
+}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"SCALE classifylife wrote $outJson")
+  }
+
   def batchShardScale(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = args.drop(1).headOption.map(_.toInt).getOrElse(100)
