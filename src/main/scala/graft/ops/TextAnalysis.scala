@@ -881,6 +881,62 @@ object TextAnalysis {
                      CAST(sum(CASE WHEN keep THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept
               FROM k GROUP BY source ORDER BY source""")),
 
+    // EXACT token-budget mixture — the deterministic-budget
+    // counterpart of t_mix_rebalance's probabilistic rates: every
+    // domain keeps documents in portable-hash order (a fixed random
+    // permutation) until the smallest domain's token total is reached,
+    // so each domain's kept token count is EXACTLY budget + at most
+    // one boundary document's overshoot (the rebalance form only hits
+    // the budget in expectation). The crossing document is KEPT
+    // (admit-then-close: w_before < budget), so every domain reaches
+    // at least the budget; the smallest domain keeps everything. Rides
+    // [[Selection.withRunningTotalsPerGroup]] — per-domain running
+    // token sums with the grouped two-phase plan (bucket table
+    // |domains| × |hash buckets|, no single-partition structure, no
+    // per-domain corpus window). The oracle replays the per-domain
+    // hash-ordered prefix sums and the boundary rule bit-for-bit.
+    QueryDef(
+      "t_mix_budget",
+      (s, d) => {
+        import s.implicits._
+        val t = graft.ops.Checkpoints.lease("mixb_t", table(s, d, "documents")
+          .select($"doc_id", $"source",
+            size(tokens($"text")).cast("long").as("nt"),
+            graft.functions.PortableHash.md5Hash60($"doc_id".cast("string"))
+              .as("__h")))
+        val budget = t.groupBy($"source").agg(sum($"nt").as("ts"))
+          .agg(min($"ts").as("budget"))
+        // hash values spread uniformly over [0, 2^60): bucketing by
+        // the top bits keeps the per-(domain, bucket) slice bounded
+        // and monotone along the (hash, doc_id) order
+        Selection.withRunningTotalsPerGroup(t, $"source",
+            shiftright($"__h", 44), Seq($"__h".asc, $"doc_id".asc), $"nt",
+            "w_before", "__tot")
+          .crossJoin(broadcast(budget))
+          .withColumn("kept", $"w_before" < $"budget")
+          .select($"doc_id", $"source", $"nt", $"w_before", $"budget",
+            $"kept")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (
+                SELECT doc_id, source,
+                       CAST(len([x for x in string_split_regex(lower(text), '\\s+') if x != '']) AS BIGINT) AS nt,
+                       ${graft.functions.PortableHash.duckdbHash60("CAST(doc_id AS VARCHAR)")} AS h
+                FROM documents),
+              mn AS (
+                SELECT min(ts) AS budget
+                FROM (SELECT source, sum(nt) AS ts FROM t GROUP BY source)),
+              o AS (
+                SELECT doc_id, source, nt,
+                       CAST(coalesce(SUM(nt) OVER (PARTITION BY source
+                         ORDER BY h, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS w_before
+                FROM t)
+              SELECT o.doc_id, o.source, o.nt, o.w_before,
+                     CAST(mn.budget AS BIGINT) AS budget,
+                     o.w_before < mn.budget AS kept
+              FROM o CROSS JOIN mn ORDER BY o.doc_id""")),
+
     QueryDef(
       "t_fingerprint",
       (s, d) => {

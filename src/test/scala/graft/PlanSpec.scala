@@ -749,6 +749,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("t_mix_budget: grouped prefix sums + one bounded budget aggregate, no cartesian, no UDF") {
+    val p = plan("t_mix_budget")
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
+    // the only single-partition structure is the |sources|-row budget
+    // min; the per-domain running sums ride the grouped bucket plan
+    assert(count(p, "Exchange SinglePartition") <= 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Scan ExistingRDD"), p) // leased tokenize
+  }
+
   test("w_mix_rebalance / w_mix_classified: frozen broadcast rates, no cartesian, no UDF") {
     for (q <- Seq("w_mix_rebalance", "w_mix_classified")) {
       val p = plan(q)
