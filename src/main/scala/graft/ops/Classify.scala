@@ -87,11 +87,25 @@ object Classify {
       labelName: String,
       featOf: Column => Column = identity): DataFrame = {
     import docs.sparkSession.implicits._
+    // the FEATURE keys are materialized inside the lease
+    // (transform(tokens, featOf)) so the per-occurrence feature map —
+    // an md5 per token in the hashed form — computes once, not once
+    // per downstream consumer (vocabulary, count table, scoring pass
+    // each read `tok`). Value-identical: explode∘transform(featOf) ==
+    // featOf∘explode, and the class/total table reads only the array
+    // LENGTH, which featOf preserves. The identity (raw-token) form
+    // skips the wrapper — transform is CodegenFallback and an identity
+    // lambda would add an interpreted pass for nothing.
+    val rawToks = TextAnalysis.tokens(text)
+    val isIdentity = {
+      import org.apache.spark.sql.graft.ColumnBridge.expression
+      expression(featOf(col("__p"))).semanticEquals(expression(col("__p")))
+    }
     val toksL = Checkpoints.lease("nb_toks",
       docs.select(docId.as("doc_id"), label.as("lab"),
-        TextAnalysis.tokens(text).as("toks")))
-    val tok = toksL.select($"doc_id", $"lab", explode($"toks").as("__u"))
-      .select($"doc_id", $"lab", featOf($"__u").as("w"))
+        (if (isIdentity) rawToks
+         else transform(rawToks, w => featOf(w))).as("toks")))
+    val tok = toksL.select($"doc_id", $"lab", explode($"toks").as("w"))
     // class table: doc prior numerator + token-total denominators
     val cls = toksL.groupBy($"lab").agg(
       count(lit(1)).as("n_docs_s"),

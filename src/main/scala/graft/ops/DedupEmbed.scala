@@ -190,8 +190,13 @@ trait DedupEmbedPart { this: Dedup.type =>
     * and reps are their groups' minima). */
   private def embedMembership(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val grp = embedAll(s, d).withColumn("__min",
-      min($"vec_id").over(Window.partitionBy($"vkey")))
+    // leased: the grouped frame fans out SIX ways (banded postings,
+    // both verify join sides, the eligibility gate, the CC vertex set,
+    // the member expansion) — each reference otherwise re-instantiates
+    // the scan + vkey window subtree (guide §1.2: don't recompute)
+    val grp = Checkpoints.lease("embmem_grp",
+      embedAll(s, d).withColumn("__min",
+        min($"vec_id").over(Window.partitionBy($"vkey"))))
     val reps = grp.filter($"vec_id" === $"__min")
     val pairs = embedRepPairs(reps).select($"id_a", $"id_b")
     val repLabels = connectedMinLabels(reps.select($"vec_id".as("id")), pairs)
@@ -235,11 +240,13 @@ trait DedupEmbedPart { this: Dedup.type =>
     val vecs = emb
       .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", Similarity.l2norm(col("v")))
-    val assign = Similarity.kmeansCells(vecs.select(col("vec_id"), col("v")), nlist, iters)
     // one lease: the trained (vec_id, v, nrm, cell) frame fans out to
     // both sides of the pairing join and the survivor anti-join —
-    // without it the 4-round Lloyd subtree would re-train 3x
-    val cells = Checkpoints.lease("semdedup_cells", vecs.join(assign, Seq("vec_id")))
+    // without it the 4-round Lloyd subtree would re-train 3x. The
+    // assignment is the broadcast-map form (Similarity.kmeansAssigned):
+    // no corpus-wide vec_id reattachment join.
+    val cells = Checkpoints.lease("semdedup_cells",
+      Similarity.kmeansAssigned(vecs, nlist, iters))
     val pos = cells.filter(col("nrm") > 0)
     val xs = pos.select(col("vec_id").as("xid"), col("cell"),
       col("v").as("xv"), col("nrm").as("xn"))

@@ -539,8 +539,12 @@ trait DedupExactPart { this: Dedup.type =>
       df: DataFrame, idCol: String, groupCols: Seq[Column])(
       repPairs: DataFrame => DataFrame)(
       withinVals: DataFrame => DataFrame): DataFrame = {
-    val grp = df.withColumn("__min",
-      min(col(idCol)).over(Window.partitionBy(groupCols: _*)))
+    // leased: the grouped frame fans out to the rep pair stage (which
+    // references reps several times itself), both member-expansion
+    // join sides, and the within-group values — each reference
+    // otherwise re-instantiates the scan + group-window subtree
+    val grp = Checkpoints.lease("collapse_grp", df.withColumn("__min",
+      min(col(idCol)).over(Window.partitionBy(groupCols: _*))))
     val reps = grp.filter(col(idCol) === col("__min"))
     val upairs = repPairs(reps)
     val valueCols = upairs.columns.filterNot(c => c == "id_a" || c == "id_b").toSeq

@@ -61,9 +61,10 @@ object IvfAdd {
       .select($"vec_id", asDouble($"embedding").as("v"))
       .withColumn("nrm", l2norm($"v"))
     // train ONCE on the base; the assigned base corpus is the frozen
-    // index
-    val baseIdx = Checkpoints.lease("ivfadd_base", embBase
-      .join(Similarity.kmeansCells(embBase.select($"vec_id", $"v")), Seq("vec_id")))
+    // index (broadcast-map assignment — no corpus-wide vec_id
+    // reattachment join, see Similarity.kmeansAssigned)
+    val baseIdx = Checkpoints.lease("ivfadd_base",
+      Similarity.kmeansAssigned(embBase))
     // frozen serving centroids (quantized mean per trained cell)
     val centroids = Checkpoints.lease("ivfadd_cents",
       Similarity.quantMeanCv(baseIdx, Seq("cell"))

@@ -43,9 +43,12 @@ object IvfPq {
     // INDEX BUILD, materialized once: coarse cell + PQ reconstruction
     // per corpus vector. Both trainings run once; the lease truncates
     // the two iterative subtrees exactly as the standalone queries do.
-    val index = Checkpoints.lease("ivfpq", emb
-      .join(Similarity.kmeansCells(emb.select($"vec_id", $"v")), Seq("vec_id"))
-      .join(ProductQuant.pqRecon(emb.select($"vec_id", $"v")), Seq("vec_id")))
+    // coarse cells ride the broadcast-map assignment (no corpus-wide
+    // vec_id reattachment join — Similarity.kmeansAssigned); only the
+    // PQ reconstruction (keyed by its own vec_id groupBy) still joins
+    val index = Checkpoints.lease("ivfpq",
+      Similarity.kmeansAssigned(emb)
+        .join(ProductQuant.pqRecon(emb.select($"vec_id", $"v")), Seq("vec_id")))
     // serving centroids of the trained cells (quantized mean — the
     // same stage ivfProbedWith runs; zero-norm centroids kept)
     val centroids = Similarity.quantMeanCv(index, Seq("cell"))
@@ -170,8 +173,8 @@ object IvfPq {
       .withColumn("nrm", l2norm($"v"))
     // coarse stage, materialized once: the assignment-joined corpus
     // feeds the serving centroids AND the residual derivation
-    val coarse = Checkpoints.lease("ivfpq_res_coarse", emb
-      .join(Similarity.kmeansCells(emb.select($"vec_id", $"v")), Seq("vec_id")))
+    val coarse = Checkpoints.lease("ivfpq_res_coarse",
+      Similarity.kmeansAssigned(emb))
     // nlist-row centroid table, leased: three consumers (residual
     // derivation, index v̂ join, probe) must not each re-run the
     // corpus-wide centroid aggregate

@@ -57,8 +57,8 @@ object IvfPqAdd {
     val emb = table(s, d, "embeddings")
       .select($"vec_id", asDouble($"embedding").as("v"))
       .withColumn("nrm", l2norm($"v"))
-    val coarse = Checkpoints.lease("ivfpqadd_coarse", emb
-      .join(Similarity.kmeansCells(emb.select($"vec_id", $"v")), Seq("vec_id")))
+    val coarse = Checkpoints.lease("ivfpqadd_coarse",
+      Similarity.kmeansAssigned(emb))
     val centroids = Checkpoints.lease("ivfpqadd_cents",
       Similarity.quantMeanCv(coarse, Seq("cell"))
         .select($"cell".as("c_label"), $"cv")
@@ -68,7 +68,10 @@ object IvfPqAdd {
     val resid = coarse
       .join(broadcast(centroids.select($"c_label".as("cell"), $"cv")), Seq("cell"))
       .select($"vec_id", zip_with($"v", $"cv", (a, b) => a - b).as("v"))
-    val codes = Checkpoints.lease("ivfpqadd_codes", ProductQuant.pqCodes(resid))
+    // project the training-internal `sv` away before materializing —
+    // the frozen code table stays (vec_id, sub, cell), codes only
+    val codes = Checkpoints.lease("ivfpqadd_codes",
+      ProductQuant.pqCodes(resid).select(col("vec_id"), col("sub"), col("cell")))
     val book = Checkpoints.lease("ivfpqadd_book",
       ProductQuant.codebookPerSub(ProductQuant.subvectors(resid), codes))
     Frozen(coarse, centroids, book, codes)

@@ -45,8 +45,9 @@ object Mining {
     val embBase = table(s, d, "embeddings")
       .select($"vec_id", $"label", asDouble($"embedding").as("v"))
       .withColumn("nrm", l2norm($"v"))
-    embBase
-      .join(Similarity.kmeansCells(embBase.select($"vec_id", $"v")), Seq("vec_id"))
+    // broadcast-map assignment — no corpus-wide vec_id reattachment
+    // join (see Similarity.kmeansAssigned)
+    Similarity.kmeansAssigned(embBase)
   }
 
   /** The serving centroids recomputed from a labeled index frame's

@@ -101,11 +101,21 @@ object ProductQuant {
     * the leading field) for the broadcast in-row argmax. `cself` =
     * dot(cv, cv) is carried so the assignment score is one fused dot
     * plus one multiply-subtract per candidate. */
-  private[ops] def codebookPerSub(sub: DataFrame, assign: DataFrame): DataFrame =
-    Similarity.quantMeanCv(
-      sub.join(assign, Seq("vec_id", "sub")), Seq("sub", "cell"), "sv")
+  private[ops] def codebookPerSub(sub: DataFrame, assign: DataFrame): DataFrame = {
+    // an assignment that CARRIES its subvector (the [[pqCodes]] rounds
+    // do, same move as Similarity.kmeansCents) feeds the aggregate
+    // directly; the historical (vec_id, sub, cell) shape pays the
+    // reattachment equi-join — a full shuffle of the exploded
+    // subvector corpus on both sides (kept only for the pluggable
+    // spec paths that hand in bare code frames). Value-identical:
+    // the join was 1:1 on the unique (vec_id, sub).
+    val withSv =
+      if (assign.columns.contains("sv")) assign
+      else sub.join(assign, Seq("vec_id", "sub"))
+    Similarity.quantMeanCv(withSv, Seq("sub", "cell"), "sv")
       .select(col("sub"), col("cell").as("c_label"), col("cv"))
       .withColumn("cself", graft.ops.Similarity.dot(col("cv"), col("cv")))
+  }
 
   /** The training init: random-partition codes from the portable hash
     * (exposed for the spec's trained-vs-init reconstruction-error
@@ -121,7 +131,14 @@ object ProductQuant {
     * portability argument of each step. */
   private[ops] def pqCodes(emb: DataFrame): DataFrame = {
     val sub = subvectors(emb)
-    var assign = pqInitCodes(emb)
+    // the rolling assignment CARRIES `sv` (see [[codebookPerSub]]) so
+    // no round pays the (vec_id, sub) reattachment shuffle; the init
+    // is [[pqInitCodes]]'s hash computed over the subvector frame
+    // itself (value-identical — the hash reads only vec_id and sub)
+    var assign = sub.withColumn("cell",
+      pmod(graft.functions.PortableHash.md5Hash60(
+          concat(col("vec_id").cast("string"), lit(":"), col("sub").cast("string"))),
+        lit(PqKsub.toLong)))
     for (_ <- 1 to PqIters) {
       val cents = codebookPerSub(sub, assign)
         .groupBy(col("sub")).agg(array_sort(collect_list(
@@ -129,7 +146,7 @@ object ProductQuant {
       // broadcast m rows; argmax folds in-row over ≤ ksub candidates —
       // keep-on-strictly-greater = row_number over (score DESC, cell ASC)
       assign = sub.join(broadcast(cents), Seq("sub"))
-        .select(col("vec_id"), col("sub"),
+        .select(col("vec_id"), col("sub"), col("sv"),
           aggregate(col("cents"),
             struct(lit(Long.MaxValue).as("cell"),
               lit(Double.NegativeInfinity).as("best")),
@@ -158,17 +175,26 @@ object ProductQuant {
   /** [[pqRecon]] with a pluggable code assignment (specs swap in the
     * untrained init codes to measure what training buys). */
   private[ops] def pqReconWith(
+      emb: DataFrame, assignCodes: DataFrame => DataFrame): DataFrame =
+    Checkpoints.lease("pq", pqReconPlanWith(emb, assignCodes))
+
+  /** The UNLEASED [[pqRecon]] plan (training + serving codebook +
+    * reconstruction assembly) — exposed for the committed build-plan
+    * evidence ([[graft.tools.TrainPlanDump]]). */
+  private[graft] def pqReconPlan(emb: DataFrame): DataFrame =
+    pqReconPlanWith(emb, pqCodes)
+
+  private def pqReconPlanWith(
       emb: DataFrame, assignCodes: DataFrame => DataFrame): DataFrame = {
     val codes = assignCodes(emb)
     val book = codebookPerSub(subvectors(emb), codes)
       .select(col("sub"), col("c_label").as("cell"), col("cv"))
-    val recon = codes.join(broadcast(book), Seq("sub", "cell"))
+    codes.join(broadcast(book), Seq("sub", "cell"))
       .groupBy(col("vec_id"))
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("sub"), col("cv")))),
         p => p.getField("cv"))).as("recon"))
       .withColumn("rn", graft.ops.Similarity.l2norm(col("recon")))
-    Checkpoints.lease("pq", recon)
   }
 
   /** Two-phase PQ-ADC ANN: code-reconstruction first pass over the

@@ -264,9 +264,20 @@ object Similarity {
     * the same recurrence, same plan depth. */
   private[graft] def kmeansCents(
       emb: DataFrame, nlist: Int = IvfNlist, iters: Int = IvfIters): DataFrame = {
-    var assign = emb.select(col("vec_id"),
+    // The assignment CARRIES the vector: withNearestCell keeps every
+    // emb column, so each round's centroid aggregate reads (cell, v)
+    // straight off the assignment map. The historical form projected
+    // the assignment to (vec_id, cell) and re-joined emb on vec_id to
+    // reattach `v` — at 100 TB a full shuffle of the vector corpus on
+    // BOTH join sides, once per round (guide §2.4: two operations
+    // keyed the same way should not pay a reattachment join when the
+    // first already holds the columns). Value-identical: the join was
+    // 1:1 on the unique vec_id, so quantMeanCv sees exactly the same
+    // (cell, v) rows; per round the ONLY shuffle left is the
+    // nlist-row centroid aggregate itself.
+    var assigned = emb.withColumn("cell",
       pmod(graft.functions.PortableHash.md5Hash60(col("vec_id").cast("string")),
-        lit(nlist.toLong)).as("cell"))
+        lit(nlist.toLong)))
     var cents: DataFrame = null
     for (r <- 1 to iters) {
       // centroids rolled into ONE row (nlist entries, cell-ascending —
@@ -274,22 +285,36 @@ object Similarity {
       // broadcast against the corpus so the argmax runs IN-ROW (see
       // withNearestCell) — per round that is one shuffle (the
       // quantMeanCv aggregate) and a pure map over the corpus.
-      cents = quantMeanCv(emb.join(assign, Seq("vec_id")), Seq("cell"))
+      cents = quantMeanCv(assigned, Seq("cell"))
         .select(col("cell").as("c_label"), col("cv"))
         .withColumn("cn", l2norm(col("cv")))
         .filter(col("cn") > 0)
         .groupBy().agg(array_sort(collect_list(
           struct(col("c_label"), col("cv"), col("cn")))).as("cents"))
       if (r < iters)
-        assign = withNearestCell(emb, cents).select(col("vec_id"), col("cell"))
+        assigned = withNearestCell(emb, cents)
     }
     cents
   }
 
   private[graft] def kmeansCells(
       emb: DataFrame, nlist: Int = IvfNlist, iters: Int = IvfIters): DataFrame =
+    kmeansAssigned(emb, nlist, iters).select(col("vec_id"), col("cell"))
+
+  /** The corpus WITH its trained cell — every `emb` column plus
+    * `cell` — the frame the IVF-family index builds lease (also the
+    * build-plan evidence [[graft.tools.TrainPlanDump]] dumps). The
+    * assignment is the broadcast in-row argmax against the trained
+    * centroid row, NEVER a corpus-wide vec_id join: callers
+    * historically wrote `emb.join(kmeansCells(emb'), "vec_id")`,
+    * which re-shuffled the whole vector corpus just to reattach the
+    * columns the assignment map already had in hand (guide §2.4).
+    * Value-identical — the join was 1:1 on the unique vec_id and the
+    * argmax is a deterministic function of (v, cents) — with one
+    * fewer corpus-wide shuffle per consumer. */
+  private[graft] def kmeansAssigned(
+      emb: DataFrame, nlist: Int = IvfNlist, iters: Int = IvfIters): DataFrame =
     withNearestCell(emb, kmeansCents(emb, nlist, iters))
-      .select(col("vec_id"), col("cell"))
 
   /** The trained coarse-quantizer assignment for the `embeddings`
     * table at `d` — what the IVF queries index on (exposed for specs:
@@ -324,13 +349,24 @@ object Similarity {
     * pays only for what it reads. */
   private def ivfProbed(
       s: SparkSession, d: String, nprobe: Int): (DataFrame, DataFrame) =
-    ivfProbedWith(s, d, nprobe, cells => kmeansCells(cells))
+    // the trained default rides the broadcast-map assignment
+    // ([[kmeansAssigned]]) — no corpus-wide vec_id reattachment join
+    ivfProbedAssigned(s, d, nprobe, embBase => kmeansAssigned(embBase))
 
   /** [[ivfProbed]] with a pluggable cell assignment (specs swap in the
-    * untrained label cells to measure what training buys). */
+    * untrained label cells to measure what training buys) — the
+    * pluggable form keeps the historical (vec_id, cell) contract and
+    * pays the reattachment join; the trained default path does not. */
   private[ops] def ivfProbedWith(
       s: SparkSession, d: String, nprobe: Int,
-      assignCells: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+      assignCells: DataFrame => DataFrame): (DataFrame, DataFrame) =
+    ivfProbedAssigned(s, d, nprobe, embBase => embBase.join(
+      assignCells(embBase.select(col("vec_id"), col("v"), col("label"))),
+      Seq("vec_id")))
+
+  private def ivfProbedAssigned(
+      s: SparkSession, d: String, nprobe: Int,
+      assigned: DataFrame => DataFrame): (DataFrame, DataFrame) = {
     import s.implicits._
     val embBase = table(s, d, "embeddings")
       .select($"vec_id", $"label", asDouble($"embedding").as("v"))
@@ -353,8 +389,7 @@ object Similarity {
     // build and released at the next IVF build on the same context
     // (see [[Checkpoints]] — Bench's 4 runs per query hold a constant
     // block count).
-    val emb = Checkpoints.lease("ivf", embBase.join(
-      assignCells(embBase.select($"vec_id", $"v", $"label")), Seq("vec_id")))
+    val emb = Checkpoints.lease("ivf", assigned(embBase))
     // centroid per trained cell: element-wise quantized mean (the same
     // exact-integer kernel the training rounds use — see quantMeanCv)
     val centroids = quantMeanCv(emb, Seq("cell"))

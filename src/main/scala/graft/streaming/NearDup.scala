@@ -173,22 +173,35 @@ object NearDup {
     * [[buildBlocklistIndex]]. Streaming inputs skip the check — the
     * estimate is a batch aggregate, and bounded state is the state
     * store's + `maxPerBand`'s job there. */
-  private def requireIndexFits(
-      kind: String, payloadUnits: Column, banded: DataFrame,
-      maxIndexBytes: Long): Unit = if (!banded.isStreaming) {
-    // one state entry per (band, doc) row of the banded frame: its
-    // payload array (8 B/element) plus ~64 B of per-entry object +
-    // cons-cell overhead
-    val est = banded.agg(
-        coalesce(sum(payloadUnits), lit(0L)).cast("long"),
-        count(lit(1))).head()
-    val bytes = 8L * est.getLong(0) + 64L * est.getLong(1)
-    require(bytes <= maxIndexBytes,
-      s"batch-mode online $kind index would hold ~$bytes bytes of band state " +
-        s"in one JVM (> $maxIndexBytes): bound it with maxPerBand, raise " +
-        "maxIndexBytes explicitly, or run the corpus through the batch dedup " +
-        "family / a streaming deployment with a state store")
-  }
+  private def requireIndexFits[T](
+      kind: String, payloadUnits: Column, banded: Dataset[T],
+      maxIndexBytes: Long): Dataset[T] =
+    if (banded.isStreaming) banded
+    else {
+      // MATERIALIZE the banded frame once (localCheckpoint lease keyed
+      // by the operator kind) and run both the estimate and the state
+      // pass off the materialized rows: the guard is an eager
+      // aggregate, and without the lease the whole fingerprint/banding
+      // expression tree evaluated TWICE per batch run — once for the
+      // estimate, once again under the stateful exchange (guide §1.2:
+      // don't compute things twice). Values are unchanged — the lease
+      // only caches the exact frame both passes read.
+      val mat = graft.ops.Checkpoints.lease(s"guard:$kind", banded.toDF())
+        .as[T](banded.encoder)
+      // one state entry per (band, doc) row of the banded frame: its
+      // payload array (8 B/element) plus ~64 B of per-entry object +
+      // cons-cell overhead
+      val est = mat.toDF().agg(
+          coalesce(sum(payloadUnits), lit(0L)).cast("long"),
+          count(lit(1))).head()
+      val bytes = 8L * est.getLong(0) + 64L * est.getLong(1)
+      require(bytes <= maxIndexBytes,
+        s"batch-mode online $kind index would hold ~$bytes bytes of band state " +
+          s"in one JVM (> $maxIndexBytes): bound it with maxPerBand, raise " +
+          "maxIndexBytes explicitly, or run the corpus through the batch dedup " +
+          "family / a streaming deployment with a state store")
+      mat
+    }
 
   /** Verified near-dup pairs of `docs` against everything that arrived
     * before them (and earlier rows of the same micro-batch) — one
@@ -201,9 +214,9 @@ object NearDup {
       maxIndexBytes: Long = DefaultMaxIndexBytes,
       aging: Option[Aging] = None): Dataset[NearPair] = {
     import docs.sparkSession.implicits._
-    val banded = bandedDocs(docs, id, text, h, b, aging.map(_.ts).getOrElse(noTs))
-    requireIndexFits("near-dup",
-      size(col("xs")).cast("long"), banded.toDF(), maxIndexBytes)
+    val banded = requireIndexFits("near-dup", size(col("xs")).cast("long"),
+      bandedDocs(docs, id, text, h, b, aging.map(_.ts).getOrElse(noTs)),
+      maxIndexBytes)
     banded
       .groupByKey(_.band)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf(docs, aging))(
@@ -247,9 +260,9 @@ object NearDup {
       maxIndexBytes: Long = DefaultMaxIndexBytes,
       aging: Option[Aging] = None): Dataset[DroppedDoc] = {
     import docs.sparkSession.implicits._
-    val banded = bandedDocs(docs, id, text, h, b, aging.map(_.ts).getOrElse(noTs))
-    requireIndexFits("dedup-first",
-      size(col("xs")).cast("long"), banded.toDF(), maxIndexBytes)
+    val banded = requireIndexFits("dedup-first", size(col("xs")).cast("long"),
+      bandedDocs(docs, id, text, h, b, aging.map(_.ts).getOrElse(noTs)),
+      maxIndexBytes)
     banded
       .groupByKey(_.band)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf(docs, aging))(
@@ -370,11 +383,11 @@ object NearDup {
       timeout: GroupStateTimeout, horizonMs: Long,
       streaming: Boolean): Dataset[ImgPair] = {
     import banded.sparkSession.implicits._
-    requireIndexFits(what,
-      size(col("bands")).cast("long"), banded.toDF(), maxIndexBytes)
+    val mat = requireIndexFits(what,
+      size(col("bands")).cast("long"), banded, maxIndexBytes)
     val process: (String, Iterator[BandImg], GroupState[ImgBandState]) => Iterator[ImgPair] =
       processImgBand(maxHamming, maxPerBand, horizonMs, streaming)
-    banded
+    mat
       .groupByKey(_.band)
       .flatMapGroupsWithState(OutputMode.Append, timeout)(process)
   }
@@ -458,12 +471,12 @@ object NearDup {
       maxIndexBytes: Long = DefaultMaxIndexBytes,
       aging: Option[Aging] = None): Dataset[VidPair] = {
     import media.sparkSession.implicits._
-    val banded = bandedVideos(media, aging.map(_.ts).getOrElse(noTs))
     // stored payload per (frame-hash, video) row: the fhs string array
     // (32-char md5s — 4 units of 8 B each per hash ≈ its UTF-16 char
     // bytes) plus the per-entry overhead the shared guard adds
-    requireIndexFits("video shared-frame",
-      size(col("fhs")).cast("long") * lit(4L), banded.toDF(), maxIndexBytes)
+    val banded = requireIndexFits("video shared-frame",
+      size(col("fhs")).cast("long") * lit(4L),
+      bandedVideos(media, aging.map(_.ts).getOrElse(noTs)), maxIndexBytes)
     val process: (String, Iterator[BandVid], GroupState[VidBandState]) => Iterator[VidPair] =
       processVidBand(minShared, maxPerBand,
         aging.map(_.horizonMs).getOrElse(0L), media.isStreaming)
@@ -543,10 +556,9 @@ object NearDup {
       maxIndexBytes: Long = DefaultMaxIndexBytes,
       aging: Option[Aging] = None): Dataset[DroppedMedia] = {
     import media.sparkSession.implicits._
-    val banded = bandedMedia(media, aging.map(_.ts).getOrElse(noTs))
-    requireIndexFits("composed media",
+    val banded = requireIndexFits("composed media",
       size(col("bands")).cast("long") + size(col("fhs")).cast("long") * lit(4L),
-      banded.toDF(), maxIndexBytes)
+      bandedMedia(media, aging.map(_.ts).getOrElse(noTs)), maxIndexBytes)
     val process: (String, Iterator[MediaPosting], GroupState[MediaBandState]) => Iterator[DroppedMedia] =
       processMediaBand(maxHamming, minShared, maxPerBand,
         aging.map(_.horizonMs).getOrElse(0L), media.isStreaming)
@@ -629,9 +641,10 @@ object NearDup {
       maxIndexBytes: Long = DefaultMaxIndexBytes,
       aging: Option[Aging] = None): Dataset[VecPair] = {
     import embeddings.sparkSession.implicits._
-    val banded = bandedVecs(embeddings, id, vec, dim, aging.map(_.ts).getOrElse(noTs))
-    requireIndexFits("embedding near-dup",
-      size(col("v")).cast("long"), banded.toDF(), maxIndexBytes)
+    val banded = requireIndexFits("embedding near-dup",
+      size(col("v")).cast("long"),
+      bandedVecs(embeddings, id, vec, dim, aging.map(_.ts).getOrElse(noTs)),
+      maxIndexBytes)
     banded
       .groupByKey(_.bucket)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf(embeddings, aging))(
@@ -743,12 +756,13 @@ object NearDup {
     require(cents.nonEmpty,
       "online SemDeDup needs a non-degenerate trained quantizer")
     val ts = aging.map(_.ts).getOrElse(noTs)
-    val prepped = embeddings
-      .select(id.as("vec_id"), graft.ops.Similarity.asDouble(vec).as("v"),
-        ts.as("ts"))
-      .withColumn("norm", graft.ops.Similarity.l2norm(col("v")))
-    requireIndexFits("SemDeDup cell",
-      size(col("v")).cast("long"), prepped, maxIndexBytes)
+    val prepped = requireIndexFits("SemDeDup cell",
+      size(col("v")).cast("long"),
+      embeddings
+        .select(id.as("vec_id"), graft.ops.Similarity.asDouble(vec).as("v"),
+          ts.as("ts"))
+        .withColumn("norm", graft.ops.Similarity.l2norm(col("v"))),
+      maxIndexBytes)
     val assigned = prepped
       .select(col("vec_id"), col("v"), col("norm"), col("ts"))
       .as[(Long, Array[Double], Double, java.sql.Timestamp)]
