@@ -216,10 +216,16 @@ trait DedupClusterPart { this: Dedup.type =>
       docs: DataFrame, idCol: String, groupCols: Seq[Column])(
       eligibleReps: DataFrame => DataFrame)(
       dominatedReps: DataFrame => DataFrame): DataFrame = {
-    val grp = docs.withColumn("__min",
-      min(col(idCol)).over(Window.partitionBy(groupCols: _*)))
+    // leased: the grouped frame fans out to the rep pipeline, the twin
+    // expansion, and (by way of `docs` sharing its scan) the survivor
+    // anti-join; the eligible-rep frame feeds the twin join AND the
+    // dominated pipeline (which references it several times itself) —
+    // without the leases each reference re-instantiates the group
+    // window / the eligibility kernel (guide §1.2)
+    val grp = Checkpoints.lease("collapseapply_grp", docs.withColumn("__min",
+      min(col(idCol)).over(Window.partitionBy(groupCols: _*))))
     val reps = grp.filter(col(idCol) === col("__min"))
-    val el = eligibleReps(reps)
+    val el = Checkpoints.lease("collapseapply_el", eligibleReps(reps))
     val twinDominated = grp.filter(col(idCol) =!= col("__min"))
       .join(el.select(col(idCol).as("__min")), Seq("__min"))
       .select(col(idCol))
@@ -264,16 +270,19 @@ trait DedupClusterPart { this: Dedup.type =>
     val s = docsIn.sparkSession
     import s.implicits._
     val docs = docsIn.select($"doc_id", $"text")
-    val grp = docs.withColumn("__min",
-      min($"doc_id").over(Window.partitionBy(md5(lower($"text")))))
+    // leased: the grouped frame fans out to the pair pipeline, the CC
+    // vertex set, the eligibility kernel, and the member expansion —
+    // each reference otherwise re-instantiates the scan + group window
+    val grp = Checkpoints.lease("cluster_grp", docs.withColumn("__min",
+      min($"doc_id").over(Window.partitionBy(md5(lower($"text"))))))
     val reps = grp.filter($"doc_id" === $"__min")
     val pairs = minhashNearDups(
         reps.select($"doc_id", $"text"), $"doc_id", $"text", 0.5)
       .select($"id_a", $"id_b")
     val repLabels = cc(reps.select($"doc_id".as("id")), pairs)
-    val eligible = reps
+    val eligible = Checkpoints.lease("cluster_eligible", reps
       .filter(size(graft.functions.TextShingles.wordShingles($"text", 3)) > 0)
-      .select($"doc_id".as("__min"))
+      .select($"doc_id".as("__min")))
     val members = grp.select($"doc_id", $"__min")
     val inherited = members
       .join(eligible, Seq("__min"))

@@ -194,7 +194,11 @@ trait DedupLshPart { this: Dedup.type =>
     // verify stage, exactly like the collect_set form. Gramless docs
     // are filtered here (they produced no aggregate row before, and
     // can never become candidates either way).
-    val sigs = minhashSignatures(docs, id, text, h)
+    // leased: the signature frame feeds the band explode AND both
+    // verify join sides — without it the in-row shingle/minhash kernel
+    // (the expensive per-doc pass) evaluates three times per run
+    val sigs = Checkpoints.lease("minhash_sigs",
+      minhashSignatures(docs, id, text, h))
     val bands = sigs.select(col("id"),
       explode(array(minhashBandKeys(h, b): _*)).as("band"))
     val cand = bands.as("a")

@@ -300,13 +300,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("dd_apply: one postings shuffle serves prefix + both verify sides") {
-    // prefixCandidates' doc says ReuseExchange shares the postings
-    // aggregate across its three consumers — pin the runtime behavior
-    // (AQE finalizes reuse during execution, so execute first)
+    // the collapse group/eligible frames are leased (round-17), so the
+    // heavy sharing is materialized-once localCheckpoint blocks — the
+    // final plan reads ExistingRDD scans — and prefixCandidates'
+    // postings aggregate still rides ReuseExchange across its
+    // remaining consumers (AQE finalizes reuse at runtime, so execute
+    // first)
     val df = SparkEntry.queries("dd_apply")(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(count(p, "ReusedExchange") >= 3, p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(count(p, "ReusedExchange") >= 1, p)
   }
 
   test("q_json_extract: JSON parsed exactly once per row") {
@@ -624,10 +628,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("Scan ExistingRDD"), p)
     // video-stage survivors leave by one anti-join, never pairwise
     assert(p.contains("LeftAnti"), p)
-    // the only window is the video twin-collapse min over the leased
-    // stage-2 scan (bounded re-instantiation, same as mm_apply_video)
+    // the video twin-collapse min runs once inside the stage's
+    // collapse lease (round-17: collapseApplySurvivors leases its
+    // grouped frame), so the final plan carries at most bounded
+    // re-instantiations — typically zero
     val w = count(p, "Window")
-    assert(w >= 1 && w <= 4, s"$w windows\n$p")
+    assert(w <= 4, s"$w windows\n$p")
     // features run through the typed per-partition codec path
     assert(p.contains("MapPartitions"), p)
   }
@@ -653,13 +659,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     for (q <- Seq("mm_apply_phash", "mm_apply_audio", "mm_apply_video")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), s"$q:\n$p")
-      // the only window function is the twin-collapse min (it
-      // re-instantiates per consumer of the rep set — bounded at 4
-      // references of a cheap projection scan, same shape dd_apply_lsh
-      // ships); the survivor set leaves by one anti-join, never a
+      // the twin-collapse window runs ONCE inside the localCheckpoint
+      // lease (round-17: collapseApplySurvivors leases its grouped and
+      // eligible-rep frames, so the window no longer re-instantiates
+      // per consumer) — the final plan reads materialized ExistingRDD
+      // scans; the survivor set leaves by one anti-join, never a
       // pairwise subtraction
+      assert(p.contains("Scan ExistingRDD"), s"$q:\n$p")
       val w = count(p, "Window")
-      assert(w >= 1 && w <= 4, s"$q: $w windows\n$p")
+      assert(w <= 4, s"$q: $w windows\n$p")
       assert(p.contains("LeftAnti"), s"$q:\n$p")
     }
   }
