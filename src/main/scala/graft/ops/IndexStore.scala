@@ -46,31 +46,47 @@ object IndexStore {
     * callers honor this already (each `*_stored` query writes under a
     * per-invocation [[scratchRoot]]); a deployment sharing a root
     * must serialize writers per frame (readers are always safe — they
-    * only ever see the atomically renamed dst). */
+    * only ever see the atomically renamed dst).
+    *
+    * DISTINCT frames within one call write CONCURRENTLY (guide §2.6):
+    * each frame's dump is an independent Spark job over already-leased
+    * or already-loaded inputs, and driver code calling them one after
+    * another was the only thing serializing them — a four-artifact
+    * save paid four sequential job latencies. Safe under the contract
+    * above because each concurrent writer touches only its own
+    * `.name.tmp-*` dir and its own dst; the orphan sweep matches the
+    * writer's own name prefix only (and tolerates entries another
+    * writer renames away mid-listing). */
   def save(root: String, frames: (String, DataFrame)*): Unit =
-    frames.foreach { case (name, df) =>
-      val dst = new org.apache.hadoop.fs.Path(s"$root/$name")
-      val tmp = new org.apache.hadoop.fs.Path(
-        s"$root/.$name.tmp-${java.util.UUID.randomUUID()}")
-      val fs = dst.getFileSystem(
-        df.sparkSession.sessionState.newHadoopConf())
-      // Sweep temp dirs orphaned by earlier failed writes of this frame,
-      // then guarantee our own temp dir never outlives the attempt.
-      val parent = dst.getParent
+    Par.all(frames.map { case (name, df) => () => saveOne(root, name, df) }: _*)
+
+  private def saveOne(root: String, name: String, df: DataFrame): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(s"$root/$name")
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$root/.$name.tmp-${java.util.UUID.randomUUID()}")
+    val fs = dst.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
+    // Sweep temp dirs orphaned by earlier failed writes of this frame,
+    // then guarantee our own temp dir never outlives the attempt.
+    // Best-effort: a sibling frame's concurrent rename can make a
+    // just-listed entry vanish — that is not an orphan, skip it.
+    val parent = dst.getParent
+    try {
       if (fs.exists(parent)) fs.listStatus(parent).foreach { st =>
         if (st.getPath.getName.startsWith(s".$name.tmp-"))
           fs.delete(st.getPath, true)
       }
-      try {
-        df.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(dst)) fs.delete(dst, true)
-        if (!fs.rename(tmp, dst))
-          throw new java.io.IOException(
-            s"IndexStore.save: rename $tmp -> $dst failed")
-      } finally {
-        if (fs.exists(tmp)) fs.delete(tmp, true)
-      }
+    } catch { case _: java.io.FileNotFoundException => () }
+    try {
+      df.write.mode("overwrite").parquet(tmp.toString)
+      if (fs.exists(dst)) fs.delete(dst, true)
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(
+          s"IndexStore.save: rename $tmp -> $dst failed")
+    } finally {
+      if (fs.exists(tmp)) fs.delete(tmp, true)
     }
+  }
 
   /** Per-invocation unique scratch root under java.io.tmpdir for the
     * `*_stored` queries' save → reload round-trips, registered with the

@@ -283,9 +283,14 @@ object IvfAdd {
         val root = IndexStore.scratchRoot(s, "ivfcompact",
           storeSeq.incrementAndGet())
         val (baseIdx, centroids) = frozenIndex(s, d)
-        IndexStore.save(root, "base" -> baseIdx, "centroids" -> centroids)
-        IndexStore.compact(s, root, "base",
-          s.range(5, 10).select($"id".as("vec_id")))
+        // base dumps first (compaction rewrites the STORED frame); the
+        // compaction then overlaps the centroid save it never reads
+        // (guide §2.6)
+        IndexStore.save(root, "base" -> baseIdx)
+        Par.all(
+          () => IndexStore.save(root, "centroids" -> centroids),
+          () => IndexStore.compact(s, root, "base",
+            s.range(5, 10).select($"id".as("vec_id"))))
         addAndServe(s, d,
           IndexStore.load(s, root, "base"),
           IndexStore.load(s, root, "centroids"),

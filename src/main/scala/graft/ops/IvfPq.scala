@@ -45,10 +45,21 @@ object IvfPq {
     // the two iterative subtrees exactly as the standalone queries do.
     // coarse cells ride the broadcast-map assignment (no corpus-wide
     // vec_id reattachment join — Similarity.kmeansAssigned); only the
-    // PQ reconstruction (keyed by its own vec_id groupBy) still joins
+    // PQ reconstruction (keyed by its own vec_id groupBy) still joins.
+    // The two trainings are INDEPENDENT here (non-residual PQ trains
+    // on the raw vectors, not on k-means residuals), so their
+    // iterative job chains run CONCURRENTLY (guide §2.6): each chain
+    // is a sequence of small blocking broadcast-build jobs that leave
+    // most of the box idle, and only driver sequencing serialized one
+    // chain after the other. The k-means chain materializes into the
+    // trained 1-row centroid table (nlist structs — KB-scale blocks);
+    // the corpus assignment below is the same broadcast in-row argmax
+    // against it, value-identical to the inlined form.
+    val (cents, recon) = Par.join2(
+      Checkpoints.lease("ivfpq_cents", Similarity.kmeansCents(emb)),
+      ProductQuant.pqRecon(emb.select($"vec_id", $"v")))
     val index = Checkpoints.lease("ivfpq",
-      Similarity.kmeansAssigned(emb)
-        .join(ProductQuant.pqRecon(emb.select($"vec_id", $"v")), Seq("vec_id")))
+      Similarity.withNearestCell(emb, cents).join(recon, Seq("vec_id")))
     // serving centroids of the trained cells (quantized mean — the
     // same stage ivfProbedWith runs; zero-norm centroids kept)
     val centroids = Similarity.quantMeanCv(index, Seq("cell"))

@@ -68,12 +68,19 @@ object IvfPqAdd {
     val resid = coarse
       .join(broadcast(centroids.select($"c_label".as("cell"), $"cv")), Seq("cell"))
       .select($"vec_id", zip_with($"v", $"cv", (a, b) => a - b).as("v"))
-    // project the training-internal `sv` away before materializing —
-    // the frozen code table stays (vec_id, sub, cell), codes only
-    val codes = Checkpoints.lease("ivfpqadd_codes",
-      ProductQuant.pqCodes(resid).select(col("vec_id"), col("sub"), col("cell")))
+    // the lease CARRIES the training-internal `sv` so the codebook
+    // aggregate below reads (sub, cell, sv) straight off the
+    // materialized assignment — projecting sv away first forced
+    // codebookPerSub back onto the corpus-wide (vec_id, sub)
+    // reattachment join that round 17 removed from every training
+    // round (guide §2.4: the join was 1:1 on the unique key and the
+    // assignment already held the columns). The FROZEN artifact keeps
+    // its codes-only (vec_id, sub, cell) shape via the projection —
+    // consumers and the parquet dumps see exactly the historical frame.
+    val codesSv = Checkpoints.lease("ivfpqadd_codes", ProductQuant.pqCodes(resid))
+    val codes = codesSv.select(col("vec_id"), col("sub"), col("cell"))
     val book = Checkpoints.lease("ivfpqadd_book",
-      ProductQuant.codebookPerSub(ProductQuant.subvectors(resid), codes))
+      ProductQuant.codebookPerSub(ProductQuant.subvectors(resid), codesSv))
     Frozen(coarse, centroids, book, codes)
   }
 
@@ -420,10 +427,16 @@ object IvfPqAdd {
         val root = IndexStore.scratchRoot(s, "pqcompact",
           pqStoreSeq.incrementAndGet())
         val f = frozenArtifacts(s, d)
-        IndexStore.save(root, "coarse" -> f.coarse,
-          "centroids" -> f.centroids, "book" -> f.book, "codes" -> f.codes)
-        IndexStore.compact(s, root, "codes",
-          s.range(5, 10).select($"id".as("vec_id")))
+        // codes dumps first (compaction rewrites the STORED frame);
+        // the compaction then overlaps the three saves it does not
+        // read (guide §2.6 — all four are independent jobs over
+        // leased frames, only driver sequencing serialized them)
+        IndexStore.save(root, "codes" -> f.codes)
+        Par.all(
+          () => IndexStore.save(root, "coarse" -> f.coarse,
+            "centroids" -> f.centroids, "book" -> f.book),
+          () => IndexStore.compact(s, root, "codes",
+            s.range(5, 10).select($"id".as("vec_id"))))
         pqAddAndServe(s, Frozen(
           IndexStore.load(s, root, "coarse"),
           IndexStore.load(s, root, "centroids"),

@@ -84,7 +84,7 @@ object ProductQuant {
   val PqDim: Int = PqM * PqDsub
 
   /** (vec_id, sub, sv): the corpus exploded into its subvectors. */
-  private[ops] def subvectors(emb: DataFrame): DataFrame = {
+  private[graft] def subvectors(emb: DataFrame): DataFrame = {
     val guarded = when(size(col("v")) =!= PqDim, raise_error(concat(
         lit(s"pq: embedding dimension mismatch: expected $PqDim, got "),
         size(col("v")).cast("string"))))
@@ -101,7 +101,7 @@ object ProductQuant {
     * the leading field) for the broadcast in-row argmax. `cself` =
     * dot(cv, cv) is carried so the assignment score is one fused dot
     * plus one multiply-subtract per candidate. */
-  private[ops] def codebookPerSub(sub: DataFrame, assign: DataFrame): DataFrame = {
+  private[graft] def codebookPerSub(sub: DataFrame, assign: DataFrame): DataFrame = {
     // an assignment that CARRIES its subvector (the [[pqCodes]] rounds
     // do, same move as Similarity.kmeansCents) feeds the aggregate
     // directly; the historical (vec_id, sub, cell) shape pays the
@@ -129,7 +129,7 @@ object ProductQuant {
   /** Deterministic per-subspace Lloyd's k-means: returns the final
     * code assignment (vec_id, sub, cell). See the object doc for the
     * portability argument of each step. */
-  private[ops] def pqCodes(emb: DataFrame): DataFrame = {
+  private[graft] def pqCodes(emb: DataFrame): DataFrame = {
     val sub = subvectors(emb)
     // the rolling assignment CARRIES `sv` (see [[codebookPerSub]]) so
     // no round pays the (vec_id, sub) reattachment shuffle; the init

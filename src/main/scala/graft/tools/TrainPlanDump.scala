@@ -35,6 +35,28 @@ object TrainPlanDump {
     // the PQ training + serving-codebook reconstruction (s_ann_pq,
     // s_ann_ivfpq*) — the UNLEASED plan, so the 4 Lloyd rounds show
     dump("train_pq_recon", graft.ops.ProductQuant.pqReconPlan(emb))
+    // the frozen-codebook build of the IVFADC lifecycle family
+    // (s_ann_ivfpq_add/stored/del/compact) — the UNLEASED book plan
+    // over the leased training artifacts, mirroring
+    // IvfPqAdd.frozenArtifacts' construction step for step
+    locally {
+      val embN = emb.withColumn("nrm", graft.ops.Similarity.l2norm(col("v")))
+      val coarse = graft.ops.Checkpoints.lease("tpd_coarse",
+        graft.ops.Similarity.kmeansAssigned(embN))
+      val centroids = graft.ops.Checkpoints.lease("tpd_cents",
+        graft.ops.Similarity.quantMeanCv(coarse, Seq("cell"))
+          .select(col("cell").as("c_label"), col("cv"))
+          .withColumn("cn", graft.ops.Similarity.l2norm(col("cv"))))
+      val resid = coarse
+        .join(broadcast(centroids.select(col("c_label").as("cell"), col("cv"))),
+          Seq("cell"))
+        .select(col("vec_id"),
+          zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
+      val codesSv = graft.ops.Checkpoints.lease("tpd_codes",
+        graft.ops.ProductQuant.pqCodes(resid))
+      dump("train_ivfpqadd_book", graft.ops.ProductQuant.codebookPerSub(
+        graft.ops.ProductQuant.subvectors(resid), codesSv))
+    }
     spark.stop()
   }
 }
