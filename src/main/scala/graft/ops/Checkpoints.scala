@@ -79,13 +79,50 @@ private[graft] object Checkpoints {
     buf.synchronized { buf ++= finals; () }
   }
 
+  /** The conf key selecting the lease durability mode — see [[lease]]. */
+  val LeaseModeKey = "spark.graft.lease.mode"
+
   /** The common whole-result shape: release the prior lease under
-    * `tag`, checkpoint `df`, register its blocks as the new lease. */
+    * `tag`, checkpoint `df`, register its blocks as the new lease.
+    *
+    * EXECUTOR-LOSS CONTRACT (the 100 TB cluster story). The default
+    * mode (`spark.graft.lease.mode=local`, or unset) materializes into
+    * NON-REPLICATED executor-local blocks with TRUNCATED lineage:
+    * losing any executor that holds lease blocks fails the consuming
+    * query with no recompute path (Spark logs exactly that — "RDD was
+    * locally checkpointed, its lineage has been truncated and cannot
+    * be recomputed"), and the lease assumes executor memory+disk can
+    * hold the frame. That is the right trade on a single-box session
+    * (this engine's bench/verify harnesses) and for ephemeral builds a
+    * deployment can simply re-run.
+    *
+    * Deployments that need leases to SURVIVE executor loss set
+    * `spark.graft.lease.mode=reliable` plus
+    * `sparkContext.setCheckpointDir(<HDFS/object-store path>)`: every
+    * lease then goes through `Dataset.checkpoint(eager = true)` — the
+    * frame is written to the reliable store and re-read from it, so a
+    * lost executor re-fetches instead of failing the query. Costs,
+    * honestly: one extra write+read of the frame through the
+    * checkpoint dir per lease, and checkpoint files outlive the
+    * blocks-based release machinery (reclaim them with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` or by
+    * lifecycle-managing the directory). Both modes return the same
+    * rows with the same truncated-plan shape (a LogicalRDD scan), so
+    * every consumer and PlanSpec pin is mode-agnostic. */
   def lease(tag: String, df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     releasePrior(tag, sc)
-    val (out, rdd) = checkpointedWithRdd(df)
-    register(tag, sc)(rdd)
-    out
+    if (df.sparkSession.conf.get(LeaseModeKey, "local") == "reliable") {
+      require(sc.getCheckpointDir.isDefined,
+        s"$LeaseModeKey=reliable needs sparkContext.setCheckpointDir(...) " +
+          "(an HDFS/object-store path executors can all reach)")
+      // reliable files are reclaimed via the checkpoint dir, not via
+      // block release — nothing to register
+      df.checkpoint()
+    } else {
+      val (out, rdd) = checkpointedWithRdd(df)
+      register(tag, sc)(rdd)
+      out
+    }
   }
 }
