@@ -22,9 +22,11 @@ trait DedupClusterPart { this: Dedup.type =>
     *
     * Execution shape: the DRIVER runs the loop, but it is control
     * only — each round is one distributed join + hash aggregate, data
-    * never leaves executors, and convergence is detected from a
-    * 1-row aggregate (labels only ever decrease, so sum(label) is
-    * strictly monotone until the fixpoint — no per-row diff join).
+    * never leaves executors, and convergence is detected from an
+    * exact sum(label) metric that rides the round's own
+    * materialization job ([[checkpointedWithMetric]] — labels only
+    * ever decrease, so sum(label) is strictly monotone until the
+    * fixpoint; no per-row diff join, no second job per round).
     * Round count is the component diameter, which for near-dup
     * clusters is small (dup cliques have diameter 1; chains of
     * borderline pairs are short); `maxIters` fails loudly rather than
@@ -57,6 +59,39 @@ trait DedupClusterPart { this: Dedup.type =>
       finals: org.apache.spark.rdd.RDD[_]*): Unit =
     Checkpoints.register("cc", sc)(finals: _*)
 
+  /** Checkpoint one CC round's frame with its convergence metric
+    * riding the SAME job that materializes the checkpoint:
+    * `Dataset.observe` plants a CollectMetrics node at the top of the
+    * round's plan, so the metric accumulates WHILE the eager
+    * localCheckpoint job runs — where the round-17 shape paid a
+    * SECOND full-scan job per round (a 1-row convergence aggregate
+    * over the just-checkpointed blocks), i.e. 2 driver-blocking jobs
+    * per round per CC invocation (committed before/after counts:
+    * plans/r18/cc_jobcount_*.txt).
+    *
+    * The metric is EXACT, not best-effort: CollectMetrics sits above
+    * the round's last exchange, so it evaluates in the RESULT stage of
+    * the materialization job, and the scheduler merges a result-stage
+    * accumulator update exactly once per partition (a duplicate
+    * successful task is discarded before the merge — the same
+    * mechanism that keeps SQL metrics exact; only shuffle-map-stage
+    * accumulators can double-count under retries). The bounded wait +
+    * recompute fallback below is defense against an action path that
+    * bypasses the listener bus — it recomputes the SAME metric over
+    * the checkpointed blocks (one extra job, the pre-fusion shape)
+    * rather than ever returning a wrong or absent value. */
+  private def checkpointedWithMetric(
+      df: DataFrame, metric: Column): (
+      DataFrame, org.apache.spark.rdd.RDD[_], Any) = {
+    val obs = org.apache.spark.sql.Observation()
+    val (out, rdd) = checkpointedWithRdd(df.observe(obs, metric.as("m")))
+    val m = try {
+      Some(scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(10, "s")).get(0))
+    } catch { case _: java.util.concurrent.TimeoutException => None }
+    (out, rdd, m.getOrElse(out.agg(metric.as("m")).head().get(0)))
+  }
+
   /** Min-label-propagation connected components (see the execution
     * notes above). RESULT LIFETIME CONTRACT: the returned frame is
     * backed by localCheckpoint blocks that are released at the NEXT
@@ -70,22 +105,28 @@ trait DedupClusterPart { this: Dedup.type =>
     val e = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    var (labels, labelsRdd) =
-      checkpointedWithRdd(vertices.select(col("id"), col("id").as("label")))
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
-    var sum0 = labelSum(labels)
+    // the convergence sum rides each round's checkpoint job
+    // ([[checkpointedWithMetric]] — labels only ever decrease, so
+    // equal consecutive exact sums == fixpoint, as before; the metric
+    // just stopped costing a second job per round)
+    val lsum = coalesce(sum(col("label").cast("decimal(38,0)")),
+      lit(0).cast("decimal(38,0)"))
+    val init = checkpointedWithMetric(
+      vertices.select(col("id"), col("id").as("label")), lsum)
+    var labels = init._1
+    var labelsRdd = init._2
+    var sum0 = init._3.asInstanceOf[java.math.BigDecimal]
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       val prop = e.join(labels, e("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
-      val (next, nextRdd) = checkpointedWithRdd(labels.as("l")
+      val (next, nextRdd, s1) = checkpointedWithMetric(labels.as("l")
         .join(prop, col("l.id") === prop("dst"), "left")
         .select(col("l.id").as("id"),
-          least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label")))
-      val sum1 = labelSum(next)
+          least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label")),
+        lsum)
+      val sum1 = s1.asInstanceOf[java.math.BigDecimal]
       labelsRdd.unpersist(blocking = false) // previous round's checkpoint blocks
       labels = next
       labelsRdd = nextRdd
@@ -122,10 +163,12 @@ trait DedupClusterPart { this: Dedup.type =>
     *
     * Convergence = the canonical (hi, lo) edge set reaches a fixpoint,
     * detected from a 1-ROW SET FINGERPRINT per round — (count,
-    * bit_xor of xxhash64(u, v)) over the distinct canonical edges: one
-    * cheap aggregate job, where the round-5 version paid a full
-    * count() PLUS a shuffle-compare exceptAll every round (two extra
-    * distributed jobs — it was the slowest bench entry). bit_xor is
+    * bit_xor of xxhash64(u, v)) over the distinct canonical edges,
+    * riding the round's checkpoint job as an observed metric
+    * ([[checkpointedWithMetric]], round 18 — zero extra jobs); the
+    * round-5 version paid a full count() PLUS a shuffle-compare
+    * exceptAll every round (two extra distributed jobs — it was the
+    * slowest bench entry). bit_xor is
     * order-independent and overflow-free (sum would throw under ANSI),
     * and over a DISTINCT edge set it is a proper set fingerprint. The
     * moment the fingerprint repeats, the fixpoint is asserted EXACTLY
@@ -146,18 +189,24 @@ trait DedupClusterPart { this: Dedup.type =>
       e.select(greatest(col("u"), col("v")).as("u"),
           least(col("u"), col("v")).as("v"))
         .filter(col("u") =!= col("v")).distinct()
-    def fingerprint(df: DataFrame): (Long, Long) = {
-      val r = df.agg(
-        count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+    // the (count, bit_xor) set fingerprint rides each round's
+    // checkpoint job as one struct metric ([[checkpointedWithMetric]]
+    // — same values, no second job per round)
+    val efp = struct(
+      count(lit(1)).as("n"),
+      coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("x"))
+    def asFp(m: Any): (Long, Long) = {
+      val r = m.asInstanceOf[org.apache.spark.sql.Row]
       (r.getLong(0), r.getLong(1))
     }
     // localCheckpoint (not persist) per round: truncates the logical
     // plan so Catalyst never re-optimizes the accumulated join tree —
     // see connectedMinLabels' doc
-    var (e, eRdd) =
-      checkpointedWithRdd(canon(edges.select(col("id_a").as("u"), col("id_b").as("v"))))
-    var eFp = fingerprint(e)
+    val init = checkpointedWithMetric(
+      canon(edges.select(col("id_a").as("u"), col("id_b").as("v"))), efp)
+    var e = init._1
+    var eRdd = init._2
+    var eFp = asFp(init._3)
     var converged = eFp._1 == 0L
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -171,10 +220,10 @@ trait DedupClusterPart { this: Dedup.type =>
       // small-star over each u's (strictly smaller, post-canon) nbrs
       val umin = large.groupBy("u").agg(min(col("v")).as("m"))
       val withM = large.join(umin, "u")
-      val (next, nextRdd) = checkpointedWithRdd(canon(
+      val (next, nextRdd, nm) = checkpointedWithMetric(canon(
         withM.select(col("v").as("u"), col("m").as("v"))
-          .unionByName(withM.select(col("u"), col("m").as("v")))))
-      val nFp = fingerprint(next)
+          .unionByName(withM.select(col("u"), col("m").as("v")))), efp)
+      val nFp = asFp(nm)
       if (nFp == eFp) {
         // the once-at-exit exact assert (see doc): counts are equal, so
         // an empty one-way difference proves set equality
@@ -214,18 +263,26 @@ trait DedupClusterPart { this: Dedup.type =>
     * rows of `docs` (original schema). */
   def collapseApplySurvivors(
       docs: DataFrame, idCol: String, groupCols: Seq[Column])(
-      eligibleReps: DataFrame => DataFrame)(
+      eligiblePred: Column)(
       dominatedReps: DataFrame => DataFrame): DataFrame = {
-    // leased: the grouped frame fans out to the rep pipeline, the twin
-    // expansion, and (by way of `docs` sharing its scan) the survivor
-    // anti-join; the eligible-rep frame feeds the twin join AND the
-    // dominated pipeline (which references it several times itself) —
-    // without the leases each reference re-instantiates the group
-    // window / the eligibility kernel (guide §1.2)
-    val grp = Checkpoints.lease("collapseapply_grp", docs.withColumn("__min",
-      min(col(idCol)).over(Window.partitionBy(groupCols: _*))))
-    val reps = grp.filter(col(idCol) === col("__min"))
-    val el = Checkpoints.lease("collapseapply_el", eligibleReps(reps))
+    // ONE leased pass materializes the group window AND the row-wise
+    // eligibility predicate: the grouped frame fans out to the rep
+    // pipeline, the twin expansion, and the eligible-rep filter, so
+    // without the lease each reference re-instantiates the group
+    // window / the eligibility kernel (guide §1.2). Eligibility rides
+    // the SAME materialization as a boolean column — the when() guard
+    // short-circuits, so the (potentially expensive) predicate
+    // evaluates on REP rows only, exactly as the round-17 second
+    // lease ("collapseapply_el") did — but without that lease's extra
+    // sequential full-frame materialization job per execution, the
+    // per-job fixed cost the round-17 verdict measured regressing
+    // dd_cluster_keepbest at 32 cores. The eligible-rep set is now a
+    // free filter over the already-materialized blocks.
+    val grp = Checkpoints.lease("collapseapply_grp", docs
+      .withColumn("__min", min(col(idCol)).over(Window.partitionBy(groupCols: _*)))
+      .withColumn("__elig",
+        when(col(idCol) === col("__min"), eligiblePred).otherwise(lit(false))))
+    val el = grp.filter(col("__elig")).drop("__elig")
     val twinDominated = grp.filter(col(idCol) =!= col("__min"))
       .join(el.select(col(idCol).as("__min")), Seq("__min"))
       .select(col(idCol))
@@ -245,9 +302,8 @@ trait DedupClusterPart { this: Dedup.type =>
     * pair, so running the pipeline on eligible reps only is
     * output-identical. */
   def applyLshSurvivors(docs: DataFrame): DataFrame =
-    collapseApplySurvivors(docs, "doc_id", Seq(md5(lower(col("text"))))) { reps =>
-      reps.filter(size(graft.functions.TextShingles.wordShingles(col("text"), 3)) > 0)
-    } { el =>
+    collapseApplySurvivors(docs, "doc_id", Seq(md5(lower(col("text")))))(
+      size(graft.functions.TextShingles.wordShingles(col("text"), 3)) > 0) { el =>
       minhashNearDups(
           el.select(col("doc_id"), col("text")), col("doc_id"), col("text"), 0.5)
         .select(col("id_b").as("doc_id")).distinct()
@@ -271,18 +327,27 @@ trait DedupClusterPart { this: Dedup.type =>
     import s.implicits._
     val docs = docsIn.select($"doc_id", $"text")
     // leased: the grouped frame fans out to the pair pipeline, the CC
-    // vertex set, the eligibility kernel, and the member expansion —
-    // each reference otherwise re-instantiates the scan + group window
-    val grp = Checkpoints.lease("cluster_grp", docs.withColumn("__min",
-      min($"doc_id").over(Window.partitionBy(md5(lower($"text"))))))
+    // vertex set, the eligibility filter, and the member expansion —
+    // each reference otherwise re-instantiates the scan + group
+    // window. Eligibility rides the SAME materialization as a boolean
+    // column (the when() guard evaluates the shingle kernel on rep
+    // rows only) — the round-17 separate "cluster_eligible" lease
+    // bought the once-only evaluation at the price of one more
+    // sequential full-frame materialization job per execution, the
+    // 32-core per-job fixed cost the round-17 verdict measured
+    // regressing dd_cluster_keepbest; a filter over the leased blocks
+    // costs neither.
+    val grp = Checkpoints.lease("cluster_grp", docs
+      .withColumn("__min", min($"doc_id").over(Window.partitionBy(md5(lower($"text")))))
+      .withColumn("__elig", when($"doc_id" === $"__min",
+        size(graft.functions.TextShingles.wordShingles($"text", 3)) > 0)
+        .otherwise(lit(false))))
     val reps = grp.filter($"doc_id" === $"__min")
     val pairs = minhashNearDups(
         reps.select($"doc_id", $"text"), $"doc_id", $"text", 0.5)
       .select($"id_a", $"id_b")
     val repLabels = cc(reps.select($"doc_id".as("id")), pairs)
-    val eligible = Checkpoints.lease("cluster_eligible", reps
-      .filter(size(graft.functions.TextShingles.wordShingles($"text", 3)) > 0)
-      .select($"doc_id".as("__min")))
+    val eligible = grp.filter($"__elig").select($"doc_id".as("__min"))
     val members = grp.select($"doc_id", $"__min")
     val inherited = members
       .join(eligible, Seq("__min"))
@@ -377,9 +442,8 @@ trait DedupClusterPart { this: Dedup.type =>
         // survivor set. Shingle-less docs (< 3 tokens) never enter
         // postings, can't be dominated, and pass through.
         collapseApplySurvivors(table(s, d, "documents"), "doc_id",
-            Seq(md5(lower($"text")))) { reps =>
-          reps.filter(size(graft.functions.TextShingles.wordShingles($"text", 3)) > 0)
-        } { el =>
+            Seq(md5(lower($"text"))))(
+            size(graft.functions.TextShingles.wordShingles($"text", 3)) > 0) { el =>
           val (posts, cand) = prefixCandidates(el.select($"doc_id", $"text"))
           // verify by postings-join intersection counts,
           // candidates-only: no gram arrays cross a shuffle and the

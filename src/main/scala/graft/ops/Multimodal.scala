@@ -707,9 +707,8 @@ object Multimodal {
       media: DataFrame, kindVal: String,
       pairs: (DataFrame, Int) => DataFrame, maxHamming: Int): DataFrame =
     Dedup.collapseApplySurvivors(media, "media_id",
-      Seq(col("kind"), md5(col("content")))) { reps =>
-      reps.filter(col("kind") === kindVal && octet_length(col("content")) >= 1)
-    } { el =>
+      Seq(col("kind"), md5(col("content"))))(
+      col("kind") === kindVal && octet_length(col("content")) >= 1) { el =>
       pairs(el, maxHamming).select(col("id_b").as("media_id")).distinct()
     }
 
