@@ -100,13 +100,38 @@ object LmScore {
     * 1-row vocab scalar on a broadcast cross join. */
   def withLmScoreAgainst(
       scored: DataFrame, text: Column,
-      corpus: DataFrame, corpusText: Column): DataFrame = {
-    import scored.sparkSession.implicits._
+      corpus: DataFrame, corpusText: Column): DataFrame =
+    scoreAgainst(scored, text, rawLmModel(corpus, corpusText))
+
+  /** The leased raw-corpus model tables [[withLmScoreAgainst]] scores
+    * against — the tokenize pass and the unigram table materialize
+    * eagerly here ([[Checkpoints.lease]]); the bigram count table is
+    * cheap plan algebra over the leased tokens and rides the scoring
+    * plan. Split out so a composition whose scored-side subtree is
+    * INDEPENDENT of the model build can materialize both concurrently
+    * (guide §2.6 — [[Pipeline.pipeCorpus]] overlaps this model build
+    * with its gate-survivor lease; the sequential two-lease chain here
+    * left the box idle during each). */
+  private[graft] case class RawLmModel(rawToks: DataFrame, uni: DataFrame)
+
+  private[graft] def rawLmModel(
+      corpus: DataFrame, corpusText: Column): RawLmModel = {
+    import corpus.sparkSession.implicits._
     val rawToks = Checkpoints.lease("lm_raw_toks",
       corpus.select(tokens(corpusText).as("toks")))
     val uni = Checkpoints.lease("lm_raw_uni",
       rawToks.select(explode($"toks").as("w1"))
         .groupBy($"w1").agg(count(lit(1)).as("cw")))
+    RawLmModel(rawToks, uni)
+  }
+
+  /** The scoring half of [[withLmScoreAgainst]] over a pre-built
+    * [[RawLmModel]] — identical plan, identical rows. */
+  private[graft] def scoreAgainst(
+      scored: DataFrame, text: Column, model: RawLmModel): DataFrame = {
+    import scored.sparkSession.implicits._
+    val rawToks = model.rawToks
+    val uni = model.uni
     val vocab = uni.agg(count(lit(1)).as("vs"))
     val m = greatest(size($"toks") - 1, lit(0))
     val cnt = rawToks

@@ -114,8 +114,23 @@ object Pipeline {
     // the redacted survivors score against it with OOV left-join
     // semantics, and the high-surprisal tail is dropped. Batch and
     // online builds now clean with one gate set.
+    //
+    // The model build (two leased aggregates over the RAW corpus) and
+    // the gate subtree (stages 2-4 over the redacted text) are
+    // INDEPENDENT until the scoring join, but driver sequencing made
+    // their materializations strictly sequential; building both
+    // concurrently (guide §2.6) back-fills the cores each leaves idle.
+    // The gate survivors are leased for it — one extra materialization
+    // whose cost hides entirely inside the model build's wall-clock,
+    // and which the pipe_clean lease below then reads back instead of
+    // re-running the redact+gate kernels. Value-identical: a lease
+    // returns the same rows, and scoreAgainst ∘ rawLmModel is exactly
+    // withLmScoreAgainst.
+    val (lmModel, gatedL) = Par.join2(
+      LmScore.rawLmModel(docs, $"text"),
+      Checkpoints.lease("pipe_gated", gated))
     val cleanRaw = LmScore
-      .withLmScoreAgainst(gated, $"text", docs, $"text")
+      .scoreAgainst(gatedL, $"text", lmModel)
       .filter($"avg_bits" <= graft.streaming.StreamCorpus.LmGate)
 
     // STAGE BOUNDARY, materialized once: `clean` is referenced by the
