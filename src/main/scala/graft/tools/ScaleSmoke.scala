@@ -66,6 +66,14 @@ object ScaleSmoke {
         val spark = buildSession()
         try amplifyDatabase(spark, args(1), args(3), args(2).toInt)
         finally spark.stop()
+      case "ampd"  => // amp with DISTINCT documents (the linear-dedup
+        // amplification `fulld` uses) — for core-count scale-out
+        // sweeps, where saturated duplicates would measure pair-output
+        // writing instead of operator scaling
+        val spark = buildSession()
+        try amplifyDatabase(spark, args(1), args(3), args(2).toInt,
+          distinctDocs = true)
+        finally spark.stop()
       case "skew"  => hotBand(args.drop(1))
       case "dedup" => dedupSaturation(args.drop(1))
       case "ann"   => annScale(args.drop(1))
