@@ -48,23 +48,39 @@ object Dsir {
 
   import TextAnalysis.tokens
 
-  /** (doc_id, is_target, f) — one row per hashed feature OCCURRENCE
-    * (unigrams then bigrams; order is irrelevant, scoring sums). */
-  private def hashedFeats(
-      toksDf: DataFrame, buckets: Int): DataFrame = {
-    import toksDf.sparkSession.implicits._
+  /** All hashed feature codes of one document as ONE array (unigram
+    * codes then bigram codes — order irrelevant, every consumer
+    * aggregates). Computed INSIDE the feature lease so the per-token
+    * md5 runs exactly once per occurrence (round 17's Classify move);
+    * the round-17 shape here leased the TOKENIZED corpus first and
+    * built the exploded feature frame as a second lease reading those
+    * blocks twice (unigram + bigram union branches) — two sequential
+    * corpus-scale materialization jobs where the array form needs one
+    * (guide §1.2/§2.3: one pass, one job, and the array lease holds
+    * ~docs rows instead of the ~2×token-occurrence exploded frame).
+    * Consumers explode the leased array — codes are precomputed, so
+    * the explode is pure row fan-out. */
+  private def featCodes(toks: Column, buckets: Int): Column = {
     val h = graft.functions.PortableHash.md5Hash60(_: Column)
-    val uni = toksDf.select($"doc_id", $"is_target",
-      explode($"toks").as("w"))
-      .select($"doc_id", $"is_target", pmod(h($"w"), lit(buckets.toLong)).as("f"))
-    val m = greatest(size($"toks") - 1, lit(0))
-    val bg = toksDf
-      .select($"doc_id", $"is_target", explode(arrays_zip(
-        slice($"toks", lit(1), m).as("w1"),
-        slice($"toks", lit(2), m).as("w2"))).as("b"))
-      .select($"doc_id", $"is_target",
-        pmod(h(concat_ws(" ", $"b.w1", $"b.w2")), lit(buckets.toLong)).as("f"))
-    uni.unionByName(bg)
+    val uni = transform(toks, w => pmod(h(w), lit(buckets.toLong)))
+    val m = greatest(size(toks) - 1, lit(0))
+    val bg = zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+      (a, b) => pmod(h(concat_ws(" ", a, b)), lit(buckets.toLong)))
+    concat(uni, bg)
+  }
+
+  /** Lease the per-doc feature-code arrays and return the exploded
+    * (doc_id, is_target, f) frame every consumer aggregates —
+    * value-identical to the round-17 exploded lease (same multiset of
+    * rows: explode ∘ concat(map(h), zipmap(h)) == union of the mapped
+    * explodes; row order never mattered). */
+  private def leasedFeats(
+      docs: DataFrame, docId: Column, isTarget: Column, text: Column,
+      buckets: Int, tag: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    val arr = Checkpoints.lease(tag, docs.select(docId.as("doc_id"),
+      isTarget.as("is_target"), featCodes(tokens(text), buckets).as("fs")))
+    arr.select($"doc_id", $"is_target", explode($"fs").as("f"))
   }
 
   /** The per-bucket ratio table — B rows, bucket-bounded, broadcast by
@@ -113,10 +129,7 @@ object Dsir {
       docs: DataFrame, docId: Column, text: Column, isTarget: Column,
       buckets: Int = 256, topFrac: Double = 0.25): DataFrame = {
     import docs.sparkSession.implicits._
-    val toksL = Checkpoints.lease("dsir_toks",
-      docs.select(docId.as("doc_id"), isTarget.as("is_target"),
-        tokens(text).as("toks")))
-    val featsL = Checkpoints.lease("dsir_feats", hashedFeats(toksL, buckets))
+    val featsL = leasedFeats(docs, docId, isTarget, text, buckets, "dsir_feats")
     val perDoc = featsL.join(broadcast(lamFrame(featsL, buckets)), Seq("f"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_feats"),
@@ -151,10 +164,8 @@ object Dsir {
       docs: DataFrame, docId: Column, text: Column, isTarget: Column,
       buckets: Int = 256, maxEntries: Long = 1L << 22): DsirModel = {
     import docs.sparkSession.implicits._
-    val toksL = Checkpoints.lease("dsir_model_toks",
-      docs.select(docId.as("doc_id"), isTarget.as("is_target"),
-        tokens(text).as("toks")))
-    val featsL = Checkpoints.lease("dsir_model_feats", hashedFeats(toksL, buckets))
+    val featsL = leasedFeats(docs, docId, isTarget, text, buckets,
+      "dsir_model_feats")
     val lamDf = lamFrame(featsL, buckets)
     val n = lamDf.agg(count(lit(1))).head().getLong(0)
     require(n <= maxEntries,
